@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Headline benchmark. Mirrors BASELINE.md methodology: local[$SPARK_GRAFT_CPUS]
+(default 32), sf dir from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+each query warmed once then best-of-3 wall-clock on a full materialization.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# The 7 headline queries measured in BASELINE.md (same semantics, same data),
+# in the same order.  conv3x3 in BASELINE.md == filter_convolve here (offset
+# join over the pixel grid derived from events).
+HEADLINE = [
+    ("q1", "q1_pricing_summary"),
+    ("q3", "q3_join_topk"),
+    ("window_rank", "window_rank"),
+    ("sessionize", "sessionize"),
+    ("similarity_top10", "similarity_top10"),
+    ("exact_dedup_docs", "dedup_exact_groups"),
+    ("conv3x3", "filter_convolve"),
+]
+
+
+def main() -> None:
+    from dask_image_spark import queries as q
+    from dask_image_spark.session import get_spark
+
+    q.load_all()
+    spark = get_spark(app_name="dask-image-spark-bench", master=f"local[{CPUS}]")
+    registry = q.all_queries()
+
+    results: dict[str, float] = {}
+    for label, name in HEADLINE:
+        fn = registry[name]
+        fn(spark, SF_DIR).count()  # warm-up (plan + code + page cache)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        results[label] = round(best, 4)
+
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

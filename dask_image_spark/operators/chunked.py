@@ -1,0 +1,149 @@
+"""R2 chunked-tensor path: per-image / per-line numpy processing via
+``applyInPandas`` — the Spark equivalent of dask's ``map_blocks`` /
+``map_overlap`` for operators that are recursive or global along an axis and
+therefore not economical as joins:
+
+* ``spline_filter1d`` — recursive IIR along one axis
+  (``dask_image/ndinterp/__init__.py::spline_filter1d``): parallelises
+  perfectly across the *other* axis — each grid line is one group.
+* Fourier-domain ops (``dask_image/ndfourier``): FFT needs the whole image;
+  each image is one group, images parallelise across the cluster.
+
+Data moves as Arrow batches; the pandas function sees one group at a time,
+so executor memory bounds the *image* size, not the dataset size — the same
+contract dask-image has per chunk.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CUBIC_POLE = math.sqrt(3.0) - 2.0
+
+
+def spline_filter1d_np(line: np.ndarray, pole: float = _CUBIC_POLE) -> np.ndarray:
+    """Cubic B-spline prefilter along a 1-D line (Unser's algorithm,
+    mirror-symmetric boundary): forward/backward first-order IIR passes.
+    Implemented from the published recurrences (no scipy in this container).
+    """
+    c = line.astype(np.float64) * (1.0 - pole) * (1.0 - 1.0 / pole)
+    n = len(c)
+    if n == 1:
+        return line.astype(np.float64)
+    # causal init: truncated geometric sum of the mirrored signal
+    horizon = min(n, int(math.ceil(math.log(1e-12) / math.log(abs(pole)))))
+    zs = pole ** np.arange(horizon)
+    c0 = float(np.dot(zs, line[:horizon].astype(np.float64))) * (1.0 - pole) * (
+        1.0 - 1.0 / pole
+    )
+    c[0] = c0
+    for k in range(1, n):
+        c[k] += pole * c[k - 1]
+    # anti-causal init
+    c[n - 1] = (pole / (pole * pole - 1.0)) * (c[n - 1] + pole * c[n - 2])
+    for k in range(n - 2, -1, -1):
+        c[k] = pole * (c[k] - c[k + 1])
+    return c
+
+
+def spline_filter1d(
+    px: DataFrame, axis: int = 0, shape=None, keys=(),
+) -> DataFrame:
+    """Spline prefilter along ``axis``: group by the other coordinate, sort
+    along the filtered axis, run the IIR per line."""
+    keys = list(keys)
+    along, across = ("y", "x") if axis == 0 else ("x", "y")
+    schema = ", ".join(
+        [*(f"{k} long" for k in keys), "y int", "x int", "v double"]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(along)
+        out = spline_filter1d_np(pdf["value"].to_numpy())
+        res = pdf[[*keys, "y", "x"]].copy()
+        res["v"] = out
+        return res
+
+    return px.groupBy(*keys, across).applyInPandas(fn, schema)
+
+
+def _image_apply(px: DataFrame, np_fn, shape, keys=()) -> DataFrame:
+    """Apply ``np_fn(2d array) -> 2d array`` to each whole image group."""
+    keys = list(keys)
+    h, w = shape
+    schema = ", ".join(
+        [*(f"{k} long" for k in keys), "y int", "x int", "v double"]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((h, w), dtype=np.float64)
+        img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["value"].to_numpy()
+        out = np_fn(img)
+        ys, xs = np.indices((h, w))
+        res = pd.DataFrame(
+            {"y": ys.ravel(), "x": xs.ravel(), "v": out.ravel()}
+        )
+        for k in keys:
+            res[k] = pdf[k].iloc[0]
+        return res[[*keys, "y", "x", "v"]]
+
+    grouped = px.groupBy(*keys) if keys else px.groupBy(F.lit(1).alias("_g"))
+    if not keys:
+        schema = "y int, x int, v double"
+
+        def fn_nokey(pdf: pd.DataFrame) -> pd.DataFrame:
+            img = np.zeros((h, w), dtype=np.float64)
+            img[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["value"].to_numpy()
+            out = np_fn(img)
+            ys, xs = np.indices((h, w))
+            return pd.DataFrame({"y": ys.ravel(), "x": xs.ravel(), "v": out.ravel()})
+
+        return grouped.applyInPandas(fn_nokey, schema)
+    return grouped.applyInPandas(fn, schema)
+
+
+def fourier_gaussian(px: DataFrame, sigma: float, shape, keys=()) -> DataFrame:
+    """Gaussian in the frequency domain
+    (``ndfourier/__init__.py::fourier_gaussian``): FFT, multiply by
+    exp(-2 pi^2 sigma^2 f^2) per axis, inverse FFT (real part).
+    Equivalent to spatial gaussian_filter with periodic (wrap) boundary."""
+
+    def fn(img: np.ndarray) -> np.ndarray:
+        fy = np.fft.fftfreq(img.shape[0])[:, None]
+        fx = np.fft.fftfreq(img.shape[1])[None, :]
+        resp = np.exp(-2.0 * np.pi**2 * sigma**2 * (fy**2 + fx**2))
+        return np.real(np.fft.ifft2(np.fft.fft2(img) * resp))
+
+    return _image_apply(px, fn, shape, keys)
+
+
+def fourier_uniform(px: DataFrame, size: int, shape, keys=()) -> DataFrame:
+    """Box filter in the frequency domain (sinc multiplier), periodic."""
+
+    def fn(img: np.ndarray) -> np.ndarray:
+        fy = np.fft.fftfreq(img.shape[0])[:, None]
+        fx = np.fft.fftfreq(img.shape[1])[None, :]
+        with np.errstate(invalid="ignore"):
+            ry = np.sinc(fy * size)
+            rx = np.sinc(fx * size)
+        return np.real(np.fft.ifft2(np.fft.fft2(img) * ry * rx))
+
+    return _image_apply(px, fn, shape, keys)
+
+
+def fourier_shift(px: DataFrame, shift, shape, keys=()) -> DataFrame:
+    """Subpixel-capable periodic shift via phase ramp multiplication."""
+    sy, sx = shift
+
+    def fn(img: np.ndarray) -> np.ndarray:
+        fy = np.fft.fftfreq(img.shape[0])[:, None]
+        fx = np.fft.fftfreq(img.shape[1])[None, :]
+        ramp = np.exp(-2j * np.pi * (fy * sy + fx * sx))
+        return np.real(np.fft.ifft2(np.fft.fft2(img) * ramp))
+
+    return _image_apply(px, fn, shape, keys)

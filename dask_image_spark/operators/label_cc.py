@@ -1,0 +1,150 @@
+"""Connected-components labeling (``dask_image.ndmeasure.label``).
+
+Faithful to the reference's three-stage design
+(``dask_image/ndmeasure/_utils/_label.py``):
+
+1. **Blockwise pre-label** (`block_ndi_label_delayed` there): each block of
+   the grid is labeled independently — here one ``applyInPandas`` group per
+   block, pure-numpy union-find labeling (no scipy in this container) —
+   then offset to globally-unique ids (`relabel_blocks`).
+2. **Boundary adjacency** (`label_adjacency_graph`): label pairs that touch
+   across any 4-neighbor edge, found with one self-join of the labeled
+   pixels shifted by (1,0) and (0,1). Only *differing* labels survive, so
+   the pair set is bounded by block-boundary contacts — tiny relative to
+   the data.
+3. **Global merge** (`connected_components_delayed` runs scipy.sparse's CC
+   on one worker there): the adjacency pairs are collected to the driver
+   and merged with union-find — the same "small graph solved centrally"
+   topology as the reference — then the root map is broadcast-joined back.
+
+Final labels are canonical: each component is labeled by the minimum ravel
+index (y*W + x) of its pixels, so output is deterministic regardless of
+block layout or execution order. At 100 TB, stage 1 scales with pixels,
+stage 2 with boundary area, stage 3 with the number of *components touching
+block edges* — if that ever outgrows the driver, the documented fallback is
+iterative min-label broadcast joins with ``localCheckpoint()`` per round.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _label_block_np(ys, xs, h, w):
+    """4-connected labeling of points within a block; returns local labels
+    (0-based) via union-find over the dense block raster."""
+    parent = {}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    occupied = set(zip(ys, xs))
+    for p in occupied:
+        parent[p] = p
+    for (y, x) in occupied:
+        if (y - 1, x) in occupied:
+            union((y, x), (y - 1, x))
+        if (y, x - 1) in occupied:
+            union((y, x), (y, x - 1))
+    roots = {}
+    labels = []
+    for p in zip(ys, xs):
+        r = find(p)
+        if r not in roots:
+            roots[r] = len(roots)
+        labels.append(roots[r])
+    return np.asarray(labels, dtype=np.int64)
+
+
+def label(
+    mask: DataFrame, shape: tuple[int, int], block: int = 32,
+    mask_col: str = "m",
+) -> DataFrame:
+    """Label 4-connected components of a boolean mask.
+
+    Returns (y, x, label) for true pixels; label = min ravel index of the
+    component (canonical, deterministic).
+    """
+    h, w = shape
+    spark = mask.sparkSession
+    pts = mask.filter(F.col(mask_col)).select("y", "x")
+
+    # stage 1: per-block pre-label, globally offset by block id
+    blocked = pts.withColumns(
+        {
+            "by": (F.col("y") / block).cast("int"),
+            "bx": (F.col("x") / block).cast("int"),
+        }
+    )
+    nbx = -(-w // block)
+    area = block * block
+
+    def pre_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        ys = pdf["y"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        local = _label_block_np(ys, xs, h, w)
+        base = (pdf["by"].iloc[0] * nbx + pdf["bx"].iloc[0]) * area
+        return pd.DataFrame({"y": ys, "x": xs, "lbl": base + local})
+
+    labeled = blocked.groupBy("by", "bx").applyInPandas(
+        pre_label, "y int, x int, lbl long"
+    )
+    labeled = labeled.localCheckpoint()  # cut lineage; reused 3 times below
+
+    # stage 2: adjacency across all 4-neighbor contacts with differing labels
+    a = labeled.alias("a")
+    edges = None
+    for dy, dx in ((1, 0), (0, 1)):
+        b = labeled.select(
+            (F.col("y") - dy).alias("y"), (F.col("x") - dx).alias("x"),
+            F.col("lbl").alias("lbl_b"),
+        ).alias("b")
+        e = (
+            a.join(b, on=["y", "x"])
+            .filter(F.col("lbl") != F.col("lbl_b"))
+            .select("lbl", "lbl_b")
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    pairs = [(r["lbl"], r["lbl_b"]) for r in edges.distinct().collect()]
+
+    # stage 3: driver-side union-find over the (small) adjacency graph
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for la, lb in pairs:
+        ra, rb = find(la), find(lb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {x: find(x) for x in parent}
+
+    # stage 4: broadcast the root map; canonical label = min ravel index
+    if roots:
+        root_df = spark.createDataFrame(
+            [(k, v) for k, v in roots.items()], schema="lbl LONG, root LONG"
+        )
+        merged = labeled.join(F.broadcast(root_df), on="lbl", how="left").select(
+            "y", "x", F.coalesce("root", "lbl").alias("comp")
+        )
+    else:
+        merged = labeled.select("y", "x", F.col("lbl").alias("comp"))
+    canon = merged.groupBy("comp").agg(
+        F.min(F.col("y").cast("long") * w + F.col("x")).alias("label")
+    )
+    return merged.join(F.broadcast(canon), on="comp").select("y", "x", "label")

@@ -1,0 +1,91 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed with Arrow-batched pandas UDFs (``mapInPandas``).
+
+The real decoders (PIL/tifffile/librosa/ffmpeg) are not in this container,
+mirroring the reference's optional ``pims`` dependency
+(``dask_image/imread/__init__.py`` imports pims lazily). Decoding is
+therefore STUBBED: ``decode_image`` raises unless given the deterministic
+fake codec, while all the Spark-side plumbing — schema, Arrow batching,
+partition-parallel fan-out, UDF signatures — is real and tested. Swapping
+the stub for PIL is a one-function change.
+
+The deterministic fake treats the payload bytes themselves as the "pixels":
+metadata (byte length, first byte, byte-sum checksum) is computable by the
+DuckDB oracle too, so even the UDF plumbing gets a strong correctness check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def decode_image(payload: bytes, codec: str = "fake"):
+    """Decode an image payload to an array. Only the deterministic fake
+    codec works in this container; real codecs raise."""
+    if codec == "fake":
+        return list(payload)
+    raise NotImplementedError(
+        f"codec {codec!r} needs an image library not present in this "
+        "container; install PIL/tifffile and extend decode_image"
+    )
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a multimodal table: attach an opaque binary column (here the
+    utf-8 encoded text standing in for image bytes) plus typed metadata."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload metadata via mapInPandas: one Arrow batch in, one out.
+
+    Columns: byte_len, first_byte, checksum (sum of bytes mod 65536) —
+    all reproducible from SQL over the source text, giving the UDF path a
+    strong oracle.
+    """
+    schema = f"{id_col} long, byte_len int, first_byte int, checksum int"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "byte_len": [len(p) for p in payloads],
+                    "first_byte": [p[0] if p else -1 for p in payloads],
+                    "checksum": [sum(p) % 65536 for p in payloads],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(fn, schema)
+
+
+def frame_sample(
+    df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 100
+) -> DataFrame:
+    """Video-style frame sampling stub: fan each payload out to one row per
+    ``frame_bytes`` slab (mapInPandas row-expansion plumbing — the same shape
+    a real frame extractor has)."""
+    schema = f"{id_col} long, frame_no int, frame_len int"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, lens = [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                data = decode_image(p)
+                n = max(1, -(-len(data) // frame_bytes))
+                for f_no in range(n):
+                    ids.append(i)
+                    frames.append(f_no)
+                    lens.append(
+                        len(data[f_no * frame_bytes : (f_no + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "frame_no": frames, "frame_len": lens}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(fn, schema)

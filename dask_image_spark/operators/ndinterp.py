@@ -1,0 +1,128 @@
+"""Geometric transforms (the ``dask_image.ndinterp`` surface).
+
+Reference: ``dask_image/ndinterp/__init__.py::affine_transform`` computes,
+per output chunk, the inverse-mapped input region and runs scipy's
+``affine_transform`` on it. Relationally the same thing is a **gather
+join**: each output coordinate computes its source coordinate as an
+expression and equi-joins the pixel table — the only "join-like" operator
+the reference has. Order 0 (nearest) joins one source pixel; order 1
+(bilinear) joins the four corners with interpolation weights computed in
+SQL. Order >= 2 needs the spline prefilter (see ``operators/chunked.py``).
+
+At scale the gather join shuffles on the computed source coordinate — the
+same single-shuffle pattern as the stencils; partition pruning applies when
+the transform maps an output partition to a bounded input region.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _src_exprs(matrix, offset):
+    (m00, m01), (m10, m11) = matrix
+    o0, o1 = offset
+    fy = F.lit(float(m00)) * F.col("y") + F.lit(float(m01)) * F.col("x") + F.lit(float(o0))
+    fx = F.lit(float(m10)) * F.col("y") + F.lit(float(m11)) * F.col("x") + F.lit(float(o1))
+    return fy, fx
+
+
+def affine_transform_order0(
+    px: DataFrame, matrix, offset=(0.0, 0.0), shape=None,
+    mode: str = "nearest", keys=(),
+) -> DataFrame:
+    """Nearest-neighbor affine: source = round(M @ out + offset), one gather
+    join. Rounding is floor(v + 0.5) — fixed, documented tie behavior that
+    the oracle reproduces exactly."""
+    keys = list(keys)
+    h, w = shape
+    fy, fx = _src_exprs(matrix, offset)
+    out = px.select(*keys, "y", "x").withColumns(
+        {
+            "sy": F.floor(fy + 0.5).cast("int"),
+            "sx": F.floor(fx + 0.5).cast("int"),
+        }
+    )
+    # clamp into range (scipy 'nearest'); other modes would use remap_sql
+    out = out.withColumns(
+        {
+            "sy": F.least(F.greatest(F.col("sy"), F.lit(0)), F.lit(h - 1)),
+            "sx": F.least(F.greatest(F.col("sx"), F.lit(0)), F.lit(w - 1)),
+        }
+    )
+    src = px.select(
+        *keys, F.col("y").alias("sy"), F.col("x").alias("sx"),
+        F.col("value").alias("v"),
+    )
+    return out.join(src, on=[*keys, "sy", "sx"]).select(*keys, "y", "x", "v")
+
+
+def affine_transform_order1(
+    px: DataFrame, matrix, offset=(0.0, 0.0), shape=None, keys=(),
+) -> DataFrame:
+    """Bilinear affine: join the 4 corner pixels with weights
+    (1-ty/ty) x (1-tx/tx) computed in SQL; clamped (nearest) at edges."""
+    keys = list(keys)
+    h, w = shape
+    fy, fx = _src_exprs(matrix, offset)
+    spark = px.sparkSession
+    corners = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], schema="cy INT, cx INT"
+    )
+    base = px.select(*keys, "y", "x").withColumns(
+        {"fy": fy, "fx": fx}
+    ).withColumns(
+        {
+            "y0": F.floor(F.col("fy")).cast("int"),
+            "x0": F.floor(F.col("fx")).cast("int"),
+            "ty": F.col("fy") - F.floor(F.col("fy")),
+            "tx": F.col("fx") - F.floor(F.col("fx")),
+        }
+    )
+    j = base.crossJoin(F.broadcast(corners)).withColumns(
+        {
+            "sy": F.least(F.greatest(F.col("y0") + F.col("cy"), F.lit(0)), F.lit(h - 1)),
+            "sx": F.least(F.greatest(F.col("x0") + F.col("cx"), F.lit(0)), F.lit(w - 1)),
+            "wgt": (
+                F.when(F.col("cy") == 0, 1 - F.col("ty")).otherwise(F.col("ty"))
+                * F.when(F.col("cx") == 0, 1 - F.col("tx")).otherwise(F.col("tx"))
+            ),
+        }
+    )
+    src = px.select(
+        *keys, F.col("y").alias("sy"), F.col("x").alias("sx"),
+        F.col("value").alias("sv"),
+    )
+    return (
+        j.join(src, on=[*keys, "sy", "sx"])
+        .groupBy(*keys, "y", "x")
+        .agg(F.sum(F.col("wgt") * F.col("sv")).alias("v"))
+    )
+
+
+def rotate90(px: DataFrame, shape, keys=()) -> DataFrame:
+    """90-degree rotation (``ndinterp.rotate`` axes=(1,0), reshape=False
+    square case): out[y, x] = in[x, H-1-y] — a pure coordinate permutation,
+    no resampling, exact."""
+    h, _ = shape
+    return px.select(
+        *keys,
+        F.col("x").alias("_oy"),
+        (F.lit(h - 1) - F.col("y")).alias("_ox"),
+        F.col("value").alias("v"),
+    ).select(*keys, F.col("_oy").alias("y"), F.col("_ox").alias("x"), "v")
+
+
+def shift_wrap(px: DataFrame, shift, shape, keys=()) -> DataFrame:
+    """Integer circular shift — the spatial-domain equivalent of
+    ``ndfourier.fourier_shift`` (exact for integer shifts): out[y, x] =
+    in[(y - sy) mod H, (x - sx) mod W]."""
+    sy, sx = shift
+    h, w = shape
+    return px.select(
+        *keys,
+        F.pmod(F.col("y") + F.lit(int(sy)), F.lit(h)).cast("int").alias("_oy"),
+        F.pmod(F.col("x") + F.lit(int(sx)), F.lit(w)).cast("int").alias("_ox"),
+        F.col("value").alias("v"),
+    ).select(*keys, F.col("_oy").alias("y"), F.col("_ox").alias("x"), "v")

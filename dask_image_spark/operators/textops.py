@@ -1,0 +1,159 @@
+"""Text-analysis building blocks: tokenization, shingling, MinHash, SimHash,
+fingerprints, quality scoring. All JVM-side expressions (split / explode /
+higher-order array functions / md5) — no Python in the hot path, so every op
+whole-stage-codegens and scales linearly with corpus size.
+
+Determinism across engines: hashes are md5 hex strings (identical in Spark
+and DuckDB), never engine-specific ``hash()``/``xxhash64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization (documents are space-separated words)."""
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """k-token shingles as space-joined strings.
+
+    transform over a 0..n-k index sequence + slice: pure JVM array ops.
+    Callers must pre-filter docs with fewer than k tokens (Spark's
+    ``sequence`` would run backwards on a negative stop).
+    """
+    t = tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 8, k: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Per-doc MinHash signature columns h0..h{n-1}.
+
+    One explode + one groupBy (map-side partial MIN per hash). The "hash
+    family" is md5 over a seed-prefixed shingle — portable to any SQL engine,
+    unlike Spark's murmur ``hash``.
+    """
+    sh = docs.filter(F.size(tokens(text_col)) >= k).select(
+        id_col, F.explode(shingles(text_col, k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_pairs(
+    sigs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on any full band.
+
+    Bands are concatenated signature slices; a self-equi-join per band bucket
+    finds candidates. At scale this is the whole point of LSH: the join key
+    (band_id, sig) partitions the corpus into tiny buckets, so the self-join
+    never goes quadratic.
+    """
+    n_bands = n_hashes // rows_per_band
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band_id", "bs.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band_id", "sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash16(text_col: str = "text") -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    Bit i comes from hex digit i of each token's md5: digit >= '8' votes +1,
+    else -1; the sign of the vote sum sets the bit. Pure string/arith
+    expressions, identical text works in DuckDB for the oracle.
+    """
+    t = tokens(text_col)
+
+    def _vote(i: int) -> Column:
+        # closure factory: an `i=i` default arg would change the lambda's
+        # visible arity and break PySpark's higher-order-function binding
+        return F.aggregate(
+            t,
+            F.lit(0),
+            lambda acc, tok: acc
+            + F.when(F.substring(F.md5(tok), i + 1, 1) >= "8", 1).otherwise(-1),
+        )
+
+    bit_terms = [
+        F.when(_vote(i) > 0, F.lit(1 << i)).otherwise(0) for i in range(16)
+    ]
+    out = bit_terms[0]
+    for term in bit_terms[1:]:
+        out = out + term
+    return out
+
+
+def simhash16_sql(text_expr: str = "text") -> str:
+    """DuckDB expression computing the identical 16-bit SimHash."""
+    terms = []
+    for i in range(16):
+        vote = (
+            f"list_aggregate(list_transform(string_split({text_expr}, ' '), "
+            f"tok -> CASE WHEN substr(md5(tok), {i + 1}, 1) >= '8' "
+            f"THEN 1 ELSE -1 END), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def rolling_fingerprint(text_col: str = "text") -> Column:
+    """Polynomial rolling hash over tokens mod 2^31-1
+    (token code = 7*len + ascii(first char); fold acc*31 + code)."""
+    codes = F.transform(
+        tokens(text_col),
+        lambda tok: (F.length(tok) * 7 + F.ascii(tok)).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 2147483647,
+    )
+
+
+ROLLING_FINGERPRINT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(text, ' '), "
+    "tok -> CAST(length(tok) * 7 + ascii(tok) AS BIGINT))), "
+    "(acc, c) -> (acc * 31 + c) % 2147483647)"
+)

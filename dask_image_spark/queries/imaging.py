@@ -1,0 +1,448 @@
+"""Graded queries for the reference's imaging surface: ndfilters stencils,
+ndmorph binary morphology, ndmeasure per-label statistics — all on the
+deterministic pixel-grid fixture (``functions/pixelgrid.py``).
+
+Oracle SQL is *generated* from the same kernel offsets and the same
+boundary-remap text the engine uses (``functions/boundary.remap_sql``), so
+engine and oracle cannot drift on edge semantics or kernel weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_image_spark.functions import kernels as K
+from dask_image_spark.functions.boundary import remap_sql
+from dask_image_spark.functions.pixelgrid import (
+    GRID,
+    labeled_grid,
+    mask_grid,
+    pixel_grid,
+    with_pixel_ctes,
+)
+from dask_image_spark.operators import ndfilters, ndmeasure, ndmorph
+from dask_image_spark.queries.base import r as _eps_round, register
+
+SHAPE = (GRID, GRID)
+
+
+# --- oracle SQL generation ---------------------------------------------------
+
+
+def _kernel_values(offsets) -> str:
+    return ", ".join(
+        f"({i}, {int(dy)}, {int(dx)}, {float(w)!r})"
+        for i, (dy, dx, w) in enumerate(offsets)
+    )
+
+
+def _pass_sql(src: str, offsets, agg_tpl: str, mode: str, cval: float) -> str:
+    """One stencil gather pass over CTE ``src`` -> (y, x, value)."""
+    sy = remap_sql("o.y + k.dy", GRID, mode)
+    sx = remap_sql("o.x + k.dx", GRID, mode)
+    join = "LEFT JOIN" if mode == "constant" else "JOIN"
+    val = f"COALESCE(p.value, {float(cval)!r})" if mode == "constant" else "p.value"
+    agg = agg_tpl.format(v=val)
+    return (
+        f"SELECT g.y, g.x, {agg} AS value "
+        f"FROM (SELECT o.y, o.x, k.ko, k.w, {sy} AS sy, {sx} AS sx "
+        f"FROM {src} o CROSS JOIN (VALUES {_kernel_values(offsets)}) "
+        f"k(ko, dy, dx, w)) g "
+        f"{join} {src} p ON p.y = g.sy AND p.x = g.sx "
+        f"GROUP BY g.y, g.x"
+    )
+
+
+def _chain(ctes: list[str], prefix: str, src: str, passes) -> str:
+    """Append one CTE per stencil pass; return the name of the last."""
+    cur = src
+    for i, (offsets, agg_tpl, mode, cval) in enumerate(passes):
+        name = f"{prefix}{i}"
+        ctes.append(f"{name} AS ({_pass_sql(cur, offsets, agg_tpl, mode, cval)})")
+        cur = name
+    return cur
+
+
+def _linear_oracle(passes, final="ROUND(1.2345e-8 + value, 4)", src="pixels") -> str:
+    ctes: list[str] = []
+    cur = _chain(ctes, "s", src, passes)
+    return with_pixel_ctes(f"SELECT y, x, {final} AS v FROM {cur}", extra=ctes)
+
+
+def _round_v(df, digits=4):
+    return df.select("y", "x", _eps_round("v", digits).alias("v"))
+
+
+CORR = "SUM({v} * g.w)"
+REFL = "reflect"
+
+# an intentionally asymmetric kernel so convolve != correlate
+ASYM = [(-1, -1, 0.1), (0, 0, 0.5), (1, 1, 0.25), (0, 1, 0.15)]
+_BOX3 = K.box_footprint(3)
+_U1Y = K.taps_to_offsets_1d([(-1, 1 / 3), (0, 1 / 3), (1, 1 / 3)], 0)
+_U1X = K.taps_to_offsets_1d([(-1, 1 / 3), (0, 1 / 3), (1, 1 / 3)], 1)
+_G1 = K.gaussian_taps_1d(1.0, 0)
+_G1D1 = K.gaussian_taps_1d(1.0, 1)
+_G1D2 = K.gaussian_taps_1d(1.0, 2)
+
+
+def _gauss_passes(oy: int, ox: int, mode=REFL):
+    ty = {0: _G1, 1: _G1D1, 2: _G1D2}[oy]
+    tx = {0: _G1, 1: _G1D1, 2: _G1D2}[ox]
+    return [
+        (K.taps_to_offsets_1d(ty, 0), CORR, mode, 0.0),
+        (K.taps_to_offsets_1d(tx, 1), CORR, mode, 0.0),
+    ]
+
+
+# --- ndfilters ---------------------------------------------------------------
+
+
+@register("filter_correlate", _linear_oracle([(ASYM, CORR, REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_correlate(spark, sf_dir):
+    return _round_v(ndfilters.correlate(pixel_grid(spark, sf_dir), ASYM, SHAPE))
+
+
+@register("filter_convolve", _linear_oracle([(K.flip(ASYM), CORR, REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_convolve(spark, sf_dir):
+    return _round_v(ndfilters.convolve(pixel_grid(spark, sf_dir), ASYM, SHAPE))
+
+
+@register("filter_convolve_constant",
+          _linear_oracle([(K.flip(ASYM), CORR, "constant", 1.5)]),
+          tags=("imaging", "ndfilters", "boundary"))
+def filter_convolve_constant(spark, sf_dir):
+    return _round_v(
+        ndfilters.convolve(pixel_grid(spark, sf_dir), ASYM, SHAPE,
+                           mode="constant", cval=1.5)
+    )
+
+
+@register("filter_uniform",
+          _linear_oracle([(_U1Y, CORR, REFL, 0.0), (_U1X, CORR, REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_uniform(spark, sf_dir):
+    return _round_v(ndfilters.uniform_filter(pixel_grid(spark, sf_dir), 3, SHAPE))
+
+
+@register("filter_uniform_wrap",
+          _linear_oracle([(_U1Y, CORR, "wrap", 0.0), (_U1X, CORR, "wrap", 0.0)]),
+          tags=("imaging", "ndfilters", "boundary"))
+def filter_uniform_wrap(spark, sf_dir):
+    return _round_v(
+        ndfilters.uniform_filter(pixel_grid(spark, sf_dir), 3, SHAPE, mode="wrap")
+    )
+
+
+@register("filter_minimum", _linear_oracle([(_BOX3, "MIN({v})", REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_minimum(spark, sf_dir):
+    return _round_v(ndfilters.minimum_filter(pixel_grid(spark, sf_dir), 3, SHAPE))
+
+
+@register("filter_minimum_nearest",
+          _linear_oracle([(_BOX3, "MIN({v})", "nearest", 0.0)]),
+          tags=("imaging", "ndfilters", "boundary"))
+def filter_minimum_nearest(spark, sf_dir):
+    return _round_v(
+        ndfilters.minimum_filter(pixel_grid(spark, sf_dir), 3, SHAPE, mode="nearest")
+    )
+
+
+@register("filter_maximum", _linear_oracle([(_BOX3, "MAX({v})", "mirror", 0.0)]),
+          tags=("imaging", "ndfilters", "boundary"))
+def filter_maximum(spark, sf_dir):
+    return _round_v(
+        ndfilters.maximum_filter(pixel_grid(spark, sf_dir), 3, SHAPE, mode="mirror")
+    )
+
+
+@register("filter_median", _linear_oracle([(_BOX3, "MEDIAN({v})", REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_median(spark, sf_dir):
+    return _round_v(ndfilters.median_filter(pixel_grid(spark, sf_dir), 3, SHAPE))
+
+
+@register("filter_rank", _linear_oracle([(_BOX3, "list_sort(list({v}))[3]", REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_rank(spark, sf_dir):
+    return _round_v(ndfilters.rank_filter(pixel_grid(spark, sf_dir), 2, 3, SHAPE))
+
+
+@register("filter_percentile",
+          _linear_oracle([(_BOX3, "QUANTILE_CONT({v}, 0.3)", REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_percentile(spark, sf_dir):
+    return _round_v(
+        ndfilters.percentile_filter(pixel_grid(spark, sf_dir), 30.0, 3, SHAPE)
+    )
+
+
+@register("filter_gaussian", _linear_oracle(_gauss_passes(0, 0)),
+          tags=("imaging", "ndfilters"))
+def filter_gaussian(spark, sf_dir):
+    return _round_v(ndfilters.gaussian_filter(pixel_grid(spark, sf_dir), 1.0, shape=SHAPE))
+
+
+def _two_branch_oracle(passes_a, passes_b, combine: str) -> str:
+    """Two stencil chains joined on (y, x); ``combine`` uses a.value/b.value."""
+    ctes: list[str] = []
+    last_a = _chain(ctes, "a", "pixels", passes_a)
+    last_b = _chain(ctes, "b", "pixels", passes_b)
+    body = (
+        f"SELECT a.y, a.x, {combine} AS v "
+        f"FROM {last_a} a JOIN {last_b} b ON a.y = b.y AND a.x = b.x"
+    )
+    return with_pixel_ctes(body, extra=ctes)
+
+
+@register(
+    "filter_gaussian_gradmag",
+    _two_branch_oracle(
+        _gauss_passes(1, 0), _gauss_passes(0, 1),
+        "ROUND(1.2345e-8 + SQRT(a.value * a.value + b.value * b.value), 4)",
+    ),
+    tags=("imaging", "ndfilters"),
+)
+def filter_gaussian_gradmag(spark, sf_dir):
+    return _round_v(
+        ndfilters.gaussian_gradient_magnitude(pixel_grid(spark, sf_dir), 1.0, SHAPE)
+    )
+
+
+@register(
+    "filter_gaussian_laplace",
+    _two_branch_oracle(
+        _gauss_passes(2, 0), _gauss_passes(0, 2),
+        "ROUND(1.2345e-8 + a.value + b.value, 4)",
+    ),
+    tags=("imaging", "ndfilters"),
+)
+def filter_gaussian_laplace(spark, sf_dir):
+    return _round_v(ndfilters.gaussian_laplace(pixel_grid(spark, sf_dir), 1.0, SHAPE))
+
+
+@register("filter_laplace", _linear_oracle([(K.LAPLACE, CORR, REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_laplace(spark, sf_dir):
+    return _round_v(ndfilters.laplace(pixel_grid(spark, sf_dir), SHAPE))
+
+
+@register("filter_sobel", _linear_oracle([(K.SOBEL_X, CORR, REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_sobel(spark, sf_dir):
+    return _round_v(ndfilters.sobel(pixel_grid(spark, sf_dir), -1, SHAPE))
+
+
+@register("filter_prewitt", _linear_oracle([(K.PREWITT_Y, CORR, REFL, 0.0)]),
+          tags=("imaging", "ndfilters"))
+def filter_prewitt(spark, sf_dir):
+    return _round_v(ndfilters.prewitt(pixel_grid(spark, sf_dir), 0, SHAPE))
+
+
+def _threshold_oracle() -> str:
+    ctes: list[str] = []
+    last = _chain(ctes, "s", "pixels", [(_U1Y, CORR, REFL, 0.0), (_U1X, CORR, REFL, 0.0)])
+    return with_pixel_ctes(
+        f"SELECT p.y, p.x, p.value > ({last}.value - 0.05) AS v "
+        f"FROM pixels p JOIN {last} ON p.y = {last}.y AND p.x = {last}.x",
+        extra=ctes,
+    )
+
+
+@register(
+    "filter_threshold_local",
+    _threshold_oracle(),
+    tags=("imaging", "ndfilters"),
+)
+def filter_threshold_local(spark, sf_dir):
+    return ndfilters.threshold_local(
+        pixel_grid(spark, sf_dir), block_size=3, method="mean",
+        offset=0.05, shape=SHAPE,
+    ).select("y", "x", "v")
+
+
+# --- ndmorph -----------------------------------------------------------------
+
+_MASKD = "maskd AS (SELECT y, x, CAST(m AS DOUBLE) AS value FROM mask)"
+_BAND = "CAST(BOOL_AND({v} > 0.5) AS DOUBLE)"
+_BOR = "CAST(BOOL_OR({v} > 0.5) AS DOUBLE)"
+
+
+def _morph_oracle(agg_seq) -> str:
+    ctes = [_MASKD]
+    passes = [(ndmorph.CROSS, agg, "constant", 0.0) for agg in agg_seq]
+    cur = _chain(ctes, "s", "maskd", passes)
+    return with_pixel_ctes(
+        f"SELECT y, x, value > 0.5 AS v FROM {cur}", extra=ctes
+    )
+
+
+@register("morph_erosion", _morph_oracle([_BAND]), tags=("imaging", "ndmorph"))
+def morph_erosion(spark, sf_dir):
+    m = mask_grid(spark, sf_dir)
+    return ndmorph.binary_erosion(m, shape=SHAPE).select(
+        "y", "x", F.col("m").alias("v")
+    )
+
+
+@register("morph_dilation", _morph_oracle([_BOR]), tags=("imaging", "ndmorph"))
+def morph_dilation(spark, sf_dir):
+    m = mask_grid(spark, sf_dir)
+    return ndmorph.binary_dilation(m, shape=SHAPE).select(
+        "y", "x", F.col("m").alias("v")
+    )
+
+
+@register("morph_opening", _morph_oracle([_BAND, _BOR]), tags=("imaging", "ndmorph"))
+def morph_opening(spark, sf_dir):
+    m = mask_grid(spark, sf_dir)
+    return ndmorph.binary_opening(m, shape=SHAPE).select(
+        "y", "x", F.col("m").alias("v")
+    )
+
+
+@register("morph_closing", _morph_oracle([_BOR, _BAND]), tags=("imaging", "ndmorph"))
+def morph_closing(spark, sf_dir):
+    m = mask_grid(spark, sf_dir)
+    return ndmorph.binary_closing(m, shape=SHAPE).select(
+        "y", "x", F.col("m").alias("v")
+    )
+
+
+# --- ndmeasure ---------------------------------------------------------------
+
+
+def _measure_oracle(body: str) -> str:
+    return with_pixel_ctes(body)
+
+
+@register("measure_area", _measure_oracle(
+    "SELECT label, COUNT(*) AS area FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_area(spark, sf_dir):
+    return ndmeasure.area(labeled_grid(spark, sf_dir))
+
+
+@register("measure_sum", _measure_oracle(
+    "SELECT label, ROUND(1.2345e-8 + SUM(value), 4) AS sum_v FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_sum(spark, sf_dir):
+    df = ndmeasure.sum_labels(labeled_grid(spark, sf_dir))
+    return df.select("label", _eps_round("sum_v", 4).alias("sum_v"))
+
+
+@register("measure_mean", _measure_oracle(
+    "SELECT label, ROUND(1.2345e-8 + AVG(value), 4) AS mean_v FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_mean(spark, sf_dir):
+    df = ndmeasure.mean(labeled_grid(spark, sf_dir))
+    return df.select("label", _eps_round("mean_v", 4).alias("mean_v"))
+
+
+@register("measure_median", _measure_oracle(
+    "SELECT label, ROUND(1.2345e-8 + MEDIAN(value), 4) AS median_v FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_median(spark, sf_dir):
+    df = ndmeasure.median(labeled_grid(spark, sf_dir))
+    return df.select("label", _eps_round("median_v", 4).alias("median_v"))
+
+
+@register("measure_variance", _measure_oracle(
+    "SELECT label, ROUND(1.2345e-8 + VAR_POP(value), 4) AS var_v FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_variance(spark, sf_dir):
+    """Population variance (ddof=0) — scipy semantics, NOT var_samp."""
+    df = ndmeasure.variance(labeled_grid(spark, sf_dir))
+    return df.select("label", _eps_round("var_v", 4).alias("var_v"))
+
+
+@register("measure_stddev", _measure_oracle(
+    "SELECT label, ROUND(1.2345e-8 + STDDEV_POP(value), 4) AS std_v FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_stddev(spark, sf_dir):
+    df = ndmeasure.standard_deviation(labeled_grid(spark, sf_dir))
+    return df.select("label", _eps_round("std_v", 4).alias("std_v"))
+
+
+@register("measure_minimum", _measure_oracle(
+    "SELECT label, ROUND(1.2345e-8 + MIN(value), 4) AS min_v FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_minimum(spark, sf_dir):
+    df = ndmeasure.minimum(labeled_grid(spark, sf_dir))
+    return df.select("label", _eps_round("min_v", 4).alias("min_v"))
+
+
+@register("measure_maximum", _measure_oracle(
+    "SELECT label, ROUND(1.2345e-8 + MAX(value), 4) AS max_v FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_maximum(spark, sf_dir):
+    df = ndmeasure.maximum(labeled_grid(spark, sf_dir))
+    return df.select("label", _eps_round("max_v", 4).alias("max_v"))
+
+
+@register("measure_minimum_position", _measure_oracle(
+    "SELECT label, y AS min_y, x AS min_x FROM labeled "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY value, y, x) = 1"),
+    tags=("imaging", "ndmeasure"))
+def measure_minimum_position(spark, sf_dir):
+    """First minimum in ravel (y-major) order — scipy's tiebreak."""
+    return ndmeasure.minimum_position(labeled_grid(spark, sf_dir))
+
+
+@register("measure_maximum_position", _measure_oracle(
+    "SELECT label, y AS max_y, x AS max_x FROM labeled "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY value DESC, y, x) = 1"),
+    tags=("imaging", "ndmeasure"))
+def measure_maximum_position(spark, sf_dir):
+    return ndmeasure.maximum_position(labeled_grid(spark, sf_dir))
+
+
+@register("measure_extrema", with_pixel_ctes(
+    "SELECT mn.label, min_v, max_v, min_y, min_x, max_y, max_x "
+    "FROM mn JOIN mnp ON mn.label = mnp.label JOIN mxp ON mn.label = mxp.label",
+    extra=[
+        "mn AS (SELECT label, ROUND(1.2345e-8 + MIN(value), 4) AS min_v, "
+        "ROUND(1.2345e-8 + MAX(value), 4) AS max_v FROM labeled GROUP BY label)",
+        "mnp AS (SELECT label, y AS min_y, x AS min_x FROM labeled "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY value, y, x) = 1)",
+        "mxp AS (SELECT label, y AS max_y, x AS max_x FROM labeled "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY label ORDER BY value DESC, y, x) = 1)",
+    ]),
+    tags=("imaging", "ndmeasure"))
+def measure_extrema(spark, sf_dir):
+    df = ndmeasure.extrema(labeled_grid(spark, sf_dir))
+    return df.select(
+        "label", _eps_round("min_v", 4).alias("min_v"), _eps_round("max_v", 4).alias("max_v"),
+        "min_y", "min_x", "max_y", "max_x",
+    )
+
+
+@register("measure_center_of_mass", _measure_oracle(
+    "SELECT label, ROUND(1.2345e-8 + SUM(y * value) / SUM(value), 4) AS com_y, "
+    "ROUND(1.2345e-8 + SUM(x * value) / SUM(value), 4) AS com_x FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_center_of_mass(spark, sf_dir):
+    df = ndmeasure.center_of_mass(labeled_grid(spark, sf_dir))
+    return df.select(
+        "label", _eps_round("com_y", 4).alias("com_y"), _eps_round("com_x", 4).alias("com_x")
+    )
+
+
+@register("measure_histogram", _measure_oracle(
+    "SELECT label, LEAST(CAST(FLOOR((value - 0.0) / 400.0 * 8) AS INT), 7) AS bucket, "
+    "COUNT(*) AS cnt FROM labeled WHERE value >= 0.0 AND value <= 400.0 "
+    "GROUP BY 1, 2"),
+    tags=("imaging", "ndmeasure"))
+def measure_histogram(spark, sf_dir):
+    return ndmeasure.histogram(labeled_grid(spark, sf_dir), 0.0, 400.0, 8)
+
+
+@register("measure_find_objects", _measure_oracle(
+    "SELECT label, MIN(y) AS ymin, MAX(y) AS ymax, MIN(x) AS xmin, MAX(x) AS xmax "
+    "FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure"))
+def measure_find_objects(spark, sf_dir):
+    return ndmeasure.find_objects(labeled_grid(spark, sf_dir))

@@ -1,0 +1,629 @@
+"""Relational core: scans, filter/project, joins (all types), aggregation,
+rollup/cube/grouping sets, windows, sort/limit/top-k, set ops, scalar
+function families (string/date/json/array), pivot.
+
+The reference has none of these (SURVEY.md §2 "relational-category
+checklist") — they are the mandated extension surface, provided by Spark
+built-ins; every query here is a strong-oracle pair.
+
+Determinism conventions:
+* every float output column: ROUND(1.2345e-8 + x, 4) both sides (see queries/__init__)
+* every LIMIT/top-k: total tiebreak order so the selected set is unique
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dask_image_spark.queries.base import r as _eps_round, register
+from dask_image_spark.sources.tables import load_table
+
+
+def _r(col, n=4):
+    return _eps_round(col, n)
+
+
+# --- flagship: TPC-H-ish Q1 pricing summary ---------------------------------
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(1.2345e-8 + SUM(l_quantity), 4) AS sum_qty,
+       ROUND(1.2345e-8 + SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(1.2345e-8 + SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(1.2345e-8 + SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(1.2345e-8 + AVG(l_quantity), 4) AS avg_qty,
+       ROUND(1.2345e-8 + AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(1.2345e-8 + AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q1_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(disc_price)).alias("sum_disc_price"),
+            _r(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_extendedprice")).alias("avg_price"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register("q1_pricing_summary", Q1_ORACLE, tags=("relational", "agg"))(q1_impl)
+
+
+@register(
+    "q3_join_topk",
+    """
+    SELECT o.o_orderkey, ROUND(1.2345e-8 + SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY rev DESC, o.o_orderkey LIMIT 10
+    """,
+    tags=("relational", "join", "topk"),
+)
+def q3_join_topk(spark, sf_dir):
+    """3-way join + agg + top-k. The customer side is filtered then joined —
+    AQE converts it to a broadcast join at small SFs; at 100 TB the
+    orders⋈lineitem side shuffles on orderkey once and the aggregate reuses
+    that partitioning."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev")
+        )
+        .select("o_orderkey", "rev", "o_orderdate")
+        .orderBy(F.col("rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(1.2345e-8 + l_extendedprice * (1 - l_discount), 4) AS net_price,
+           CASE WHEN l_quantity >= 30 THEN 'bulk' ELSE 'small' END AS qty_class,
+           ROUND(1.2345e-8 + l_quantity * l_extendedprice / 100.0, 4) AS weighted
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.08 AND l_quantity > 10
+      AND l_returnflag <> 'A'
+    """,
+    tags=("relational", "scan"),
+)
+def filter_project(spark, sf_dir):
+    """Predicate + projection; filters push to the parquet scan
+    (PushedFilters in .explain), only referenced columns are read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount").between(0.02, 0.08))
+        & (F.col("l_quantity") > 10)
+        & (F.col("l_returnflag") != "A")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        _r(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.when(F.col("l_quantity") >= 30, "bulk").otherwise("small").alias("qty_class"),
+        _r(F.col("l_quantity") * F.col("l_extendedprice") / 100.0).alias("weighted"),
+    )
+
+
+@register(
+    "join_inner_geo",
+    """
+    SELECT r.r_name, COUNT(*) AS n_customers, ROUND(1.2345e-8 + SUM(c.c_acctbal), 4) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    tags=("relational", "join"),
+)
+def join_inner_geo(spark, sf_dir):
+    """Star-schema inner joins; both dims are broadcast (25 + 5 rows) so the
+    fact side never shuffles for the join — only the final 5-group agg."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r(F.sum("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "join_left_orders",
+    """
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(1.2345e-8 + COALESCE(SUM(o.o_totalprice), 0), 4) AS spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("relational", "join"),
+)
+def join_left_orders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _r(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("relational", "join"),
+)
+def join_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("relational", "join"),
+)
+def join_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH cc AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         ss AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cc.nk, ss.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+    FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+    """,
+    tags=("relational", "join"),
+)
+def join_full_outer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    ss = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return cc.join(ss, "nk", "full_outer").select(
+        F.coalesce(cc.nk, ss.nk).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_range_bands",
+    """
+    SELECT b.band, COUNT(*) AS n_parts, ROUND(1.2345e-8 + AVG(p.p_retailprice), 4) AS avg_price
+    FROM part p
+    JOIN (VALUES ('tiny', 0, 10), ('small', 11, 25),
+                 ('medium', 26, 40), ('large', 41, 100)) b(band, lo, hi)
+      ON p.p_size BETWEEN b.lo AND b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+    tags=("relational", "join", "theta"),
+)
+def join_range_bands(spark, sf_dir):
+    """Non-equi (theta) join against a tiny bands table — planned as a
+    BroadcastNestedLoopJoin; the bands side is always broadcast-able."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("tiny", 0, 10), ("small", 11, 25), ("medium", 26, 40), ("large", 41, 100)],
+        schema="band STRING, lo INT, hi INT",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_size >= bands.lo) & (p.p_size <= bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _r(F.avg("p_retailprice")).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           ROUND(1.2345e-8 + VAR_POP(l_quantity), 4) AS var_qty,
+           ROUND(1.2345e-8 + STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(1.2345e-8 + MEDIAN(l_quantity), 4) AS med_qty,
+           ROUND(1.2345e-8 + QUANTILE_CONT(l_discount, 0.9), 4) AS p90_disc,
+           MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def agg_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            _r(F.var_pop("l_quantity")).alias("var_qty"),
+            _r(F.stddev_samp("l_extendedprice")).alias("std_price"),
+            _r(F.median("l_quantity")).alias("med_qty"),
+            _r(F.percentile("l_discount", F.lit(0.9))).alias("p90_disc"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n, ROUND(1.2345e-8 + SUM(c_acctbal), 4) AS bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("relational", "agg", "rollup"),
+)
+def agg_rollup(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n"), _r(F.sum("c_acctbal")).alias("bal")
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(1.2345e-8 + SUM(l_quantity), 4) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg", "cube"),
+)
+def agg_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _r(F.sum("l_quantity")).alias("qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("relational", "agg"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(1.2345e-8 + o_totalprice, 4) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tags=("relational", "topk"),
+)
+def topk_orders(spark, sf_dir):
+    """Sort+limit: Spark plans TakeOrderedAndProject — a per-partition top-k
+    then a k-row merge on the driver; no global sort shuffle at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", _r(F.col("o_totalprice")).alias("o_totalprice"))
+    )
+
+
+@register(
+    "window_rank",
+    """
+    SELECT user_id, event_type, ROUND(1.2345e-8 + value, 4) AS value, rn FROM (
+      SELECT user_id, event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events) t WHERE rn <= 3
+    """,
+    tags=("relational", "window"),
+)
+def window_rank(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_type", _r(F.col("value")).alias("value"), "rn")
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           ROUND(1.2345e-8 + value - LAG(value) OVER w, 4) AS delta_prev,
+           ROUND(1.2345e-8 + LEAD(value) OVER w, 4) AS next_value,
+           RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank,
+           NTILE(4) OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("relational", "window"),
+)
+def window_lag_lead(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r(F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        _r(F.lead("value").over(w)).alias("next_value"),
+        F.rank().over(wt).alias("type_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_frames",
+    """
+    SELECT event_id, user_id,
+           ROUND(1.2345e-8 + SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+           ROUND(1.2345e-8 + AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg4
+    FROM events
+    """,
+    tags=("relational", "window"),
+)
+def window_frames(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))).alias(
+            "running_sum"
+        ),
+        _r(F.avg("value").over(w.rowsBetween(-3, 0))).alias("moving_avg4"),
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT 'click_and_purchase' AS tag, user_id FROM
+      (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+       INTERSECT
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'error_not_signup' AS tag, user_id FROM
+      (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+       EXCEPT
+       SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+    """,
+    tags=("relational", "setops"),
+)
+def set_ops(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+
+    def users(et):
+        return ev.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    both = users("click").intersect(users("purchase")).select(
+        F.lit("click_and_purchase").alias("tag"), "user_id"
+    )
+    diff = users("error").exceptAll(users("signup")).select(
+        F.lit("error_not_signup").alias("tag"), "user_id"
+    )
+    return both.unionByName(diff)
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT doc_id,
+           UPPER(SUBSTRING(text, 1, 8)) AS head,
+           LENGTH(text) AS n_len,
+           LEN(string_split(text, ' ')) AS n_tokens,
+           REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word,
+           REPLACE(lang, 'en', 'english') AS lang_full,
+           CONCAT(source, ':', lang) AS src_lang
+    FROM documents
+    """,
+    tags=("relational", "string"),
+)
+def string_funcs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 8)).alias("head"),
+        F.length("text").alias("n_len"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("lang", "en", "english").alias("lang_full"),
+        F.concat_ws(":", "source", "lang").alias("src_lang"),
+    )
+
+
+@register(
+    "date_funcs",
+    """
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           COUNT(*) AS n,
+           ROUND(1.2345e-8 + SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+    tags=("relational", "date"),
+)
+def date_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.sum("o_totalprice")).alias("total"))
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "json_funcs",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n, ROUND(1.2345e-8 + AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "json"),
+)
+def json_funcs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), _r(F.avg("value")).alias("avg_value"))
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "array_funcs",
+    """
+    SELECT vec_id, label,
+           ROUND(1.2345e-8 + list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm,
+           ROUND(1.2345e-8 + CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+           LEN(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+    tags=("relational", "array"),
+)
+def array_funcs(spark, sf_dir):
+    """Higher-order array functions over the embedding vectors — all JVM-side
+    (transform/aggregate/filter), no Python in the loop."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        _r(sq).alias("sq_norm"),
+        _r(F.col("embedding").getItem(0).cast("double")).alias("first_elem"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "pivot_events",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+    tags=("relational", "pivot"),
+)
+def pivot_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot leaves NULL for absent combos; oracle's FILTER count yields 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
+@register("approx_distinct", None, tags=("relational", "approx"))
+def approx_distinct(spark, sf_dir):
+    """HLL approximate distinct — no exact oracle by nature (weak check).
+    The exact variant is covered by agg_stats' COUNT(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,36 @@
+"""Graded streaming queries (Structured Streaming, availableNow trigger).
+
+Strong oracles where the availableNow run is batch-equivalent (complete
+output mode materializes every group); the stateful custom operator is
+weak-checked by nature.
+"""
+
+from __future__ import annotations
+
+from dask_image_spark.queries.base import register
+from dask_image_spark.streaming import ops
+
+
+@register(
+    "streaming_tumbling",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n, ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def streaming_tumbling(spark, sf_dir):
+    return ops.tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup(spark, sf_dir):
+    return ops.dedup_counts(spark, sf_dir)

@@ -1,0 +1,223 @@
+"""Time-series operators over ``events``: sessionization, as-of join,
+tumbling/sliding/session windows (batch forms; streaming variants live in
+``queries/streaming_ops.py``).
+
+All timestamps compared with the oracle are microsecond-precision on both
+sides (Spark converts the ns parquet via ``timestamp_micros(ts div 1000)``;
+DuckDB 1.0 truncates ns->µs on read), and all time arithmetic uses integer
+microseconds (``unix_micros`` / ``epoch_us``) — never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_image_spark.queries.base import r as _eps_round, register
+from dask_image_spark.sources.tables import load_table
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@register(
+    "sessionize",
+    f"""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {GAP_US}
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+    FROM g
+    """,
+    tags=("timeseries", "window"),
+)
+def sessionize(spark, sf_dir):
+    """Gap-based session ids: lag to detect breaks, running sum to number
+    them. Two window passes over the same (user_id, ts) sort — Spark executes
+    both in one sort since the window spec is shared."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > GAP_US)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .withColumn(
+            "sess",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("event_id", "user_id", "sess")
+    )
+
+
+@register(
+    "session_stats",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {GAP_US}
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+      FROM g)
+    SELECT user_id, sess, COUNT(*) AS n_events,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total_value,
+           MIN(ts) AS session_start,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, sess
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def session_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > GAP_US)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("brk", brk).withColumn(
+        "sess", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _eps_round(F.sum("value"), 4).alias("total_value"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, c.click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("timeseries", "join", "asof"),
+)
+def asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it. Spark has no ASOF JOIN; the scalable pattern is a union +
+    `last(..., ignorenulls) OVER (ORDER BY ts)` window — one shuffle on
+    user_id, no range-explosion, works at any scale. DuckDB oracles it with a
+    native ASOF LEFT JOIN. Clicks are deduped to one per (user, ts) so the
+    at-equal-timestamp match is well-defined in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(0).alias("kind"),
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+                F.lit(1).alias("kind"), "event_id")
+    )
+    # kind orders clicks before purchases on equal ts -> "at or before"
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn(
+        "last_click", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", F.col("last_click").alias("click_id")
+    )
+
+
+@register(
+    "window_tumbling",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n, ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("timeseries", "window"),
+)
+def window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windows via Spark's window() — epoch-aligned, so
+    identical to DATE_TRUNC('hour') on the oracle side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _eps_round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n", "total"
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    """
+    SELECT DATE_TRUNC('hour', ts) - (o.h * INTERVAL '1 hour') AS win_start,
+           COUNT(*) AS n, ROUND(1.2345e-8 + AVG(value), 4) AS avg_value
+    FROM events CROSS JOIN (VALUES (0), (1)) o(h)
+    GROUP BY 1
+    """,
+    tags=("timeseries", "window"),
+)
+def window_sliding(spark, sf_dir):
+    """Sliding windows (2h length, 1h slide): every event lands in exactly
+    two windows; the oracle replays that expansion with an explicit 2-row
+    cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), _eps_round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "avg_value")
+    )
+
+
+@register(
+    "session_window_batch",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {GAP_US}
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+          FROM g)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+    tags=("timeseries", "window", "session"),
+)
+def session_window_batch(spark, sf_dir):
+    """Spark's native session_window (30-min gap). Note Spark merges events
+    strictly within the gap (an event at exactly prev+gap starts a NEW
+    session), hence the oracle's >= break condition — the one-sided boundary
+    is the documented semantics, not an accident."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _eps_round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"),
+            "n_events", "total_value",
+        )
+    )

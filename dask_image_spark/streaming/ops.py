@@ -1,0 +1,81 @@
+"""Structured Streaming variants of the events-table operators.
+
+The reference has no streaming surface; this is mandated extension work.
+Pattern: ``readStream`` over the events parquet (``availableNow`` trigger —
+process-everything-then-stop, the batch-equivalence mode), windowed/stateful
+transforms, memory sink, return the materialized table. Real deployments
+swap the source for Kafka/files and the trigger for continuous; the
+transformations are unchanged.
+
+``events.ts`` arrives as long (ns) under the nanosAsLong flag and is
+converted exactly like the batch loader, so streaming and batch results are
+comparable — which is what gives these ops their oracle story.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dask_image_spark.queries.base import r as _eps_round
+
+EVENTS_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file-stream source requires a directory basePath; select the one
+    # table file via a glob filter (a real deployment points this at a
+    # landing directory that accumulates files)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run an availableNow streaming query into a memory sink; return the
+    materialized result as a DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windowed aggregation with a watermark — the canonical
+    late-data-tolerant streaming aggregate."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _eps_round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total")
+    )
+    return run_to_memory(agg, "complete")
+
+
+def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates then per-user distinct-type counts."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.dropDuplicates(["user_id", "event_type"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    return run_to_memory(agg, "complete")
