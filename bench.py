@@ -43,12 +43,14 @@ def main() -> None:
 
     results: dict[str, float] = {}
     for label, name in HEADLINE:
-        fn = registry[name]
-        fn(spark, SF_DIR).count()  # warm-up (plan + code + page cache)
+        # BASELINE.md methodology: build the DataFrame once, warm once, then
+        # best-of-3 wall-clock on a full materialization of the same plan
+        df = registry[name](spark, SF_DIR)
+        df.count()  # warm-up (codegen + page cache)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            df.count()
             best = min(best, time.perf_counter() - t0)
         results[label] = round(best, 4)
 

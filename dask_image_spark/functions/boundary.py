@@ -25,6 +25,20 @@ from __future__ import annotations
 MODES = ("reflect", "mirror", "nearest", "wrap", "constant")
 
 
+def remap_py(c: int, n: int, mode: str) -> int:
+    """Python mirror of :func:`remap_sql` — used to build the tiny pad-map
+    tables for the pad-then-scatter stencil plan (same single-bounce domain)."""
+    if mode == "reflect":
+        return -c - 1 if c < 0 else (2 * n - 1 - c if c >= n else c)
+    if mode == "mirror":
+        return -c if c < 0 else (2 * n - 2 - c if c >= n else c)
+    if mode == "nearest":
+        return min(max(c, 0), n - 1)
+    if mode == "wrap":
+        return ((c % n) + n) % n
+    raise ValueError(f"unknown boundary mode {mode!r}; expected one of {MODES}")
+
+
 def remap_sql(coord_expr: str, n: int, mode: str) -> str:
     """SQL expression mapping a possibly-out-of-range coordinate into [0, n)."""
     c = coord_expr

@@ -28,12 +28,28 @@ BLOCK = 16  # label block size -> 16 labels 0..15
 
 
 def pixel_grid(spark: SparkSession, sf_dir: str, grid: int = GRID) -> DataFrame:
-    """Dense (y, x, value) pixel table derived from events."""
+    """Dense (y, x, value) pixel table derived from events.
+
+    Cached: stencil plans reference the pixel table from several union
+    branches (body + halo borders); for a parquet-backed pixel table each
+    branch is a pruned scan, but this *derived* fixture would re-run the
+    events aggregation per branch. ``cache()`` is deduped by Spark's
+    CacheManager on the canonicalized plan, so repeated calls share one
+    entry (grid is ~4k rows — negligible memory).
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
-        F.expr(f"CAST(event_id % {grid} AS INT)").alias("y"),
-        F.expr(f"CAST((event_id div {grid}) % {grid} AS INT)").alias("x"),
-    ).agg(F.sum("value").alias("value"))
+    return (
+        ev.groupBy(
+            F.expr(f"CAST(event_id % {grid} AS INT)").alias("y"),
+            F.expr(f"CAST((event_id div {grid}) % {grid} AS INT)").alias("x"),
+        )
+        .agg(F.sum("value").alias("value"))
+        # a GRID x GRID grid is a few thousand rows: one cached partition,
+        # otherwise every downstream branch inherits 32 near-empty partitions
+        # and stencils pay ~100 task launches of pure scheduling overhead
+        .coalesce(1)
+        .cache()
+    )
 
 
 def pixel_grid_sql(grid: int = GRID) -> str:

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dask_image_spark.functions.localrel import values_df
+
 
 def _label_block_np(ys, xs, h, w):
     """4-connected labeling of points within a block; returns local labels
@@ -136,8 +138,8 @@ def label(
 
     # stage 4: broadcast the root map; canonical label = min ravel index
     if roots:
-        root_df = spark.createDataFrame(
-            [(k, v) for k, v in roots.items()], schema="lbl LONG, root LONG"
+        root_df = values_df(
+            spark, "lbl, root", [(int(k), int(v)) for k, v in roots.items()]
         )
         merged = labeled.join(F.broadcast(root_df), on="lbl", how="left").select(
             "y", "x", F.coalesce("root", "lbl").alias("comp")

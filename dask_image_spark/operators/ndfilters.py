@@ -4,19 +4,23 @@ surface re-expressed as one join template.
 Reference shape (upstream ``dask_image/ndfilters/``): every filter normalizes
 its arguments then runs ``image.map_overlap(scipy_fn, depth, boundary)`` —
 a halo exchange plus a per-chunk scipy call. The Spark-first equivalent for
-long-form pixels is:
+long-form pixels is **pad-then-scatter**:
 
-    pixels  CROSS JOIN  broadcast(kernel offsets)      -- never shuffles
-            JOIN        pixels ON remapped source coord -- ONE shuffle
-            GROUP BY    output coord                    -- same shuffle key
+    padded  = pixels UNION (edge pixels x broadcast pad-map)  -- no shuffle;
+              border replication is O(perimeter * radius), dask's halo
+    scatter = padded CROSS JOIN broadcast(kernel offsets)     -- no shuffle
+              target coord = padded coord - offset, filter in-bounds
+    GROUP BY target coord                                     -- ONE shuffle
 
-Physical plan: the kernel side is a handful of rows, always broadcast
-(``BroadcastHashJoin``); the gather join and the final aggregate share the
-(y, x) hash partitioning, so Catalyst plans a single exchange. Map-side
-partial aggregation applies to SUM/MIN/MAX/AVG. At 100 TB the pattern holds:
-cost is |pixels| x |kernel| rows through one shuffle — which is why
-separable filters (Gaussian, uniform, prewitt/sobel) are applied as per-axis
-1-D passes exactly like the reference does.
+Physical plan: pad-maps and kernels are tens of rows, always broadcast; the
+border branches carry a pushable edge predicate so their scans prune to edge
+row-groups. The only exchange in the whole stencil is the final aggregate,
+and map-side partial aggregation applies to SUM/MIN/MAX/AVG. (A gather
+formulation — join the fanned-out neighbor coords back against the pixel
+table — shuffles the kernel-times-fanned side AND the probe side; scatter
+moves the same fan-out through exactly one shuffle, which is the difference
+at 100 TB.) Separable filters (Gaussian, uniform, prewitt/sobel) are applied
+as per-axis 1-D passes exactly like the reference.
 
 Boundary modes are shared-text SQL remaps (``functions.boundary``), so the
 DuckDB oracle and this engine cannot disagree on edge semantics.
@@ -30,22 +34,96 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dask_image_spark.functions import kernels as K
-from dask_image_spark.functions.boundary import remap_sql
+from dask_image_spark.functions.boundary import remap_py
 
 Offset2D = tuple[int, int, float]
 
 
 def _kernel_df(spark, offsets: Sequence[Offset2D]) -> DataFrame:
     """Kernel as a tiny DataFrame; ``ko`` is the offset's ordinal, used by
-    generic_filter to present window values in kernel (raster) order."""
-    return spark.createDataFrame(
-        [(i, int(dy), int(dx), float(w)) for i, (dy, dx, w) in enumerate(offsets)],
-        schema="ko INT, dy INT, dx INT, w DOUBLE",
+    generic_filter to present window values in kernel (raster) order.
+
+    Built as a SQL VALUES LocalRelation: PySpark's createDataFrame routes
+    tiny local data through Python-RDD serialization (~0.4 s per call of
+    pure overhead); VALUES is parsed JVM-side and broadcasts instantly."""
+    rows = ", ".join(
+        f"({i}, {int(dy)}, {int(dx)}, CAST({float(w)!r} AS DOUBLE))"
+        for i, (dy, dx, w) in enumerate(offsets)
     )
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(ko, dy, dx, w)")
 
 
 def _max_radius(offsets: Sequence[Offset2D]) -> int:
     return max(max(abs(dy), abs(dx)) for dy, dx, _ in offsets)
+
+
+def _pad_map(spark, n: int, r: int, mode: str) -> DataFrame:
+    """(src, pad) pairs: padded coordinate ``pad`` outside [0, n) reads the
+    in-range source coordinate ``src`` under the boundary mode. Tens of rows;
+    always broadcast."""
+    coords = list(range(-r, 0)) + list(range(n, n + r))
+    rows = ", ".join(f"({remap_py(c, n, mode)}, {c})" for c in coords)
+    return spark.sql(f"SELECT * FROM VALUES {rows} AS t(src, pad)")
+
+
+def padded_pixels(
+    px: DataFrame,
+    r: int,
+    shape: tuple[int, int],
+    mode: str,
+    cval: float,
+    keys: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Pixels extended to the halo range [-r, h+r) x [-r, w+r).
+
+    Non-constant modes: border rows are copies of edge pixels selected via
+    broadcast pad-map joins (the Spark analog of dask's halo exchange); the
+    branches carry an edge predicate so their scans prune. Constant mode:
+    out-of-range coordinate strips filled with ``cval``.
+    """
+    h, w_dim = shape
+    keys = list(keys)
+    spark = px.sparkSession
+    vtype = px.schema[value_col].dataType.simpleString()
+    body = px.select(*keys, "y", "x", F.col(value_col).alias("_pv"))
+    if r <= 0:
+        return body
+
+    if mode == "constant":
+        fill = F.lit(cval).cast(vtype).alias("_pv")
+
+        def _rng(lo, hi, name):
+            return spark.range(lo, hi).select(F.col("id").cast("int").alias(name))
+
+        ys_out = _rng(-r, 0, "y").union(_rng(h, h + r, "y"))
+        xs_out = _rng(-r, 0, "x").union(_rng(w_dim, w_dim + r, "x"))
+        strips = ys_out.crossJoin(_rng(-r, w_dim + r, "x")).union(
+            _rng(0, h, "y").crossJoin(xs_out)
+        )
+        if keys:
+            strips = px.select(*keys).distinct().crossJoin(strips)
+        return body.unionByName(strips.select(*keys, "y", "x", fill))
+
+    pady = F.broadcast(_pad_map(spark, h, r, mode).withColumnsRenamed({"src": "ysrc", "pad": "ypad"}))
+    padx = F.broadcast(_pad_map(spark, w_dim, r, mode).withColumnsRenamed({"src": "xsrc", "pad": "xpad"}))
+    # pad-map sources only ever fall in the first/last r rows/cols: a real,
+    # pushdown-able predicate, so the three border branches scan ~nothing
+    y_edge = body.filter((F.col("y") < r) | (F.col("y") >= h - r))
+    x_edge = body.filter((F.col("x") < r) | (F.col("x") >= w_dim - r))
+    ypad_rows = y_edge.join(pady, F.col("y") == F.col("ysrc")).select(
+        *keys, F.col("ypad").alias("y"), "x", "_pv"
+    )
+    xpad_rows = x_edge.join(padx, F.col("x") == F.col("xsrc")).select(
+        *keys, "y", F.col("xpad").alias("x"), "_pv"
+    )
+    corner_rows = (
+        y_edge.filter((F.col("x") < r) | (F.col("x") >= w_dim - r))
+        .join(pady, F.col("y") == F.col("ysrc"))
+        .join(padx, F.col("x") == F.col("xsrc"))
+        .select(*keys, F.col("ypad").alias("y"), F.col("xpad").alias("x"), "_pv")
+    )
+    return body.unionByName(ypad_rows).unionByName(xpad_rows).unionByName(corner_rows)
 
 
 def stencil_gather(
@@ -59,8 +137,11 @@ def stencil_gather(
 ) -> DataFrame:
     """Neighborhood gather: one row per (output pixel, kernel offset).
 
-    Returns columns ``*keys, y, x, w, v`` where ``v`` is the boundary-resolved
-    neighbor value. All filter aggregations are GROUP BYs over this.
+    Returns columns ``*keys, y, x, ko, w, v`` where ``v`` is the
+    boundary-resolved neighbor value. All filter aggregations are GROUP BYs
+    over this. Physically it is a scatter — each padded pixel is fanned to
+    the outputs that read it (target = coord - offset) — so no join against
+    the pixel table is ever needed and the groupBy is the only shuffle.
     """
     h, w_dim = shape
     r = _max_radius(offsets)
@@ -69,39 +150,20 @@ def stencil_gather(
             f"kernel radius {r} >= image extent {min(h, w_dim)}: "
             "single-bounce boundary remap would be invalid"
         )
-    spark = px.sparkSession
-    kdf = _kernel_df(spark, offsets)
     keys = list(keys)
-
-    out = px.select(*keys, "y", "x").crossJoin(F.broadcast(kdf))
-    if mode == "constant":
-        sy, sx = F.expr("y + dy"), F.expr("x + dx")
-    else:
-        sy = F.expr(remap_sql("y + dy", h, mode))
-        sx = F.expr(remap_sql("x + dx", w_dim, mode))
-    gathered = out.select(
-        *keys,
-        "y",
-        "x",
-        "ko",
-        "w",
-        sy.cast("int").alias("sy"),
-        sx.cast("int").alias("sx"),
+    pad = padded_pixels(px, r, shape, mode, cval, keys, value_col)
+    kdf = _kernel_df(px.sparkSession, offsets)
+    oy = (F.col("y") - F.col("dy")).alias("oy")
+    ox = (F.col("x") - F.col("dx")).alias("ox")
+    return (
+        pad.crossJoin(F.broadcast(kdf))
+        .select(*keys, oy, ox, "ko", "w", F.col("_pv").alias("v"))
+        .filter(
+            (F.col("oy") >= 0) & (F.col("oy") < h)
+            & (F.col("ox") >= 0) & (F.col("ox") < w_dim)
+        )
+        .withColumnsRenamed({"oy": "y", "ox": "x"})
     )
-    src = px.select(
-        *keys,
-        F.col("y").alias("sy"),
-        F.col("x").alias("sx"),
-        F.col(value_col).alias("_v"),
-    )
-    how = "left" if mode == "constant" else "inner"
-    joined = gathered.join(src, on=[*keys, "sy", "sx"], how=how)
-    v = (
-        F.coalesce(F.col("_v"), F.lit(cval))
-        if mode == "constant"
-        else F.col("_v")
-    )
-    return joined.select(*keys, "y", "x", "ko", "w", v.alias("v"))
 
 
 def _agg_stencil(

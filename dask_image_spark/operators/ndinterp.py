@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dask_image_spark.functions.localrel import values_df
+
 
 def _src_exprs(matrix, offset):
     (m00, m01), (m10, m11) = matrix
@@ -67,9 +69,7 @@ def affine_transform_order1(
     h, w = shape
     fy, fx = _src_exprs(matrix, offset)
     spark = px.sparkSession
-    corners = spark.createDataFrame(
-        [(0, 0), (0, 1), (1, 0), (1, 1)], schema="cy INT, cx INT"
-    )
+    corners = values_df(spark, "cy, cx", [(0, 0), (0, 1), (1, 0), (1, 1)])
     base = px.select(*keys, "y", "x").withColumns(
         {"fy": fy, "fx": fx}
     ).withColumns(

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from dask_image_spark.operators import multimodal, similarity, textops
 from dask_image_spark.queries.base import r as _eps_round, register
 from dask_image_spark.sources.tables import load_table
+from dask_image_spark.functions.localrel import values_df
 
 # --- deduplication ----------------------------------------------------------
 
@@ -399,9 +400,10 @@ def lang_id(spark, sf_dir):
     matches per language, argmax with deterministic tiebreak, 'und' when no
     stopword hits. The stopword table is a broadcast literal."""
     d = load_table(spark, sf_dir, "documents")
-    sw = spark.createDataFrame(
+    sw = values_df(
+        spark,
+        "word, sw_lang",
         [(w, lang) for lang, ws in _STOPWORDS.items() for w in ws],
-        schema="word STRING, sw_lang STRING",
     )
     toks = d.select("doc_id", F.explode(textops.tokens()).alias("tok"))
     scores = (

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from dask_image_spark.queries.base import r as _eps_round, register
 from dask_image_spark.sources.tables import load_table
+from dask_image_spark.functions.localrel import values_df
 
 
 def _r(col, n=4):
@@ -261,9 +262,10 @@ def join_range_bands(spark, sf_dir):
     """Non-equi (theta) join against a tiny bands table — planned as a
     BroadcastNestedLoopJoin; the bands side is always broadcast-able."""
     p = load_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = values_df(
+        spark,
+        "band, lo, hi",
         [("tiny", 0, 10), ("small", 11, 25), ("medium", 26, 40), ("large", 41, 100)],
-        schema="band STRING, lo INT, hi INT",
     )
     return (
         p.join(

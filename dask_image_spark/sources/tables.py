@@ -49,6 +49,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # a default-built session shuffles into 200 partitions — pure task
+        # overhead at harness scale (AQE coalescing still applies either way)
+        ("spark.sql.shuffle.partitions", "32"),
+        ("spark.sql.adaptive.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)
