@@ -47,7 +47,7 @@ def spline_filter1d_np(line: np.ndarray, pole: float = _CUBIC_POLE) -> np.ndarra
     # anti-causal init
     c[n - 1] = (pole / (pole * pole - 1.0)) * (c[n - 1] + pole * c[n - 2])
     for k in range(n - 2, -1, -1):
-        c[k] = pole * (c[k] - c[k + 1])
+        c[k] = pole * (c[k + 1] - c[k])
     return c
 
 

@@ -57,13 +57,30 @@ def _max_radius(offsets: Sequence[Offset2D]) -> int:
     return max(max(abs(dy), abs(dx)) for dy, dx, _ in offsets)
 
 
-def _pad_map(spark, n: int, r: int, mode: str) -> DataFrame:
+def _pad_pairs(n: int, r: int, mode: str) -> list[tuple[int, int]]:
     """(src, pad) pairs: padded coordinate ``pad`` outside [0, n) reads the
-    in-range source coordinate ``src`` under the boundary mode. Tens of rows;
-    always broadcast."""
+    in-range source coordinate ``src`` under the boundary mode."""
     coords = list(range(-r, 0)) + list(range(n, n + r))
-    rows = ", ".join(f"({remap_py(c, n, mode)}, {c})" for c in coords)
+    return [(remap_py(c, n, mode), c) for c in coords]
+
+
+def _pad_map(spark, pairs: list[tuple[int, int]]) -> DataFrame:
+    rows = ", ".join(f"({s}, {p})" for s, p in pairs)
     return spark.sql(f"SELECT * FROM VALUES {rows} AS t(src, pad)")
+
+
+def _edge_pred(pairs: list[tuple[int, int]], col: str):
+    """Predicate selecting exactly the rows the pad map can source. NOT
+    simply ``coord < r``: mirror's sources are coords 1..r (coordinate 0 is
+    the symmetry axis and never replicated), wrap's are the opposite edge."""
+    lows = [s for s, p in pairs if p < 0]
+    highs = [s for s, p in pairs if p >= 0]
+    pred = F.lit(False)
+    if lows:
+        pred = pred | ((F.col(col) >= min(lows)) & (F.col(col) <= max(lows)))
+    if highs:
+        pred = pred | ((F.col(col) >= min(highs)) & (F.col(col) <= max(highs)))
+    return pred
 
 
 def padded_pixels(
@@ -105,12 +122,14 @@ def padded_pixels(
             strips = px.select(*keys).distinct().crossJoin(strips)
         return body.unionByName(strips.select(*keys, "y", "x", fill))
 
-    pady = F.broadcast(_pad_map(spark, h, r, mode).withColumnsRenamed({"src": "ysrc", "pad": "ypad"}))
-    padx = F.broadcast(_pad_map(spark, w_dim, r, mode).withColumnsRenamed({"src": "xsrc", "pad": "xpad"}))
-    # pad-map sources only ever fall in the first/last r rows/cols: a real,
-    # pushdown-able predicate, so the three border branches scan ~nothing
-    y_edge = body.filter((F.col("y") < r) | (F.col("y") >= h - r))
-    x_edge = body.filter((F.col("x") < r) | (F.col("x") >= w_dim - r))
+    ypairs = _pad_pairs(h, r, mode)
+    xpairs = _pad_pairs(w_dim, r, mode)
+    pady = F.broadcast(_pad_map(spark, ypairs).withColumnsRenamed({"src": "ysrc", "pad": "ypad"}))
+    padx = F.broadcast(_pad_map(spark, xpairs).withColumnsRenamed({"src": "xsrc", "pad": "xpad"}))
+    # restrict border branches to the rows the pad maps can actually source —
+    # a real, pushdown-able range predicate, so those scans prune to the edges
+    y_edge = body.filter(_edge_pred(ypairs, "y"))
+    x_edge = body.filter(_edge_pred(xpairs, "x"))
     ypad_rows = y_edge.join(pady, F.col("y") == F.col("ysrc")).select(
         *keys, F.col("ypad").alias("y"), "x", "_pv"
     )
@@ -118,7 +137,7 @@ def padded_pixels(
         *keys, "y", F.col("xpad").alias("x"), "_pv"
     )
     corner_rows = (
-        y_edge.filter((F.col("x") < r) | (F.col("x") >= w_dim - r))
+        y_edge.filter(_edge_pred(xpairs, "x"))
         .join(pady, F.col("y") == F.col("ysrc"))
         .join(padx, F.col("x") == F.col("xsrc"))
         .select(*keys, F.col("ypad").alias("y"), F.col("xpad").alias("x"), "_pv")

@@ -101,6 +101,24 @@ def affine_transform_order1(
     )
 
 
+def rotate(px: DataFrame, angle_deg: float, shape, keys=()) -> DataFrame:
+    """Arbitrary-angle rotation about the image center, reshape=False
+    (``ndinterp/__init__.py::rotate``): build the inverse-map matrix
+    source = R @ (out - c) + c and delegate to the bilinear affine gather."""
+    import math
+
+    h, w = shape
+    th = math.radians(angle_deg)
+    cos_t, sin_t = math.cos(th), math.sin(th)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    matrix = [[cos_t, sin_t], [-sin_t, cos_t]]
+    offset = (
+        cy - cos_t * cy - sin_t * cx,
+        cx + sin_t * cy - cos_t * cx,
+    )
+    return affine_transform_order1(px, matrix, offset, shape, keys)
+
+
 def rotate90(px: DataFrame, shape, keys=()) -> DataFrame:
     """90-degree rotation (``ndinterp.rotate`` axes=(1,0), reshape=False
     square case): out[y, x] = in[x, H-1-y] — a pure coordinate permutation,

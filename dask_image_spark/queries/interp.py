@@ -71,6 +71,58 @@ def affine_order1(spark, sf_dir):
     return out.select("y", "x", _eps_round("v", 4).alias("v"))
 
 
+def _affine1_oracle(m00, m01, o0, m10, m11, o1) -> str:
+    """General bilinear-affine oracle SQL; float literals are repr'd so both
+    engines parse the identical doubles the Spark plan uses."""
+    # CAST literals to DOUBLE: DuckDB otherwise parses a 17-digit literal as
+    # DECIMAL(18,17) and overflows on the multiply; Spark's F.lit is DOUBLE
+    def d(v):
+        return f"CAST({v!r} AS DOUBLE)"
+
+    syf = f"({d(m00)} * o.y + {d(m01)} * o.x + {d(o0)})"
+    sxf = f"({d(m10)} * o.y + {d(m11)} * o.x + {d(o1)})"
+    return with_pixel_ctes(
+        f"""
+        SELECT g.y, g.x, ROUND(1.2345e-8 + SUM(g.wgt * p.value), 4) AS v
+        FROM (
+          SELECT o.y, o.x,
+                 LEAST(GREATEST(CAST(FLOOR({syf}) AS INT) + c.cy, 0), {N - 1}) AS sy,
+                 LEAST(GREATEST(CAST(FLOOR({sxf}) AS INT) + c.cx, 0), {N - 1}) AS sx,
+                 (CASE WHEN c.cy = 0 THEN 1 - ({syf} - FLOOR({syf}))
+                       ELSE ({syf} - FLOOR({syf})) END)
+               * (CASE WHEN c.cx = 0 THEN 1 - ({sxf} - FLOOR({sxf}))
+                       ELSE ({sxf} - FLOOR({sxf})) END) AS wgt
+          FROM pixels o CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(cy, cx)
+        ) g JOIN pixels p ON p.y = g.sy AND p.x = g.sx
+        GROUP BY g.y, g.x
+        """
+    )
+
+
+def _rotate_params(angle_deg: float):
+    import math
+
+    th = math.radians(angle_deg)
+    cos_t, sin_t = math.cos(th), math.sin(th)
+    c = (N - 1) / 2.0
+    return (
+        cos_t, sin_t, c - cos_t * c - sin_t * c,
+        -sin_t, cos_t, c + sin_t * c - cos_t * c,
+    )
+
+
+@register(
+    "rotate_order1",
+    _affine1_oracle(*_rotate_params(30.0)),
+    tags=("imaging", "ndinterp"),
+)
+def rotate_order1_q(spark, sf_dir):
+    """30-degree center rotation, bilinear, reshape=False
+    (``ndinterp/__init__.py::rotate`` delegating to affine_transform)."""
+    out = ndinterp.rotate(pixel_grid(spark, sf_dir), 30.0, SHAPE)
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
 @register(
     "rotate90",
     with_pixel_ctes(
@@ -95,6 +147,28 @@ def shift_wrap_q(spark, sf_dir):
     """Integer circular shift — exact spatial equivalent of fourier_shift
     (``ndfourier/__init__.py``) for integer shifts."""
     out = ndinterp.shift_wrap(pixel_grid(spark, sf_dir), (5, 9), SHAPE)
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register("fourier_shift", None, tags=("imaging", "ndfourier", "udf"))
+def fourier_shift_q(spark, sf_dir):
+    """Fractional shift via FFT phase ramp (``ndfourier/__init__.py::
+    fourier_shift``); weak-checked — its integer-shift specialization is the
+    strong-oracle ``shift_wrap`` query."""
+    px = pixel_grid(spark, sf_dir)
+    out = chunked.fourier_shift(px, (2.5, -1.5), SHAPE)
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register("spline_filter", None, tags=("imaging", "ndinterp", "udf"))
+def spline_filter_q(spark, sf_dir):
+    """N-D spline prefilter (``ndinterp/__init__.py::spline_filter``) =
+    the 1-D IIR prefilter applied along every axis in sequence."""
+    px = pixel_grid(spark, sf_dir)
+    out0 = chunked.spline_filter1d(px, axis=0, shape=SHAPE)
+    out = chunked.spline_filter1d(
+        out0.withColumnRenamed("v", "value"), axis=1, shape=SHAPE
+    )
     return out.select("y", "x", _eps_round("v", 4).alias("v"))
 
 

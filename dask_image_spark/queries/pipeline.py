@@ -270,6 +270,68 @@ def knn_per_label(spark, sf_dir):
     )
 
 
+_CENTROID_CTES = """
+    dims AS (
+      SELECT label, i, AVG(v) AS m FROM (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings) GROUP BY label, i),
+    cents AS (
+      SELECT label, list(m ORDER BY i) AS cvec FROM dims GROUP BY label)
+"""
+
+_COS_Q = """list_aggregate(list_transform(range(1, 65),
+             i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')
+           / (SQRT(list_aggregate(list_transform({a}, x -> x::DOUBLE * x::DOUBLE), 'sum'))
+            * SQRT(list_aggregate(list_transform({b}, x -> x::DOUBLE * x::DOUBLE), 'sum')))"""
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    {_CENTROID_CTES.strip()},
+    probe AS (
+      SELECT label FROM cents CROSS JOIN q
+      ORDER BY {_COS_Q.format(a="cvec", b="q.qv")} DESC, label LIMIT 1)
+    SELECT e.vec_id,
+           ROUND(1.2345e-8 + {_COS_Q.format(a="e.embedding", b="q.qv")}, 4) AS cos_sim
+    FROM embeddings e JOIN probe USING (label) CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+    tags=("pipeline", "similarity", "ann"),
+)
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN search: coarse-quantize by label, probe the nearest
+    centroid's cluster only, exact cosine within it. The scale path next to
+    brute-force ``similarity_top10`` — candidates shrink by the cluster
+    fan-out and the probed cluster is a partition-prunable equi-filter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, query_id=0, k=10, n_probe=1)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+               {similarity.lsh_bucket_sql()} AS bucket FROM embeddings)
+    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+           ROUND(1.2345e-8 + {_COS_Q.format(a="l.embedding", b="r.embedding")}, 4) AS cos_sim
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE ROUND(1.2345e-8 + {_COS_Q.format(a="l.embedding", b="r.embedding")}, 4) >= 0.4
+    """,
+    tags=("pipeline", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs with LSH-bucket pruning — the
+    semantic-dedup counterpart of MinHash (which catches lexical dups).
+    Threshold 0.4 is tuned to the synthetic embeddings' similarity range."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_lsh(e, threshold=0.4)
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -298,6 +360,37 @@ def token_stats(spark, sf_dir):
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
         _eps_round(avg_len, 4).alias("avg_token_len"),
+    )
+
+
+@register(
+    "token_bpe_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_regex_tokens,
+           list_aggregate(list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+                 t -> CAST(ceil(length(t) / 3.0) AS BIGINT)), 'sum')
+             AS n_subword_units
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+)
+def token_bpe_count(spark, sf_dir):
+    """Token counting by regex (robust to punctuation, unlike the whitespace
+    tokenizer) plus a BPE-ish subword-unit estimate: each regex token splits
+    into ceil(len/3) units, the fixed-fanout stand-in for a real merges-table
+    BPE (which would be a broadcast-joined vocabulary lookup)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+    units = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 3.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_regex_tokens"),
+        units.alias("n_subword_units"),
     )
 
 
@@ -349,11 +442,14 @@ def tfidf_top_term(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    # corpus size as a broadcast 1-row aggregate, not a driver-side count():
+    # query construction stays lazy and the plan is fully distributed
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("tok"))
     return (
         tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "tok", _eps_round(tfidf, 4).alias("tfidf"))

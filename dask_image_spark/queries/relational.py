@@ -135,6 +135,35 @@ def filter_project(spark, sf_dir):
 
 
 @register(
+    "scan_binaryfile",
+    # correctness is always graded at sf0.01 (TESTDATA.md); the oracle has no
+    # sf_dir parameter, so the blob glob pins that directory explicitly
+    """
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name, size AS n_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    ORDER BY file_name
+    """,
+    tags=("relational", "scan", "binary"),
+)
+def scan_binaryfile(spark, sf_dir):
+    """Opaque-file ingest, the ``dask_image.imread`` analog
+    (``dask_image/imread/__init__.py``): ``binaryFile`` lazily splits a glob
+    into per-file tasks exactly like imread's per-file pims reads; a decode
+    UDF over ``content`` (see operators/multimodal.py) completes the path.
+    Metadata-only here: content length is read without decoding."""
+    df = (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/*.parquet")
+        .select(
+            F.regexp_extract("path", "([^/]+)$", 1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+        )
+        .orderBy("file_name")
+    )
+    return df
+
+
+@register(
     "join_inner_geo",
     """
     SELECT r.r_name, COUNT(*) AS n_customers, ROUND(1.2345e-8 + SUM(c.c_acctbal), 4) AS total_bal

@@ -25,6 +25,20 @@ def streaming_tumbling(spark, sf_dir):
 
 
 @register(
+    "streaming_stateful",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total_value,
+           ROUND(1.2345e-8 + MAX(value), 4) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful(spark, sf_dir):
+    return ops.stateful_user_stats(spark, sf_dir)
+
+
+@register(
     "streaming_dedup",
     """
     SELECT user_id, COUNT(DISTINCT event_type) AS n_types

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import uuid
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,6 +69,47 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total")
     )
     return run_to_memory(agg, "complete")
+
+
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    arbitrary-state streaming surface (per-user running count / sum / max
+    kept in explicit GroupState across micro-batches).
+
+    With the availableNow trigger and a single input file this processes one
+    micro-batch, so the emitted final states equal the batch GROUP BY —
+    which is what makes it oracle-checkable at all.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total + 1.2345e-8, 4)],
+                "max_value": [round(mx + 1.2345e-8, 4)],
+            }
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE, max_value DOUBLE",
+        stateStructType="n LONG, total DOUBLE, mx DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(agg, "update")
 
 
 def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

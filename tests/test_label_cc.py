@@ -1,0 +1,71 @@
+"""Connected components vs a BFS reference — covers the reference's
+cross-chunk merge cases (upstream ``test_ndmeasure`` exercises labels that
+span chunk boundaries; here components deliberately span the block size)."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+import pytest
+
+from dask_image_spark.functions.localrel import values_df
+from dask_image_spark.operators.label_cc import label
+
+
+def _bfs_components(mask: np.ndarray) -> dict[tuple[int, int], int]:
+    h, w = mask.shape
+    comp = {}
+    for sy in range(h):
+        for sx in range(w):
+            if not mask[sy, sx] or (sy, sx) in comp:
+                continue
+            root = sy * w + sx  # min ravel index == canonical label
+            q = deque([(sy, sx)])
+            comp[(sy, sx)] = root
+            while q:
+                y, x = q.popleft()
+                for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+                    if (
+                        0 <= ny < h and 0 <= nx < w
+                        and mask[ny, nx] and (ny, nx) not in comp
+                    ):
+                        comp[(ny, nx)] = root
+                        q.append((ny, nx))
+    return comp
+
+
+CASES = {
+    # a long horizontal bar spanning several 4-wide blocks + isolated dots
+    "bar_and_dots": np.array(
+        [
+            [1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+            [0, 0, 0, 0, 0, 0, 0, 0, 0, 1],
+            [1, 0, 1, 0, 0, 1, 0, 0, 0, 1],
+            [1, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        ],
+        dtype=bool,
+    ),
+    # diagonal pixels are NOT 4-connected
+    "diagonal": np.eye(6, dtype=bool),
+    # spiral: one component winding across all blocks
+    "ring": np.pad(np.ones((1, 8), dtype=bool), ((0, 0), (0, 0))).repeat(2, 0),
+    "empty": np.zeros((5, 5), dtype=bool),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_label_matches_bfs(spark, name):
+    mask = CASES[name]
+    h, w = mask.shape
+    rows = [
+        (int(y), int(x), bool(mask[y, x])) for y in range(h) for x in range(w)
+    ]
+    mdf = values_df(spark, "y, x, m", rows)
+    # block=4 forces components to span pre-label blocks -> exercises the
+    # boundary-merge and driver union-find stages, not just stage 1
+    got = {
+        (r["y"], r["x"]): r["label"]
+        for r in label(mdf, (h, w), block=4).collect()
+    }
+    assert got == _bfs_components(mask)
