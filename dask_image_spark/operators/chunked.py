@@ -107,7 +107,94 @@ def _image_apply(px: DataFrame, np_fn, shape, keys=()) -> DataFrame:
     return grouped.applyInPandas(fn, schema)
 
 
-def fourier_gaussian(px: DataFrame, sigma: float, shape, keys=()) -> DataFrame:
+def map_overlap_tiles(
+    px: DataFrame,
+    tile_fn,
+    shape,
+    depth: int,
+    block: int = 32,
+    mode: str = "reflect",
+    cval: float = 0.0,
+    keys=(),
+) -> DataFrame:
+    """The R2 fast path: dask's ``map_overlap`` re-expressed on Spark.
+
+    1. Boundary-pad the pixel table (broadcast pad-maps, same semantics as
+       the R1 stencils — ``ndfilters.padded_pixels``).
+    2. Replicate each padded pixel to every tile whose halo region contains
+       it (a broadcast join against the 9 tile-offset directions, then a
+       range filter — pixels land in 1 tile interior + up to 3 halos).
+    3. ``applyInPandas`` per (block+2*depth)^2 tile: assemble the dense
+       numpy tile, run ``tile_fn`` (any local operator with radius <=
+       depth), emit the interior.
+
+    One shuffle (the tile groupBy); halo volume is O(perimeter * depth) per
+    tile — exactly dask's halo exchange. Use when per-chunk numpy beats the
+    per-pixel relational form (large kernels, chained scipy-style ops).
+    ``tile_fn(tile: np.ndarray) -> np.ndarray`` must be shape-preserving.
+    """
+    from dask_image_spark.functions.localrel import values_df
+    from dask_image_spark.operators.ndfilters import padded_pixels
+
+    h, w = shape
+    keys = list(keys)
+    if depth >= block:
+        raise ValueError(f"depth {depth} must be < block {block}")
+    pad = padded_pixels(px, depth, shape, mode, cval, keys)  # keys,y,x,_pv
+    spark = px.sparkSession
+    dirs = values_df(
+        spark, "dty, dtx", [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]
+    )
+    side = block + 2 * depth
+    asg = (
+        pad.crossJoin(F.broadcast(dirs))
+        .withColumns(
+            {
+                "tty": F.floor(F.col("y") / block).cast("int") + F.col("dty"),
+                "ttx": F.floor(F.col("x") / block).cast("int") + F.col("dtx"),
+            }
+        )
+        # keep only tiles whose padded window contains this pixel
+        .filter(
+            (F.col("y") >= F.col("tty") * block - depth)
+            & (F.col("y") < (F.col("tty") + 1) * block + depth)
+            & (F.col("x") >= F.col("ttx") * block - depth)
+            & (F.col("x") < (F.col("ttx") + 1) * block + depth)
+            # and only tiles that have any interior inside the image
+            & (F.col("tty") >= 0) & (F.col("tty") * block < h)
+            & (F.col("ttx") >= 0) & (F.col("ttx") * block < w)
+        )
+        .select(*keys, "tty", "ttx", "y", "x", "_pv")
+    )
+
+    schema = ", ".join([*(f"{k} long" for k in keys), "y int", "x int", "v double"])
+
+    def fn(key_vals, pdf: pd.DataFrame):
+        tty, ttx = int(pdf["tty"].iloc[0]), int(pdf["ttx"].iloc[0])
+        oy, ox = tty * block - depth, ttx * block - depth
+        tile = np.zeros((side, side), dtype=np.float64)
+        tile[pdf["y"].to_numpy() - oy, pdf["x"].to_numpy() - ox] = pdf[
+            "_pv"
+        ].to_numpy()
+        out = tile_fn(tile)
+        ys, xs = np.indices((block, block))
+        ys = ys.ravel() + tty * block
+        xs = xs.ravel() + ttx * block
+        keep = (ys < h) & (xs < w)
+        res = pd.DataFrame(
+            {
+                "y": ys[keep],
+                "x": xs[keep],
+                "v": out[depth : depth + block, depth : depth + block].ravel()[keep],
+            }
+        )
+        for k, val in zip(keys, key_vals[: len(keys)]):
+            res[k] = val
+        return res[[*keys, "y", "x", "v"]]
+
+    return asg.groupBy(*keys, "tty", "ttx").applyInPandas(
+        lambda key, pdf: fn(key, pdf), schema
+    )
     """Gaussian in the frequency domain
     (``ndfourier/__init__.py::fourier_gaussian``): FFT, multiply by
     exp(-2 pi^2 sigma^2 f^2) per axis, inverse FFT (real part).

@@ -186,6 +186,44 @@ def filter_gaussian(spark, sf_dir):
     return _round_v(ndfilters.gaussian_filter(pixel_grid(spark, sf_dir), 1.0, shape=SHAPE))
 
 
+@register("filter_gaussian_r2_tiles", _linear_oracle(_gauss_passes(0, 0)),
+          tags=("imaging", "ndfilters", "r2", "udf"))
+def filter_gaussian_r2_tiles(spark, sf_dir):
+    """The SAME Gaussian through the R2 chunked-tensor fast path
+    (``chunked.map_overlap_tiles`` — dask's ``map_overlap``: tile + halo
+    exchange + per-tile numpy), graded against the identical oracle as the
+    R1 join form. Two physical strategies, one verified semantics.
+
+    Per-axis sequential filtering with per-axis boundary remap equals the
+    full outer-product kernel on the once-padded image (the remaps are
+    axis-independent), so the tile fn applies the 9x9 outer kernel."""
+    import numpy as np
+
+    from dask_image_spark.operators import chunked
+
+    taps = K.gaussian_taps_1d(1.0)
+    full = K.outer_kernel(taps, taps)
+    depth = max(abs(o) for o, _ in taps)
+    block = 32
+
+    def tile_fn(tile: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(tile)
+        n = tile.shape[0]
+        inner = n - 2 * depth
+        for dy, dx, w in full:
+            out[depth : depth + inner, depth : depth + inner] += (
+                w * tile[depth + dy : depth + dy + inner,
+                         depth + dx : depth + dx + inner]
+            )
+        return out
+
+    px = pixel_grid(spark, sf_dir)
+    out = chunked.map_overlap_tiles(
+        px, tile_fn, SHAPE, depth=depth, block=block, mode="reflect"
+    )
+    return _round_v(out)
+
+
 def _two_branch_oracle(passes_a, passes_b, combine: str) -> str:
     """Two stencil chains joined on (y, x); ``combine`` uses a.value/b.value."""
     ctes: list[str] = []
