@@ -195,6 +195,9 @@ def map_overlap_tiles(
     return asg.groupBy(*keys, "tty", "ttx").applyInPandas(
         lambda key, pdf: fn(key, pdf), schema
     )
+
+
+def fourier_gaussian(px: DataFrame, sigma: float, shape, keys=()) -> DataFrame:
     """Gaussian in the frequency domain
     (``ndfourier/__init__.py::fourier_gaussian``): FFT, multiply by
     exp(-2 pi^2 sigma^2 f^2) per axis, inverse FFT (real part).
