@@ -22,6 +22,7 @@ from dask_image_spark.functions.pixelgrid import (
 )
 from dask_image_spark.operators import ndfilters, ndmeasure, ndmorph
 from dask_image_spark.queries.base import r as _eps_round, register
+from dask_image_spark.sources.tables import load_table
 
 SHAPE = (GRID, GRID)
 
@@ -348,6 +349,57 @@ def morph_closing(spark, sf_dir):
     return ndmorph.binary_closing(m, shape=SHAPE).select(
         "y", "x", F.col("m").alias("v")
     )
+
+
+@register("morph_erosion_iter2", _morph_oracle([_BAND, _BAND]),
+          tags=("imaging", "ndmorph"))
+def morph_erosion_iter2(spark, sf_dir):
+    """iterations=2 (``ndmorph/_utils.py::_get_iterations``): n chained
+    erosion passes, the reference's iteration semantics."""
+    m = mask_grid(spark, sf_dir)
+    return ndmorph.binary_erosion(m, shape=SHAPE, iterations=2).select(
+        "y", "x", F.col("m").alias("v")
+    )
+
+
+# --- multi-image (keys) processing -------------------------------------------
+
+_PX2 = (
+    "px2 AS (SELECT CAST((event_id // 4096) % 2 AS INT) AS img, "
+    "CAST(event_id % 64 AS INT) AS y, CAST((event_id // 64) % 64 AS INT) AS x, "
+    "SUM(value) AS value FROM events GROUP BY 1, 2, 3)"
+)
+
+
+def _multi_image_oracle() -> str:
+    sy = remap_sql("o.y + k.dy", GRID, "reflect")
+    sx = remap_sql("o.x + k.dx", GRID, "reflect")
+    return (
+        f"WITH {_PX2} "
+        f"SELECT g.img, g.y, g.x, ROUND(1.2345e-8 + SUM(p.value * g.w), 4) AS v "
+        f"FROM (SELECT o.img, o.y, o.x, k.w, {sy} AS sy, {sx} AS sx "
+        f"FROM px2 o CROSS JOIN (VALUES {_kernel_values(K.BOX3)}) "
+        f"k(ko, dy, dx, w)) g "
+        f"JOIN px2 p ON p.img = g.img AND p.y = g.sy AND p.x = g.sx "
+        f"GROUP BY g.img, g.y, g.x"
+    )
+
+
+@register("filter_box_multi_image", _multi_image_oracle(),
+          tags=("imaging", "ndfilters", "keys"))
+def filter_box_multi_image(spark, sf_dir):
+    """The same stencil template over a MULTI-IMAGE table: ``keys=("img",)``
+    carries the image id through pad/scatter/aggregate, so one plan
+    processes any number of images — the 100 TB layout (millions of images
+    partitioned by id), exercised end-to-end on a 2-image fixture."""
+    ev = load_table(spark, sf_dir, "events")
+    px2 = ev.groupBy(
+        F.expr("CAST((event_id div 4096) % 2 AS INT)").alias("img"),
+        F.expr(f"CAST(event_id % {GRID} AS INT)").alias("y"),
+        F.expr(f"CAST((event_id div {GRID}) % {GRID} AS INT)").alias("x"),
+    ).agg(F.sum("value").alias("value"))
+    out = ndfilters.correlate(px2, K.BOX3, SHAPE, keys=("img",))
+    return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
 
 
 # --- ndmeasure ---------------------------------------------------------------

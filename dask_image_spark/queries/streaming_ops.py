@@ -38,6 +38,14 @@ def streaming_stateful(spark, sf_dir):
     return ops.stateful_user_stats(spark, sf_dir)
 
 
+@register("streaming_dedup_watermark", None, tags=("streaming", "dedup", "watermark"))
+def streaming_dedup_watermark(spark, sf_dir):
+    """Bounded-state dedup: state evicts once the watermark passes a key.
+    Weak-checked — mid-batch expiry under availableNow is an engine detail
+    no batch SQL reproduces exactly."""
+    return ops.dedup_within_watermark(spark, sf_dir)
+
+
 @register(
     "streaming_dedup",
     """

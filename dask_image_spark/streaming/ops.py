@@ -121,3 +121,17 @@ def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_types"))
     )
     return run_to_memory(agg, "complete")
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: bounded-state dedup — state for a
+    key is dropped once the watermark passes it, the production answer to
+    unbounded dedup state. The events fixture spans far longer than the
+    watermark, so rows per key CAN recur across distant event times; counts
+    reflect per-(user, type) occurrences surviving the windowed dedup."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(agg, "complete")

@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale posture (broadcasts, top-k
+heaps, parquet pushdown, bounded shuffles) must survive refactors. These
+assert on `.explain("formatted")` text — if Spark changes operator names the
+tests say so loudly, which is the point."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from dask_image_spark import queries as q
+
+q.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = q.all_queries()[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# (query, substrings that MUST appear)
+REQUIRED = [
+    # top-k must plan as per-partition heaps, never a global sort
+    ("q3_join_topk", ["TakeOrderedAndProject"]),
+    ("topk_orders", ["TakeOrderedAndProject"]),
+    ("similarity_top10", ["TakeOrderedAndProject"]),
+    # dimension joins must broadcast
+    ("join_inner_geo", ["BroadcastHashJoin"]),
+    ("q3_join_topk", ["BroadcastHashJoin"]),
+    # semi/anti plans
+    ("join_semi", ["LeftSemi"]),
+    ("join_anti", ["LeftAnti"]),
+    # predicate pushdown reaches the parquet scan
+    ("q1_pricing_summary", ["PushedFilters: [IsNotNull(l_shipdate)"]),
+    ("filter_project", ["PushedFilters: [IsNotNull(l_discount)"]),
+]
+
+
+@pytest.mark.parametrize("name,wants", REQUIRED, ids=[f"{n}:{w[0][:20]}" for n, w in REQUIRED])
+def test_plan_contains(spark, sf_dir, name, wants):
+    p = _plan(spark, sf_dir, name)
+    for w in wants:
+        assert w in p, f"{name}: expected {w!r} in physical plan\n{p[:3000]}"
+
+
+def test_q1_reads_only_needed_columns(spark, sf_dir):
+    """Column pruning: Q1 touches 7 of lineitem's 11 columns; the scan's
+    ReadSchema must not include the unused ones."""
+    p = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "l_orderkey" not in p.split("ReadSchema")[1][:400]
+
+
+def test_stencil_is_single_shuffle(spark, sf_dir):
+    """The pad-then-scatter stencil: exactly one aggregate exchange over the
+    fan-out; borders come from broadcasts. (InMemoryTableScan branches from
+    the cached fixture grid don't shuffle.)"""
+    from dask_image_spark.functions.localrel import values_df
+    from dask_image_spark.operators import ndfilters
+    from dask_image_spark.functions import kernels as K
+
+    rows = [(y, x, 1.0) for y in range(8) for x in range(8)]
+    px = values_df(spark, "y, x, value", rows)
+    df = ndfilters.correlate(px, K.BOX3, (8, 8))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    tree = p.split("\n\n")[0]  # operator tree only, not the details section
+    n_shuffle = sum(
+        1 for line in tree.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+    )
+    assert n_shuffle == 1, f"stencil should shuffle once, got {n_shuffle}:\n{tree}"
