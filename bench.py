@@ -20,8 +20,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # The 7 headline queries measured in BASELINE.md (same semantics, same data),
-# in the same order.  conv3x3 in BASELINE.md == filter_convolve here (offset
-# join over the pixel grid derived from events).
+# in the same order. conv3x3 reproduces the baseline's workload SIZE — a 3x3
+# convolution over the full events table as a 300-wide pixel grid (100k px at
+# sf0.1), not the 64x64 graded fixture — so the comparison is like-for-like.
 HEADLINE = [
     ("q1", "q1_pricing_summary"),
     ("q3", "q3_join_topk"),
@@ -29,8 +30,33 @@ HEADLINE = [
     ("sessionize", "sessionize"),
     ("similarity_top10", "similarity_top10"),
     ("exact_dedup_docs", "dedup_exact_groups"),
-    ("conv3x3", "filter_convolve"),
+    ("conv3x3", "__conv3x3_fullscale__"),
 ]
+
+BASELINE_K = [
+    (-1, -1, 0.1), (-1, 0, 0.1), (-1, 1, 0.1),
+    (0, -1, 0.1), (0, 0, 0.2), (0, 1, 0.1),
+    (1, -1, 0.1), (1, 0, 0.1), (1, 1, 0.1),
+]
+
+
+def conv3x3_fullscale(spark, sf_dir):
+    """BASELINE.md's conv3x3_sim at the same scale: every event becomes a
+    pixel of a 300-wide grid; 3x3 kernel through the pad-then-scatter
+    stencil (constant boundary)."""
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.operators import ndfilters
+    from dask_image_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.select(
+        F.expr("CAST(event_id % 300 AS INT)").alias("y"),
+        F.expr("CAST(event_id div 300 AS INT)").alias("x"),
+        "value",
+    )
+    w = (ev.count() + 299) // 300
+    return ndfilters.correlate(px, BASELINE_K, (300, w), mode="constant")
 
 
 def main() -> None:
@@ -45,7 +71,8 @@ def main() -> None:
     for label, name in HEADLINE:
         # BASELINE.md methodology: build the DataFrame once, warm once, then
         # best-of-3 wall-clock on a full materialization of the same plan
-        df = registry[name](spark, SF_DIR)
+        fn = conv3x3_fullscale if name == "__conv3x3_fullscale__" else registry[name]
+        df = fn(spark, SF_DIR)
         df.count()  # warm-up (codegen + page cache)
         best = float("inf")
         for _ in range(3):

@@ -133,7 +133,6 @@ def map_overlap_tiles(
     per-pixel relational form (large kernels, chained scipy-style ops).
     ``tile_fn(tile: np.ndarray) -> np.ndarray`` must be shape-preserving.
     """
-    from dask_image_spark.functions.localrel import values_df
     from dask_image_spark.operators.ndfilters import padded_pixels
 
     h, w = shape
@@ -141,13 +140,15 @@ def map_overlap_tiles(
     if depth >= block:
         raise ValueError(f"depth {depth} must be < block {block}")
     pad = padded_pixels(px, depth, shape, mode, cval, keys)  # keys,y,x,_pv
-    spark = px.sparkSession
-    dirs = values_df(
-        spark, "dty, dtx", [(a, b) for a in (-1, 0, 1) for b in (-1, 0, 1)]
+    dirs = F.inline(
+        F.array(*[
+            F.struct(F.lit(a).alias("dty"), F.lit(b).alias("dtx"))
+            for a in (-1, 0, 1) for b in (-1, 0, 1)
+        ])
     )
     side = block + 2 * depth
     asg = (
-        pad.crossJoin(F.broadcast(dirs))
+        pad.select(*pad.columns, dirs)
         .withColumns(
             {
                 "tty": F.floor(F.col("y") / block).cast("int") + F.col("dty"),
