@@ -492,6 +492,34 @@ def window_frames(spark, sf_dir):
 
 
 @register(
+    "window_ranking_family",
+    """
+    SELECT event_id, user_id,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(1.2345e-8 + PERCENT_RANK() OVER w, 4) AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+    tags=("relational", "window"),
+)
+def window_ranking_family(spark, sf_dir):
+    """The full ranking-function family over one shared window spec (Spark
+    computes all four in a single sort pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        _r(F.percent_rank().over(w)).alias("pct_rank"),
+    )
+
+
+@register(
     "set_ops",
     """
     SELECT 'click_and_purchase' AS tag, user_id FROM

@@ -56,3 +56,13 @@ def test_separable_outer_product_sums():
     full = K.outer_kernel(ky, kx)
     assert abs(sum(w for _, _, w in full) - 1.0) < 1e-12
     assert len(full) == len(ky) * len(kx)
+
+
+def test_stencil_rejects_oversized_kernel():
+    """Guard rail: single-bounce boundary remap requires radius < extent."""
+    import pytest as _pytest
+
+    from dask_image_spark.operators import ndfilters
+
+    with _pytest.raises(ValueError, match="kernel radius"):
+        ndfilters.stencil_gather(None, [(9, 0, 1.0)], (8, 8))
