@@ -149,4 +149,7 @@ def label(
     canon = merged.groupBy("comp").agg(
         F.min(F.col("y").cast("long") * w + F.col("x")).alias("label")
     )
-    return merged.join(F.broadcast(canon), on="comp").select("y", "x", "label")
+    # no broadcast hint: canon is O(#components) — often tiny, but a noisy
+    # mask can have ~1 component per 2 pixels; AQE picks broadcast vs shuffle
+    # from the actual size at runtime
+    return merged.join(canon, on="comp").select("y", "x", "label")

@@ -164,6 +164,57 @@ def scan_binaryfile(spark, sf_dir):
 
 
 @register(
+    "scan_csv_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("relational", "scan", "sink", "csv"),
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    """CSV sink + scan: write (doc_id, lang, n_chars) as CSV, read it back
+    with schema inference off (explicit schema — the scale-safe way), then
+    aggregate. Values must survive the roundtrip exactly, which the parquet
+    oracle checks."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"/tmp/dask_image_spark_io/csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    d.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema("doc_id LONG, lang STRING, n_chars LONG").option(
+        "header", True
+    ).csv(path)
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "scan_json_roundtrip",
+    """
+    SELECT source, COUNT(*) AS n, MIN(doc_id) AS min_doc
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    tags=("relational", "scan", "sink", "json"),
+)
+def scan_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink + scan roundtrip, aggregated; oracle reads parquet."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    path = f"/tmp/dask_image_spark_io/json_{os.path.basename(sf_dir.rstrip('/'))}"
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id LONG, source STRING").json(path)
+    return (
+        back.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+        .orderBy("source")
+    )
+
+
+@register(
     "join_inner_geo",
     """
     SELECT r.r_name, COUNT(*) AS n_customers, ROUND(1.2345e-8 + SUM(c.c_acctbal), 4) AS total_bal

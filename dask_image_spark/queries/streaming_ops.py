@@ -38,6 +38,20 @@ def streaming_stateful(spark, sf_dir):
     return ops.stateful_user_stats(spark, sf_dir)
 
 
+@register(
+    "streaming_sliding",
+    """
+    SELECT DATE_TRUNC('hour', ts) - (o.h * INTERVAL '1 hour') AS win_start,
+           COUNT(*) AS n, ROUND(1.2345e-8 + AVG(value), 4) AS avg_value
+    FROM events CROSS JOIN (VALUES (0), (1)) o(h)
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def streaming_sliding(spark, sf_dir):
+    return ops.sliding_counts(spark, sf_dir)
+
+
 @register("streaming_dedup_watermark", None, tags=("streaming", "dedup", "watermark"))
 def streaming_dedup_watermark(spark, sf_dir):
     """Bounded-state dedup: state evicts once the watermark passes a key.

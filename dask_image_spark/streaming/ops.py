@@ -123,6 +123,22 @@ def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour with a watermark — every event lands
+    in two windows; complete-mode availableNow output is batch-equivalent."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _eps_round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n", "avg_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
 def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicatesWithinWatermark``: bounded-state dedup — state for a
     key is dropped once the watermark passes it, the production answer to
