@@ -215,6 +215,102 @@ def _agg_stencil(
     return g.groupBy(*keys, "y", "x").agg(agg.alias(out_col))
 
 
+# --- N-dimensional generalization -------------------------------------------
+#
+# The 2-D template above is the tuned hot path; this section generalizes
+# pad-then-scatter to arbitrary rank (the reference is an N-D library —
+# every dask-image filter takes any-rank arrays). Border branches: one per
+# non-empty subset of axes (2^N - 1; the 2-D code's ypad/xpad/corner is the
+# N=2 instance), each a broadcast pad-map join under a pushable edge
+# predicate. Scatter + single groupBy shuffle as in 2-D.
+
+
+def padded_pixels_nd(
+    px: DataFrame,
+    radii: Sequence[int],
+    shape: Sequence[int],
+    mode: str,
+    cval: float,
+    coords: Sequence[str],
+    keys: Sequence[str] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    import itertools
+
+    keys = list(keys)
+    coords = list(coords)
+    spark = px.sparkSession
+    body = px.select(*keys, *coords, F.col(value_col).alias("_pv"))
+    if mode == "constant":
+        raise NotImplementedError(
+            "N-D constant padding: use drop_zero_pad (SUM aggregations) or "
+            "the 2-D template"
+        )
+    axes = [i for i, r in enumerate(radii) if r > 0]
+    pairs = {i: _pad_pairs(shape[i], radii[i], mode) for i in axes}
+    out = body
+    for subset_size in range(1, len(axes) + 1):
+        for subset in itertools.combinations(axes, subset_size):
+            branch = body
+            for i in subset:
+                branch = branch.filter(_edge_pred(pairs[i], coords[i]))
+            for i in subset:
+                pm = F.broadcast(
+                    _pad_map(spark, pairs[i]).withColumnsRenamed(
+                        {"src": f"_s{i}", "pad": f"_p{i}"}
+                    )
+                )
+                branch = branch.join(pm, F.col(coords[i]) == F.col(f"_s{i}"))
+            sel = [
+                (F.col(f"_p{i}").alias(c) if i in subset else F.col(c))
+                for i, c in enumerate(coords)
+            ]
+            out = out.unionByName(branch.select(*keys, *sel, "_pv"))
+    return out
+
+
+def correlate_nd(
+    px: DataFrame,
+    offsets: Sequence[tuple],
+    shape: Sequence[int],
+    mode: str = "reflect",
+    cval: float = 0.0,
+    coords: Sequence[str] = ("z", "y", "x"),
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """N-D cross-correlation: ``offsets`` rows are (d_0, ..., d_{N-1}, w)
+    matching ``coords`` order. Same single-shuffle pad-scatter plan as 2-D."""
+    coords = list(coords)
+    keys = list(keys)
+    n = len(coords)
+    radii = [
+        max(abs(off[i]) for off in offsets) for i in range(n)
+    ]
+    for i, r in enumerate(radii):
+        if r >= shape[i]:
+            raise ValueError(f"kernel radius {r} >= extent {shape[i]} on axis {i}")
+    pad = padded_pixels_nd(px, radii, shape, mode, cval, coords, keys)
+    structs = [
+        F.struct(
+            *[F.lit(int(off[i])).alias(f"_d{i}") for i in range(n)],
+            F.lit(float(off[n])).alias("_w"),
+        )
+        for off in offsets
+    ]
+    scat = pad.select(*keys, *coords, "_pv", F.inline(F.array(*structs)))
+    targets = [
+        (F.col(c) - F.col(f"_d{i}")).alias(f"_t{i}")
+        for i, c in enumerate(coords)
+    ]
+    scat = scat.select(
+        *keys, *targets, (F.col("_pv") * F.col("_w")).alias("_wv")
+    )
+    for i, c in enumerate(coords):
+        scat = scat.filter((F.col(f"_t{i}") >= 0) & (F.col(f"_t{i}") < shape[i]))
+    renamed = scat.withColumnsRenamed({f"_t{i}": c for i, c in enumerate(coords)})
+    return renamed.groupBy(*keys, *coords).agg(F.sum("_wv").alias("v"))
+
+
 # --- the public ndfilters surface -------------------------------------------
 
 

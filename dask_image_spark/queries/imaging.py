@@ -362,6 +362,61 @@ def morph_erosion_iter2(spark, sf_dir):
     )
 
 
+# --- 3-D (N-dimensional surface) ---------------------------------------------
+
+_VOL = 16  # 16^3 = 4096 voxels, dense from event_id folding at sf >= 0.01
+
+_PX3 = (
+    f"px3 AS (SELECT CAST(event_id % {_VOL} AS INT) AS z, "
+    f"CAST((event_id // {_VOL}) % {_VOL} AS INT) AS y, "
+    f"CAST((event_id // {_VOL * _VOL}) % {_VOL} AS INT) AS x, "
+    "SUM(value) AS value FROM events GROUP BY 1, 2, 3)"
+)
+
+# 3-D 6-neighbor Laplacian-style kernel (N-D generalization check)
+_K3D = (
+    [(0, 0, 0, -6.0)]
+    + [(dz, 0, 0, 1.0) for dz in (-1, 1)]
+    + [(0, dy, 0, 1.0) for dy in (-1, 1)]
+    + [(0, 0, dx, 1.0) for dx in (-1, 1)]
+)
+
+
+def _filter3d_oracle() -> str:
+    sz = remap_sql("o.z + k.dz", _VOL, "reflect")
+    sy = remap_sql("o.y + k.dy", _VOL, "reflect")
+    sx = remap_sql("o.x + k.dx", _VOL, "reflect")
+    kv = ", ".join(
+        f"({dz}, {dy}, {dx}, {w!r})" for dz, dy, dx, w in _K3D
+    )
+    return (
+        f"WITH {_PX3} "
+        f"SELECT g.z, g.y, g.x, ROUND(1.2345e-8 + SUM(p.value * g.w), 4) AS v "
+        f"FROM (SELECT o.z, o.y, o.x, k.w, {sz} AS sz, {sy} AS sy, {sx} AS sx "
+        f"FROM px3 o CROSS JOIN (VALUES {kv}) k(dz, dy, dx, w)) g "
+        f"JOIN px3 p ON p.z = g.sz AND p.y = g.sy AND p.x = g.sx "
+        f"GROUP BY g.z, g.y, g.x"
+    )
+
+
+@register("filter_laplace_3d", _filter3d_oracle(),
+          tags=("imaging", "ndfilters", "3d"))
+def filter_laplace_3d(spark, sf_dir):
+    """The N-dimensional surface: a 3-D 6-neighbor Laplacian over a 16^3
+    volume through ``correlate_nd`` — the same pad-scatter plan at rank 3
+    (reference filters accept any rank; this grades ours past 2-D)."""
+    ev = load_table(spark, sf_dir, "events")
+    px3 = ev.groupBy(
+        F.expr(f"CAST(event_id % {_VOL} AS INT)").alias("z"),
+        F.expr(f"CAST((event_id div {_VOL}) % {_VOL} AS INT)").alias("y"),
+        F.expr(f"CAST((event_id div {_VOL * _VOL}) % {_VOL} AS INT)").alias("x"),
+    ).agg(F.sum("value").alias("value"))
+    out = ndfilters.correlate_nd(
+        px3, _K3D, (_VOL, _VOL, _VOL), mode="reflect"
+    )
+    return out.select("z", "y", "x", _eps_round("v", 4).alias("v"))
+
+
 # --- multi-image (keys) processing -------------------------------------------
 
 _PX2 = (

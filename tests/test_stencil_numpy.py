@@ -112,3 +112,31 @@ def test_binary_erosion_dilation_duality(spark):
         .select("y", "x", F.col("m").alias("v"))
     )
     np.testing.assert_array_equal(ero.astype(bool), ~dil.astype(bool))
+
+
+@pytest.mark.parametrize("mode", ["reflect", "wrap", "nearest"])
+def test_correlate_nd_3d_matches_numpy(spark, mode):
+    """Rank-3 differential: correlate_nd vs dense numpy padding."""
+    D = 6
+    rng = np.random.default_rng(5)
+    vol = np.round(rng.uniform(-2, 2, size=(D, D, D)), 3)
+    rows = [
+        (z, y, x, float(vol[z, y, x]))
+        for z in range(D) for y in range(D) for x in range(D)
+    ]
+    px = values_df(spark, "z, y, x, value", rows)
+    k = [(0, 0, 0, -6.0)] + [
+        (dz, dy, dx, 1.0)
+        for dz, dy, dx in [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+                           (0, 0, -1), (0, 0, 1)]
+    ]
+    got = np.full((D, D, D), np.nan)
+    res = ndfilters.correlate_nd(px, k, (D, D, D), mode=mode)
+    for r in res.collect():
+        got[r["z"], r["y"], r["x"]] = r["v"]
+    pad = np.pad(vol, 1, mode=NP_PAD_MODE[mode])
+    want = np.zeros_like(vol)
+    for dz, dy, dx, w in k:
+        want += w * pad[1 + dz : 1 + dz + D, 1 + dy : 1 + dy + D,
+                        1 + dx : 1 + dx + D]
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
