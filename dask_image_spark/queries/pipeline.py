@@ -563,6 +563,63 @@ def doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", textops.rolling_fingerprint().alias("fp"))
 
 
+@register(
+    "udtf_ngrams",
+    """
+    SELECT doc_id, array_to_string(t[i:i + 2], ' ') AS ngram,
+           CAST(i - 1 AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+    """,
+    tags=("pipeline", "text", "udtf"),
+)
+def udtf_ngrams(spark, sf_dir):
+    """The Spark 4 Python UDTF surface (SURVEY.md §2.B last row): a
+    table-valued function fanned out per input row via LATERAL — here
+    word trigrams with positions, which the oracle mirrors with unnest."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram string, pos int")
+    class Ngrams:
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(len(toks) - n + 1):
+                yield (" ".join(toks[i : i + n]), i)
+
+    spark.udtf.register("ngrams_udtf", Ngrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, n.ngram, n.pos "
+        "FROM _udtf_docs d, LATERAL ngrams_udtf(d.text, 3) n"
+    )
+
+
+@register(
+    "time_rollup_multires",
+    """
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS n, ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM events GROUP BY ROLLUP(1, 2)
+    """,
+    tags=("pipeline", "timeseries", "rollup"),
+)
+def time_rollup_multires(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: one pass produces
+    hour-level, day-level, and grand totals (Spark plans a single Expand +
+    aggregate — the multi-resolution materialization pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _eps_round(F.sum("value"), 4).alias("total"))
+    )
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 
