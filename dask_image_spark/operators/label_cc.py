@@ -69,6 +69,53 @@ def _label_block_np(ys, xs, h, w):
     return np.asarray(labels, dtype=np.int64)
 
 
+def label_iterative(
+    mask: DataFrame, shape: tuple[int, int], mask_col: str = "m",
+    max_iter: int = 200,
+) -> DataFrame:
+    """Fully-distributed fallback for :func:`label`: iterative min-label
+    propagation over the 4-neighbor graph, for when even the boundary
+    adjacency graph would overwhelm the driver.
+
+    Each true pixel starts as its own ravel-index label; every round takes
+    the min over neighbors' labels; ``localCheckpoint()`` truncates lineage
+    per round (the canonical Spark iterative-algorithm requirement — without
+    it the plan doubles every iteration). Converges in O(graph diameter)
+    rounds — prefer :func:`label` (block pre-label + centralized union-find,
+    O(1) rounds) whenever the adjacency fits the driver, exactly as the
+    reference centralizes its sparse CC solve."""
+    h, w = shape
+    lbl = (
+        mask.filter(F.col(mask_col))
+        .select("y", "x")
+        .withColumn("lbl", F.col("y").cast("long") * w + F.col("x"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbrs = None
+        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            shifted = lbl.select(
+                (F.col("y") + dy).alias("y"), (F.col("x") + dx).alias("x"),
+                F.col("lbl").alias("nlbl"),
+            )
+            nbrs = shifted if nbrs is None else nbrs.unionByName(shifted)
+        best = nbrs.groupBy("y", "x").agg(F.min("nlbl").alias("minn"))
+        new = (
+            lbl.join(best, on=["y", "x"], how="left")
+            .select(
+                "y", "x",
+                F.least(F.col("lbl"), F.coalesce("minn", F.col("lbl"))).alias("lbl"),
+                (F.col("minn") < F.col("lbl")).alias("_chg"),
+            )
+        )
+        new = new.localCheckpoint()
+        changed = new.filter(F.col("_chg")).limit(1).count()
+        lbl = new.select("y", "x", "lbl")
+        if changed == 0:
+            break
+    return lbl.withColumnRenamed("lbl", "label")
+
+
 def label(
     mask: DataFrame, shape: tuple[int, int], block: int = 32,
     mask_col: str = "m",

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from dask_image_spark.functions.localrel import values_df
-from dask_image_spark.operators.label_cc import label
+from dask_image_spark.operators.label_cc import label, label_iterative
 
 
 def _bfs_components(mask: np.ndarray) -> dict[tuple[int, int], int]:
@@ -67,5 +67,22 @@ def test_label_matches_bfs(spark, name):
     got = {
         (r["y"], r["x"]): r["label"]
         for r in label(mdf, (h, w), block=4).collect()
+    }
+    assert got == _bfs_components(mask)
+
+
+@pytest.mark.parametrize("name", ["bar_and_dots", "diagonal"])
+def test_label_iterative_matches_bfs(spark, name):
+    """The fully-distributed min-label-propagation fallback converges to the
+    same canonical labels as the centralized solve."""
+    mask = CASES[name]
+    h, w = mask.shape
+    rows = [
+        (int(y), int(x), bool(mask[y, x])) for y in range(h) for x in range(w)
+    ]
+    mdf = values_df(spark, "y, x, m", rows)
+    got = {
+        (r["y"], r["x"]): r["label"]
+        for r in label_iterative(mdf, (h, w)).collect()
     }
     assert got == _bfs_components(mask)
