@@ -187,6 +187,47 @@ def filter_gaussian(spark, sf_dir):
     return _round_v(ndfilters.gaussian_filter(pixel_grid(spark, sf_dir), 1.0, shape=SHAPE))
 
 
+_G2 = K.gaussian_taps_1d(2.0, 0)
+
+
+@register(
+    "filter_gaussian_aniso",
+    _linear_oracle(
+        [
+            (K.taps_to_offsets_1d(_G1, 0), CORR, REFL, 0.0),
+            (K.taps_to_offsets_1d(_G2, 1), CORR, REFL, 0.0),
+        ]
+    ),
+    tags=("imaging", "ndfilters"),
+)
+def filter_gaussian_aniso(spark, sf_dir):
+    """Anisotropic Gaussian (per-axis sigma, the reference's sequence-sigma
+    form): sigma_y=1, sigma_x=2 — different tap counts per axis."""
+    return _round_v(
+        ndfilters.gaussian_filter(
+            pixel_grid(spark, sf_dir), (1.0, 2.0), shape=SHAPE
+        )
+    )
+
+
+_CROSS_FP = [(0, 0, 1.0), (-1, 0, 1.0), (1, 0, 1.0), (0, -1, 1.0), (0, 1, 1.0)]
+
+
+@register(
+    "filter_median_cross",
+    _linear_oracle([(_CROSS_FP, "MEDIAN({v})", REFL, 0.0)]),
+    tags=("imaging", "ndfilters"),
+)
+def filter_median_cross(spark, sf_dir):
+    """Median over a non-box footprint (the reference's ``footprint=``
+    argument): 5-point cross, odd count so Spark/DuckDB medians agree."""
+    return _round_v(
+        ndfilters.median_filter(
+            pixel_grid(spark, sf_dir), shape=SHAPE, footprint=_CROSS_FP
+        )
+    )
+
+
 @register("filter_gaussian_r2_tiles", _linear_oracle(_gauss_passes(0, 0)),
           tags=("imaging", "ndfilters", "r2", "udf"))
 def filter_gaussian_r2_tiles(spark, sf_dir):
