@@ -76,14 +76,23 @@ def outer_kernel(
     return [(dy, dx, wy * wx) for dy, wy in ky for dx, wx in kx]
 
 
+def box_range(size: int) -> range:
+    """Offset range for a ``size``-wide window, scipy origin convention.
+
+    Odd size: symmetric [-(size//2), size//2]. Even size: scipy places the
+    origin at index size//2 of the footprint, so the correlate offsets span
+    [-(size//2), size - 1 - size//2] (e.g. size=4 -> -2..1).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    lo = -(size // 2)
+    return range(lo, lo + size)
+
+
 def box_footprint(size: int) -> list[Offset2D]:
-    """size×size all-ones footprint centered at origin (odd size)."""
-    r = size // 2
-    return [
-        (dy, dx, 1.0)
-        for dy in range(-r, r + 1)
-        for dx in range(-r, r + 1)
-    ]
+    """size×size all-ones footprint, scipy origin convention (even sizes OK)."""
+    rng = box_range(size)
+    return [(dy, dx, 1.0) for dy in rng for dx in rng]
 
 
 def flip(kernel: list[Offset2D]) -> list[Offset2D]:

@@ -71,7 +71,7 @@ def _label_block_np(ys, xs, h, w):
 
 def label_iterative(
     mask: DataFrame, shape: tuple[int, int], mask_col: str = "m",
-    max_iter: int = 200,
+    max_iter: int = 200, on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Fully-distributed fallback for :func:`label`: iterative min-label
     propagation over the 4-neighbor graph, for when even the boundary
@@ -91,6 +91,7 @@ def label_iterative(
         .withColumn("lbl", F.col("y").cast("long") * w + F.col("x"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbrs = None
         for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
@@ -112,18 +113,40 @@ def label_iterative(
         changed = new.filter(F.col("_chg")).limit(1).count()
         lbl = new.select("y", "x", "lbl")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A component with graph diameter > max_iter would come back silently
+        # under-merged — never return that as if it were a labeling.
+        msg = (
+            f"label_iterative did not converge in max_iter={max_iter} rounds; "
+            "labels may be under-merged (component diameter exceeds the "
+            "iteration budget). Raise max_iter."
+        )
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
     return lbl.withColumnRenamed("lbl", "label")
 
 
 def label(
     mask: DataFrame, shape: tuple[int, int], block: int = 32,
-    mask_col: str = "m",
+    mask_col: str = "m", max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """Label 4-connected components of a boolean mask.
 
     Returns (y, x, label) for true pixels; label = min ravel index of the
     component (canonical, deterministic).
+
+    The boundary-adjacency graph is collected to the driver for the
+    union-find merge (stage 3) ONLY while it stays under
+    ``max_driver_edges``; a bigger graph automatically switches to the
+    fully-distributed :func:`label_iterative` path, so callers never have to
+    pick the strategy themselves. The probe costs one ``limit(n+1)`` collect
+    — the same job stage 3 needs anyway when the graph is small.
     """
     h, w = shape
     spark = mask.sparkSession
@@ -165,7 +188,12 @@ def label(
             .select("lbl", "lbl_b")
         )
         edges = e if edges is None else edges.unionByName(e)
-    pairs = [(r["lbl"], r["lbl_b"]) for r in edges.distinct().collect()]
+    head = edges.distinct().limit(max_driver_edges + 1).collect()
+    if len(head) > max_driver_edges:
+        # Adjacency graph too large to centralize: fall back to the
+        # fully-distributed iterative merge instead of OOMing the driver.
+        return label_iterative(mask, shape, mask_col=mask_col)
+    pairs = [(r["lbl"], r["lbl_b"]) for r in head]
 
     # stage 3: driver-side union-find over the (small) adjacency graph
     parent: dict[int, int] = {}

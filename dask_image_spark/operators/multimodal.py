@@ -51,13 +51,26 @@ def image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [decode_image(p) for p in pdf["payload"]]
+            payloads = [
+                None if p is None else decode_image(p) for p in pdf["payload"]
+            ]
+            # Conventions shared with the SQL oracle: NULL payload -> all
+            # NULL; empty payload -> byte_len 0, first_byte NULL, checksum 0
+            # (no -1 sentinels the oracle can't produce).
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "byte_len": [len(p) for p in payloads],
-                    "first_byte": [p[0] if p else -1 for p in payloads],
-                    "checksum": [sum(p) % 65536 for p in payloads],
+                    "byte_len": pd.array(
+                        [None if p is None else len(p) for p in payloads],
+                        dtype="Int32",
+                    ),
+                    "first_byte": pd.array(
+                        [p[0] if p else None for p in payloads], dtype="Int32"
+                    ),
+                    "checksum": pd.array(
+                        [None if p is None else sum(p) % 65536 for p in payloads],
+                        dtype="Int32",
+                    ),
                 }
             )
 
@@ -76,8 +89,13 @@ def frame_sample(
         for pdf in batches:
             ids, frames, lens = [], [], []
             for i, p in zip(pdf[id_col], pdf["payload"]):
+                if p is None:
+                    continue  # NULL payload -> no frames (oracle: unnest(NULL))
                 data = decode_image(p)
-                n = max(1, -(-len(data) // frame_bytes))
+                # ceil(len / frame_bytes): an empty payload yields ZERO frames
+                # (not one zero-length frame), matching the oracle's
+                # generate_series(0, ceil(len/100)-1) convention.
+                n = -(-len(data) // frame_bytes)
                 for f_no in range(n):
                     ids.append(i)
                     frames.append(f_no)

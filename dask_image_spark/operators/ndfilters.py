@@ -333,9 +333,12 @@ def convolve(px, weights, shape, mode="reflect", cval=0.0, keys=()):
 
 
 def uniform_filter(px, size=3, shape=None, mode="reflect", cval=0.0, keys=()):
-    """Moving mean over a box (``ndfilters/_smooth.py``); separable 1-D passes."""
-    r = size // 2
-    taps = [(o, 1.0 / size) for o in range(-r, r + 1)]
+    """Moving mean over a box (``ndfilters/_smooth.py``); separable 1-D passes.
+
+    Even ``size`` follows scipy's origin convention (offsets
+    ``-(size//2) .. size-1-size//2``), so weights always sum to 1.
+    """
+    taps = [(o, 1.0 / size) for o in K.box_range(size)]
     out = correlate(px, K.taps_to_offsets_1d(taps, 0), shape, mode, cval, keys)
     out = out.withColumnRenamed("v", "value")
     out = correlate(out, K.taps_to_offsets_1d(taps, 1), shape, mode, cval, keys)

@@ -120,9 +120,10 @@ def rotate(px: DataFrame, angle_deg: float, shape, keys=()) -> DataFrame:
 
 
 def rotate90(px: DataFrame, shape, keys=()) -> DataFrame:
-    """90-degree rotation (``ndinterp.rotate`` axes=(1,0), reshape=False
-    square case): out[y, x] = in[x, H-1-y] — a pure coordinate permutation,
-    no resampling, exact."""
+    """90-degree rotation (``ndinterp.rotate`` square reshape=False case):
+    scatter (y, x) -> (x, H-1-y), i.e. out[y, x] = in[H-1-x, y] — a pure
+    coordinate permutation, no resampling, exact. This is the axes=(0,1)
+    direction; the opposite rotation is its transpose."""
     h, _ = shape
     return px.select(
         *keys,

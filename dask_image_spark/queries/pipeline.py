@@ -627,9 +627,11 @@ def time_rollup_multires(spark, sf_dir):
     "multimodal_meta",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
-           ascii(text) AS first_byte,
-           CAST(list_aggregate(list_transform(generate_series(1, length(text)),
-                i -> ascii(text[i])), 'sum') % 65536 AS INT) AS checksum
+           CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                ELSE ascii(text) END AS first_byte,
+           CAST(COALESCE(list_aggregate(list_transform(
+                    generate_series(1, length(text)), i -> ascii(text[i])),
+                'sum'), 0) % 65536 AS INT) AS checksum
     FROM documents
     """,
     tags=("pipeline", "multimodal"),

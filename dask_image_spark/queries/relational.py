@@ -151,6 +151,19 @@ def scan_binaryfile(spark, sf_dir):
     into per-file tasks exactly like imread's per-file pims reads; a decode
     UDF over ``content`` (see operators/multimodal.py) completes the path.
     Metadata-only here: content length is read without decoding."""
+    import os
+
+    # The oracle SQL above hard-pins sf0.01 (DuckDB read_blob takes a literal
+    # glob; the registry's oracle strings are static). Running the parity pair
+    # at any other scale factor would silently compare different directories,
+    # so make that assumption executable: fail loud instead of mis-comparing.
+    pinned = "/root/testdata/sf0.01"
+    if os.path.realpath(sf_dir) != os.path.realpath(pinned):
+        raise ValueError(
+            f"scan_binaryfile's DuckDB oracle is pinned to {pinned}; "
+            f"got sf_dir={sf_dir!r}. Re-pin the oracle glob to compare "
+            "at a different scale factor."
+        )
     df = (
         spark.read.format("binaryFile")
         .load(f"{sf_dir}/*.parquet")

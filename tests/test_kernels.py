@@ -39,6 +39,18 @@ def test_gaussian_order2_annihilates_linear():
     assert abs(sum(w * off for off, w in ws.items())) < 1e-12  # kills ramps
 
 
+def test_even_size_scipy_origin_convention():
+    # scipy places the origin at index size//2: size=4 -> offsets -2..1
+    assert list(K.box_range(4)) == [-2, -1, 0, 1]
+    assert list(K.box_range(3)) == [-1, 0, 1]
+    assert list(K.box_range(1)) == [0]
+    assert len(K.box_footprint(4)) == 16
+    offs = {(dy, dx) for dy, dx, _ in K.box_footprint(4)}
+    assert (-2, -2) in offs and (1, 1) in offs and (2, 2) not in offs
+    with pytest.raises(ValueError):
+        K.box_range(0)
+
+
 def test_fixed_kernels_structure():
     assert sum(w for _, _, w in K.LAPLACE) == 0.0
     assert sum(w for _, _, w in K.SOBEL_X) == 0.0

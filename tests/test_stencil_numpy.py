@@ -93,6 +93,33 @@ def test_uniform_separable_equals_full_box(spark):
     np.testing.assert_allclose(sep, full, rtol=1e-9, atol=1e-9)
 
 
+def test_uniform_even_size_scipy_origin(spark):
+    """Even size=4 follows scipy's origin convention: offsets -2..1 per axis
+    and weights summing to exactly 1 (ADVICE r1: even sizes used to widen to
+    size+1 silently)."""
+    sep = _collect_grid(
+        ndfilters.uniform_filter(_px(spark), 4, (H, W), mode="wrap")
+    )
+    box = [(dy, dx, 1.0 / 16.0) for dy in (-2, -1, 0, 1) for dx in (-2, -1, 0, 1)]
+    full = _np_correlate(IMG, box, "wrap")
+    np.testing.assert_allclose(sep, full, rtol=1e-9, atol=1e-9)
+
+
+def test_minimum_filter_even_size_matches_numpy(spark):
+    got = _collect_grid(
+        ndfilters.minimum_filter(_px(spark), 2, (H, W), mode="wrap")
+    )
+    pad = np.pad(IMG, 2, mode="wrap")
+    want = np.min(
+        np.stack([
+            pad[2 + dy : 2 + dy + H, 2 + dx : 2 + dx + W]
+            for dy in (-1, 0) for dx in (-1, 0)
+        ]),
+        axis=0,
+    )
+    np.testing.assert_allclose(got, want)
+
+
 def test_binary_erosion_dilation_duality(spark):
     """erosion(mask) == NOT dilation(NOT mask) for a symmetric structure with
     matching border values — the fundamental morphology identity."""
