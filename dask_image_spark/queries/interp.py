@@ -150,59 +150,149 @@ def shift_wrap_q(spark, sf_dir):
     return out.select("y", "x", _eps_round("v", 4).alias("v"))
 
 
-@register("fourier_shift", None, tags=("imaging", "ndfourier", "udf"))
-def fourier_shift_q(spark, sf_dir):
-    """Fractional shift via FFT phase ramp (``ndfourier/__init__.py::
-    fourier_shift``); weak-checked — its integer-shift specialization is the
-    strong-oracle ``shift_wrap`` query."""
-    px = pixel_grid(spark, sf_dir)
-    out = chunked.fourier_shift(px, (2.5, -1.5), SHAPE)
-    return out.select("y", "x", _eps_round("v", 4).alias("v"))
-
-
-@register("spline_filter", None, tags=("imaging", "ndinterp", "udf"))
-def spline_filter_q(spark, sf_dir):
-    """N-D spline prefilter (``ndinterp/__init__.py::spline_filter``) =
-    the 1-D IIR prefilter applied along every axis in sequence."""
-    px = pixel_grid(spark, sf_dir)
-    out0 = chunked.spline_filter1d(px, axis=0, shape=SHAPE)
-    out = chunked.spline_filter1d(
-        out0.withColumnRenamed("v", "value"), axis=1, shape=SHAPE
+def _two_images(px):
+    """Split the 64x64 grid into TWO 64x32 images keyed by ``img`` — the
+    multi-image form of the pixel fixture. Fourier ops group per image, so a
+    2-image fixture proves the applyInPandas stage runs >1 group (round-1
+    verdict: the keyless groupBy(lit(1)) silently serialized)."""
+    return px.select(
+        (F.col("x") / 32).cast("long").alias("img"),
+        "y",
+        (F.col("x") % 32).cast("int").alias("x"),
+        "value",
     )
-    return out.select("y", "x", _eps_round("v", 4).alias("v"))
 
 
-@register("spline_filter1d", None, tags=("imaging", "ndinterp", "udf"))
+# B-spline smoothing kernel along one axis: correlating the prefilter output
+# with [1/6, 4/6, 1/6] (mirror boundary) reconstructs the original signal —
+# the defining identity of the cubic prefilter, and an exactly-SQL-expressible
+# oracle (the pixels themselves).
+_B3_Y = [(-1, 0, 1.0 / 6.0), (0, 0, 4.0 / 6.0), (1, 0, 1.0 / 6.0)]
+_B3_X = [(0, -1, 1.0 / 6.0), (0, 0, 4.0 / 6.0), (0, 1, 1.0 / 6.0)]
+
+
+@register(
+    "fourier_shift",
+    with_pixel_ctes(
+        "SELECT CAST(x // 32 AS BIGINT) AS img, CAST((y + 5) % 64 AS INT) AS y, "
+        "CAST((x % 32 + 9) % 32 AS INT) AS x, ROUND(1.2345e-8 + value, 4) AS v "
+        "FROM pixels"
+    ),
+    tags=("imaging", "ndfourier", "udf"),
+)
+def fourier_shift_q(spark, sf_dir):
+    """Integer shift via FFT phase ramp (``ndfourier/__init__.py::
+    fourier_shift``) over a TWO-image keyed fixture: the FFT path is exact
+    for integer shifts, so the periodic-shift SQL is a strong oracle, and the
+    per-image groups parallelize (2 tasks, not 1). The fractional case is
+    ``fourier_shift_frac`` (weak + numpy-differential unit test)."""
+    two = _two_images(pixel_grid(spark, sf_dir))
+    out = chunked.fourier_shift(two, (5, 9), (N, 32), keys=["img"])
+    return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register("fourier_shift_frac", None, tags=("imaging", "ndfourier", "udf"))
+def fourier_shift_frac_q(spark, sf_dir):
+    """Fractional (subpixel) periodic shift — not expressible in SQL;
+    weak-checked here, numpy-differential in tests/test_chunked_numeric.py."""
+    two = _two_images(pixel_grid(spark, sf_dir))
+    out = chunked.fourier_shift(two, (2.5, -1.5), (N, 32), keys=["img"])
+    return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register(
+    "spline_filter",
+    with_pixel_ctes(
+        "SELECT y, x, ROUND(1.2345e-8 + value, 4) AS v FROM pixels"
+    ),
+    tags=("imaging", "ndinterp", "udf"),
+)
+def spline_filter_q(spark, sf_dir):
+    """N-D spline prefilter (``ndinterp/__init__.py::spline_filter``) = the
+    1-D IIR prefilter along every axis, graded through the reconstruction
+    identity: re-smoothing the coefficients with the separable B-spline
+    kernel (mirror boundary) must reproduce the source pixels exactly. The
+    smoothing map is invertible (strictly diagonally dominant tridiagonal),
+    so any wrong coefficient anywhere fails the oracle."""
+    px = pixel_grid(spark, sf_dir)
+    c0 = chunked.spline_filter1d(px, axis=0, shape=SHAPE)
+    c = chunked.spline_filter1d(
+        c0.withColumnRenamed("v", "value"), axis=1, shape=SHAPE
+    )
+    rec = ndfilters.correlate(
+        c.withColumnRenamed("v", "value"), _B3_Y, SHAPE, mode="mirror"
+    )
+    rec = ndfilters.correlate(
+        rec.withColumnRenamed("v", "value"), _B3_X, SHAPE, mode="mirror"
+    )
+    return rec.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register(
+    "spline_filter1d",
+    with_pixel_ctes(
+        "SELECT y, x, ROUND(1.2345e-8 + value, 4) AS v FROM pixels"
+    ),
+    tags=("imaging", "ndinterp", "udf"),
+)
 def spline_filter1d_q(spark, sf_dir):
     """Cubic spline prefilter along y — recursive IIR per grid line via
-    applyInPandas (R2 path); weak-checked, unit-tested against a pure-python
-    reference implementation."""
+    applyInPandas (R2 path) — graded through the same reconstruction
+    identity along the filtered axis (see ``spline_filter``)."""
     px = pixel_grid(spark, sf_dir)
-    out = chunked.spline_filter1d(px, axis=0, shape=SHAPE)
-    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+    c = chunked.spline_filter1d(px, axis=0, shape=SHAPE)
+    rec = ndfilters.correlate(
+        c.withColumnRenamed("v", "value"), _B3_Y, SHAPE, mode="mirror"
+    )
+    return rec.select("y", "x", _eps_round("v", 4).alias("v"))
 
 
 @register("fourier_gaussian", None, tags=("imaging", "ndfourier", "udf"))
 def fourier_gaussian_q(spark, sf_dir):
-    """FFT-domain Gaussian (R2 whole-image path); weak-checked here,
-    asserted ~equal to wrap-mode spatial gaussian_filter in tests."""
-    px = pixel_grid(spark, sf_dir)
-    out = chunked.fourier_gaussian(px, sigma=1.0, shape=SHAPE)
-    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+    """FFT-domain Gaussian (R2 whole-image path) on the 2-image keyed
+    fixture (per-image groups parallelize); weak-checked here, asserted
+    ~equal to wrap-mode spatial gaussian_filter in tests."""
+    two = _two_images(pixel_grid(spark, sf_dir))
+    out = chunked.fourier_gaussian(two, sigma=1.0, shape=(N, 32), keys=["img"])
+    return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
 
 
 @register("fourier_uniform", None, tags=("imaging", "ndfourier", "udf"))
 def fourier_uniform_q(spark, sf_dir):
-    px = pixel_grid(spark, sf_dir)
-    out = chunked.fourier_uniform(px, size=3, shape=SHAPE)
-    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+    two = _two_images(pixel_grid(spark, sf_dir))
+    out = chunked.fourier_uniform(two, size=3, shape=(N, 32), keys=["img"])
+    return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
 
 
-@register("label_cc", None, tags=("imaging", "ndmeasure", "label"))
+_LABEL_CC_ORACLE = """
+WITH RECURSIVE
+pixels AS (SELECT CAST(event_id % 64 AS INT) AS y,
+                  CAST((event_id // 64) % 64 AS INT) AS x,
+                  SUM(value) AS value FROM events GROUP BY 1, 2),
+mask AS (SELECT y, x, value > (SELECT AVG(value) FROM pixels) AS m FROM pixels),
+fg AS (SELECT CAST(y * 64 + x AS BIGINT) AS id, y, x FROM mask WHERE m),
+e1 AS (
+  SELECT a.id AS src, b.id AS dst FROM fg a JOIN fg b
+    ON (b.y = a.y + 1 AND b.x = a.x) OR (b.y = a.y AND b.x = a.x + 1)
+),
+edges AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+reach(src, dst) AS (
+  SELECT id, id FROM fg
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src)
+SELECT f.y, f.x, c.label FROM fg f JOIN comp c ON c.id = f.id
+"""
+
+
+@register("label_cc", _LABEL_CC_ORACLE, tags=("imaging", "ndmeasure", "label"))
 def label_cc_q(spark, sf_dir):
     """Connected components of the mask fixture (3-stage block/merge design,
-    see operators/label_cc.py). Weak driver check; component invariants are
-    unit-tested against a BFS reference."""
+    see operators/label_cc.py). STRONG oracle: DuckDB recursive-CTE
+    transitive closure over the 4-neighbor graph with min-ravel-index
+    canonical labels — the exact semantics of the engine's union-find, so
+    every pixel's label is value-hash checked."""
     m = mask_grid(spark, sf_dir)
     return label_cc.label(m, SHAPE)
 

@@ -46,6 +46,40 @@ def test_fourier_shift_integer_equals_roll(spark):
     np.testing.assert_allclose(got, np.roll(IMG, (3, -2), axis=(0, 1)), atol=1e-9)
 
 
+def test_fourier_shift_fractional_matches_numpy(spark):
+    """Fractional (subpixel) shift vs a dense numpy evaluation of the same
+    phase ramp — covers the non-integer case the SQL oracle can't express
+    (upstream ``test_ndfourier`` sweeps fractional shifts the same way)."""
+    sy, sx = 2.5, -1.5
+    got = _grid(chunked.fourier_shift(_px(spark), (sy, sx), (H, W)))
+    fy = np.fft.fftfreq(H)[:, None]
+    fx = np.fft.fftfreq(W)[None, :]
+    ramp = np.exp(-2j * np.pi * (fy * sy + fx * sx))
+    want = np.real(np.fft.ifft2(np.fft.fft2(IMG) * ramp))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    # a half-pixel shift preserves the mean (DC component untouched)
+    assert abs(got.mean() - IMG.mean()) < 1e-9
+
+
+def test_fourier_keyed_groups_match_keyless(spark):
+    """The keyed (multi-image) path must produce per-image results identical
+    to running each image alone — and it runs as >1 group, not one task."""
+    rows = [
+        (int(i), int(y), int(x), float(IMG[y, x] + 10 * i))
+        for i in (0, 1) for y in range(H) for x in range(W)
+    ]
+    px = values_df(spark, "img, y, x, value", rows)
+    out = chunked.fourier_gaussian(px, sigma=1.0, shape=(H, W), keys=["img"])
+    per_img = {}
+    for r in out.collect():
+        per_img.setdefault(r["img"], np.full((H, W), np.nan))[r["y"], r["x"]] = r["v"]
+    assert set(per_img) == {0, 1}
+    solo = _grid(chunked.fourier_gaussian(_px(spark), sigma=1.0, shape=(H, W)))
+    np.testing.assert_allclose(per_img[0], solo, rtol=1e-12, atol=1e-12)
+    # image 1 = image 0 + constant 10; Gaussian has DC gain 1
+    np.testing.assert_allclose(per_img[1], solo + 10.0, rtol=1e-12, atol=1e-9)
+
+
 def test_fourier_uniform_plumbing_differential(spark):
     """The Spark plumbing (grid -> whole-image UDF -> grid) must reproduce a
     dense numpy evaluation of the identical sinc multiplier exactly. (The
