@@ -312,24 +312,49 @@ def similarity_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, query_id=0, k=10, n_probe=1)
 
 
+# Banded-LSH parameters for the graded embedding near-dup query: 16 bands x
+# 8 bits, tuned to the sf0.01 corpus (500 vectors): measured max bucket
+# population 10 (2%), candidate pairs ~7% of the cross join, 16/59 of the
+# >=0.4-cos pairs recalled. The operator default (8x16) suits larger
+# corpora; band_bits ~ log2(N / target_pop) is the scaling rule.
+_EMB_BANDS, _EMB_BAND_BITS = 16, 8
+
+_EMB_BK_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_id, "
+    f"{similarity.band_bucket_sql('embedding', b, _EMB_BAND_BITS, 64)} AS bucket "
+    "FROM embeddings"
+    for b in range(_EMB_BANDS)
+)
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
-    WITH b AS (SELECT vec_id, embedding,
-               {similarity.lsh_bucket_sql()} AS bucket FROM embeddings)
-    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-           ROUND(1.2345e-8 + {_COS_Q.format(a="l.embedding", b="r.embedding")}, 4) AS cos_sim
-    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-    WHERE ROUND(1.2345e-8 + {_COS_Q.format(a="l.embedding", b="r.embedding")}, 4) >= 0.4
+    WITH bk AS ({_EMB_BK_UNION}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+      FROM bk l JOIN bk r
+        ON l.band_id = r.band_id AND l.bucket = r.bucket
+       AND l.vec_id < r.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           ROUND(1.2345e-8 + {_COS_Q.format(a="a.embedding", b="b.embedding")}, 4) AS cos_sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.vec_a
+    JOIN embeddings b ON b.vec_id = c.vec_b
+    WHERE ROUND(1.2345e-8 + {_COS_Q.format(a="a.embedding", b="b.embedding")}, 4) >= 0.4
     """,
     tags=("pipeline", "dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs with LSH-bucket pruning — the
+    """Embedding-cosine near-duplicate pairs with BANDED LSH pruning — the
     semantic-dedup counterpart of MinHash (which catches lexical dups).
-    Threshold 0.4 is tuned to the synthetic embeddings' similarity range."""
+    Threshold 0.4 is tuned to the synthetic embeddings' similarity range;
+    the band/bit parameters are pinned so the DuckDB oracle mirrors the
+    candidate generation exactly."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_lsh(e, threshold=0.4)
+    return similarity.cosine_pairs_lsh(
+        e, threshold=0.4, bands=_EMB_BANDS, band_bits=_EMB_BAND_BITS
+    )
 
 
 # --- text analysis ----------------------------------------------------------
