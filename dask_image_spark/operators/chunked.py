@@ -35,13 +35,24 @@ def spline_filter1d_np(line: np.ndarray, pole: float = _CUBIC_POLE) -> np.ndarra
     n = len(c)
     if n == 1:
         return line.astype(np.float64)
-    # causal init: truncated geometric sum of the mirrored signal
-    horizon = min(n, int(math.ceil(math.log(1e-12) / math.log(abs(pole)))))
-    zs = pole ** np.arange(horizon)
-    c0 = float(np.dot(zs, line[:horizon].astype(np.float64))) * (1.0 - pole) * (
-        1.0 - 1.0 / pole
-    )
-    c[0] = c0
+    # causal init: geometric sum of the mirror-extended signal. When the
+    # geometric tail decays inside the line, truncate; otherwise (short
+    # lines) use the EXACT full-period formula — the mirror extension is
+    # periodic with period 2n-2, so the infinite sum closes to
+    # sum(z^i xt(i), i < 2n-2) / (1 - z^(2n-2)). The truncated form on a
+    # short line leaves an O(|z|^n) residue that breaks the reconstruction
+    # identity (caught by the order-3 identity oracle).
+    x = line.astype(np.float64)
+    horizon = int(math.ceil(math.log(1e-12) / math.log(abs(pole))))
+    if horizon < n:
+        zs = pole ** np.arange(horizon)
+        c0 = float(np.dot(zs, x[:horizon]))
+    else:
+        period = 2 * n - 2
+        xt = np.concatenate([x, x[-2:0:-1]])  # x0..x_{n-1}, x_{n-2}..x1
+        zs = pole ** np.arange(period)
+        c0 = float(np.dot(zs, xt)) / (1.0 - pole**period)
+    c[0] = c0 * (1.0 - pole) * (1.0 - 1.0 / pole)
     for k in range(1, n):
         c[k] += pole * c[k - 1]
     # anti-causal init

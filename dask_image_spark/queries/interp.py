@@ -99,6 +99,37 @@ def _affine1_oracle(m00, m01, o0, m10, m11, o1) -> str:
     )
 
 
+@register(
+    "affine_order3_identity",
+    with_pixel_ctes(
+        "SELECT y, x, ROUND(1.2345e-8 + value, 4) AS v FROM pixels"
+    ),
+    tags=("imaging", "ndinterp", "udf"),
+)
+def affine_order3_identity(spark, sf_dir):
+    """Cubic (order-3) affine with the identity transform: prefilter + 16-tap
+    cubic gather must reproduce the source exactly (B-spline reconstruction
+    identity) — a strong end-to-end oracle for the whole order-3 path."""
+    px = pixel_grid(spark, sf_dir)
+    out = ndinterp.affine_transform_order3(
+        px, [[1.0, 0.0], [0.0, 1.0]], (0.0, 0.0), SHAPE
+    )
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register("affine_order3", None, tags=("imaging", "ndinterp", "udf"))
+def affine_order3_q(spark, sf_dir):
+    """Cubic affine, zoom 0.7 + translate — the scipy-default-order path a
+    round-1 user had no access to. Weak here (the IIR prefilter is not
+    SQL-expressible off the identity); differentially tested against a dense
+    numpy implementation in tests/test_affine_order3.py."""
+    px = pixel_grid(spark, sf_dir)
+    out = ndinterp.affine_transform_order3(
+        px, [[0.7, 0.0], [0.0, 0.7]], (2.5, 5.25), SHAPE
+    )
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
 def _rotate_params(angle_deg: float):
     import math
 
