@@ -242,10 +242,36 @@ def padded_pixels_nd(
     spark = px.sparkSession
     body = px.select(*keys, *coords, F.col(value_col).alias("_pv"))
     if mode == "constant":
-        raise NotImplementedError(
-            "N-D constant padding: use drop_zero_pad (SUM aggregations) or "
-            "the 2-D template"
-        )
+        # The padded box minus the body decomposes disjointly by which axis
+        # subset is out-of-range: for each non-empty subset S, axes in S take
+        # their two out-of-range segments, axes outside S their in-range
+        # segment. Strips are built from spark.range cross joins — pure
+        # coordinate generation, no data scan, O(surface * radius) rows.
+        vtype = px.schema[value_col].dataType.simpleString()
+        fill = F.lit(cval).cast(vtype).alias("_pv")
+
+        def _rng(lo, hi, name):
+            return spark.range(lo, hi).select(
+                F.col("id").cast("int").alias(name)
+            )
+
+        const_axes = [i for i, r in enumerate(radii) if r > 0]
+        strips = None
+        for subset_size in range(1, len(const_axes) + 1):
+            for subset in itertools.combinations(const_axes, subset_size):
+                branch = None
+                for i, c in enumerate(coords):
+                    if i in subset:
+                        seg = _rng(-radii[i], 0, c).union(
+                            _rng(shape[i], shape[i] + radii[i], c)
+                        )
+                    else:
+                        seg = _rng(0, shape[i], c)
+                    branch = seg if branch is None else branch.crossJoin(seg)
+                strips = branch if strips is None else strips.union(branch)
+        if keys:
+            strips = px.select(*keys).distinct().crossJoin(strips)
+        return body.unionByName(strips.select(*keys, *coords, fill))
     axes = [i for i, r in enumerate(radii) if r > 0]
     pairs = {i: _pad_pairs(shape[i], radii[i], mode) for i in axes}
     out = body

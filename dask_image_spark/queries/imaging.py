@@ -458,6 +458,42 @@ def filter_laplace_3d(spark, sf_dir):
     return out.select("z", "y", "x", _eps_round("v", 4).alias("v"))
 
 
+def _filter3d_constant_oracle(cval: float) -> str:
+    kv = ", ".join(
+        f"({dz}, {dy}, {dx}, {w!r})" for dz, dy, dx, w in _K3D
+    )
+    # constant mode: out-of-range neighbors miss the LEFT JOIN and COALESCE
+    # to cval — no coordinate remap
+    return (
+        f"WITH {_PX3} "
+        f"SELECT g.z, g.y, g.x, "
+        f"ROUND(1.2345e-8 + SUM(COALESCE(p.value, CAST({cval!r} AS DOUBLE)) * g.w), 4) AS v "
+        f"FROM (SELECT o.z, o.y, o.x, k.w, o.z + k.dz AS sz, o.y + k.dy AS sy, "
+        f"o.x + k.dx AS sx "
+        f"FROM px3 o CROSS JOIN (VALUES {kv}) k(dz, dy, dx, w)) g "
+        f"LEFT JOIN px3 p ON p.z = g.sz AND p.y = g.sy AND p.x = g.sx "
+        f"GROUP BY g.z, g.y, g.x"
+    )
+
+
+@register("filter_laplace_3d_constant", _filter3d_constant_oracle(1.5),
+          tags=("imaging", "ndfilters", "3d"))
+def filter_laplace_3d_constant(spark, sf_dir):
+    """3-D Laplacian with ``mode='constant', cval=1.5`` — exercises the N-D
+    constant-pad strips (round-1 gap: rank>2 constant padding with nonzero
+    cval raised NotImplementedError)."""
+    ev = load_table(spark, sf_dir, "events")
+    px3 = ev.groupBy(
+        F.expr(f"CAST(event_id % {_VOL} AS INT)").alias("z"),
+        F.expr(f"CAST((event_id div {_VOL}) % {_VOL} AS INT)").alias("y"),
+        F.expr(f"CAST((event_id div {_VOL * _VOL}) % {_VOL} AS INT)").alias("x"),
+    ).agg(F.sum("value").alias("value"))
+    out = ndfilters.correlate_nd(
+        px3, _K3D, (_VOL, _VOL, _VOL), mode="constant", cval=1.5
+    )
+    return out.select("z", "y", "x", _eps_round("v", 4).alias("v"))
+
+
 # --- multi-image (keys) processing -------------------------------------------
 
 _PX2 = (

@@ -141,9 +141,10 @@ def test_binary_erosion_dilation_duality(spark):
     np.testing.assert_array_equal(ero.astype(bool), ~dil.astype(bool))
 
 
-@pytest.mark.parametrize("mode", ["reflect", "wrap", "nearest"])
+@pytest.mark.parametrize("mode", ["reflect", "wrap", "nearest", "constant"])
 def test_correlate_nd_3d_matches_numpy(spark, mode):
-    """Rank-3 differential: correlate_nd vs dense numpy padding."""
+    """Rank-3 differential: correlate_nd vs dense numpy padding (constant
+    mode with nonzero cval covers the N-D pad strips added in round 2)."""
     D = 6
     rng = np.random.default_rng(5)
     vol = np.round(rng.uniform(-2, 2, size=(D, D, D)), 3)
@@ -158,10 +159,13 @@ def test_correlate_nd_3d_matches_numpy(spark, mode):
                            (0, 0, -1), (0, 0, 1)]
     ]
     got = np.full((D, D, D), np.nan)
-    res = ndfilters.correlate_nd(px, k, (D, D, D), mode=mode)
+    res = ndfilters.correlate_nd(px, k, (D, D, D), mode=mode, cval=1.25)
     for r in res.collect():
         got[r["z"], r["y"], r["x"]] = r["v"]
-    pad = np.pad(vol, 1, mode=NP_PAD_MODE[mode])
+    if mode == "constant":
+        pad = np.pad(vol, 1, mode="constant", constant_values=1.25)
+    else:
+        pad = np.pad(vol, 1, mode=NP_PAD_MODE[mode])
     want = np.zeros_like(vol)
     for dz, dy, dx, w in k:
         want += w * pad[1 + dz : 1 + dz + D, 1 + dy : 1 + dy + D,
