@@ -31,6 +31,10 @@ HEADLINE = [
     ("similarity_top10", "similarity_top10"),
     ("exact_dedup_docs", "dedup_exact_groups"),
     ("conv3x3", "__conv3x3_fullscale__"),
+    # round-2 additions: the LLM-pipeline operators tracked round-over-round
+    # (stock-PySpark equivalents measured in BASELINE.md the same way)
+    ("minhash_lsh", "dedup_minhash_lsh"),
+    ("ivf_topk", "similarity_ivf_topk"),
 ]
 
 BASELINE_K = [

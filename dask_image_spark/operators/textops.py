@@ -18,17 +18,38 @@ def tokens(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
-def shingles(text_col: str = "text", k: int = 3) -> Column:
-    """k-token shingles as space-joined strings.
+def shingles_of(tokens_col: Column | str, k: int = 3) -> Column:
+    """k-token shingles over an ALREADY-MATERIALIZED token-array column.
 
     transform over a 0..n-k index sequence + slice: pure JVM array ops.
     Callers must pre-filter docs with fewer than k tokens (Spark's
     ``sequence`` would run backwards on a negative stop).
+
+    The tokens must be a projected column, not the ``split(...)`` expression
+    itself: the lambda references the array per index, and Catalyst inlines
+    a passed-in expression into the lambda body — re-tokenizing the document
+    for EVERY shingle, turning shingling O(tokens^2) per doc (measured 3x
+    on the minhash bench before this split).
     """
-    t = tokens(text_col)
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     return F.transform(
         F.sequence(F.lit(0), F.size(t) - k),
         lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+    )
+
+
+def exploded_shingles(
+    docs: DataFrame, k: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, sh) rows: one per k-shingle, tokenizing each document ONCE (the
+    token array is projected before the generator so the plan keeps a
+    Project under the Generate, exactly like the hand-written SQL form)."""
+    t_df = docs.select(id_col, tokens(text_col).alias("_t")).filter(
+        F.size("_t") >= k
+    )
+    return t_df.select(
+        id_col, F.explode(shingles_of("_t", k)).alias("sh")
     )
 
 
@@ -42,9 +63,7 @@ def minhash_signatures(
     family" is md5 over a seed-prefixed shingle — portable to any SQL engine,
     unlike Spark's murmur ``hash``.
     """
-    sh = docs.filter(F.size(tokens(text_col)) >= k).select(
-        id_col, F.explode(shingles(text_col, k)).alias("sh")
-    )
+    sh = exploded_shingles(docs, k, id_col, text_col)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
         for s in range(n_hashes)

@@ -145,11 +145,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     MinHash-LSH query is the candidate generator and this runs only on
     candidates."""
     d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.filter(F.size(textops.tokens()) >= 3)
-        .select("doc_id", F.explode(textops.shingles(k=3)).alias("sh"))
-        .distinct()
-    )
+    sh = textops.exploded_shingles(d, k=3).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
