@@ -55,6 +55,37 @@ def test_q1_reads_only_needed_columns(spark, sf_dir):
     assert "l_orderkey" not in p.split("ReadSchema")[1][:400]
 
 
+def test_banded_lsh_shuffle_carries_ids_only(spark, sf_dir):
+    """The band self-join must shuffle (id, band_id, bucket) rows — the
+    embedding payload stays out of the band exchange (it is re-joined per
+    candidate pair). Round-2 design invariant of cosine_pairs_lsh."""
+    p = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    # every exchange (shuffle OR broadcast — at sf0.01 AQE broadcasts the
+    # tiny band side) whose rows carry the band key must not move vectors
+    blocks = [b for b in p.split("\n(") if b.startswith(tuple("0123456789"))]
+    band_moves = []
+    for b in blocks:
+        if ") Exchange" not in b and ") BroadcastExchange" not in b:
+            continue
+        input_line = next(
+            (line for line in b.splitlines() if line.startswith("Input")), ""
+        )
+        if "band_id" in input_line or "bucket" in input_line:
+            band_moves.append((b, input_line))
+    assert band_moves, f"no band-keyed data movement found:\n{p[:2000]}"
+    for b, input_line in band_moves:
+        assert "embedding" not in input_line, (
+            "band exchange moves the vector payload:\n" + b[:800]
+        )
+
+
+def test_affine_order3_broadcasts_corner_fanout(spark, sf_dir):
+    """The 16-tap cubic gather fans out via a broadcast corner table (never
+    a shuffled join against a 16-row side)."""
+    p = _plan(spark, sf_dir, "affine_order3")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p[:2000]
+
+
 def test_stencil_is_single_shuffle(spark, sf_dir):
     """The pad-then-scatter stencil: exactly one aggregate exchange over the
     fan-out; borders come from broadcasts. (InMemoryTableScan branches from
