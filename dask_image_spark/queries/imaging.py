@@ -128,6 +128,28 @@ def filter_uniform(spark, sf_dir):
     return _round_v(ndfilters.uniform_filter(pixel_grid(spark, sf_dir), 3, SHAPE))
 
 
+_U4Y = K.taps_to_offsets_1d([(o, 0.25) for o in K.box_range(4)], 0)
+_U4X = K.taps_to_offsets_1d([(o, 0.25) for o in K.box_range(4)], 1)
+
+
+@register("filter_uniform_even",
+          _linear_oracle([(_U4Y, CORR, REFL, 0.0), (_U4X, CORR, REFL, 0.0)]),
+          tags=("imaging", "ndfilters", "even-size"))
+def filter_uniform_even(spark, sf_dir):
+    """Even window (size=4) with scipy's origin convention — offsets
+    -2..1 per axis, weights summing to 1 (round-1 advice: even sizes used
+    to silently widen to size+1)."""
+    return _round_v(ndfilters.uniform_filter(pixel_grid(spark, sf_dir), 4, SHAPE))
+
+
+@register("filter_minimum_even",
+          _linear_oracle([(K.box_footprint(2), "MIN({v})", REFL, 0.0)]),
+          tags=("imaging", "ndfilters", "even-size"))
+def filter_minimum_even(spark, sf_dir):
+    """Even 2x2 order-statistic window (offsets -1..0 per axis)."""
+    return _round_v(ndfilters.minimum_filter(pixel_grid(spark, sf_dir), 2, SHAPE))
+
+
 @register("filter_uniform_wrap",
           _linear_oracle([(_U1Y, CORR, "wrap", 0.0), (_U1X, CORR, "wrap", 0.0)]),
           tags=("imaging", "ndfilters", "boundary"))
