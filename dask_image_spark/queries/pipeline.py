@@ -101,6 +101,68 @@ def dedup_minhash_lsh(spark, sf_dir):
     return textops.lsh_band_pairs(sigs, n_hashes=8, rows_per_band=2)
 
 
+def _minhash_survivors_oracle(n_hashes: int = 8, rows_per_band: int = 2, k: int = 3) -> str:
+    """Recursive-CTE transitive closure over the MinHash candidate pairs:
+    every doc in a dup group maps to the group's min doc_id survivor."""
+    mins = ", ".join(
+        f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(n_hashes)
+    )
+    n_bands = n_hashes // rows_per_band
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " AS sig FROM mh"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {k}),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - {k - 1}),
+               i -> array_to_string(t[i:i + {k - 1}], ' '))) AS sh
+      FROM toks),
+    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b USING (band_id, sig)
+      WHERE a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst)
+    SELECT src AS doc_id, MIN(dst) AS keep_id FROM reach GROUP BY src
+    """
+
+
+@register(
+    "dedup_minhash_survivors",
+    _minhash_survivors_oracle(),
+    tags=("pipeline", "dedup", "lsh", "graph"),
+)
+def dedup_minhash_survivors(spark, sf_dir):
+    """The END of the near-dup pipeline: LSH candidate pairs -> connected
+    components over the pair graph -> (doc_id, keep_id) where keep_id is the
+    dup group's canonical min-id survivor. Transitive closure matters: A~B,
+    B~C must collapse to one group even when A,C never shared a bucket.
+    Distributed min-label propagation (operators/graph.py); the DuckDB
+    oracle recomputes the closure with a recursive CTE."""
+    from dask_image_spark.operators.graph import min_label_components
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = textops.minhash_signatures(d, n_hashes=8, k=3)
+    pairs = textops.lsh_band_pairs(sigs, n_hashes=8, rows_per_band=2)
+    comp = min_label_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("keep_id")
+    )
+
+
 @register(
     "dedup_simhash",
     f"""

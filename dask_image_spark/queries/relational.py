@@ -256,6 +256,69 @@ def join_inner_geo(spark, sf_dir):
     )
 
 
+def write_bucketed_tables(spark, sf_dir, n_buckets: int = 8) -> tuple[str, str]:
+    """Write orders + lineitem as parquet tables bucketed on the join key
+    (``bucketBy`` + external path under /tmp) and register them in the
+    session catalog. Returns the two table names.
+
+    This is the co-located-join layout for 100 TB: both sides hash-bucketed
+    on orderkey at write time, so every orderkey join afterwards is
+    exchange-free — the shuffle is paid ONCE at ingest, not per query.
+    """
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/dask_image_spark_io/bucketed_{tag}"
+    specs = [
+        (f"b_orders_{tag}", "orders", "o_orderkey"),
+        (f"b_lineitem_{tag}", "lineitem", "l_orderkey"),
+    ]
+    for tbl, src, key in specs:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load_table(spark, sf_dir, src)
+            .write.format("parquet")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .option("path", f"{base}/{tbl}")
+            .saveAsTable(tbl)
+        )
+    return specs[0][0], specs[1][0]
+
+
+@register(
+    "join_bucketed",
+    """
+    SELECT o.o_orderkey, COUNT(*) AS n_items,
+           ROUND(1.2345e-8 + SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey
+    """,
+    tags=("relational", "join", "bucketed"),
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located join over write-time-bucketed tables: both sides bucketed
+    (and sorted) on orderkey, so the join needs NO exchange — and the
+    groupBy on the same key reuses the bucket partitioning too
+    (`tests/test_plans.py::test_bucketed_join_has_no_shuffle`). Results are
+    bucketing-invariant, which the plain-parquet oracle checks."""
+    bo, bl = write_bucketed_tables(spark, sf_dir)
+    o = spark.table(bo).filter(F.col("o_orderpriority") == "1-URGENT")
+    li = spark.table(bl)
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 @register(
     "join_left_orders",
     """

@@ -55,6 +55,40 @@ def test_q1_reads_only_needed_columns(spark, sf_dir):
     assert "l_orderkey" not in p.split("ReadSchema")[1][:400]
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Write-time bucketing makes the orderkey join AND the orderkey groupBy
+    exchange-free (the 100 TB co-location story: shuffle paid once at
+    ingest). Broadcast is disabled so the plan can't cheat around the claim
+    at the small test SF."""
+    from dask_image_spark.queries.relational import write_bucketed_tables
+    from pyspark.sql import functions as F
+
+    bo, bl = write_bucketed_tables(spark, sf_dir)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = (
+            spark.table(bo)
+            .join(spark.table(bl), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert "SortMergeJoin" in p, p[:1500]
+    tree = p.split("\n\n")[0]
+    shuffles = [
+        line for line in tree.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+    ]
+    assert not shuffles, f"bucketed join should not shuffle:\n{tree}"
+
+
 def test_banded_lsh_shuffle_carries_ids_only(spark, sf_dir):
     """The band self-join must shuffle (id, band_id, bucket) rows — the
     embedding payload stays out of the band exchange (it is re-joined per
