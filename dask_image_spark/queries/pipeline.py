@@ -370,6 +370,75 @@ def similarity_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, query_id=0, k=10, n_probe=1)
 
 
+@register(
+    "similarity_ivf_multiprobe",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    {_CENTROID_CTES.strip()},
+    probe AS (
+      SELECT label FROM cents CROSS JOIN q
+      ORDER BY {_COS_Q.format(a="cvec", b="q.qv")} DESC, label LIMIT 3)
+    SELECT e.vec_id,
+           ROUND(1.2345e-8 + {_COS_Q.format(a="e.embedding", b="q.qv")}, 4) AS cos_sim
+    FROM embeddings e JOIN probe USING (label) CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """,
+    tags=("pipeline", "similarity", "ann"),
+)
+def similarity_ivf_multiprobe(spark, sf_dir):
+    """IVF with n_probe=3 — the recall knob: more probed clusters = more
+    candidates = higher recall at proportional cost. Same plan shape as
+    n_probe=1 (broadcast probe list, partition-prunable candidate filter)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, query_id=0, k=10, n_probe=3)
+
+
+@register(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g') AS norm,
+           md5(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g')) AS norm_hash
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase, trim, strip non-alnum) + the
+    normalized-content hash — the preprocessing step exact dedup runs on in
+    a real LLM pipeline (catches case/punctuation-variant duplicates)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    return d.select("doc_id", norm.alias("norm"), F.md5(norm).alias("norm_hash"))
+
+
+@register(
+    "agg_salted_skew",
+    """
+    SELECT event_type, COUNT(*) AS n, ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("pipeline", "agg", "skew"),
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-stage salted aggregation for skew-heavy keys: stage 1 groups by
+    (key, salt) — spreading one hot key over 16 reducers — stage 2 merges
+    the partials. Results are salt-invariant (the plain GROUP BY oracle);
+    the value is the plan: no single reducer ever owns a hot key's whole
+    row set. (For plain SUM/COUNT Spark's map-side partial aggregation
+    already does this; the salted form is the general template that also
+    works for aggregates without partial push-down, e.g. exact distincts.)"""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pt")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), _eps_round(F.sum("pt"), 4).alias("total")
+    )
+
+
 # Banded-LSH parameters for the graded embedding near-dup query: 16 bands x
 # 8 bits, tuned to the sf0.01 corpus (500 vectors): measured max bucket
 # population 10 (2%), candidate pairs ~7% of the cross join, 16/59 of the

@@ -52,6 +52,33 @@ def streaming_sliding(spark, sf_dir):
     return ops.sliding_counts(spark, sf_dir)
 
 
+from dask_image_spark.queries.timeseries import GAP_US  # noqa: E402
+
+
+@register(
+    "streaming_session_window",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {GAP_US}
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+          FROM g)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+    tags=("streaming", "window", "session"),
+)
+def streaming_session_window(spark, sf_dir):
+    """Streaming session_window (gap-merged stateful windows) — the
+    streaming counterpart of ``session_window_batch``, same oracle."""
+    return ops.session_window_counts(spark, sf_dir)
+
+
 @register("streaming_dedup_watermark", None, tags=("streaming", "dedup", "watermark"))
 def streaming_dedup_watermark(spark, sf_dir):
     """Bounded-state dedup: state evicts once the watermark passes a key.

@@ -139,6 +139,27 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (30-min gap, watermarked): Spark merges
+    per-user events into gap-separated sessions as state, emitting them in
+    complete mode under availableNow — batch-equivalent, so the batch
+    sessionization SQL is a strong oracle."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _eps_round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"),
+            "n_events", "total_value",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
 def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dropDuplicatesWithinWatermark``: bounded-state dedup — state for a
     key is dropped once the watermark passes it, the production answer to
