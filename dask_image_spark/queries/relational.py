@@ -227,6 +227,51 @@ def scan_json_roundtrip(spark, sf_dir):
     )
 
 
+def write_partitioned_events(spark, sf_dir) -> str:
+    """Write events as parquet partitioned by event_type (the standard lake
+    layout for predicate-pruned scans); returns the path."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/dask_image_spark_io/events_by_type_{tag}"
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    return path
+
+
+@register(
+    "scan_partitioned_parquet",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total,
+           MIN(event_id) AS min_id
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "scan", "sink", "partitioned"),
+)
+def scan_partitioned_parquet(spark, sf_dir):
+    """Partitioned-parquet sink + scan: write events partitioned by
+    event_type, read back with a partition filter — the filter prunes whole
+    directories, never touching other partitions' files
+    (`tests/test_plans.py::test_partitioned_scan_prunes`). The oracle reads
+    the original table, so the roundtrip must preserve every value."""
+    path = write_partitioned_events(spark, sf_dir)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("value")).alias("total"),
+            F.min("event_id").alias("min_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "join_inner_geo",
     """

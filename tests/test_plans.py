@@ -55,6 +55,24 @@ def test_q1_reads_only_needed_columns(spark, sf_dir):
     assert "l_orderkey" not in p.split("ReadSchema")[1][:400]
 
 
+def test_partitioned_scan_prunes(spark, sf_dir):
+    """A filter on the partition column must prune at the directory level:
+    the scan's PartitionFilters carry the IN predicate and only matching
+    partition directories are read."""
+    from dask_image_spark.queries.relational import write_partitioned_events
+    from pyspark.sql import functions as F
+
+    path = write_partitioned_events(spark, sf_dir)
+    df = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "event_type" in p.split("PartitionFilters")[1][:200], p[:2000]
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Write-time bucketing makes the orderkey join AND the orderkey groupBy
     exchange-free (the 100 TB co-location story: shuffle paid once at
