@@ -370,6 +370,78 @@ def similarity_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(e, query_id=0, k=10, n_probe=1)
 
 
+# Banded-LSH parameters for the graded embedding queries: 16 bands x 8 bits,
+# tuned to the sf0.01 corpus (500 vectors): measured max bucket population
+# 10 (2%), candidate pairs ~7% of the cross join, 16/59 of the >=0.4-cos
+# pairs recalled. The operator default (8x16) suits larger corpora;
+# band_bits ~ log2(N / target_pop) is the scaling rule.
+_EMB_BANDS, _EMB_BAND_BITS = 16, 8
+
+_EMB_BK_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band_id, "
+    f"{similarity.band_bucket_sql('embedding', b, _EMB_BAND_BITS, 64)} AS bucket "
+    "FROM embeddings"
+    for b in range(_EMB_BANDS)
+)
+
+
+@register(
+    "knn_graph_lsh",
+    f"""
+    WITH bk AS ({_EMB_BK_UNION}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+      FROM bk l JOIN bk r
+        ON l.band_id = r.band_id AND l.bucket = r.bucket
+       AND l.vec_id < r.vec_id),
+    mirrored AS (SELECT vec_a, vec_b FROM cand
+                 UNION ALL SELECT vec_b, vec_a FROM cand),
+    scored AS (
+      SELECT p.vec_a AS vec_id, p.vec_b AS neighbor,
+             ROUND(1.2345e-8 + {_COS_Q.format(a="a.embedding", b="b.embedding")}, 4) AS cos_sim
+      FROM mirrored p
+      JOIN embeddings a ON a.vec_id = p.vec_a
+      JOIN embeddings b ON b.vec_id = p.vec_b)
+    SELECT vec_id, neighbor, cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos_sim DESC, neighbor) AS INT) AS rn
+    FROM scored
+    QUALIFY rn <= 3
+    """,
+    tags=("pipeline", "similarity", "ann", "graph"),
+)
+def knn_graph_lsh(spark, sf_dir):
+    """Batch kNN GRAPH (top-3 neighbors for EVERY vector, not one query
+    point) over banded-LSH candidates — the all-pairs building block of
+    embedding clustering / semantic dedup at corpus scale. Candidates come
+    from the bounded band buckets; ranking is a per-vector window over the
+    candidate set only (never the full cross join)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs_lsh(
+        e, threshold=-1.0, bands=_EMB_BANDS, band_bits=_EMB_BAND_BITS
+    )
+    both = pairs.select("vec_a", "vec_b", "cos_sim").unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_a"),
+            F.col("vec_a").alias("vec_b"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_b")
+    )
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("neighbor"),
+            "cos_sim",
+            "rn",
+        )
+    )
+
+
 @register(
     "similarity_ivf_multiprobe",
     f"""
@@ -437,21 +509,6 @@ def agg_salted_skew(spark, sf_dir):
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"), _eps_round(F.sum("pt"), 4).alias("total")
     )
-
-
-# Banded-LSH parameters for the graded embedding near-dup query: 16 bands x
-# 8 bits, tuned to the sf0.01 corpus (500 vectors): measured max bucket
-# population 10 (2%), candidate pairs ~7% of the cross join, 16/59 of the
-# >=0.4-cos pairs recalled. The operator default (8x16) suits larger
-# corpora; band_bits ~ log2(N / target_pop) is the scaling rule.
-_EMB_BANDS, _EMB_BAND_BITS = 16, 8
-
-_EMB_BK_UNION = " UNION ALL ".join(
-    f"SELECT vec_id, {b} AS band_id, "
-    f"{similarity.band_bucket_sql('embedding', b, _EMB_BAND_BITS, 64)} AS bucket "
-    "FROM embeddings"
-    for b in range(_EMB_BANDS)
-)
 
 
 @register(
