@@ -256,6 +256,94 @@ def cosine_pairs_lsh(
     )
 
 
+def kmeans_lloyd(
+    emb: DataFrame, k: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means, ``iters`` unrolled iterations, deterministic.
+
+    Init: the vectors with id < k. Each iteration: (1) assign — cross join
+    the BROADCAST centroid table, squared-euclidean distance as a zip_with
+    fold, argmin via ROW_NUMBER over (dist, cid); (2) re-center — posexplode
+    to (cid, dim, value), partial-aggregatable AVG, re-assemble the mean
+    vector. Centroids are QUANTIZED (round 6 dp) after every re-center: a
+    determinism barrier so two engines whose float sums differ in the last
+    ulp still make identical discrete assignments — the same reason the
+    oracle can replay the iteration exactly.
+
+    Scale: per iteration one broadcast join + two shuffles (argmin window
+    keyed by id, re-center keyed by (cid, dim)); nothing driver-sized. For
+    real workloads raise ``iters`` and seed with kmeans||; the structure is
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    e = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    cents = e.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cid"), F.col("_v").alias("_cvec")
+    )
+    asg = None
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_cvec"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            id_col, "cid", dist.alias("dist")
+        )
+        w = Window.partitionBy(id_col).orderBy("dist", "cid")
+        asg = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "cid", "dist")
+        )
+        dims = (
+            asg.join(e, on=id_col)
+            .select("cid", F.posexplode("_v").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(F.round(F.avg("val") + F.lit(1.2345e-8), 6).alias("m"))
+        )
+        cents = dims.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("_cvec")
+        )
+    return asg
+
+
+def kmeans_lloyd_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB CTE chain replaying the identical unrolled iterations."""
+    dist_tpl = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec FROM e WHERE vec_id < {k})",
+    ]
+    prev_c = "c0"
+    for it in range(1, iters + 1):
+        d = dist_tpl.format(v="e.v", c=f"{prev_c}.cvec")
+        ctes.append(
+            f"a{it} AS (SELECT e.vec_id, {prev_c}.cid, {d} AS dist "
+            f"FROM e CROSS JOIN {prev_c} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {d}, {prev_c}.cid) = 1)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT cid, i, ROUND(1.2345e-8 + AVG(val), 6) AS m "
+            f"FROM (SELECT a{it}.cid, unnest(e.v) AS val, "
+            f"unnest(range(1, {dim + 1})) AS i "
+            f"FROM a{it} JOIN e USING (vec_id)) GROUP BY cid, i)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m{it} GROUP BY cid)"
+        )
+        prev_c = f"c{it}"
+    return "WITH " + ",\n".join(ctes)
+
+
 def lsh_bucket_sql(vec_expr: str = "embedding", n_bits: int = 8, dim: int = 64) -> str:
     """DuckDB expression for the single-bucket id matching ``lsh_bucket``
     (the legacy integer family; used by the bucket-histogram query)."""

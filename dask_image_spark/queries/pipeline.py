@@ -386,6 +386,30 @@ _EMB_BK_UNION = " UNION ALL ".join(
 
 
 @register(
+    "kmeans_lloyd_2iter",
+    f"""
+    {similarity.kmeans_lloyd_sql(k=8, iters=2)}
+    SELECT cid, COUNT(*) AS n, ROUND(1.2345e-8 + AVG(dist), 4) AS avg_dist
+    FROM a2 GROUP BY cid
+    """,
+    tags=("pipeline", "similarity", "iterative"),
+)
+def kmeans_lloyd_2iter(spark, sf_dir):
+    """Iterative algorithm surface: 2 unrolled Lloyd's k-means iterations
+    (k=8, deterministic id<k init, quantized re-centering) — per-cluster
+    size + mean squared distance after the second assignment. The DuckDB
+    oracle replays both iterations as a CTE chain; centroid quantization is
+    the cross-engine determinism barrier that makes the discrete
+    assignments hash-matchable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    asg = similarity.kmeans_lloyd(e, k=8, iters=2)
+    return asg.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        _eps_round(F.avg("dist"), 4).alias("avg_dist"),
+    )
+
+
+@register(
     "knn_graph_lsh",
     f"""
     WITH bk AS ({_EMB_BK_UNION}),

@@ -301,6 +301,36 @@ def join_inner_geo(spark, sf_dir):
     )
 
 
+@register(
+    "agg_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(1.2345e-8 + quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(1.2345e-8 + quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(1.2345e-8 + quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "agg", "stats"),
+)
+def agg_quantiles(spark, sf_dir):
+    """EXACT quantiles (linear interpolation — Spark ``percentile``, DuckDB
+    ``quantile_cont``, identical definitions). The approximate counterpart
+    at 100 TB is ``percentile_approx``/KLL (sketch, mergeable, one pass);
+    exact percentile shuffles each group's values to its reducer — fine for
+    bounded group cardinality like this 3-flag rollup, and it hash-matches,
+    which a sketch never can."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            _r(F.percentile("l_extendedprice", 0.5)).alias("p50"),
+            _r(F.percentile("l_extendedprice", 0.9)).alias("p90"),
+            _r(F.percentile("l_extendedprice", 0.99)).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def write_bucketed_tables(spark, sf_dir, n_buckets: int = 8) -> tuple[str, str]:
     """Write orders + lineitem as parquet tables bucketed on the join key
     (``bucketBy`` + external path under /tmp) and register them in the
