@@ -77,6 +77,33 @@ def image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(fn, schema)
 
 
+def resize_stride(
+    df: DataFrame, id_col: str = "doc_id", stride: int = 2
+) -> DataFrame:
+    """Resize/downsample stub: keep every ``stride``-th byte of the decoded
+    payload (the deterministic fake's stand-in for image resize /
+    audio downsample), emitting the new length and a checksum of the kept
+    bytes. Same mapInPandas shape a real resampler has — swap the slice for
+    PIL.Image.resize when a codec is available."""
+    schema = f"{id_col} long, n_kept int, kept_checksum int"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, cks = [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                if p is None:
+                    continue
+                kept = decode_image(p)[::stride]
+                ids.append(i)
+                ns.append(len(kept))
+                cks.append(sum(kept) % 65536)
+            yield pd.DataFrame(
+                {id_col: ids, "n_kept": ns, "kept_checksum": cks}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(fn, schema)
+
+
 def frame_sample(
     df: DataFrame, id_col: str = "doc_id", frame_bytes: int = 100
 ) -> DataFrame:

@@ -878,6 +878,28 @@ def multimodal_meta(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(CEIL(octet_length(encode(text)) / 2.0) AS INT) AS n_kept,
+           CAST(COALESCE(list_aggregate(list_transform(
+                    generate_series(1, CAST(CEIL(octet_length(encode(text)) / 2.0) AS INT)),
+                    i -> ascii(text[2 * i - 1])), 'sum'), 0) % 65536 AS INT)
+             AS kept_checksum
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize/downsample stub: every 2nd payload byte kept (the fake
+    codec's stand-in for image resize), emitted through the same
+    mapInPandas plumbing a real resampler uses. The oracle recomputes the
+    strided byte selection in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_stride(multimodal.with_binary_payload(d))
+
+
+@register(
     "multimodal_frames",
     """
     SELECT doc_id, CAST(f.frame_no AS INT) AS frame_no,
