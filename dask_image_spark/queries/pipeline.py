@@ -878,6 +878,82 @@ def multimodal_meta(spark, sf_dir):
 
 
 @register(
+    "imread_pgm",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS img,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(SUM((event_id * 7 + 13) % 256) % 65536 AS INT) AS checksum
+    FROM events WHERE event_id < 8192
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread"),
+)
+def imread_pgm(spark, sf_dir):
+    """REAL image-file ingest, end to end (the ``dask_image.imread`` path
+    with an actual codec): derive two deterministic 64x64 grayscale images
+    from events, ENCODE each as a binary PGM file (netpbm P5, written from
+    scratch — no codec library), land them in a directory, re-ingest with
+    Spark's ``binaryFile`` source, and DECODE with the pure-python PGM
+    parser inside mapInPandas. The oracle recomputes the per-image pixel
+    stats straight from events — if header writing, raw-byte layout, or the
+    parser were wrong anywhere, the checksums would not survive the
+    encode -> file -> scan -> decode roundtrip.
+
+    Encoding runs per image group in applyInPandas (each group writes its
+    own file — on a cluster, point ``out_dir`` at shared storage); decoding
+    is partition-parallel over the binaryFile splits."""
+    import os
+
+    from dask_image_spark.operators.multimodal import decode_pgm, encode_pgm
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/pgm_{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("img"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(256)).cast("int").alias("px"),
+    )
+
+    def write_image(pdf):
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        ordered = pdf.sort_values("pos")["px"].to_numpy().astype("uint8")
+        payload = encode_pgm(ordered, 64, 64)
+        path = f"{out_dir}/img_{img}.pgm"
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    # materialize the encode step (2 files) before the scan reads them
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.pgm")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"img": [], "width": [], "height": [], "n_px": [], "checksum": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_pgm(bytes(content))
+                rows["img"].append(int(path.rsplit("img_", 1)[1].split(".")[0]))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(pixels))
+                rows["checksum"].append(sum(pixels) % 65536)
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode, "img int, width int, height int, n_px int, checksum int"
+    )
+
+
+@register(
     "multimodal_resize",
     """
     SELECT doc_id,

@@ -41,6 +41,30 @@ def test_image_meta_empty_and_null(spark):
     assert got[4]["checksum"] is None
 
 
+def test_pgm_codec_roundtrip():
+    from dask_image_spark.operators.multimodal import decode_pgm, encode_pgm
+
+    pixels = [(i * 37 + 5) % 256 for i in range(12)]
+    payload = encode_pgm(pixels, 4, 3)
+    assert payload.startswith(b"P5\n4 3\n255\n")
+    w, h, got = decode_pgm(payload)
+    assert (w, h, got) == (4, 3, pixels)
+    # comment-tolerant header parsing (netpbm allows # comments)
+    commented = b"P5\n# made by a tool\n4 3\n255\n" + bytes(bytearray(pixels))
+    assert decode_pgm(commented) == (4, 3, pixels)
+
+
+def test_pgm_codec_rejects_bad_payloads():
+    import pytest as _pytest
+
+    from dask_image_spark.operators.multimodal import decode_pgm, encode_pgm
+
+    with _pytest.raises(ValueError, match="not a binary PGM"):
+        decode_pgm(b"P6\n1 1\n255\nx")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_pgm(encode_pgm([1, 2, 3, 4], 2, 2)[:-2])
+
+
 def test_frame_sample_empty_and_null(spark):
     rows = multimodal.frame_sample(
         multimodal.with_binary_payload(_docs(spark))
