@@ -286,13 +286,11 @@ def kmeans_lloyd(
     ulp still make identical discrete assignments — the same reason the
     oracle can replay the iteration exactly.
 
-    Scale: per iteration one broadcast join + two shuffles (argmin window
-    keyed by id, re-center keyed by (cid, dim)); nothing driver-sized. For
-    real workloads raise ``iters`` and seed with kmeans||; the structure is
-    unchanged.
+    Scale: per iteration one broadcast join + two partial-aggregatable
+    shuffles (argmin keyed by id, re-center keyed by (cid, dim)); nothing
+    driver-sized. For real workloads raise ``iters`` and seed with
+    kmeans||; the structure is unchanged.
     """
-    from pyspark.sql import Window
-
     e = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
     cents = e.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cid"), F.col("_v").alias("_cvec")
@@ -307,11 +305,14 @@ def kmeans_lloyd(
         scored = e.crossJoin(F.broadcast(cents)).select(
             id_col, "cid", dist.alias("dist")
         )
-        w = Window.partitionBy(id_col).orderBy("dist", "cid")
+        # argmin as MIN over a (dist, cid) struct: lexicographic min ==
+        # nearest centroid with deterministic cid tie-break, and unlike a
+        # row_number window it partial-aggregates map-side — no per-key sort
+        # of the N*k scored rows at scale
         asg = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "cid", "dist")
+            scored.groupBy(id_col)
+            .agg(F.min(F.struct("dist", "cid")).alias("_m"))
+            .select(id_col, F.col("_m.cid").alias("cid"), F.col("_m.dist").alias("dist"))
         )
         dims = (
             asg.join(e, on=id_col)
