@@ -302,6 +302,89 @@ def join_inner_geo(spark, sf_dir):
 
 
 @register(
+    "upsert_latest_wins",
+    """
+    WITH changes AS (
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS o_totalprice, 1 AS version
+      FROM orders WHERE o_orderkey % 10 = 3),
+    unioned AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+      UNION ALL SELECT * FROM changes),
+    latest AS (
+      SELECT * FROM unioned
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                 ORDER BY version DESC) = 1)
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(1.2345e-8 + SUM(o_totalprice), 4) AS total
+    FROM latest GROUP BY o_orderstatus
+    """,
+    tags=("relational", "upsert", "cdc"),
+)
+def upsert_latest_wins(spark, sf_dir):
+    """SCD1 upsert / MERGE-equivalent in pure Spark: union the snapshot
+    with a change batch, keep the highest version per key via a window —
+    the lakehouse CDC-apply pattern without a table format. At scale the
+    window shuffles once on the merge key; with the snapshot bucketed on
+    the key (see ``join_bucketed``) even that exchange disappears."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit(1).alias("version"),
+    )
+    unioned = o.withColumn("version", F.lit(0)).unionByName(changes)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    latest = unioned.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.sum("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "profile_table",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags,
+           ROUND(1.2345e-8 + MIN(l_extendedprice), 4) AS min_price,
+           ROUND(1.2345e-8 + MAX(l_extendedprice), 4) AS max_price,
+           ROUND(1.2345e-8 + AVG(l_quantity), 4) AS avg_qty,
+           CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    """,
+    tags=("relational", "profile", "stats"),
+)
+def profile_table(spark, sf_dir):
+    """One-pass data-profiling (the ingest-audit step of a training-data
+    pipeline): row count, exact key/category cardinalities, null counts,
+    numeric ranges and date bounds in a single aggregate over one scan —
+    at 100 TB this is the difference between one pass and nine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).alias(
+            "null_flags"
+        ),
+        _r(F.min("l_extendedprice")).alias("min_price"),
+        _r(F.max("l_extendedprice")).alias("max_price"),
+        _r(F.avg("l_quantity")).alias("avg_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
     "agg_quantiles",
     """
     SELECT l_returnflag,
