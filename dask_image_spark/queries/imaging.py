@@ -250,6 +250,33 @@ def filter_median_cross(spark, sf_dir):
     )
 
 
+@register("filter_median5_r2_tiles",
+          _linear_oracle([(K.box_footprint(5), "MEDIAN({v})", REFL, 0.0)]),
+          tags=("imaging", "ndfilters", "r2", "udf"))
+def filter_median5_r2_tiles(spark, sf_dir):
+    """5x5 median through the R2 tile path — an ORDER-STATISTIC through
+    ``map_overlap_tiles`` (the gaussian tile query is linear; this proves
+    the tile contract holds for non-linear per-chunk numpy too). The tile
+    fn uses a sliding-window view; only tile interiors survive, so the
+    edge-replicated intermediate rows never leak into the output."""
+    import numpy as np
+
+    from dask_image_spark.operators import chunked
+
+    def tile_fn(tile: np.ndarray) -> np.ndarray:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        pad = np.pad(tile, 2, mode="edge")  # halo >= radius: interior exact
+        win = sliding_window_view(pad, (5, 5))
+        return np.median(win, axis=(2, 3))
+
+    px = pixel_grid(spark, sf_dir)
+    out = chunked.map_overlap_tiles(
+        px, tile_fn, SHAPE, depth=2, block=32, mode=REFL
+    )
+    return _round_v(out)
+
+
 @register("filter_gaussian_r2_tiles", _linear_oracle(_gauss_passes(0, 0)),
           tags=("imaging", "ndfilters", "r2", "udf"))
 def filter_gaussian_r2_tiles(spark, sf_dir):

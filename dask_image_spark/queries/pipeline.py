@@ -785,6 +785,66 @@ def quality_score(spark, sf_dir):
 
 
 @register(
+    "quality_lm_bigram",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i + 1])) AS w2
+      FROM toks),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT b.doc_id, LOG10(CAST(c2 AS DOUBLE) / c1) AS lp
+      FROM bg b JOIN bgc USING (w1, w2) JOIN uni USING (w1))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(1.2345e-8 + AVG(lp), 4) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality", "lm"),
+)
+def quality_lm_bigram(spark, sf_dir):
+    """Language-model-style quality score: per-document mean bigram
+    conditional log-probability under the corpus's own bigram statistics —
+    the classic cheap fluency signal (gibberish scores low, repeated
+    boilerplate scores suspiciously high). Two aggregations build the
+    corpus model; scoring is a shuffle join on the bigram key. Token
+    arrays are materialized before the generator (the round-2 lambda-
+    inlining lesson)."""
+    d = load_table(spark, sf_dir, "documents")
+    t_df = d.select("doc_id", textops.tokens().alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    bg = t_df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_t) - 2), "
+                "i -> struct(element_at(_t, i + 1) AS w1, "
+                "element_at(_t, i + 2) AS w2))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.w1", "s.w2")
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bg.join(bgc, on=["w1", "w2"])
+        .join(uni, on="w1")
+        .select(
+            "doc_id",
+            F.log10(F.col("c2").cast("double") / F.col("c1")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        _eps_round(F.avg("lp"), 4).alias("avg_logp"),
+    )
+
+
+@register(
     "doc_fingerprint",
     f"""
     SELECT doc_id, {textops.ROLLING_FINGERPRINT_SQL} AS fp FROM documents
