@@ -777,6 +777,32 @@ def window_frames(spark, sf_dir):
 
 
 @register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY value
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within5,
+           ROUND(1.2345e-8 + SUM(value) OVER (PARTITION BY user_id ORDER BY value
+                RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING), 4) AS sum_pm5
+    FROM events
+    """,
+    tags=("relational", "window", "range-frame"),
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frames (value-distance, not row-count): peers within ±5 of the
+    current row's value — the frame type ROWS can't express (density-
+    dependent peer sets, used for sensor smoothing / outlier windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w.rangeBetween(-5, 0)).alias("n_within5"),
+        _r(F.sum("value").over(w.rangeBetween(-5, 5))).alias("sum_pm5"),
+    )
+
+
+@register(
     "window_ranking_family",
     """
     SELECT event_id, user_id,
