@@ -400,9 +400,11 @@ _BAND = "CAST(BOOL_AND({v} > 0.5) AS DOUBLE)"
 _BOR = "CAST(BOOL_OR({v} > 0.5) AS DOUBLE)"
 
 
-def _morph_oracle(agg_seq) -> str:
+def _morph_oracle(agg_seq, structure=None) -> str:
     ctes = [_MASKD]
-    passes = [(ndmorph.CROSS, agg, "constant", 0.0) for agg in agg_seq]
+    passes = [
+        (structure or ndmorph.CROSS, agg, "constant", 0.0) for agg in agg_seq
+    ]
     cur = _chain(ctes, "s", "maskd", passes)
     return with_pixel_ctes(
         f"SELECT y, x, value > 0.5 AS v FROM {cur}", extra=ctes
@@ -439,6 +441,18 @@ def morph_closing(spark, sf_dir):
     return ndmorph.binary_closing(m, shape=SHAPE).select(
         "y", "x", F.col("m").alias("v")
     )
+
+
+@register("morph_dilation_square", _morph_oracle([_BOR], ndmorph.SQUARE),
+          tags=("imaging", "ndmorph", "structure"))
+def morph_dilation_square(spark, sf_dir):
+    """Non-default structuring element: 8-connected SQUARE
+    (``generate_binary_structure(2, 2)``) instead of the cross — the
+    ``structure=`` argument of every upstream ndmorph op."""
+    m = mask_grid(spark, sf_dir)
+    return ndmorph.binary_dilation(
+        m, structure=ndmorph.SQUARE, shape=SHAPE
+    ).select("y", "x", F.col("m").alias("v"))
 
 
 @register("morph_erosion_iter2", _morph_oracle([_BAND, _BAND]),
