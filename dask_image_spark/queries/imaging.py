@@ -521,6 +521,55 @@ def filter_laplace_3d(spark, sf_dir):
     return out.select("z", "y", "x", _eps_round("v", 4).alias("v"))
 
 
+_ST3D = [(0, 0, 0, 1.0)] + [
+    (dz, dy, dx, 1.0)
+    for dz, dy, dx in [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+                       (0, 0, -1), (0, 0, 1)]
+]
+
+
+@register(
+    "morph_erosion_3d",
+    f"""
+    WITH {_PX3},
+    mask3 AS (SELECT z, y, x,
+              CAST(value > (SELECT AVG(value) FROM px3) AS DOUBLE) AS value
+              FROM px3)
+    SELECT g.z, g.y, g.x,
+           (SUM(COALESCE(p.value, 0.0)) = {len(_ST3D)}) AS v
+    FROM (SELECT o.z, o.y, o.x, o.z + k.dz AS sz, o.y + k.dy AS sy,
+                 o.x + k.dx AS sx
+          FROM mask3 o CROSS JOIN (VALUES
+            {", ".join(f"({dz}, {dy}, {dx})" for dz, dy, dx, _ in _ST3D)}
+          ) k(dz, dy, dx)) g
+    LEFT JOIN mask3 p ON p.z = g.sz AND p.y = g.sy AND p.x = g.sx
+    GROUP BY g.z, g.y, g.x
+    """,
+    tags=("imaging", "ndmorph", "3d"),
+)
+def morph_erosion_3d(spark, sf_dir):
+    """RANK-3 binary erosion (6-connected structure) through the N-D
+    pad-scatter: for a 0/1 mask, erosion == (sum over the structure ==
+    |structure|) with constant-0 border — the counting identity that turns
+    a boolean morphology into the same SUM aggregate every other N-D
+    stencil uses (one shuffle, map-side combinable)."""
+    ev = load_table(spark, sf_dir, "events")
+    px3 = ev.groupBy(
+        F.expr(f"CAST(event_id % {_VOL} AS INT)").alias("z"),
+        F.expr(f"CAST((event_id div {_VOL}) % {_VOL} AS INT)").alias("y"),
+        F.expr(f"CAST((event_id div {_VOL * _VOL}) % {_VOL} AS INT)").alias("x"),
+    ).agg(F.sum("value").alias("value"))
+    thr = px3.agg(F.avg("value").alias("_thr"))
+    mask3 = px3.crossJoin(F.broadcast(thr)).select(
+        "z", "y", "x",
+        (F.col("value") > F.col("_thr")).cast("double").alias("value"),
+    )
+    out = ndfilters.correlate_nd(
+        mask3, _ST3D, (_VOL, _VOL, _VOL), mode="constant", cval=0.0
+    )
+    return out.select("z", "y", "x", (F.col("v") == len(_ST3D)).alias("v"))
+
+
 def _filter3d_constant_oracle(cval: float) -> str:
     kv = ", ".join(
         f"({dz}, {dy}, {dx}, {w!r})" for dz, dy, dx, w in _K3D
