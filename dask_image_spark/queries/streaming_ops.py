@@ -52,6 +52,23 @@ def streaming_sliding(spark, sf_dir):
     return ops.sliding_counts(spark, sf_dir)
 
 
+@register(
+    "streaming_static_join",
+    """
+    SELECT CAST(DATE_TRUNC('hour', e.ts) AS TIMESTAMP) AS hour_start,
+           CAST(c.c_custkey % 4 AS INT) AS segment,
+           COUNT(*) AS n, ROUND(1.2345e-8 + SUM(e.value), 4) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "enrichment"),
+)
+def streaming_static_join(spark, sf_dir):
+    """Stream-static enrichment join (broadcast dimension into each
+    micro-batch) + watermarked hourly rollup per segment."""
+    return ops.stream_static_join(spark, sf_dir)
+
+
 from dask_image_spark.queries.timeseries import GAP_US  # noqa: E402
 
 

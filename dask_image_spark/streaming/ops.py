@@ -139,6 +139,33 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events STREAM enriched against a static
+    user-segment dimension (derived deterministically from customer), then
+    a windowed aggregate per segment. The static side is broadcast into
+    every micro-batch — the standard streaming-enrichment topology; no
+    stream-stream state is involved, so availableNow output is
+    batch-equivalent and strong-oracle-checkable."""
+    from dask_image_spark.sources.tables import load_table
+
+    ev = events_stream(spark, sf_dir)
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        (F.pmod(F.col("c_custkey"), F.lit(4))).cast("int").alias("segment"),
+    )
+    agg = (
+        ev.join(F.broadcast(seg), on="user_id")  # inner: unmatched users drop
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _eps_round(F.sum("value"), 4).alias("total"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "segment", "n", "total")
+    )
+    return run_to_memory(agg, "complete")
+
+
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING session windows (30-min gap, watermarked): Spark merges
     per-user events into gap-separated sessions as state, emitting them in
