@@ -53,6 +53,22 @@ def streaming_sliding(spark, sf_dir):
 
 
 @register(
+    "streaming_parquet_sink",
+    """
+    SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def streaming_parquet_sink(spark, sf_dir):
+    """Streaming parquet FILE sink (checkpointed, exactly-once) + batch
+    read-back; every event must survive the stream->files->scan roundtrip,
+    which the direct-on-events oracle checks."""
+    return ops.parquet_sink_roundtrip(spark, sf_dir)
+
+
+@register(
     "streaming_static_join",
     """
     SELECT CAST(DATE_TRUNC('hour', e.ts) AS TIMESTAMP) AS hour_start,

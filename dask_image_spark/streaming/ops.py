@@ -139,6 +139,44 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FILE sink: availableNow stream written to a parquet
+    directory with a checkpoint (exactly-once via the commit log), then
+    read back as a batch table and aggregated. The production landing-zone
+    topology — swap the source for Kafka and this is an ingest pipeline."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = f"/tmp/dask_image_spark_io/stream_sink_{tag}"
+    ckpt = f"{out}_ckpt"
+    # clean slate: the checkpoint's commit log would otherwise skip the
+    # (identical) availableNow batch on re-runs and leave stale output mixed
+    # with new
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    ev = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_id"),
+            _eps_round(F.sum("value"), 4).alias("total"),
+        )
+    )
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events STREAM enriched against a static
     user-segment dimension (derived deterministically from customer), then
