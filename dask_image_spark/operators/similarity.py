@@ -241,8 +241,15 @@ def cosine_pairs_lsh(
     # bands*band_bits projection tree is re-codegened and re-evaluated per
     # plan branch (measured ~4x wall on the graded query, dominated by
     # Janino compile of the wide projection). The cached relation is 3 ints
-    # per (row, band) — tiny relative to the vectors it summarizes.
+    # per (row, band) — tiny relative to the vectors it summarizes. Each
+    # call evicts the previous call's band table (the return value is lazy,
+    # so we can't unpersist our own before it executes) — repeated invocations
+    # hold at most one band cache in executor storage.
     bk = bk.cache()
+    prev = getattr(cosine_pairs_lsh, "_cached_bands", None)
+    if prev is not None:
+        prev.unpersist()
+    cosine_pairs_lsh._cached_bands = bk
     a, b_ = bk.alias("l"), bk.alias("r")
     cand = (
         a.join(b_, on=["band_id", "bucket"])

@@ -601,8 +601,9 @@ def token_stats(spark, sf_dir):
     """
     SELECT doc_id,
            len(regexp_extract_all(text, '[a-z0-9]+')) AS n_regex_tokens,
-           list_aggregate(list_transform(regexp_extract_all(text, '[a-z0-9]+'),
-                 t -> CAST(ceil(length(t) / 3.0) AS BIGINT)), 'sum')
+           CAST(list_aggregate(
+                 list_transform(regexp_extract_all(text, '[a-z0-9]+'),
+                 t -> CAST(ceil(length(t) / 3.0) AS BIGINT)), 'sum') AS BIGINT)
              AS n_subword_units
     FROM documents
     """,
@@ -922,9 +923,10 @@ def time_rollup_multires(spark, sf_dir):
     SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,
            CASE WHEN octet_length(encode(text)) = 0 THEN NULL
                 ELSE ascii(text) END AS first_byte,
-           CAST(COALESCE(list_aggregate(list_transform(
+           CAST(CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(list_aggregate(list_transform(
                     generate_series(1, length(text)), i -> ascii(text[i])),
-                'sum'), 0) % 65536 AS INT) AS checksum
+                'sum'), 0) % 65536 END AS INT) AS checksum
     FROM documents
     """,
     tags=("pipeline", "multimodal"),
@@ -1022,7 +1024,7 @@ def imread_pgm(spark, sf_dir):
                     generate_series(1, CAST(CEIL(octet_length(encode(text)) / 2.0) AS INT)),
                     i -> ascii(text[2 * i - 1])), 'sum'), 0) % 65536 AS INT)
              AS kept_checksum
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("pipeline", "multimodal"),
 )

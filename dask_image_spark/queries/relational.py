@@ -179,7 +179,8 @@ def scan_binaryfile(spark, sf_dir):
 @register(
     "scan_csv_roundtrip",
     """
-    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
     tags=("relational", "scan", "sink", "csv"),
@@ -353,7 +354,8 @@ def upsert_latest_wins(spark, sf_dir):
     SELECT COUNT(*) AS n_rows,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
            CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
-           SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags,
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_flags,
            ROUND(1.2345e-8 + MIN(l_extendedprice), 4) AS min_price,
            ROUND(1.2345e-8 + MAX(l_extendedprice), 4) AS max_price,
            ROUND(1.2345e-8 + AVG(l_quantity), 4) AS avg_qty,

@@ -29,7 +29,8 @@ GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT event_id, user_id,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
     FROM g
     """,
     tags=("timeseries", "window"),
@@ -59,14 +60,15 @@ def sessionize(spark, sf_dir):
     "session_stats",
     f"""
     WITH g AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {GAP_US}
                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, ts, value,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
       FROM g)
     SELECT user_id, sess, COUNT(*) AS n_events,
            ROUND(1.2345e-8 + SUM(value), 4) AS total_value,
