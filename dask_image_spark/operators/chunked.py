@@ -25,12 +25,43 @@ from pyspark.sql import functions as F
 
 _CUBIC_POLE = math.sqrt(3.0) - 2.0
 
+# Published IIR pole families for the direct B-spline transform of orders
+# 2-5 (Unser, "B-spline signal processing", 1993 — the same constants
+# scipy's ndimage spline machinery hard-codes). Orders 0/1 need no
+# prefilter: the basis is interpolating.
+SPLINE_POLES: dict[int, list[float]] = {
+    0: [],
+    1: [],
+    2: [math.sqrt(8.0) - 3.0],
+    3: [_CUBIC_POLE],
+    4: [
+        math.sqrt(664.0 - math.sqrt(438976.0)) + math.sqrt(304.0) - 19.0,
+        math.sqrt(664.0 + math.sqrt(438976.0)) - math.sqrt(304.0) - 19.0,
+    ],
+    5: [
+        math.sqrt(67.5 - math.sqrt(4436.25)) + math.sqrt(26.25) - 6.5,
+        math.sqrt(67.5 + math.sqrt(4436.25)) - math.sqrt(26.25) - 6.5,
+    ],
+}
 
-def spline_filter1d_np(line: np.ndarray, pole: float = _CUBIC_POLE) -> np.ndarray:
-    """Cubic B-spline prefilter along a 1-D line (Unser's algorithm,
-    mirror-symmetric boundary): forward/backward first-order IIR passes.
-    Implemented from the published recurrences (no scipy in this container).
-    """
+
+def spline_filter1d_np(
+    line: np.ndarray, pole: float | None = None, order: int = 3
+) -> np.ndarray:
+    """B-spline prefilter of ``order`` along a 1-D line (Unser's algorithm,
+    mirror-symmetric boundary): one forward/backward first-order IIR pass
+    per pole, cascaded. Implemented from the published recurrences (no scipy
+    in this container). ``pole`` overrides the order's pole family with a
+    single explicit pole (back-compat with the cubic-only form)."""
+    poles = [pole] if pole is not None else SPLINE_POLES[order]
+    out = line.astype(np.float64)
+    for p in poles:
+        out = _spline_pole_pass(out, p)
+    return out
+
+
+def _spline_pole_pass(line: np.ndarray, pole: float) -> np.ndarray:
+    """One forward+backward IIR sweep for a single pole, mirror boundary."""
     c = line.astype(np.float64) * (1.0 - pole) * (1.0 - 1.0 / pole)
     n = len(c)
     if n == 1:
@@ -63,10 +94,10 @@ def spline_filter1d_np(line: np.ndarray, pole: float = _CUBIC_POLE) -> np.ndarra
 
 
 def spline_filter1d(
-    px: DataFrame, axis: int = 0, shape=None, keys=(),
+    px: DataFrame, axis: int = 0, shape=None, keys=(), order: int = 3,
 ) -> DataFrame:
     """Spline prefilter along ``axis``: group by the other coordinate, sort
-    along the filtered axis, run the IIR per line."""
+    along the filtered axis, run the per-order IIR cascade per line."""
     keys = list(keys)
     along, across = ("y", "x") if axis == 0 else ("x", "y")
     schema = ", ".join(
@@ -75,7 +106,7 @@ def spline_filter1d(
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(along)
-        out = spline_filter1d_np(pdf["value"].to_numpy())
+        out = spline_filter1d_np(pdf["value"].to_numpy(), order=order)
         res = pdf[[*keys, "y", "x"]].copy()
         res["v"] = out
         return res

@@ -60,6 +60,111 @@ def decode_pgm(payload: bytes) -> tuple[int, int, list[int]]:
     return width, height, list(data)
 
 
+def encode_png(pixels, width: int, height: int) -> bytes:
+    """Encode 8-bit grayscale pixels as PNG (color type 0), from scratch on
+    stdlib ``zlib``: signature, IHDR, one IDAT, IEND, CRC32 per chunk.
+    Odd scanlines use filter type 1 (Sub), even use 0 (None) — both are
+    spec-valid, and alternating them makes the roundtrip exercise the
+    decoder's unfiltering, not just the passthrough."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    rows = []
+    for r in range(height):
+        line = bytearray(pixels[r * width : (r + 1) * width])
+        if r % 2 == 1:  # Sub filter: delta against the left neighbor
+            filtered = bytearray(line)
+            for i in range(width - 1, 0, -1):
+                filtered[i] = (line[i] - line[i - 1]) & 0xFF
+            rows.append(b"\x01" + bytes(filtered))
+        else:
+            rows.append(b"\x00" + bytes(line))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode 8-bit grayscale (color type 0, non-interlaced) PNG: chunk walk
+    with CRC verification, inflate the IDAT stream, undo all five spec
+    scanline filters (None/Sub/Up/Average/Paeth). Pure python + stdlib zlib.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, width, height = 8, b"", None, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit grayscale non-interlaced PNG supported"
+                )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    if len(raw) != height * (width + 1):
+        raise ValueError("truncated PNG pixel data")
+    px: list[int] = []
+    prev = bytearray(width)
+    for r in range(height):
+        ft = raw[r * (width + 1)]
+        line = bytearray(raw[r * (width + 1) + 1 : (r + 1) * (width + 1)])
+        if ft == 1:  # Sub
+            for i in range(1, width):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(width):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(width):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(width):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        px.extend(line)
+        prev = line
+    return width, height, px
+
+
 def decode_image(payload: bytes, codec: str = "fake"):
     """Decode an image payload to an array.
 
@@ -71,6 +176,8 @@ def decode_image(payload: bytes, codec: str = "fake"):
         return list(payload)
     if codec == "pgm":
         return decode_pgm(payload)[2]
+    if codec == "png":
+        return decode_png(payload)[2]
     raise NotImplementedError(
         f"codec {codec!r} needs an image library not present in this "
         "container; install PIL/tifffile and extend decode_image"

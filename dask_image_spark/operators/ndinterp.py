@@ -114,40 +114,138 @@ def _bspline3_weight(u):
     )
 
 
+def _bspline_weight(u, order: int):
+    """Centered cardinal B-spline basis b_n(u) of order 2..5 as a Spark
+    expression — the published piecewise polynomials (Unser 1993; the same
+    closed forms scipy's ndimage spline code evaluates). Support is
+    |u| < (order+1)/2; the tap fan-out below over-covers and relies on the
+    weight vanishing outside support."""
+    a = F.abs(u)
+    if order == 2:
+        return (
+            F.when(a < 0.5, 0.75 - a * a)
+            .when(a < 1.5, F.pow(1.5 - a, F.lit(2.0)) / 2.0)
+            .otherwise(F.lit(0.0))
+        )
+    if order == 3:
+        return _bspline3_weight(u)
+    if order == 4:
+        return (
+            F.when(a < 0.5, a * a * (a * a * 0.25 - 0.625) + 115.0 / 192.0)
+            .when(
+                a < 1.5,
+                a * (a * (a * (a * (-1.0 / 6.0) + 5.0 / 6.0) - 1.25) + 5.0 / 24.0)
+                + 55.0 / 96.0,
+            )
+            .when(a < 2.5, F.pow(2.5 - a, F.lit(4.0)) / 24.0)
+            .otherwise(F.lit(0.0))
+        )
+    if order == 5:
+        return (
+            F.when(a < 1, a * a * (a * a * (0.25 - a / 12.0) - 0.5) + 0.55)
+            .when(
+                a < 2,
+                a * (a * (a * (a * (a / 24.0 - 0.375) + 1.25) - 1.75) + 0.625)
+                + 0.425,
+            )
+            .when(a < 3, F.pow(3.0 - a, F.lit(5.0)) / 120.0)
+            .otherwise(F.lit(0.0))
+        )
+    raise ValueError(f"unsupported spline order {order}")
+
+
+def bspline_weight_np(u, order: int):
+    """Numpy twin of :func:`_bspline_weight` (differential-test reference)."""
+    import numpy as np
+
+    a = np.abs(np.asarray(u, dtype=np.float64))
+    out = np.zeros_like(a)
+    if order == 2:
+        m = a < 0.5
+        out[m] = 0.75 - a[m] ** 2
+        m = (a >= 0.5) & (a < 1.5)
+        out[m] = (1.5 - a[m]) ** 2 / 2.0
+    elif order == 3:
+        m = a <= 1
+        out[m] = 2.0 / 3.0 - a[m] ** 2 + a[m] ** 3 / 2.0
+        m = (a > 1) & (a < 2)
+        out[m] = (2.0 - a[m]) ** 3 / 6.0
+    elif order == 4:
+        m = a < 0.5
+        out[m] = a[m] ** 2 * (a[m] ** 2 * 0.25 - 0.625) + 115.0 / 192.0
+        m = (a >= 0.5) & (a < 1.5)
+        b = a[m]
+        out[m] = (
+            b * (b * (b * (b * (-1.0 / 6.0) + 5.0 / 6.0) - 1.25) + 5.0 / 24.0)
+            + 55.0 / 96.0
+        )
+        m = (a >= 1.5) & (a < 2.5)
+        out[m] = (2.5 - a[m]) ** 4 / 24.0
+    elif order == 5:
+        m = a < 1
+        out[m] = a[m] ** 2 * (a[m] ** 2 * (0.25 - a[m] / 12.0) - 0.5) + 0.55
+        m = (a >= 1) & (a < 2)
+        b = a[m]
+        out[m] = (
+            b * (b * (b * (b * (b / 24.0 - 0.375) + 1.25) - 1.75) + 0.625)
+            + 0.425
+        )
+        m = (a >= 2) & (a < 3)
+        out[m] = (3.0 - a[m]) ** 5 / 120.0
+    else:
+        raise ValueError(f"unsupported spline order {order}")
+    return out
+
+
 def affine_transform_order3(
     px: DataFrame, matrix, offset=(0.0, 0.0), shape=None, keys=(),
 ) -> DataFrame:
-    """Cubic-spline affine transform (upstream
-    ``ndinterp/__init__.py::affine_transform`` with ``order=3``), mirror
+    """Cubic-spline affine transform — see :func:`affine_transform_spline`."""
+    return affine_transform_spline(px, matrix, offset, shape, order=3, keys=keys)
+
+
+def affine_transform_spline(
+    px: DataFrame, matrix, offset=(0.0, 0.0), shape=None, order: int = 3,
+    keys=(),
+) -> DataFrame:
+    """Spline affine transform of order 2-5 (upstream
+    ``ndinterp/__init__.py::affine_transform`` accepts ``order`` 0-5), mirror
     boundary (the extension the prefilter assumes).
 
     Two phases, both distributed:
 
-    1. **Prefilter**: the per-line IIR cubic prefilter along each axis
-       (``chunked.spline_filter1d``) turns pixel values into B-spline
-       coefficients — grid lines parallelize across the cluster.
+    1. **Prefilter**: the per-line IIR prefilter cascade along each axis
+       (``chunked.spline_filter1d`` with the order's pole family) turns
+       pixel values into B-spline coefficients — grid lines parallelize
+       across the cluster.
     2. **Gather join**: every output pixel inverse-maps to a fractional
-       source point and joins the 4x4 coefficient neighborhood (a broadcast
-       16-row corner fan-out, exactly the bilinear path's shape), weighted
-       by the separable cubic basis; one shuffle (the final groupBy).
+       source point and joins the (order+1)^2-ish coefficient neighborhood
+       (a broadcast corner fan-out, exactly the bilinear path's shape),
+       weighted by the separable basis; one shuffle (the final groupBy).
+       The tap window over-covers by design (weights vanish outside the
+       basis support), so one window serves both even and odd orders.
 
     Sampling at integer points reduces to the B-spline reconstruction
-    identity, which is what the strong-oracle ``affine_order3_identity``
-    query checks end-to-end; arbitrary transforms are differentially tested
-    against a dense numpy implementation of the same spec.
+    identity, which is what the strong-oracle ``affine_order{2,3,4,5}_
+    identity`` queries check end-to-end; arbitrary transforms are
+    differentially tested against a dense numpy implementation of the same
+    spec (tests/test_affine_order3.py).
     """
     from dask_image_spark.operators import chunked
 
     keys = list(keys)
     h, w = shape
     spark = px.sparkSession
-    c0 = chunked.spline_filter1d(px, axis=0, shape=shape, keys=keys)
+    c0 = chunked.spline_filter1d(px, axis=0, shape=shape, keys=keys, order=order)
     c = chunked.spline_filter1d(
-        c0.withColumnRenamed("v", "value"), axis=1, shape=shape, keys=keys
+        c0.withColumnRenamed("v", "value"), axis=1, shape=shape, keys=keys,
+        order=order,
     )
     fy, fx = _src_exprs(matrix, offset)
+    lo, hi = -(order // 2), order // 2 + 1
     corners = values_df(
-        spark, "cy, cx", [(a, b) for a in (-1, 0, 1, 2) for b in (-1, 0, 1, 2)]
+        spark, "cy, cx",
+        [(a, b) for a in range(lo, hi + 1) for b in range(lo, hi + 1)],
     )
     base = px.select(*keys, "y", "x").withColumns(
         {"fy": fy, "fx": fx}
@@ -161,8 +259,10 @@ def affine_transform_order3(
         {
             "ry": F.col("y0") + F.col("cy"),
             "rx": F.col("x0") + F.col("cx"),
-            "wgt": _bspline3_weight(F.col("fy") - (F.col("y0") + F.col("cy")))
-            * _bspline3_weight(F.col("fx") - (F.col("x0") + F.col("cx"))),
+            "wgt": _bspline_weight(
+                F.col("fy") - (F.col("y0") + F.col("cy")), order
+            )
+            * _bspline_weight(F.col("fx") - (F.col("x0") + F.col("cx")), order),
         }
     ).withColumns(
         {

@@ -278,21 +278,115 @@ def spline_filter1d_q(spark, sf_dir):
     return rec.select("y", "x", _eps_round("v", 4).alias("v"))
 
 
-@register("fourier_gaussian", None, tags=("imaging", "ndfourier", "udf"))
+_TWO_CTE = (
+    "two AS (SELECT CAST(x // 32 AS BIGINT) AS img, y, "
+    "CAST(x % 32 AS INT) AS x, value FROM pixels)"
+)
+
+
+def _fourier_conv_oracle(ky, kx) -> str:
+    """STRONG oracle for separable FFT-domain multipliers: by the circular
+    convolution theorem, ifft(fft(img) * resp_y * resp_x) is exactly the
+    circular convolution of the image with the response's inverse DFT taps
+    along each axis. The taps are computed driver-side in numpy and embedded
+    as double literals; DuckDB then evaluates an INDEPENDENT formulation
+    (two chained 1-D circular convolutions by join-aggregate) of the same
+    operator — any engine error in FFT handling, frequency-grid layout, or
+    group keying breaks the match."""
+
+    def taps_sql(k):
+        return ", ".join(
+            f"({i}, CAST({float(w)!r} AS DOUBLE))" for i, w in enumerate(k)
+        )
+
+    return with_pixel_ctes(
+        f"""
+        SELECT f.img, f.y, f.x, ROUND(1.2345e-8 + f.v, 4) AS v FROM (
+          SELECT c.img, c.y, CAST((c.x + tx.k) % 32 AS INT) AS x,
+                 SUM(tx.w * c.v) AS v
+          FROM (
+            SELECT p.img, CAST((p.y + ty.k) % 64 AS INT) AS y, p.x,
+                   SUM(ty.w * p.value) AS v
+            FROM two p CROSS JOIN (VALUES {taps_sql(ky)}) ty(k, w)
+            GROUP BY 1, 2, 3
+          ) c CROSS JOIN (VALUES {taps_sql(kx)}) tx(k, w)
+          GROUP BY 1, 2, 3
+        ) f
+        """,
+        extra=[_TWO_CTE],
+    )
+
+
+def _gaussian_taps(n: int, sigma: float):
+    import numpy as np
+
+    f = np.fft.fftfreq(n)
+    return np.real(np.fft.ifft(np.exp(-2.0 * np.pi**2 * sigma**2 * f**2)))
+
+
+def _uniform_taps(n: int, size: int):
+    import numpy as np
+
+    f = np.fft.fftfreq(n)
+    with np.errstate(invalid="ignore"):
+        resp = np.sinc(f * size)
+    return np.real(np.fft.ifft(resp))
+
+
+@register(
+    "fourier_gaussian",
+    _fourier_conv_oracle(_gaussian_taps(64, 1.0), _gaussian_taps(32, 1.0)),
+    tags=("imaging", "ndfourier", "udf"),
+)
 def fourier_gaussian_q(spark, sf_dir):
     """FFT-domain Gaussian (R2 whole-image path) on the 2-image keyed
-    fixture (per-image groups parallelize); weak-checked here, asserted
-    ~equal to wrap-mode spatial gaussian_filter in tests."""
+    fixture (per-image groups parallelize). STRONG since round 3: the
+    circular-convolution oracle (see ``_fourier_conv_oracle``) replaced the
+    weak rows-only check; also asserted ~equal to wrap-mode spatial
+    gaussian_filter in tests."""
     two = _two_images(pixel_grid(spark, sf_dir))
     out = chunked.fourier_gaussian(two, sigma=1.0, shape=(N, 32), keys=["img"])
     return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
 
 
-@register("fourier_uniform", None, tags=("imaging", "ndfourier", "udf"))
+@register(
+    "fourier_uniform",
+    _fourier_conv_oracle(_uniform_taps(64, 3), _uniform_taps(32, 3)),
+    tags=("imaging", "ndfourier", "udf"),
+)
 def fourier_uniform_q(spark, sf_dir):
+    """FFT-domain box filter (continuous-sinc multiplier, upstream
+    ``ndfourier/__init__.py::fourier_uniform`` semantics) — strong via the
+    same circular-convolution oracle as ``fourier_gaussian``."""
     two = _two_images(pixel_grid(spark, sf_dir))
     out = chunked.fourier_uniform(two, size=3, shape=(N, 32), keys=["img"])
     return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
+
+
+def _affine_identity_query(order: int):
+    """Identity-transform spline affine of the given order: prefilter +
+    basis gather must reproduce the source exactly (the B-spline
+    reconstruction identity) — a strong end-to-end oracle for the whole
+    order-n path (pole cascade, gain, boundary init, basis weights)."""
+
+    def q(spark, sf_dir):
+        px = pixel_grid(spark, sf_dir)
+        out = ndinterp.affine_transform_spline(
+            px, [[1.0, 0.0], [0.0, 1.0]], (0.0, 0.0), SHAPE, order=order
+        )
+        return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+    return q
+
+
+for _order in (2, 4, 5):
+    register(
+        f"affine_order{_order}_identity",
+        with_pixel_ctes(
+            "SELECT y, x, ROUND(1.2345e-8 + value, 4) AS v FROM pixels"
+        ),
+        tags=("imaging", "ndinterp", "udf"),
+    )(_affine_identity_query(_order))
 
 
 _LABEL_CC_ORACLE = """

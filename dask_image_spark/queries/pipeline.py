@@ -1016,6 +1016,77 @@ def imread_pgm(spark, sf_dir):
 
 
 @register(
+    "imread_png",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS img,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(SUM((event_id * 11 + 29) % 256) % 65536 AS INT) AS checksum
+    FROM events WHERE event_id < 8192
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread"),
+)
+def imread_png(spark, sf_dir):
+    """Second REAL image codec through the ``imread`` path (upstream
+    ``dask_image/imread/__init__.py`` reads PNG/TIFF via pims): encode two
+    deterministic 64x64 grayscale images as PNG — written from scratch on
+    stdlib zlib with CRC'd chunks and alternating None/Sub scanline filters
+    — land them as files, re-ingest via ``binaryFile``, decode with the
+    pure-python PNG parser (inflate + all five spec unfilters) inside
+    mapInPandas. The oracle recomputes per-image pixel stats straight from
+    events: any error in chunk framing, CRCs, deflate use, or unfiltering
+    breaks the checksum. Same distributed shape as ``imread_pgm``."""
+    import os
+
+    from dask_image_spark.operators.multimodal import decode_png, encode_png
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/png_{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("img"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 11 + 29, F.lit(256)).cast("int").alias("px"),
+    )
+
+    def write_image(pdf):
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        ordered = pdf.sort_values("pos")["px"].to_numpy().astype("uint8")
+        payload = encode_png(ordered, 64, 64)
+        path = f"{out_dir}/img_{img}.png"
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.png")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"img": [], "width": [], "height": [], "n_px": [], "checksum": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_png(bytes(content))
+                rows["img"].append(int(path.rsplit("img_", 1)[1].split(".")[0]))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(pixels))
+                rows["checksum"].append(sum(pixels) % 65536)
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode, "img int, width int, height int, n_px int, checksum int"
+    )
+
+
+@register(
     "multimodal_resize",
     """
     SELECT doc_id,

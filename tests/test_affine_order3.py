@@ -88,3 +88,58 @@ def test_affine_order3_identity_reconstructs(spark):
         )
     )
     np.testing.assert_allclose(got, IMG, rtol=1e-9, atol=1e-9)
+
+
+def _np_affine_spline(img, matrix, offset, order):
+    """Dense numpy reference for any spline order 2-5: the same prefilter
+    cascade + separable basis gather spec the Spark operator implements."""
+    c = np.apply_along_axis(
+        lambda l: chunked.spline_filter1d_np(l, order=order), 0, img.astype(float)
+    )
+    c = np.apply_along_axis(
+        lambda l: chunked.spline_filter1d_np(l, order=order), 1, c
+    )
+    (m00, m01), (m10, m11) = matrix
+    o0, o1 = offset
+    out = np.zeros_like(img, dtype=float)
+    h, w = img.shape
+    lo, hi = -(order // 2), order // 2 + 1
+    for y in range(h):
+        for x in range(w):
+            fy = m00 * y + m01 * x + o0
+            fx = m10 * y + m11 * x + o1
+            y0, x0 = int(np.floor(fy)), int(np.floor(fx))
+            acc = 0.0
+            for cy in range(lo, hi + 1):
+                wy = float(ndinterp.bspline_weight_np(fy - (y0 + cy), order))
+                if wy == 0.0:
+                    continue
+                sy = remap_py(y0 + cy, h, "mirror")
+                for cx in range(lo, hi + 1):
+                    wx = float(ndinterp.bspline_weight_np(fx - (x0 + cx), order))
+                    if wx == 0.0:
+                        continue
+                    sx = remap_py(x0 + cx, w, "mirror")
+                    acc += wy * wx * c[sy, sx]
+            out[y, x] = acc
+    return out
+
+
+@pytest.mark.parametrize("order", [2, 4, 5])
+@pytest.mark.parametrize(
+    "matrix,offset",
+    [
+        ([[1.0, 0.0], [0.0, 1.0]], (0.0, 0.0)),  # identity -> reconstruction
+        ([[0.9, 0.2], [-0.15, 0.85]], (1.0, -0.5)),  # full 2x2 with shear
+    ],
+)
+def test_affine_spline_orders_match_numpy(spark, order, matrix, offset):
+    got = _grid(
+        ndinterp.affine_transform_spline(
+            _px(spark), matrix, offset, (H, W), order=order
+        )
+    )
+    want = _np_affine_spline(IMG, matrix, offset, order)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+    if matrix == [[1.0, 0.0], [0.0, 1.0]] and offset == (0.0, 0.0):
+        np.testing.assert_allclose(got, IMG, rtol=1e-8, atol=1e-8)

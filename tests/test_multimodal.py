@@ -77,3 +77,89 @@ def test_frame_sample_empty_and_null(spark):
     assert 4 not in by_doc  # NULL payload -> zero frames
     f3 = sorted(by_doc[3], key=lambda r: r["frame_no"])
     assert [r["frame_len"] for r in f3] == [100, 100, 50]
+
+
+def test_png_codec_roundtrip():
+    import numpy as np
+
+    from dask_image_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    pixels = list(rng.integers(0, 256, size=5 * 4).astype(int))
+    payload = encode_png(pixels, 5, 4)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert decode_png(payload) == (5, 4, pixels)
+
+
+def test_png_decoder_unfilters_all_spec_types():
+    """Hand-construct an IDAT using every filter type (None/Sub/Up/Average/
+    Paeth) and check the decoder reproduces the intended pixels."""
+    import struct
+    import zlib
+
+    from dask_image_spark.operators.multimodal import decode_png
+
+    width, height = 4, 5
+    img = [
+        [10, 20, 30, 40],
+        [15, 25, 35, 45],
+        [100, 110, 120, 130],
+        [90, 95, 105, 115],
+        [80, 85, 90, 200],
+    ]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = [0] * width
+    for r, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = img[r]
+        raw.append(ftype)
+        for i in range(width):
+            left = line[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            if ftype == 0:
+                raw.append(line[i] & 0xFF)
+            elif ftype == 1:
+                raw.append((line[i] - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((line[i] - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((line[i] - (left + up) // 2) & 0xFF)
+            else:
+                raw.append((line[i] - paeth(left, up, ul)) & 0xFF)
+        prev = line
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, got = decode_png(payload)
+    assert (w, h) == (width, height)
+    assert got == [v for row in img for v in row]
+
+
+def test_png_decoder_rejects_bad_payloads():
+    import pytest as _pytest
+
+    from dask_image_spark.operators.multimodal import decode_png, encode_png
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a....")
+    good = encode_png([1, 2, 3, 4], 2, 2)
+    corrupted = bytearray(good)
+    corrupted[-18] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupted))
