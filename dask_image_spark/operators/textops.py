@@ -48,6 +48,21 @@ def exploded_shingles(
     t_df = docs.select(id_col, tokens(text_col).alias("_t")).filter(
         F.size("_t") >= k
     )
+    # The shingle fan-out and everything fused below it (the 8 md5s per
+    # shingle, the signature groupBy's map-side partial MIN) execute in the
+    # SAME stage as the scan, so their parallelism is the scan's split
+    # count — a small corpus arrives as ONE parquet split and the whole
+    # hash pipeline runs on one core (measured: the entire minhash bench
+    # query was a 1-task stage at sf0.1). When the scan under-splits,
+    # hash-repartition the *documents* (tiny rows) by id first: the
+    # downstream groupBy(id) then reuses this partitioning, so the ~100x
+    # larger shingle stream never shuffles at all. At cluster scale the
+    # condition is false (parquet yields >= defaultParallelism splits) and
+    # no extra exchange is paid.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if t_df.rdd.getNumPartitions() < target:
+        t_df = t_df.repartition(target, id_col)
     return t_df.select(
         id_col, F.explode(shingles_of("_t", k)).alias("sh")
     )

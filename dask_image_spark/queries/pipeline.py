@@ -981,10 +981,16 @@ def imread_pgm(spark, sf_dir):
     )
 
     def write_image(pdf):
+        import numpy as np
         import pandas as pd
 
         img = int(pdf["img"].iloc[0])
-        ordered = pdf.sort_values("pos")["px"].to_numpy().astype("uint8")
+        # At tiny sf the fixture has < 8192 events, so the last image group
+        # is partial; zero-pad to the full raster so the encoded file is
+        # well-formed (zero pixels leave the checksum invariant, and at
+        # sf >= 0.01 the event_id filter saturates so the pad is empty).
+        ordered = np.zeros(4096, dtype="uint8")
+        ordered[pdf["pos"].to_numpy()] = pdf["px"].to_numpy().astype("uint8")
         payload = encode_pgm(ordered, 64, 64)
         path = f"{out_dir}/img_{img}.pgm"
         with open(path, "wb") as f:
@@ -1053,10 +1059,13 @@ def imread_png(spark, sf_dir):
     )
 
     def write_image(pdf):
+        import numpy as np
         import pandas as pd
 
         img = int(pdf["img"].iloc[0])
-        ordered = pdf.sort_values("pos")["px"].to_numpy().astype("uint8")
+        # Zero-pad partial groups at tiny sf (see imread_pgm.write_image).
+        ordered = np.zeros(4096, dtype="uint8")
+        ordered[pdf["pos"].to_numpy()] = pdf["px"].to_numpy().astype("uint8")
         payload = encode_png(ordered, 64, 64)
         path = f"{out_dir}/img_{img}.png"
         with open(path, "wb") as f:
