@@ -104,7 +104,7 @@ WINDOW: list[str] = [
     "affine_order2_identity",
     "affine_order5_identity",
     "imread_png",
-    "q1_pricing_summary",
+    "fourier_ellipsoid",
     "q3_join_topk",
     "dedup_minhash_lsh",
 ]

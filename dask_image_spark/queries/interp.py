@@ -317,6 +317,41 @@ def _fourier_conv_oracle(ky, kx) -> str:
     )
 
 
+def _fourier_conv2d_oracle(taps) -> str:
+    """STRONG oracle for NON-separable FFT-domain multipliers (the ellipsoid
+    response is radial, coupling the axes, so the two chained 1-D
+    convolutions of ``_fourier_conv_oracle`` cannot express it): the full
+    2-D circular convolution with the response's inverse-DFT tap grid —
+    all 64x32 taps embedded as driver-computed double literals, no
+    truncation (dropped tap mass would bias values near rounding
+    boundaries). DuckDB evaluates one scatter join-aggregate over
+    (pixel x tap); the engine computes the same operator via FFT."""
+    h, w = taps.shape
+    rows = ", ".join(
+        f"({dy}, {dx}, CAST({float(taps[dy, dx])!r} AS DOUBLE))"
+        for dy in range(h)
+        for dx in range(w)
+    )
+    return with_pixel_ctes(
+        f"""
+        SELECT f.img, f.y, f.x, ROUND(1.2345e-8 + f.v, 4) AS v FROM (
+          SELECT p.img, CAST((p.y + t.dy) % {h} AS INT) AS y,
+                 CAST((p.x + t.dx) % {w} AS INT) AS x,
+                 SUM(t.w * p.value) AS v
+          FROM two p CROSS JOIN (VALUES {rows}) t(dy, dx, w)
+          GROUP BY 1, 2, 3
+        ) f
+        """,
+        extra=[_TWO_CTE],
+    )
+
+
+def _ellipsoid_taps(shape, size):
+    import numpy as np
+
+    return np.real(np.fft.ifft2(chunked.ellipsoid_response(shape, size)))
+
+
 def _gaussian_taps(n: int, sigma: float):
     import numpy as np
 
@@ -346,6 +381,24 @@ def fourier_gaussian_q(spark, sf_dir):
     gaussian_filter in tests."""
     two = _two_images(pixel_grid(spark, sf_dir))
     out = chunked.fourier_gaussian(two, sigma=1.0, shape=(N, 32), keys=["img"])
+    return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register(
+    "fourier_ellipsoid",
+    _fourier_conv2d_oracle(_ellipsoid_taps((N, 32), (5, 3))),
+    tags=("imaging", "ndfourier", "udf"),
+)
+def fourier_ellipsoid_q(spark, sf_dir):
+    """FFT-domain ellipsoid (disk) filter — closes the ``ndfourier`` public
+    surface (upstream ``ndfourier/__init__.py``: gaussian / shift / uniform
+    / ellipsoid). Asymmetric size (5, 3) proves the per-axis elliptic
+    scaling; strong via the full 2-D tap oracle (the radial response is not
+    separable). The Bessel-J1 jinc response is evaluated from scratch
+    (A&S polynomial approximation — no scipy), shared verbatim between the
+    engine UDF and the oracle tap generator."""
+    two = _two_images(pixel_grid(spark, sf_dir))
+    out = chunked.fourier_ellipsoid(two, size=(5, 3), shape=(N, 32), keys=["img"])
     return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
 
 

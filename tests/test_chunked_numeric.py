@@ -105,3 +105,33 @@ def test_fourier_gaussian_close_to_spatial_wrap(spark):
         ndfilters.gaussian_filter(_px(spark), 1.0, shape=(H, W), mode="wrap")
     )
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-2)
+
+
+def test_bessel_j1_matches_integral_definition():
+    """The from-scratch A&S polynomial J1 vs the integral definition
+    J1(x) = (1/pi) * int_0^pi cos(theta - x sin theta) dtheta evaluated by
+    fine quadrature — across both polynomial branches and the |x|=8 seam."""
+    xs = np.array([0.0, 0.3, 1.0, 1.8412, 3.8317, 7.9, 8.0, 8.1, 13.3237, 25.0, -2.0, -9.5])
+    th = np.linspace(0.0, np.pi, 40001)
+    want = np.array(
+        [np.trapz(np.cos(th - x * np.sin(th)), th) / np.pi for x in xs]
+    )
+    np.testing.assert_allclose(chunked.bessel_j1(xs), want, atol=1e-7)
+    # J1 is odd; first zero near 3.8317
+    assert abs(chunked.bessel_j1(np.array([3.8317]))[0]) < 1e-4
+
+
+def test_fourier_ellipsoid_plumbing_differential(spark):
+    """Engine fourier_ellipsoid vs a dense numpy evaluation of the identical
+    jinc multiplier; DC gain 1 (constant images pass through); and the
+    asymmetric size must NOT equal the axis-swapped size (the response is
+    elliptic, not round, so (5,3) != (3,5) on a non-symmetric image)."""
+    got = _grid(chunked.fourier_ellipsoid(_px(spark), size=(5, 3), shape=(H, W)))
+    resp = chunked.ellipsoid_response((H, W), (5, 3))
+    want = np.real(np.fft.ifft2(np.fft.fft2(IMG) * resp))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    assert abs(got.mean() - IMG.mean()) < 1e-9
+    swapped = np.real(
+        np.fft.ifft2(np.fft.fft2(IMG) * chunked.ellipsoid_response((H, W), (3, 5)))
+    )
+    assert np.abs(want - swapped).max() > 1e-3
