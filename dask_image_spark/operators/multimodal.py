@@ -165,6 +165,104 @@ def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     return width, height, px
 
 
+def encode_tiff(pixels, width: int, height: int) -> bytes:
+    """Encode 8-bit grayscale pixels as baseline TIFF (the reference's
+    primary format — upstream ``dask_image/imread/__init__.py`` reads TIFF
+    stacks via pims/tifffile), written from scratch: little-endian header,
+    one IFD with the baseline-required tags for bilevel/grayscale
+    (ImageWidth/ImageLength/BitsPerSample/Compression=none/
+    Photometric=BlackIsZero/StripOffsets/RowsPerStrip/StripByteCounts),
+    pixel data as TWO strips so the decoder's strip walk is exercised."""
+    import struct
+
+    data = bytes(bytearray(pixels))
+    rows_per_strip = (height + 1) // 2
+    strip0 = data[: rows_per_strip * width]
+    strip1 = data[rows_per_strip * width :]
+    # layout: 8-byte header | pixel strips | IFD
+    off0 = 8
+    off1 = off0 + len(strip0)
+    ifd_off = off1 + len(strip1)
+    header = struct.pack("<2sHI", b"II", 42, ifd_off)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    n_strips = 2 if strip1 else 1
+    # multi-value StripOffsets/ByteCounts arrays live after the IFD
+    post = ifd_off + 2 + 12 * 9 + 4
+    entries = [
+        entry(256, 4, 1, width),            # ImageWidth LONG
+        entry(257, 4, 1, height),           # ImageLength LONG
+        entry(258, 3, 1, 8),                # BitsPerSample SHORT
+        entry(259, 3, 1, 1),                # Compression: none
+        entry(262, 3, 1, 1),                # Photometric: BlackIsZero
+        entry(273, 4, n_strips, post if n_strips > 1 else off0),
+        entry(277, 3, 1, 1),                # SamplesPerPixel
+        entry(278, 4, 1, rows_per_strip),   # RowsPerStrip
+        entry(279, 4, n_strips,
+              post + 4 * n_strips if n_strips > 1 else len(strip0)),
+    ]
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    tail = b""
+    if n_strips > 1:
+        tail = struct.pack("<2I", off0, off1) + struct.pack(
+            "<2I", len(strip0), len(strip1)
+        )
+    return header + strip0 + strip1 + ifd + tail
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode baseline 8-bit grayscale uncompressed TIFF: both byte orders
+    (II/MM), IFD tag walk, inline-vs-offset value resolution (values <= 4
+    bytes are packed in the entry itself — the classic TIFF gotcha), and
+    multi-strip assembly. Pure python, from the TIFF 6.0 spec."""
+    import struct
+
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    magic, ifd_off = struct.unpack(e + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+    def values(typ: int, count: int, raw: bytes) -> list[int]:
+        size = TYPE_SIZE[typ] * count
+        fld = raw if size > 4 else raw[:size]
+        if typ == 3:
+            return list(struct.unpack(e + f"{count}H", fld))
+        if typ in (1, 4):
+            fmt = f"{count}B" if typ == 1 else f"{count}I"
+            return list(struct.unpack(e + fmt, fld))
+        raise ValueError(f"unsupported TIFF field type {typ}")
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(e + "HHI", payload[base : base + 8])
+        size = TYPE_SIZE.get(typ, 0) * count
+        if size > 4:
+            (off,) = struct.unpack(e + "I", payload[base + 8 : base + 12])
+            raw = payload[off : off + size]
+        else:
+            raw = payload[base + 8 : base + 12]
+        tags[tag] = values(typ, count, raw)
+    width, height = tags[256][0], tags[257][0]
+    if tags.get(258, [8])[0] != 8 or tags.get(259, [1])[0] != 1:
+        raise NotImplementedError("only 8-bit uncompressed TIFF supported")
+    data = b"".join(
+        payload[o : o + n] for o, n in zip(tags[273], tags[279])
+    )
+    if len(data) < width * height:
+        raise ValueError("truncated TIFF strip data")
+    return width, height, list(data[: width * height])
+
+
 def decode_image(payload: bytes, codec: str = "fake"):
     """Decode an image payload to an array.
 
@@ -178,6 +276,8 @@ def decode_image(payload: bytes, codec: str = "fake"):
         return decode_pgm(payload)[2]
     if codec == "png":
         return decode_png(payload)[2]
+    if codec == "tiff":
+        return decode_tiff(payload)[2]
     raise NotImplementedError(
         f"codec {codec!r} needs an image library not present in this "
         "container; install PIL/tifffile and extend decode_image"

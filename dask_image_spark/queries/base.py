@@ -105,7 +105,7 @@ WINDOW: list[str] = [
     "affine_order5_identity",
     "imread_png",
     "fourier_ellipsoid",
-    "q3_join_topk",
+    "imread_tiff",
     "dedup_minhash_lsh",
 ]
 

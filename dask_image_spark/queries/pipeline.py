@@ -1096,6 +1096,81 @@ def imread_png(spark, sf_dir):
 
 
 @register(
+    "imread_tiff",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS img,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(SUM((event_id * 13 + 5) % 256) % 65536 AS INT) AS checksum
+    FROM events WHERE event_id < 8192
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread"),
+)
+def imread_tiff(spark, sf_dir):
+    """Third REAL image codec through the ``imread`` path — and the one the
+    reference leads with (upstream ``dask_image/imread/__init__.py`` reads
+    TIFF stacks via pims/tifffile): encode two deterministic 64x64 grayscale
+    images as baseline TIFF written from scratch (little-endian IFD, the
+    nine baseline-required grayscale tags, pixel data split across TWO
+    strips so the decoder's strip walk is real), land as files, re-ingest
+    via ``binaryFile``, decode with the pure-python TIFF parser (both byte
+    orders, inline-vs-offset field values) inside mapInPandas. The oracle
+    recomputes per-image pixel stats straight from events. Same distributed
+    shape as ``imread_pgm``/``imread_png``."""
+    import os
+
+    from dask_image_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/tiff_{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("img"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 13 + 5, F.lit(256)).cast("int").alias("px"),
+    )
+
+    def write_image(pdf):
+        import numpy as np
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        # Zero-pad partial groups at tiny sf (see imread_pgm.write_image).
+        ordered = np.zeros(4096, dtype="uint8")
+        ordered[pdf["pos"].to_numpy()] = pdf["px"].to_numpy().astype("uint8")
+        payload = encode_tiff(ordered, 64, 64)
+        path = f"{out_dir}/img_{img}.tif"
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.tif")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"img": [], "width": [], "height": [], "n_px": [], "checksum": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_tiff(bytes(content))
+                rows["img"].append(int(path.rsplit("img_", 1)[1].split(".")[0]))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(pixels))
+                rows["checksum"].append(sum(pixels) % 65536)
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode, "img int, width int, height int, n_px int, checksum int"
+    )
+
+
+@register(
     "multimodal_resize",
     """
     SELECT doc_id,

@@ -163,3 +163,56 @@ def test_png_decoder_rejects_bad_payloads():
     corrupted[-18] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
     with _pytest.raises(ValueError, match="CRC mismatch"):
         decode_png(bytes(corrupted))
+
+
+def test_tiff_codec_roundtrip_and_strips():
+    """Encode->decode identity for baseline grayscale TIFF, covering the
+    two-strip layout, odd heights (uneven strips), and the single-strip
+    inline-offset path."""
+    import numpy as np
+
+    from dask_image_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(7)
+    for w, h in [(64, 64), (5, 7), (9, 1)]:
+        px = rng.integers(0, 256, w * h).astype("uint8")
+        got = decode_tiff(encode_tiff(px, w, h))
+        assert got == (w, h, list(px))
+
+
+def test_tiff_decoder_reads_big_endian():
+    """The decoder honors the MM byte-order mark and inline SHORT values —
+    files our little-endian encoder never produces."""
+    import struct
+
+    from dask_image_spark.operators.multimodal import decode_tiff
+
+    data = bytes([10, 20, 30, 40])
+    hdr = struct.pack(">2sHI", b"MM", 42, 8 + len(data))
+
+    def entry(tag, typ, count, val):
+        return struct.pack(">HHII", tag, typ, count, val)
+
+    def short(tag, val):  # SHORT packs in the field's first two bytes
+        return struct.pack(">HHIHH", tag, 3, 1, val, 0)
+
+    entries = [
+        entry(256, 4, 1, 2), entry(257, 4, 1, 2), short(258, 8),
+        short(259, 1), short(262, 1), entry(273, 4, 1, 8),
+        short(277, 1), entry(278, 4, 1, 2), entry(279, 4, 1, 4),
+    ]
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) + struct.pack(">I", 0)
+    assert decode_tiff(hdr + data + ifd) == (2, 2, [10, 20, 30, 40])
+
+
+def test_tiff_decoder_rejects_bad_payloads():
+    import pytest
+
+    from dask_image_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"GIF89a..")
+    good = bytearray(encode_tiff([1, 2, 3, 4], 2, 2))
+    good[2] = 41  # wrong magic
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(good))
