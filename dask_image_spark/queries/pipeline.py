@@ -1210,3 +1210,91 @@ def multimodal_frames(spark, sf_dir):
     slab, produced in pandas batches."""
     d = load_table(spark, sf_dir, "documents")
     return multimodal.frame_sample(multimodal.with_binary_payload(d))
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE text IS NOT NULL
+      AND substr(md5('strat7:' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < (CASE WHEN lang = 'en' THEN '40' ELSE 'cc' END)
+    """,
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling — the training-data curation
+    primitive for rebalancing a corpus (downsample the dominant language,
+    keep most of the rest): keep a row iff the leading byte of a salted
+    md5 of its key falls under the stratum's hex threshold ('40'/256 = 25%
+    for en, 'cc'/256 = 80% otherwise). Hash-based (not rand()) so the
+    sample is reproducible, join-stable across runs/engines, and needs no
+    shuffle or state — a pure codegen'd filter that scales linearly and
+    composes with pushdown. The md5-hex-threshold idiom is the same
+    engine-portable family the MinHash ops use."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    digest = F.md5(F.concat(F.lit("strat7:"), F.col("doc_id").cast("string")))
+    thresh = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("cc"))
+    return d.filter(F.substring(digest, 1, 2) < thresh).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents WHERE text IS NOT NULL
+    ),
+    rec AS (
+      SELECT lang, doc_id, rn, n_tok, n_tok AS fill, 0 AS bin
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT n.lang, n.doc_id, n.rn, n.n_tok,
+             CASE WHEN r.fill + n.n_tok > 512 THEN n.n_tok
+                  ELSE r.fill + n.n_tok END,
+             CASE WHEN r.fill + n.n_tok > 512 THEN r.bin + 1 ELSE r.bin END
+      FROM rec r JOIN toks n ON n.lang = r.lang AND n.rn = r.rn + 1
+    )
+    SELECT lang, doc_id, CAST(bin AS INT) AS bin,
+           CAST(n_tok AS INT) AS n_tok
+    FROM rec
+    """,
+    tags=("pipeline", "packing", "udf"),
+)
+def pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into fixed token budgets (512) — how training
+    pipelines fill context windows: within each shard (= lang group), walk
+    docs in doc_id order and start a new bin whenever adding the next doc
+    would overflow the budget (an oversized doc gets a bin of its own).
+
+    Scale design: packing is inherently sequential WITHIN a shard but
+    embarrassingly parallel ACROSS shards, so the shard is the unit of
+    distribution — token counts are computed JVM-side (split/size, codegen),
+    and only (lang, doc_id, n_tok) metadata rows enter the per-group
+    applyInPandas that runs the greedy scan; document text never moves.
+    The oracle replays the same walk as a DuckDB recursive CTE."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    meta = d.select(
+        "lang", "doc_id", F.size(textops.tokens()).cast("int").alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        for t in pdf["n_tok"]:
+            if fill and fill + t > 512:
+                b, fill = b + 1, 0
+            fill += t
+            bins.append(b)
+        pdf["bin"] = bins
+        return pdf[["lang", "doc_id", "bin", "n_tok"]]
+
+    return meta.groupBy("lang").applyInPandas(
+        pack, "lang string, doc_id long, bin int, n_tok int"
+    )

@@ -160,3 +160,27 @@ def test_stencil_is_single_shuffle(spark, sf_dir):
         and "ReusedExchange" not in line
     )
     assert n_shuffle == 1, f"stencil should shuffle once, got {n_shuffle}:\n{tree}"
+
+
+def test_sample_stratified_is_pushdown_filter_no_shuffle(spark, sf_dir):
+    """Hash sampling must stay a pure scan-side filter: the null guard
+    reaches the parquet scan as a PushedFilter and the plan has ZERO
+    exchanges — at 100 TB this is a map-only pass."""
+    p = _plan(spark, sf_dir, "sample_stratified")
+    assert "PushedFilters: [IsNotNull(text)" in p
+    assert "Exchange" not in p
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Sequence packing shuffles ONCE (the shard groupBy); token counting
+    stays JVM-side so only (lang, doc_id, n_tok) metadata rows move —
+    the document text column must not appear in the exchange's schema."""
+    p = _plan(spark, sf_dir, "pack_sequences")
+    lines = p.splitlines()
+    ex_inputs = [
+        lines[i + 1]
+        for i, l in enumerate(lines)
+        if l.strip().startswith("(") and l.strip().endswith("Exchange")
+    ]
+    assert len(ex_inputs) == 1, f"expected exactly one Exchange\n{p[:1500]}"
+    assert "n_tok" in ex_inputs[0] and "text#" not in ex_inputs[0]
