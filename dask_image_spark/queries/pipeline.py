@@ -1298,3 +1298,76 @@ def pack_sequences(spark, sf_dir):
     return meta.groupBy("lang").applyInPandas(
         pack, "lang string, doc_id long, bin int, n_tok int"
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_aggregate(list_transform(embedding,
+                 x -> abs(x::DOUBLE)), 'max') / 127.0 AS scale,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    dq AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> ROUND(x / scale) * scale) AS r, v
+      FROM q WHERE scale > 0
+    )
+    SELECT vec_id,
+           ROUND(1.2345e-8 + scale, 6) AS scale_r,
+           ROUND(1.2345e-8 +
+             list_aggregate(list_transform(range(1, len(v) + 1),
+                 i -> v[i] * r[i]), 'sum')
+             / (SQRT(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+              * SQRT(list_aggregate(list_transform(r, x -> x * x), 'sum'))),
+             4) AS cos_q,
+           ROUND(1.2345e-8 + SQRT(
+             list_aggregate(list_transform(range(1, len(v) + 1),
+                 i -> (v[i] - r[i]) * (v[i] - r[i])), 'sum') / len(v)),
+             6) AS rmse_q
+    FROM dq
+    """,
+    tags=("pipeline", "similarity", "quantize"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization — the memory-scale primitive
+    for ANN at 100 TB (4x smaller vectors, int8 SIMD distance): scale =
+    max|x| / 127, q_i = round(x_i / scale), plus the two quality metrics a
+    pipeline monitors — angular fidelity cos(v, dequant(v)) and
+    reconstruction RMSE. Everything is JVM-side higher-order array
+    functions (transform / aggregate / zip_with) — no Python, no shuffle:
+    a pure map pass whose cost is one scan. Zero-vectors (scale = 0) are
+    excluded identically on both sides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    e = e.select("vec_id", v.alias("v"), (amax / F.lit(127.0)).alias("scale"))
+    e = e.filter(F.col("scale") > 0)
+    recon = F.transform(
+        F.col("v"), lambda x: F.round(x / F.col("scale")) * F.col("scale")
+    )
+    e = e.select("vec_id", "scale", "v", recon.alias("r"))
+    dot_vr = F.aggregate(
+        F.zip_with("v", "r", lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    mse = F.aggregate(
+        F.zip_with("v", "r", lambda a, b: (a - b) * (a - b)), F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size("v")
+    return e.select(
+        "vec_id",
+        _eps_round("scale", 6).alias("scale_r"),
+        _eps_round(dot_vr / (nrm(F.col("v")) * nrm(F.col("r"))), 4).alias("cos_q"),
+        _eps_round(F.sqrt(mse), 6).alias("rmse_q"),
+    )

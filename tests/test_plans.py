@@ -184,3 +184,11 @@ def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
     ]
     assert len(ex_inputs) == 1, f"expected exactly one Exchange\n{p[:1500]}"
     assert "n_tok" in ex_inputs[0] and "text#" not in ex_inputs[0]
+
+
+def test_embedding_quantize_is_map_only(spark, sf_dir):
+    """int8 quantization must be a pure map pass — zero exchanges; the
+    higher-order array expressions stay JVM-side (no Python eval node)."""
+    p = _plan(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in p
+    assert "Python" not in p  # no BatchEvalPython / ArrowEvalPython
