@@ -202,6 +202,12 @@ _B3_Y = [(-1, 0, 1.0 / 6.0), (0, 0, 4.0 / 6.0), (1, 0, 1.0 / 6.0)]
 _B3_X = [(0, -1, 1.0 / 6.0), (0, 0, 4.0 / 6.0), (0, 1, 1.0 / 6.0)]
 
 
+_TWO_CTE = (
+    "two AS (SELECT CAST(x // 32 AS BIGINT) AS img, y, "
+    "CAST(x % 32 AS INT) AS x, value FROM pixels)"
+)
+
+
 @register(
     "fourier_shift",
     with_pixel_ctes(
@@ -222,10 +228,57 @@ def fourier_shift_q(spark, sf_dir):
     return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
 
 
-@register("fourier_shift_frac", None, tags=("imaging", "ndfourier", "udf"))
+def _fourier_conv_complex_oracle(ky, kx) -> str:
+    """STRONG oracle for separable FFT multipliers with COMPLEX inverse-DFT
+    taps (the fractional phase ramp): same convolution-theorem scatter as
+    ``_fourier_conv_oracle`` but carrying (re, im) through two chained 1-D
+    circular convolutions — the image is real, so stage 1 scales it by each
+    complex x-tap, stage 2 multiplies complex y-taps into the complex
+    intermediate ((a+bi)(c+di) -> re = ac - bd), and the result's imaginary
+    part cancels by construction (the engine takes np.real the same way)."""
+
+    def taps_sql(k):
+        return ", ".join(
+            f"({i}, CAST({float(w.real)!r} AS DOUBLE), "
+            f"CAST({float(w.imag)!r} AS DOUBLE))"
+            for i, w in enumerate(k)
+        )
+
+    return with_pixel_ctes(
+        f"""
+        SELECT f.img, f.y, f.x, ROUND(1.2345e-8 + f.v, 4) AS v FROM (
+          SELECT c.img, CAST((c.y + ty.k) % 64 AS INT) AS y, c.x,
+                 SUM(ty.re * c.re - ty.im * c.im) AS v
+          FROM (
+            SELECT p.img, p.y, CAST((p.x + tx.k) % 32 AS INT) AS x,
+                   SUM(tx.re * p.value) AS re, SUM(tx.im * p.value) AS im
+            FROM two p CROSS JOIN (VALUES {taps_sql(kx)}) tx(k, re, im)
+            GROUP BY 1, 2, 3
+          ) c CROSS JOIN (VALUES {taps_sql(ky)}) ty(k, re, im)
+          GROUP BY 1, 2, 3
+        ) f
+        """,
+        extra=[_TWO_CTE],
+    )
+
+
+def _shift_taps(n: int, s: float):
+    import numpy as np
+
+    return np.fft.ifft(np.exp(-2j * np.pi * np.fft.fftfreq(n) * s))
+
+
+@register(
+    "fourier_shift_frac",
+    _fourier_conv_complex_oracle(_shift_taps(64, 2.5), _shift_taps(32, -1.5)),
+    tags=("imaging", "ndfourier", "udf"),
+)
 def fourier_shift_frac_q(spark, sf_dir):
-    """Fractional (subpixel) periodic shift — not expressible in SQL;
-    weak-checked here, numpy-differential in tests/test_chunked_numeric.py."""
+    """Fractional (subpixel) periodic shift. STRONG since round 3: the
+    phase ramp is separable with complex inverse-DFT taps, so the
+    convolution-theorem oracle applies with explicit (re, im) arithmetic
+    (``_fourier_conv_complex_oracle``); numpy differential in
+    tests/test_chunked_numeric.py covers arbitrary shifts."""
     two = _two_images(pixel_grid(spark, sf_dir))
     out = chunked.fourier_shift(two, (2.5, -1.5), (N, 32), keys=["img"])
     return out.select("img", "y", "x", _eps_round("v", 4).alias("v"))
@@ -276,12 +329,6 @@ def spline_filter1d_q(spark, sf_dir):
         c.withColumnRenamed("v", "value"), _B3_Y, SHAPE, mode="mirror"
     )
     return rec.select("y", "x", _eps_round("v", 4).alias("v"))
-
-
-_TWO_CTE = (
-    "two AS (SELECT CAST(x // 32 AS BIGINT) AS img, y, "
-    "CAST(x % 32 AS INT) AS x, value FROM pixels)"
-)
 
 
 def _fourier_conv_oracle(ky, kx) -> str:
