@@ -1371,3 +1371,112 @@ def embedding_quantize_int8(spark, sf_dir):
         _eps_round(dot_vr / (nrm(F.col("v")) * nrm(F.col("r"))), 4).alias("cos_q"),
         _eps_round(F.sqrt(mse), 6).alias("rmse_q"),
     )
+
+
+_ANN_NQ = 20  # query vectors: vec_id < 20
+
+
+@register(
+    "ann_recall_ivf",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_ANN_NQ}),
+    {_CENTROID_CTES.strip()},
+    bp AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(1.2345e-8 + {_COS_Q.format(a="e.embedding", b="q.qv")}, 4) AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM bp) WHERE rn <= 10),
+    probe AS (
+      SELECT query_id, label FROM (
+        SELECT q.query_id, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(1.2345e-8 + {_COS_Q.format(a="c.cvec", b="q.qv")}, 4)
+                   DESC, c.label) AS rn
+        FROM cents c CROSS JOIN q) WHERE rn = 1),
+    ip AS (
+      SELECT p.query_id, e.vec_id,
+             ROUND(1.2345e-8 + {_COS_Q.format(a="e.embedding", b="q.qv")}, 4) AS c
+      FROM embeddings e JOIN probe p USING (label)
+      JOIN q ON q.query_id = p.query_id
+      WHERE e.vec_id <> p.query_id),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM ip) WHERE rn <= 10),
+    hits AS (
+      SELECT b.query_id, COUNT(*) AS n
+      FROM brute b JOIN ivf USING (query_id, vec_id) GROUP BY 1)
+    SELECT q.query_id, CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+           ROUND(1.2345e-8 + COALESCE(h.n, 0) / 10.0, 4) AS recall
+    FROM q LEFT JOIN hits h USING (query_id)
+    """,
+    tags=("pipeline", "similarity", "ann", "eval"),
+)
+def ann_recall_ivf(spark, sf_dir):
+    """ANN quality evaluation — recall@10 of the IVF(n_probe=1) scale path
+    against exact brute force, over 20 query vectors: the metric an ANN
+    deployment monitors to tune n_probe/cluster count. Both searches rank
+    on the identically-rounded cosine with a vec_id tiebreak so the top-10
+    SETS are cross-engine deterministic. Scale shape: queries and centroids
+    broadcast; the brute pass is one scan x 20 (at 100 TB you'd sample
+    queries exactly like this); the IVF pass touches only probed clusters."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos_r = _eps_round(similarity.cosine(F.col("embedding"), F.col("qv")), 4)
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos_r.alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    brute = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    cents = similarity.centroids_by(e)
+    cw = Window.partitionBy("query_id").orderBy(
+        F.col("cc").desc(), F.col("label")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "label",
+            _eps_round(similarity.cosine(F.col("cvec"), F.col("qv")), 4).alias("cc"),
+        )
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "label")
+    )
+    ivf = (
+        e.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cos_r.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = brute.join(ivf, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
+            _eps_round(F.coalesce(F.col("n"), F.lit(0)) / F.lit(10.0), 4).alias("recall"),
+        )
+    )
