@@ -1480,3 +1480,39 @@ def ann_recall_ivf(spark, sf_dir):
             _eps_round(F.coalesce(F.col("n"), F.lit(0)) / F.lit(10.0), 4).alias("recall"),
         )
     )
+
+
+@register(
+    "inverted_index",
+    """
+    WITH t AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text IS NOT NULL)
+    SELECT term, COUNT(*) AS df,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+           md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS postings_hash
+    FROM t GROUP BY term
+    """,
+    tags=("pipeline", "text", "index"),
+)
+def inverted_index(spark, sf_dir):
+    """Inverted index build — the retrieval-side primitive of a text corpus
+    (term -> document frequency + sorted posting list): explode to distinct
+    (term, doc) pairs, one groupBy. The full posting list is verified
+    through an md5 of its comma-joined sorted form (scalar, so the driver's
+    type-aware hash sees identical VARCHAR on both engines rather than a
+    nested list). At 100 TB this is the one-shuffle term partition a
+    search/index job produces; skewed stopword terms are exactly the
+    salting case agg_salted_skew demonstrates."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = d.select(
+        "doc_id", F.explode(textops.tokens()).alias("term")
+    ).distinct()
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+        ).alias("postings_hash"),
+    )
