@@ -999,3 +999,37 @@ def approx_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "scan_orc_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE n_chars > 50 GROUP BY lang ORDER BY lang
+    """,
+    tags=("relational", "scan", "sink", "orc"),
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan — Spark's second native columnar format (predicate
+    pushdown, column pruning, and vectorized reads work the same as
+    parquet): write (doc_id, lang, n_chars), read back with an explicit
+    schema, filter + aggregate. The filter exercises ORC-side predicate
+    pushdown; the parquet-sourced oracle checks the values survived."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"/tmp/dask_image_spark_io/orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    d.write.mode("overwrite").orc(path)
+    back = spark.read.schema("doc_id LONG, lang STRING, n_chars LONG").orc(path)
+    return (
+        back.filter(F.col("n_chars") > 50)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -223,3 +223,53 @@ def session_window_batch(spark, sf_dir):
             "n_events", "total_value",
         )
     )
+
+
+@register(
+    "asof_join_forward",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, c.click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    tags=("timeseries", "join", "asof"),
+)
+def asof_join_forward(spark, sf_dir):
+    """FORWARD as-of join — each purchase matched to the user's NEXT click
+    at or after it (the other direction a time-align API exposes; upstream
+    pandas/DuckDB call it direction='forward'). Same union + window
+    pattern as ``asof_join`` mirrored: first_value over the FOLLOWING
+    frame, kind ordering clicks after purchases on equal ts so 'at or
+    after' includes the tie. One shuffle on user_id, no range explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", "click_id", F.lit(1).alias("kind"),
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+                F.lit(0).alias("kind"), "event_id")
+    )
+    # kind orders purchases before clicks on equal ts -> "at or after"
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    matched = unioned.withColumn(
+        "next_click",
+        F.first("click_id", ignorenulls=True).over(w),
+    )
+    return matched.filter(F.col("kind") == 0).select(
+        "event_id", "user_id", F.col("next_click").alias("click_id")
+    )
