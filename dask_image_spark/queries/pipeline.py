@@ -1277,12 +1277,17 @@ def pack_sequences(spark, sf_dir):
     and only (lang, doc_id, n_tok) metadata rows enter the per-group
     applyInPandas that runs the greedy scan; document text never moves.
     The oracle replays the same walk as a DuckDB recursive CTE."""
-    import pandas as pd
-
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     meta = d.select(
         "lang", "doc_id", F.size(textops.tokens()).cast("int").alias("n_tok")
     )
+    return _pack_bins(meta)
+
+
+def _pack_bins(meta):
+    """Greedy 512-token bin walk over (lang, doc_id, n_tok) metadata rows:
+    per-lang applyInPandas (see ``pack_sequences`` for the scale design)."""
+    import pandas as pd
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -1515,4 +1520,77 @@ def inverted_index(spark, sf_dir):
         F.md5(
             F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
         ).alias("postings_hash"),
+    )
+
+
+@register(
+    "curation_pipeline",
+    """
+    WITH RECURSIVE sampled AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE text IS NOT NULL
+        AND substr(md5('strat7:' || CAST(doc_id AS VARCHAR)), 1, 2)
+            < (CASE WHEN lang = 'en' THEN '40' ELSE 'cc' END)),
+    dedup AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM sampled) WHERE rn = 1),
+    qual AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM dedup WHERE len(string_split(text, ' ')) >= 20),
+    toks AS (
+      SELECT lang, doc_id, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM qual),
+    rec AS (
+      SELECT lang, doc_id, rn, n_tok, n_tok AS fill, 0 AS bin
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT n.lang, n.doc_id, n.rn, n.n_tok,
+             CASE WHEN r.fill + n.n_tok > 512 THEN n.n_tok
+                  ELSE r.fill + n.n_tok END,
+             CASE WHEN r.fill + n.n_tok > 512 THEN r.bin + 1 ELSE r.bin END
+      FROM rec r JOIN toks n ON n.lang = r.lang AND n.rn = r.rn + 1)
+    SELECT lang, CAST(bin AS INT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM rec GROUP BY 1, 2
+    """,
+    tags=("pipeline", "curation", "flagship"),
+)
+def curation_pipeline(spark, sf_dir):
+    """The END-TO-END curation story in one plan — what a training-data
+    job actually runs, composed from this engine's own primitives:
+
+    1. deterministic stratified sample (salted-md5 threshold, 25% en /
+       80% rest — scan-side filter, zero shuffle);
+    2. exact dedup (min-doc_id survivor per sha256 — one shuffle on the
+       content hash);
+    3. quality gate (>= 20 tokens, JVM-side);
+    4. greedy 512-token context-window packing per lang shard
+       (metadata-only shuffle + per-group walk);
+    then a bin-level summary (lang, bin, n_docs, n_tokens). The oracle
+    replays all four stages in one DuckDB WITH RECURSIVE chain, so a
+    value drift anywhere in the composition fails the hash. Catalyst
+    pipelines stages 1+3 into scans and keeps three total exchanges
+    (content-hash window, lang pack, final groupBy reusing the lang
+    partitioning)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    digest = F.md5(F.concat(F.lit("strat7:"), F.col("doc_id").cast("string")))
+    thresh = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("cc"))
+    sampled = d.filter(F.substring(digest, 1, 2) < thresh)
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    dedup = (
+        sampled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    qual = dedup.select(
+        "lang", "doc_id", F.size(textops.tokens()).cast("int").alias("n_tok")
+    ).filter(F.col("n_tok") >= 20)
+    packed = _pack_bins(qual)
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
