@@ -1594,3 +1594,58 @@ def curation_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "contamination_check",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i + 2], ' '))) AS sh
+      FROM toks),
+    bench AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+    tsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id)
+    SELECT t.doc_id,
+           COUNT(DISTINCT t.sh) AS n_shared,
+           ROUND(1.2345e-8 + COUNT(DISTINCT t.sh) / CAST(z.n_sh AS DOUBLE), 4)
+             AS contaminated_frac
+    FROM train t
+    JOIN (SELECT DISTINCT sh FROM bench) b ON b.sh = t.sh
+    JOIN tsz z ON z.doc_id = t.doc_id
+    GROUP BY t.doc_id, z.n_sh
+    """,
+    tags=("pipeline", "dedup", "eval"),
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark-contamination detection — the pre-training hygiene pass:
+    flag training documents sharing 3-gram shingles with a held-out
+    benchmark set (here: every 50th doc), with the shared-shingle count
+    and the contaminated fraction of each doc's shingle vocabulary.
+    Shape: distinct (doc, shingle) explode -> semi-style hash join against
+    the (small, broadcastable) benchmark shingle set -> one groupBy. At
+    100 TB the benchmark side is tiny and broadcast, so the pass costs
+    one corpus scan + one aggregation — no self-join blowup."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = textops.exploded_shingles(d, k=3).distinct()
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("sh").distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    tsz = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+    return hits.join(tsz, "doc_id").select(
+        "doc_id",
+        "n_shared",
+        _eps_round(
+            F.col("n_shared") / F.col("n_sh").cast("double"), 4
+        ).alias("contaminated_frac"),
+    )
