@@ -273,3 +273,57 @@ def asof_join_forward(spark, sf_dir):
     return matched.filter(F.col("kind") == 0).select(
         "event_id", "user_id", F.col("next_click").alias("click_id")
     )
+
+
+@register(
+    "gap_fill_hours",
+    """
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', ts) AS h, event_type,
+             COUNT(*) AS n, SUM(value) AS tot
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT MIN(DATE_TRUNC('hour', ts)) AS mn,
+             MAX(DATE_TRUNC('hour', ts)) AS mx FROM events),
+    grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT g.h AS hour_start, t.event_type,
+           CAST(COALESCE(hh.n, 0) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + COALESCE(hh.tot, 0), 4) AS total
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN hourly hh ON hh.h = g.h AND hh.event_type = t.event_type
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def gap_fill_hours(spark, sf_dir):
+    """Time-series gap filling — the densification step before any rolling
+    or ML feature computation: emit EVERY (hour, event_type) cell of the
+    observed time range, zero-filled where no events landed. The hour grid
+    comes from one min/max aggregate + ``sequence`` explode and the type
+    dimension from a distinct — both tiny and broadcast, so at scale this
+    is one aggregation plus a broadcast left join against it (the fact
+    side never re-shuffles)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("mn"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    full = F.broadcast(grid).crossJoin(F.broadcast(types))
+    return full.join(hourly, ["h", "event_type"], "left").select(
+        F.col("h").alias("hour_start"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        _eps_round(F.coalesce(F.col("tot"), F.lit(0.0)), 4).alias("total"),
+    )
