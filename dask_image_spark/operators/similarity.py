@@ -281,7 +281,8 @@ def cosine_pairs_lsh(
 def kmeans_lloyd(
     emb: DataFrame, k: int = 8, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
-) -> DataFrame:
+    return_centroids: bool = False,
+):
     """Lloyd's k-means, ``iters`` unrolled iterations, deterministic.
 
     Init: the vectors with id < k. Each iteration: (1) assign — cross join
@@ -332,6 +333,11 @@ def kmeans_lloyd(
                 F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
             ).alias("_cvec")
         )
+    if return_centroids:
+        # cents is the POST-re-center table (c_iters) — callers doing IVF
+        # assign against it with one more argmin pass so quantizer and
+        # assignments agree.
+        return asg, cents
     return asg
 
 

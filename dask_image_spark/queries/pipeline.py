@@ -1649,3 +1649,106 @@ def contamination_check(spark, sf_dir):
             F.col("n_shared") / F.col("n_sh").cast("double"), 4
         ).alias("contaminated_frac"),
     )
+
+
+def _ivf_kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """kmeans CTE chain (shared with kmeans_lloyd) + final assignment
+    against the learned centroids + euclidean probe + cosine rank."""
+    dist = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+    )
+    d_assign = dist.format(v="e.v", c=f"c{iters}.cvec")
+    d_probe = dist.format(v="q.v", c=f"c{iters}.cvec")
+    cos = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        "i -> e.v[i] * q.v[i]), 'sum')"
+        " / (SQRT(list_aggregate(list_transform(e.v, x -> x * x), 'sum'))"
+        " * SQRT(list_aggregate(list_transform(q.v, x -> x * x), 'sum')))"
+    )
+    return (
+        similarity.kmeans_lloyd_sql(k, iters, dim)
+        + f""",
+    a_final AS (
+      SELECT e.vec_id, c{iters}.cid FROM e CROSS JOIN c{iters}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {d_assign}, c{iters}.cid) = 1),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM c{iters} CROSS JOIN q
+      ORDER BY {d_probe}, cid LIMIT 1)
+    SELECT e.vec_id, ROUND(1.2345e-8 + {cos}, 4) AS cos_sim
+    FROM a_final JOIN probe USING (cid) JOIN e ON e.vec_id = a_final.vec_id
+    CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+    """
+    )
+
+
+@register(
+    "ivf_kmeans_topk",
+    _ivf_kmeans_oracle(),
+    tags=("pipeline", "similarity", "ann", "kmeans"),
+)
+def ivf_kmeans_topk(spark, sf_dir):
+    """IVF with a LEARNED coarse quantizer — the full IVF-Flat build+search
+    story (label-partitioned `similarity_ivf_topk` is the shortcut form):
+    2 Lloyd iterations learn 8 centroids, every vector gets a final
+    euclidean argmin assignment against them, the query probes its nearest
+    learned centroid, and exact cosine ranks the probed cluster. Quantized
+    (6 dp) centroids are the cross-engine determinism barrier; assignment
+    and probe share the euclidean metric so the inverted lists agree with
+    the probe. Scale: centroids broadcast everywhere; the training loop is
+    fixed-iteration (no data-dependent driver loop); the probed cluster is
+    an equi-filter, partition-prunable when the table is bucketed by cid."""
+    e0 = load_table(spark, sf_dir, "embeddings")
+    _, cents = similarity.kmeans_lloyd(e0, k=8, iters=2, return_centroids=True)
+    e = e0.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_cvec"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("_m"))
+        .select("vec_id", F.col("_m.cid").alias("cid"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("_v").alias("_qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_cvec"), F.col("_qv"), lambda c, x: (c - x) * (c - x)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        .orderBy("d", "cid")
+        .limit(1)
+        .select("cid")
+    )
+    cands = (
+        assign.join(F.broadcast(probe), "cid")
+        .join(e, "vec_id")
+        .filter(F.col("vec_id") != 0)
+    )
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            _eps_round(
+                similarity.cosine(F.col("_v"), F.col("_qv")), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
