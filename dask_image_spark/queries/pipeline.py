@@ -1574,9 +1574,10 @@ def curation_pipeline(spark, sf_dir):
     then a bin-level summary (lang, bin, n_docs, n_tokens). The oracle
     replays all four stages in one DuckDB WITH RECURSIVE chain, so a
     value drift anywhere in the composition fails the hash. Catalyst
-    pipelines stages 1+3 into scans and keeps three total exchanges
-    (content-hash window, lang pack, final groupBy reusing the lang
-    partitioning)."""
+    fuses the sample filter into the scan and keeps three total
+    exchanges — content-hash window (with a map-side WindowGroupLimit
+    pruning non-survivors BEFORE the shuffle), the lang pack, and the
+    final (lang, bin) groupBy — pinned in tests/test_plans.py."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     digest = F.md5(F.concat(F.lit("strat7:"), F.col("doc_id").cast("string")))
     thresh = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("cc"))

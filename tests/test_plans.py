@@ -192,3 +192,19 @@ def test_embedding_quantize_is_map_only(spark, sf_dir):
     p = _plan(spark, sf_dir, "embedding_quantize_int8")
     assert "Exchange" not in p
     assert "Python" not in p  # no BatchEvalPython / ArrowEvalPython
+
+
+def test_curation_pipeline_three_exchanges_and_maplocal_dedup(spark, sf_dir):
+    """The 4-stage composition stays at three exchanges (content-hash
+    window, lang pack, final groupBy), the sample filter fuses into the
+    scan stage, and the dedup's rn=1 plans a WindowGroupLimit BEFORE the
+    hash-window exchange (map-side survivor pruning)."""
+    p = _plan(spark, sf_dir, "curation_pipeline")
+    tree = p.split("\n\n")[0]
+    n_shuffle = sum(
+        1 for line in tree.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+    )
+    assert n_shuffle == 3, f"expected 3 exchanges:\n{tree}"
+    assert "WindowGroupLimit" in tree
