@@ -346,3 +346,36 @@ def fourier_shift(px: DataFrame, shift, shape, keys=()) -> DataFrame:
         return np.real(np.fft.ifft2(np.fft.fft2(img) * ramp))
 
     return _image_apply(px, fn, shape, keys)
+
+
+def fourier_gaussian_3d(px: DataFrame, sigma: float, shape, keys=()) -> DataFrame:
+    """Rank-3 FFT-domain Gaussian — the fourier ops are rank-generic
+    upstream (``ndfourier`` accepts any dimensionality); this is the n-D
+    surface past 2-D. Same contract as the 2-D path: one whole-volume
+    numpy group per key, separable frequency response, real inverse."""
+    d, h, w = shape
+    keys = list(keys)
+    schema = ", ".join(
+        [*(f"{k} long" for k in keys), "z int", "y int", "x int", "v double"]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((d, h, w), dtype=np.float64)
+        img[
+            pdf["z"].to_numpy(), pdf["y"].to_numpy(), pdf["x"].to_numpy()
+        ] = pdf["value"].to_numpy()
+        fz = np.fft.fftfreq(d)[:, None, None]
+        fy = np.fft.fftfreq(h)[None, :, None]
+        fx = np.fft.fftfreq(w)[None, None, :]
+        resp = np.exp(-2.0 * np.pi**2 * sigma**2 * (fz**2 + fy**2 + fx**2))
+        out = np.real(np.fft.ifftn(np.fft.fftn(img) * resp))
+        zs, ys, xs = np.indices((d, h, w))
+        res = pd.DataFrame(
+            {"z": zs.ravel(), "y": ys.ravel(), "x": xs.ravel(), "v": out.ravel()}
+        )
+        for k in keys:
+            res[k] = pdf[k].iloc[0]
+        return res[[*keys, "z", "y", "x", "v"]]
+
+    grouped = px.groupBy(*keys) if keys else px.groupBy(F.lit(1).alias("_g"))
+    return grouped.applyInPandas(fn, schema)

@@ -20,7 +20,7 @@ from dask_image_spark.functions.pixelgrid import (
     pixel_grid,
     with_pixel_ctes,
 )
-from dask_image_spark.operators import ndfilters, ndmeasure, ndmorph
+from dask_image_spark.operators import chunked, ndfilters, ndmeasure, ndmorph
 from dask_image_spark.queries.base import r as _eps_round, register
 from dask_image_spark.sources.tables import load_table
 
@@ -780,3 +780,64 @@ def measure_histogram(spark, sf_dir):
     tags=("imaging", "ndmeasure"))
 def measure_find_objects(spark, sf_dir):
     return ndmeasure.find_objects(labeled_grid(spark, sf_dir))
+
+
+_VOL2 = (
+    f"vol3 AS (SELECT CAST((event_id // {_VOL ** 3}) % 2 AS BIGINT) AS vol, "
+    f"CAST(event_id % {_VOL} AS INT) AS z, "
+    f"CAST((event_id // {_VOL}) % {_VOL} AS INT) AS y, "
+    f"CAST((event_id // {_VOL * _VOL}) % {_VOL} AS INT) AS x, "
+    "SUM(value) AS value FROM events GROUP BY 1, 2, 3, 4)"
+)
+
+
+def _fourier3d_oracle(sigma: float) -> str:
+    """Separable rank-3 convolution-theorem oracle: three chained 1-D
+    circular convolutions with the per-axis gaussian response's
+    inverse-DFT taps (driver-computed double literals)."""
+    import numpy as np
+
+    f = np.fft.fftfreq(_VOL)
+    taps = np.real(np.fft.ifft(np.exp(-2.0 * np.pi**2 * sigma**2 * f**2)))
+    tv = ", ".join(
+        f"({i}, CAST({float(w)!r} AS DOUBLE))" for i, w in enumerate(taps)
+    )
+    return f"""
+    WITH {_VOL2}
+    SELECT g.vol, g.z, g.y, g.x, ROUND(1.2345e-8 + g.v, 4) AS v FROM (
+      SELECT c2.vol, c2.z, c2.y, CAST((c2.x + tx.k) % {_VOL} AS INT) AS x,
+             SUM(tx.w * c2.v) AS v
+      FROM (
+        SELECT c1.vol, c1.z, CAST((c1.y + ty.k) % {_VOL} AS INT) AS y, c1.x,
+               SUM(ty.w * c1.v) AS v
+        FROM (
+          SELECT p.vol, CAST((p.z + tz.k) % {_VOL} AS INT) AS z, p.y, p.x,
+                 SUM(tz.w * p.value) AS v
+          FROM vol3 p CROSS JOIN (VALUES {tv}) tz(k, w)
+          GROUP BY 1, 2, 3, 4
+        ) c1 CROSS JOIN (VALUES {tv}) ty(k, w)
+        GROUP BY 1, 2, 3, 4
+      ) c2 CROSS JOIN (VALUES {tv}) tx(k, w)
+      GROUP BY 1, 2, 3, 4
+    ) g
+    """
+
+
+@register("fourier_gaussian_3d", _fourier3d_oracle(1.0),
+          tags=("imaging", "ndfourier", "3d", "udf"))
+def fourier_gaussian_3d(spark, sf_dir):
+    """Rank-3 FFT Gaussian over TWO 16^3 volumes (keyed groups parallelize)
+    — the n-D fourier surface past 2-D, mirroring how filter_laplace_3d
+    grades the n-D stencil surface. Strong via three chained 1-D circular
+    convolutions (separable response, driver-computed taps)."""
+    ev = load_table(spark, sf_dir, "events")
+    px3 = ev.groupBy(
+        F.expr(f"CAST((event_id div {_VOL ** 3}) % 2 AS BIGINT)").alias("vol"),
+        F.expr(f"CAST(event_id % {_VOL} AS INT)").alias("z"),
+        F.expr(f"CAST((event_id div {_VOL}) % {_VOL} AS INT)").alias("y"),
+        F.expr(f"CAST((event_id div {_VOL * _VOL}) % {_VOL} AS INT)").alias("x"),
+    ).agg(F.sum("value").alias("value"))
+    out = chunked.fourier_gaussian_3d(
+        px3, sigma=1.0, shape=(_VOL, _VOL, _VOL), keys=["vol"]
+    )
+    return out.select("vol", "z", "y", "x", _eps_round("v", 4).alias("v"))
