@@ -327,3 +327,57 @@ def shift_wrap(px: DataFrame, shift, shape, keys=()) -> DataFrame:
         F.pmod(F.col("x") + F.lit(int(sx)), F.lit(w)).cast("int").alias("_ox"),
         F.col("value").alias("v"),
     ).select(*keys, F.col("_oy").alias("y"), F.col("_ox").alias("x"), "v")
+
+
+def affine_transform_order1_3d(
+    px: DataFrame, diag, offset, shape, keys=(),
+) -> DataFrame:
+    """Rank-3 trilinear affine (diagonal matrix + offset) — the n-D surface
+    of the gather-join pattern: 8 corner pixels via a broadcast corner
+    table, weights as the product of three 1-D lerp terms, clamped
+    (nearest) at edges. Same single-shuffle shape as the 2-D form."""
+    keys = list(keys)
+    d, h, w = shape
+    mz, my, mx = diag
+    oz, oy, ox = offset
+    spark = px.sparkSession
+    corners = values_df(
+        spark, "cz, cy, cx",
+        [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)],
+    )
+    fz = F.lit(float(mz)) * F.col("z") + F.lit(float(oz))
+    fy = F.lit(float(my)) * F.col("y") + F.lit(float(oy))
+    fx = F.lit(float(mx)) * F.col("x") + F.lit(float(ox))
+    base = px.select(*keys, "z", "y", "x").withColumns(
+        {"fz": fz, "fy": fy, "fx": fx}
+    ).withColumns(
+        {
+            "z0": F.floor(F.col("fz")).cast("int"),
+            "y0": F.floor(F.col("fy")).cast("int"),
+            "x0": F.floor(F.col("fx")).cast("int"),
+            "tz": F.col("fz") - F.floor(F.col("fz")),
+            "ty": F.col("fy") - F.floor(F.col("fy")),
+            "tx": F.col("fx") - F.floor(F.col("fx")),
+        }
+    )
+    j = base.crossJoin(F.broadcast(corners)).withColumns(
+        {
+            "sz": F.least(F.greatest(F.col("z0") + F.col("cz"), F.lit(0)), F.lit(d - 1)),
+            "sy": F.least(F.greatest(F.col("y0") + F.col("cy"), F.lit(0)), F.lit(h - 1)),
+            "sx": F.least(F.greatest(F.col("x0") + F.col("cx"), F.lit(0)), F.lit(w - 1)),
+            "wgt": (
+                F.when(F.col("cz") == 0, 1 - F.col("tz")).otherwise(F.col("tz"))
+                * F.when(F.col("cy") == 0, 1 - F.col("ty")).otherwise(F.col("ty"))
+                * F.when(F.col("cx") == 0, 1 - F.col("tx")).otherwise(F.col("tx"))
+            ),
+        }
+    )
+    src = px.select(
+        *keys, F.col("z").alias("sz"), F.col("y").alias("sy"),
+        F.col("x").alias("sx"), F.col("value").alias("sv"),
+    )
+    return (
+        j.join(src, on=[*keys, "sz", "sy", "sx"])
+        .groupBy(*keys, "z", "y", "x")
+        .agg(F.sum(F.col("wgt") * F.col("sv")).alias("v"))
+    )

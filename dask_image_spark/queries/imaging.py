@@ -20,7 +20,7 @@ from dask_image_spark.functions.pixelgrid import (
     pixel_grid,
     with_pixel_ctes,
 )
-from dask_image_spark.operators import chunked, ndfilters, ndmeasure, ndmorph
+from dask_image_spark.operators import chunked, ndfilters, ndinterp, ndmeasure, ndmorph
 from dask_image_spark.queries.base import r as _eps_round, register
 from dask_image_spark.sources.tables import load_table
 
@@ -841,3 +841,58 @@ def fourier_gaussian_3d(spark, sf_dir):
         px3, sigma=1.0, shape=(_VOL, _VOL, _VOL), keys=["vol"]
     )
     return out.select("vol", "z", "y", "x", _eps_round("v", 4).alias("v"))
+
+
+def _affine1_3d_oracle(mz, my, mx, oz, oy, ox) -> str:
+    """Rank-3 trilinear gather oracle: 8 corners, clamped, product weights
+    (the 3-D generalization of the bilinear oracle in queries/interp.py)."""
+
+    def d(v):
+        return f"CAST({v!r} AS DOUBLE)"
+
+    fz = f"({d(mz)} * o.z + {d(oz)})"
+    fy = f"({d(my)} * o.y + {d(oy)})"
+    fx = f"({d(mx)} * o.x + {d(ox)})"
+    corners = ", ".join(
+        f"({a}, {b}, {c})" for a in (0, 1) for b in (0, 1) for c in (0, 1)
+    )
+    lerp = (
+        "(CASE WHEN k.cz = 0 THEN 1 - ({fz} - FLOOR({fz})) ELSE ({fz} - FLOOR({fz})) END)"
+        " * (CASE WHEN k.cy = 0 THEN 1 - ({fy} - FLOOR({fy})) ELSE ({fy} - FLOOR({fy})) END)"
+        " * (CASE WHEN k.cx = 0 THEN 1 - ({fx} - FLOOR({fx})) ELSE ({fx} - FLOOR({fx})) END)"
+    ).format(fz=fz, fy=fy, fx=fx)
+    hi = _VOL - 1
+    return f"""
+    WITH {_PX3}
+    SELECT g.z, g.y, g.x, ROUND(1.2345e-8 + SUM(g.wgt * p.value), 4) AS v
+    FROM (
+      SELECT o.z, o.y, o.x,
+             LEAST(GREATEST(CAST(FLOOR({fz}) AS INT) + k.cz, 0), {hi}) AS sz,
+             LEAST(GREATEST(CAST(FLOOR({fy}) AS INT) + k.cy, 0), {hi}) AS sy,
+             LEAST(GREATEST(CAST(FLOOR({fx}) AS INT) + k.cx, 0), {hi}) AS sx,
+             {lerp} AS wgt
+      FROM px3 o CROSS JOIN (VALUES {corners}) k(cz, cy, cx)
+    ) g JOIN px3 p ON p.z = g.sz AND p.y = g.sy AND p.x = g.sx
+    GROUP BY g.z, g.y, g.x
+    """
+
+
+@register(
+    "affine_order1_3d",
+    _affine1_3d_oracle(0.7, 0.7, 0.7, 2.5, 1.25, 3.75),
+    tags=("imaging", "ndinterp", "3d"),
+)
+def affine_order1_3d(spark, sf_dir):
+    """Rank-3 trilinear affine (zoom 0.7 + fractional translate) over the
+    16^3 volume — the n-D surface of the interp gather-join pattern
+    (upstream affine_transform accepts any rank)."""
+    ev = load_table(spark, sf_dir, "events")
+    px3 = ev.groupBy(
+        F.expr(f"CAST(event_id % {_VOL} AS INT)").alias("z"),
+        F.expr(f"CAST((event_id div {_VOL}) % {_VOL} AS INT)").alias("y"),
+        F.expr(f"CAST((event_id div {_VOL * _VOL}) % {_VOL} AS INT)").alias("x"),
+    ).agg(F.sum("value").alias("value"))
+    out = ndinterp.affine_transform_order1_3d(
+        px3, (0.7, 0.7, 0.7), (2.5, 1.25, 3.75), (_VOL, _VOL, _VOL)
+    )
+    return out.select("z", "y", "x", _eps_round("v", 4).alias("v"))
