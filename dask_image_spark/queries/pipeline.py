@@ -1753,3 +1753,39 @@ def ivf_kmeans_topk(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "quality_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i + 2], ' '))) AS sh
+      FROM toks),
+    cnt AS (SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS max_rep,
+           ROUND(1.2345e-8 + MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS rep_ratio
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def quality_repetition(spark, sf_dir):
+    """Repetition-based quality scoring (the Gopher-rule family: drop docs
+    dominated by a repeated n-gram): per doc, the count of the most
+    frequent 3-gram over the total 3-gram count. One explode + two
+    partial-aggregatable groupBys, all JVM-side — linear in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = textops.exploded_shingles(d, k=3)
+    cnt = sh.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("max_rep"),
+        _eps_round(
+            F.max("c") / F.sum("c").cast("double"), 4
+        ).alias("rep_ratio"),
+    )
