@@ -1789,3 +1789,64 @@ def quality_repetition(spark, sf_dir):
             F.max("c") / F.sum("c").cast("double"), 4
         ).alias("rep_ratio"),
     )
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {textops.simhash16_sql("text")} AS h
+      FROM documents WHERE text IS NOT NULL),
+    bands AS (
+      SELECT doc_id, b, (h >> (4 * b)) & 15 AS bv
+      FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+      WHERE a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(x.h, y.h)) AS INT) AS hamming
+    FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    WHERE bit_count(xor(x.h, y.h)) <= 3
+    """,
+    tags=("pipeline", "dedup", "simhash"),
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS — completes the simhash pipeline the way
+    lsh_band_pairs completes minhash: block on 4 bands of 4 bits (by
+    pigeonhole, any pair within hamming 3 shares at least one intact
+    band), self-join per band bucket, then the exact hamming <= 3 filter
+    via bit_count(xor). The band shuffle carries (doc_id, band, nibble)
+    only; the O(n^2) pair space never materializes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = d.select("doc_id", textops.simhash16("text").alias("h"))
+    band_vals = F.array(*[
+        F.struct(
+            F.lit(b).alias("b"),
+            F.shiftright(F.col("h"), 4 * b).bitwiseAND(F.lit(15)).alias("bv"),
+        )
+        for b in range(4)
+    ])
+    bands = sh.select("doc_id", F.explode(band_vals).alias("e")).select(
+        "doc_id", F.col("e.b").alias("b"), F.col("e.bv").alias("bv")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(ham <= 3)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )
