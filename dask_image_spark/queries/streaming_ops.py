@@ -130,3 +130,21 @@ def streaming_dedup_watermark(spark, sf_dir):
 )
 def streaming_dedup(spark, sf_dir):
     return ops.dedup_counts(spark, sf_dir)
+
+
+@register(
+    "streaming_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (availableNow batch
+    equivalence): every purchase x same-user click within the prior hour.
+    The oracle is the identical interval join in batch SQL."""
+    return ops.stream_stream_join(spark, sf_dir)
