@@ -1033,3 +1033,48 @@ def scan_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "winsorize_values",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_lo,
+           CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clip_hi,
+           ROUND(1.2345e-8 + AVG(e.value), 4) AS mean_raw,
+           ROUND(1.2345e-8 + AVG(LEAST(GREATEST(e.value, b.lo), b.hi)), 4)
+             AS mean_winsor
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("relational", "agg", "stats", "robust"),
+)
+def winsorize_values(spark, sf_dir):
+    """Winsorization — the robust-stats preprocessing step (clip outliers
+    to the per-group p01/p99 before aggregating): exact interpolated
+    percentiles per event_type (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, parity proven by agg_quantiles), broadcast the
+    tiny per-group bounds back onto the facts, clip, and compare raw vs
+    winsorized means plus clip counts. Two aggregations and one broadcast
+    join — the fact table is scanned twice, shuffled by type twice, both
+    partial-aggregatable."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("lo"),
+        F.percentile("value", 0.99).alias("hi"),
+    )
+    j = ev.join(F.broadcast(b), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias("n_clip_lo"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias("n_clip_hi"),
+        _eps_round(F.avg("value"), 4).alias("mean_raw"),
+        _eps_round(F.avg(clipped), 4).alias("mean_winsor"),
+    )
