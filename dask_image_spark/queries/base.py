@@ -42,71 +42,67 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 3 window: the 38 strong queries never driver-graded in rounds 1-2,
-# plus spline_filter (hash-failed round 1 under the old weak check, strong
-# reconstruction-identity oracle since round 2) and the three round-2
-# hash-fails whose oracles emitted DuckDB HUGEINT (sessionize /
-# session_stats / token_bpe_count — CAST AS BIGINT applied this round).
-# The tail seats new round-3 queries as they land.
+# Round 4 window (VERDICT_r03 "Next round" item 1): the 19 strong queries
+# that have NEVER been driver-graded — the whole round-3-late batch, the
+# curation pipeline + its four component ops first, then the HUGEINT-risk
+# aggregates (inverted_index) early — followed by new round-4 queries as
+# they land, backfilled with re-grades of the oldest evidence (the round-1
+# imaging families) for drift protection.
 WINDOW: list[str] = [
-    # round-2 HUGEINT fails, re-graded after the CAST fixes
-    "token_bpe_count",
-    "sessionize",
-    "session_stats",
-    # imaging / interp / morphology variants never graded
-    "filter_uniform_even",
-    "filter_minimum_even",
-    "filter_median5_r2_tiles",
-    "morph_dilation_square",
-    "morph_erosion_3d",
-    "filter_laplace_3d_constant",
-    "affine_order3_identity",
-    "spline_filter",
-    # LLM data pipeline, round-2 additions
-    "dedup_minhash_survivors",
-    "kmeans_lloyd_2iter",
-    "knn_graph_lsh",
-    "similarity_ivf_multiprobe",
-    "text_normalize",
-    "agg_salted_skew",
-    "quality_lm_bigram",
-    "imread_pgm",
-    "multimodal_resize",
-    # scans / sinks
-    "scan_csv_roundtrip",
-    "scan_json_roundtrip",
-    "scan_partitioned_parquet",
-    # relational never graded
-    "upsert_latest_wins",
-    "profile_table",
-    "agg_quantiles",
-    "join_bucketed",
-    "agg_cube",
-    "agg_grouping_sets",
-    "window_lag_lead",
-    "window_frames",
-    "window_range_frame",
-    "window_ranking_family",
-    "set_ops",
-    "string_funcs",
-    "date_funcs",
-    "json_funcs",
-    "array_funcs",
-    "pivot_events",
-    # streaming never graded
-    "streaming_parquet_sink",
-    "streaming_static_join",
-    "streaming_session_window",
-    # new round-3 queries (swapped in as they land; placeholders are
-    # already-green re-grades until then)
-    "fourier_gaussian",
-    "fourier_uniform",
-    "affine_order2_identity",
-    "affine_order5_identity",
-    "imread_png",
-    "fourier_ellipsoid",
-    "imread_tiff",
-    "dedup_minhash_lsh",
+    # --- never driver-graded (19): pure evidence yield ---
+    "curation_pipeline",
+    "sample_stratified",
+    "pack_sequences",
+    "embedding_quantize_int8",
+    "ann_recall_ivf",
+    "inverted_index",
+    "contamination_check",
+    "ivf_kmeans_topk",
+    "winsorize_values",
+    "dedup_simhash_pairs",
+    "quality_repetition",
+    "gap_fill_hours",
+    "asof_join_forward",
+    "scan_orc_roundtrip",
+    "streaming_stream_join",
+    "fourier_shift_frac",
+    "fourier_gaussian_3d",
+    "affine_order1_3d",
+    "affine_order4_identity",
+    # --- new round-4 queries are swapped in here as they land (replacing
+    # backfill tail entries below) ---
+    # --- backfill: round-1 imaging re-grades, oldest evidence first ---
+    "filter_convolve",
+    "filter_convolve_constant",
+    "filter_correlate",
+    "filter_uniform",
+    "filter_uniform_wrap",
+    "filter_minimum",
+    "filter_minimum_nearest",
+    "filter_maximum",
+    "filter_median",
+    "filter_rank",
+    "filter_percentile",
+    "filter_gaussian",
+    "filter_gaussian_aniso",
+    "filter_gaussian_gradmag",
+    "filter_gaussian_laplace",
+    "filter_laplace",
+    "filter_sobel",
+    "filter_prewitt",
+    "filter_threshold_local",
+    "morph_erosion",
+    "morph_dilation",
+    "morph_opening",
+    "morph_closing",
+    "morph_erosion_iter2",
+    "filter_laplace_3d",
+    "filter_box_multi_image",
+    "measure_area",
+    "measure_minimum_position",
+    "measure_histogram",
+    "measure_find_objects",
+    "label_cc",
 ]
 
 
