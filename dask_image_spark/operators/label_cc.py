@@ -35,9 +35,36 @@ from pyspark.sql import functions as F
 from dask_image_spark.functions.localrel import values_df
 
 
-def _label_block_np(ys, xs, h, w):
-    """4-connected labeling of points within a block; returns local labels
-    (0-based) via union-find over the dense block raster."""
+def forward_offsets(structure=None) -> list[tuple[int, int]]:
+    """Neighbor offsets from a scipy-style structuring element.
+
+    ``structure`` is a (2r+1)×(2r+1) 0/1 array (symmetric, as upstream
+    ``ndmeasure/__init__.py::label(image, structure)`` requires — scipy
+    symmetrizes internally); ``None`` means the default cross
+    (``generate_binary_structure(2, 1)``, 4-connectivity). Returns only the
+    *forward* half of the neighborhood — offsets with ``dy > 0`` or
+    ``dy == 0 and dx > 0`` — because adjacency is symmetric, so each
+    undirected edge needs generating once.
+    """
+    if structure is None:
+        return [(1, 0), (0, 1)]
+    s = np.asarray(structure, dtype=bool)
+    if s.ndim != 2 or any(d % 2 == 0 for d in s.shape):
+        raise ValueError("structure must be a 2-D odd-sized array")
+    cy, cx = s.shape[0] // 2, s.shape[1] // 2
+    offs = []
+    for dy in range(-cy, cy + 1):
+        for dx in range(-cx, cx + 1):
+            if s[dy + cy, dx + cx] and (dy > 0 or (dy == 0 and dx > 0)):
+                offs.append((dy, dx))
+    return offs
+
+
+def _label_block_np(ys, xs, h, w, back_offsets=((-1, 0), (0, -1))):
+    """Structure-connected labeling of points within a block; returns local
+    labels (0-based) via union-find over the dense block raster.
+    ``back_offsets`` is the negated forward half of the neighborhood (each
+    undirected edge is visited from exactly one endpoint)."""
     parent = {}
 
     def find(a):
@@ -55,10 +82,9 @@ def _label_block_np(ys, xs, h, w):
     for p in occupied:
         parent[p] = p
     for (y, x) in occupied:
-        if (y - 1, x) in occupied:
-            union((y, x), (y - 1, x))
-        if (y, x - 1) in occupied:
-            union((y, x), (y, x - 1))
+        for dy, dx in back_offsets:
+            if (y + dy, x + dx) in occupied:
+                union((y, x), (y + dy, x + dx))
     roots = {}
     labels = []
     for p in zip(ys, xs):
@@ -71,7 +97,7 @@ def _label_block_np(ys, xs, h, w):
 
 def label_iterative(
     mask: DataFrame, shape: tuple[int, int], mask_col: str = "m",
-    max_iter: int = 200, on_nonconverged: str = "raise",
+    max_iter: int = 200, on_nonconverged: str = "raise", structure=None,
 ) -> DataFrame:
     """Fully-distributed fallback for :func:`label`: iterative min-label
     propagation over the 4-neighbor graph, for when even the boundary
@@ -85,6 +111,8 @@ def label_iterative(
     O(1) rounds) whenever the adjacency fits the driver, exactly as the
     reference centralizes its sparse CC solve."""
     h, w = shape
+    fwd = forward_offsets(structure)
+    both = fwd + [(-dy, -dx) for dy, dx in fwd]
     lbl = (
         mask.filter(F.col(mask_col))
         .select("y", "x")
@@ -94,7 +122,7 @@ def label_iterative(
     converged = False
     for _ in range(max_iter):
         nbrs = None
-        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        for dy, dx in both:
             shifted = lbl.select(
                 (F.col("y") + dy).alias("y"), (F.col("x") + dx).alias("x"),
                 F.col("lbl").alias("nlbl"),
@@ -135,8 +163,13 @@ def label_iterative(
 def label(
     mask: DataFrame, shape: tuple[int, int], block: int = 32,
     mask_col: str = "m", max_driver_edges: int = 2_000_000,
+    structure=None,
 ) -> DataFrame:
-    """Label 4-connected components of a boolean mask.
+    """Label connected components of a boolean mask.
+
+    ``structure`` follows upstream ``ndmeasure/__init__.py::label(image,
+    structure)``: a symmetric odd-sized 0/1 neighborhood array; ``None`` =
+    the default cross (4-connectivity), ``np.ones((3, 3))`` = 8-connectivity.
 
     Returns (y, x, label) for true pixels; label = min ravel index of the
     component (canonical, deterministic).
@@ -149,6 +182,8 @@ def label(
     — the same job stage 3 needs anyway when the graph is small.
     """
     h, w = shape
+    fwd = forward_offsets(structure)
+    back = [(-dy, -dx) for dy, dx in fwd]
     spark = mask.sparkSession
     pts = mask.filter(F.col(mask_col)).select("y", "x")
 
@@ -165,7 +200,7 @@ def label(
     def pre_label(pdf: pd.DataFrame) -> pd.DataFrame:
         ys = pdf["y"].to_numpy()
         xs = pdf["x"].to_numpy()
-        local = _label_block_np(ys, xs, h, w)
+        local = _label_block_np(ys, xs, h, w, back_offsets=back)
         base = (pdf["by"].iloc[0] * nbx + pdf["bx"].iloc[0]) * area
         return pd.DataFrame({"y": ys, "x": xs, "lbl": base + local})
 
@@ -174,10 +209,11 @@ def label(
     )
     labeled = labeled.localCheckpoint()  # cut lineage; reused 3 times below
 
-    # stage 2: adjacency across all 4-neighbor contacts with differing labels
+    # stage 2: adjacency across all structure-neighbor contacts with
+    # differing labels (one shifted self-join per forward offset)
     a = labeled.alias("a")
     edges = None
-    for dy, dx in ((1, 0), (0, 1)):
+    for dy, dx in fwd:
         b = labeled.select(
             (F.col("y") - dy).alias("y"), (F.col("x") - dx).alias("x"),
             F.col("lbl").alias("lbl_b"),
@@ -192,7 +228,7 @@ def label(
     if len(head) > max_driver_edges:
         # Adjacency graph too large to centralize: fall back to the
         # fully-distributed iterative merge instead of OOMing the driver.
-        return label_iterative(mask, shape, mask_col=mask_col)
+        return label_iterative(mask, shape, mask_col=mask_col, structure=structure)
     pairs = [(r["lbl"], r["lbl_b"]) for r in head]
 
     # stage 3: driver-side union-find over the (small) adjacency graph

@@ -71,9 +71,9 @@ WINDOW: list[str] = [
     "affine_order4_identity",
     # --- new round-4 queries are swapped in here as they land (replacing
     # backfill tail entries below) ---
+    "label_cc_8conn",
     # --- backfill: round-1 imaging re-grades, oldest evidence first ---
     "filter_convolve",
-    "filter_convolve_constant",
     "filter_correlate",
     "filter_uniform",
     "filter_uniform_wrap",

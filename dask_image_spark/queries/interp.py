@@ -522,6 +522,46 @@ def label_cc_q(spark, sf_dir):
     return label_cc.label(m, SHAPE)
 
 
+_LABEL_CC_8CONN_ORACLE = """
+WITH RECURSIVE
+pixels AS (SELECT CAST(event_id % 64 AS INT) AS y,
+                  CAST((event_id // 64) % 64 AS INT) AS x,
+                  SUM(value) AS value FROM events GROUP BY 1, 2),
+mask AS (SELECT y, x, value > (SELECT AVG(value) FROM pixels) AS m FROM pixels),
+fg AS (SELECT CAST(y * 64 + x AS BIGINT) AS id, y, x FROM mask WHERE m),
+e1 AS (
+  SELECT a.id AS src, b.id AS dst FROM fg a JOIN fg b
+    ON (b.y = a.y + 1 AND b.x BETWEEN a.x - 1 AND a.x + 1)
+    OR (b.y = a.y AND b.x = a.x + 1)
+),
+edges AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+reach(src, dst) AS (
+  SELECT id, id FROM fg
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src)
+SELECT f.y, f.x, c.label FROM fg f JOIN comp c ON c.id = f.id
+"""
+
+
+@register(
+    "label_cc_8conn", _LABEL_CC_8CONN_ORACLE,
+    tags=("imaging", "ndmeasure", "label"),
+)
+def label_cc_8conn_q(spark, sf_dir):
+    """Connected components with a full 3×3 structuring element —
+    8-connectivity, upstream ``ndmeasure/__init__.py::label(image,
+    structure=np.ones((3,3)))``. Diagonal contacts merge components the
+    4-connected query keeps apart; the oracle's edge set adds the two
+    diagonal forward offsets, so every pixel's merged label is
+    hash-checked."""
+    import numpy as np
+
+    m = mask_grid(spark, sf_dir)
+    return label_cc.label(m, SHAPE, structure=np.ones((3, 3)))
+
+
 from dask_image_spark.queries.imaging import _BOX3, _linear_oracle  # noqa: E402
 
 
