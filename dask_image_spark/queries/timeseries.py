@@ -310,17 +310,23 @@ def gap_fill_hours(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
     )
-    bounds = ev.agg(
+    # Both grid dimensions from ONE aggregate row (min/max hour +
+    # collect_set of types), then two chained explodes — linear dense-grid
+    # generation with no join of any kind (the round-3 form was a
+    # broadcast×broadcast cross join, fine at hours×types cardinality but a
+    # BroadcastNestedLoop pattern that would not survive a year×10k-types
+    # grid; this form scales as O(|grid|) rows out of a 1-row input).
+    dims = ev.agg(
         F.min(F.date_trunc("hour", F.col("ts"))).alias("mn"),
         F.max(F.date_trunc("hour", F.col("ts"))).alias("mx"),
+        F.collect_set("event_type").alias("types"),
     )
-    grid = bounds.select(
+    full = dims.select(
         F.explode(
             F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h")
-    )
-    types = ev.select("event_type").distinct()
-    full = F.broadcast(grid).crossJoin(F.broadcast(types))
+        ).alias("h"),
+        F.col("types"),
+    ).select("h", F.explode("types").alias("event_type"))
     return full.join(hourly, ["h", "event_type"], "left").select(
         F.col("h").alias("hour_start"),
         "event_type",

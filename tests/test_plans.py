@@ -208,3 +208,13 @@ def test_curation_pipeline_three_exchanges_and_maplocal_dedup(spark, sf_dir):
     )
     assert n_shuffle == 3, f"expected 3 exchanges:\n{tree}"
     assert "WindowGroupLimit" in tree
+
+
+def test_gap_fill_grid_has_no_nested_loop_join(spark, sf_dir):
+    """The dense (hour, event_type) grid comes from one aggregate row
+    double-exploded — never a cross join: a BroadcastNestedLoop grid would
+    not survive a year-by-10k-types densification."""
+    p = _plan(spark, sf_dir, "gap_fill_hours")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate" in p  # the explode-based grid
