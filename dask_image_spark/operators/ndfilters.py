@@ -502,3 +502,44 @@ def generic_filter_collect(
         F.transform(arr, lambda s: s["v"]).alias("window")
     )
     return out.select(*keys, "y", "x", fn_udf(F.col("window")).alias("v"))
+
+
+def generic_filter_tiles(
+    px, function, size=3, shape=None, mode="reflect", cval=0.0,
+    block: int = 32, keys=(),
+):
+    """``generic_filter`` with a TRULY arbitrary user callable (upstream
+    ``ndfilters/_generic.py::generic_filter``): ``function(window) ->
+    float`` receives the raster-ordered (dy, dx) window values as a 1-D
+    numpy array — the exact contract scipy gives its ``function``.
+
+    Routed through the R2 chunked fast path (``chunked.map_overlap_tiles``
+    = dask's ``map_overlap``): one shuffle assembles (block+2r)^2 tiles
+    with halo, then the callable runs per window inside each tile. The
+    per-window Python call is inherent to the operator (scipy's own
+    ``generic_filter`` is a per-window callback too) — this is the escape
+    hatch; every SQL-expressible window fn should use the R1 stencils
+    instead.
+    """
+    import numpy as np
+
+    from dask_image_spark.operators import chunked
+
+    r = size // 2
+
+    def tile_fn(tile):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        win = sliding_window_view(tile, (size, size))
+        n0, n1 = win.shape[:2]
+        flat = win.reshape(n0, n1, size * size)
+        out = np.zeros_like(tile)
+        for i in range(n0):
+            for j in range(n1):
+                out[r + i, r + j] = function(flat[i, j])
+        return out
+
+    return chunked.map_overlap_tiles(
+        px, tile_fn, shape, depth=r, block=block, mode=mode, cval=cval,
+        keys=keys,
+    )

@@ -72,11 +72,11 @@ WINDOW: list[str] = [
     # --- new round-4 queries are swapped in here as they land (replacing
     # backfill tail entries below) ---
     "label_cc_8conn",
+    "generic_filter_mad",
     # --- backfill: round-1 imaging re-grades, oldest evidence first ---
     "filter_convolve",
     "filter_correlate",
     "filter_uniform",
-    "filter_uniform_wrap",
     "filter_minimum",
     "filter_minimum_nearest",
     "filter_maximum",

@@ -584,6 +584,55 @@ def generic_filter_ptp(spark, sf_dir):
     return out.select("y", "x", _eps_round("v", 4).alias("v"))
 
 
+def _mad_oracle() -> str:
+    """Windowed MAD oracle: per-window median, then median absolute
+    deviation — both medians over 9 values (odd), so Spark/numpy/DuckDB all
+    pick the exact middle element and the hash is deterministic."""
+    from dask_image_spark.functions.boundary import remap_sql
+    from dask_image_spark.queries.imaging import _kernel_values
+
+    sy = remap_sql("o.y + k.dy", GRID, "reflect")
+    sx = remap_sql("o.x + k.dx", GRID, "reflect")
+    return with_pixel_ctes(
+        "SELECT w.y, w.x, ROUND(1.2345e-8 + MEDIAN(ABS(w.v - m.med)), 4) AS v "
+        "FROM win w JOIN med m ON m.y = w.y AND m.x = w.x GROUP BY w.y, w.x",
+        extra=[
+            (
+                "win AS (SELECT g.y, g.x, p.value AS v "
+                f"FROM (SELECT o.y, o.x, {sy} AS sy, {sx} AS sx "
+                f"FROM pixels o CROSS JOIN (VALUES {_kernel_values(_BOX3)}) "
+                "k(ko, dy, dx, w)) g "
+                "JOIN pixels p ON p.y = g.sy AND p.x = g.sx)"
+            ),
+            "med AS (SELECT y, x, MEDIAN(v) AS med FROM win GROUP BY y, x)",
+        ],
+    )
+
+
+@register(
+    "generic_filter_mad",
+    _mad_oracle(),
+    tags=("imaging", "ndfilters", "udf", "r2"),
+)
+def generic_filter_mad(spark, sf_dir):
+    """generic_filter with a REAL user callable (upstream
+    ``ndfilters/_generic.py::generic_filter``): an arbitrary numpy function
+    — windowed median absolute deviation — routed through the R2 tile path
+    (``chunked.map_overlap_tiles``), not a pre-baked SQL aggregate. The fn
+    runs per window exactly as scipy's ``function`` contract; MAD was
+    picked because SQL *can* mirror it (two chained medians), keeping the
+    oracle strong while the engine path is the fully-generic escape
+    hatch."""
+    import numpy as np
+
+    def mad(w: "np.ndarray") -> float:
+        return float(np.median(np.abs(w - np.median(w))))
+
+    px = pixel_grid(spark, sf_dir)
+    out = ndfilters.generic_filter_tiles(px, mad, size=3, shape=SHAPE)
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
 @register(
     "labeled_comprehension_sumsq",
     with_pixel_ctes(

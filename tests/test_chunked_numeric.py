@@ -6,6 +6,7 @@ the reference checks the same equivalences via scipy (upstream
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from dask_image_spark.functions.localrel import values_df
@@ -135,3 +136,46 @@ def test_fourier_ellipsoid_plumbing_differential(spark):
         np.fft.ifft2(np.fft.fft2(IMG) * chunked.ellipsoid_response((H, W), (3, 5)))
     )
     assert np.abs(want - swapped).max() > 1e-3
+
+
+def test_generic_filter_tiles_matches_r1_collect(spark):
+    """The truly-arbitrary-callable R2 path (generic_filter_tiles) and the
+    windowed-UDF R1 path (generic_filter_collect) must agree on the same
+    function; ptp is computable by both surfaces. block=8 < image width
+    forces cross-tile halo assembly through the arbitrary-fn route."""
+    from pyspark.sql.functions import pandas_udf
+
+    got_r2 = _grid(
+        ndfilters.generic_filter_tiles(
+            _px(spark), lambda w: float(w.max() - w.min()),
+            size=3, shape=(H, W), block=8,
+        )
+    )
+
+    @pandas_udf("double")
+    def ptp(windows: pd.Series) -> pd.Series:
+        return windows.map(lambda w: float(max(w) - min(w)))
+
+    got_r1 = _grid(
+        ndfilters.generic_filter_collect(_px(spark), ptp, size=3, shape=(H, W))
+    )
+    np.testing.assert_allclose(got_r2, got_r1, atol=1e-12)
+
+
+def test_generic_filter_tiles_mad_matches_numpy(spark):
+    """Dense numpy differential for the windowed-MAD callable (reflect
+    boundary), mirroring upstream test_ndfilters' scipy differentials."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    got = _grid(
+        ndfilters.generic_filter_tiles(
+            _px(spark),
+            lambda w: float(np.median(np.abs(w - np.median(w)))),
+            size=3, shape=(H, W), block=8,
+        )
+    )
+    pad = np.pad(IMG, 1, mode="symmetric")  # scipy 'reflect' == np 'symmetric'
+    win = sliding_window_view(pad, (3, 3)).reshape(H, W, 9)
+    med = np.median(win, axis=2, keepdims=True)
+    want = np.median(np.abs(win - med), axis=2)
+    np.testing.assert_allclose(got, want, atol=1e-12)
