@@ -73,12 +73,12 @@ WINDOW: list[str] = [
     # backfill tail entries below) ---
     "label_cc_8conn",
     "generic_filter_mad",
+    "imread_glob_nframes",
     # --- backfill: round-1 imaging re-grades, oldest evidence first ---
     "filter_convolve",
     "filter_correlate",
     "filter_uniform",
     "filter_minimum",
-    "filter_minimum_nearest",
     "filter_maximum",
     "filter_median",
     "filter_rank",

@@ -944,7 +944,7 @@ def multimodal_meta(spark, sf_dir):
     """
     SELECT CAST(event_id // 4096 AS INT) AS img,
            CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
-           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(4096 AS INT) AS n_px,  -- padded-raster count: files always carry the full 64x64 grid
            CAST(SUM((event_id * 7 + 13) % 256) % 65536 AS INT) AS checksum
     FROM events WHERE event_id < 8192
     GROUP BY 1
@@ -1026,7 +1026,7 @@ def imread_pgm(spark, sf_dir):
     """
     SELECT CAST(event_id // 4096 AS INT) AS img,
            CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
-           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(4096 AS INT) AS n_px,  -- padded-raster count: files always carry the full 64x64 grid
            CAST(SUM((event_id * 11 + 29) % 256) % 65536 AS INT) AS checksum
     FROM events WHERE event_id < 8192
     GROUP BY 1
@@ -1100,7 +1100,7 @@ def imread_png(spark, sf_dir):
     """
     SELECT CAST(event_id // 4096 AS INT) AS img,
            CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
-           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(4096 AS INT) AS n_px,  -- padded-raster count: files always carry the full 64x64 grid
            CAST(SUM((event_id * 13 + 5) % 256) % 65536 AS INT) AS checksum
     FROM events WHERE event_id < 8192
     GROUP BY 1
@@ -1167,6 +1167,97 @@ def imread_tiff(spark, sf_dir):
 
     return scanned.select("path", "content").mapInPandas(
         decode, "img int, width int, height int, n_px int, checksum int"
+    )
+
+
+@register(
+    "imread_glob_nframes",
+    """
+    WITH per_frame AS (
+      SELECT CAST(event_id // 256 AS INT) AS frame,
+             SUM((event_id * 5 + 17) % 256) AS s
+      FROM events WHERE event_id < 2048 GROUP BY 1
+    )
+    SELECT CAST(frame // 3 AS INT) AS slab,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           -- padded-raster count: each file carries the full 16x16 grid
+           CAST(COUNT(*) * 256 AS INT) AS n_px,
+           CAST(SUM(s) % 65536 AS INT) AS checksum
+    FROM per_frame GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread"),
+)
+def imread_glob_nframes(spark, sf_dir):
+    """Multi-file ``imread`` glob with ``nframes`` slabbing (upstream
+    ``dask_image/imread/__init__.py::imread(fname, nframes=…)``: a glob of
+    single-frame files grouped ``nframes`` per chunk): derive EIGHT
+    deterministic 16x16 frames from events, encode each as its own PGM
+    file, scan the whole directory with ONE ``binaryFile`` glob (per-file
+    task parallelism — upstream's lazy per-slab reads), decode every frame,
+    then aggregate per ``slab = frame // nframes`` exactly as the
+    reference's frames-per-chunk grouping concatenates frames into one
+    array chunk. The oracle replays the slab grouping from events; frame
+    count, padded pixel count, and the pixel checksum must all survive the
+    encode -> glob scan -> decode -> slab rollup."""
+    import os
+
+    from dask_image_spark.operators.multimodal import decode_pgm, encode_pgm
+
+    nframes = 3
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/pgm_glob_{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2048)
+    px = ev.select(
+        (F.col("event_id") / 256).cast("int").alias("frame"),
+        F.pmod(F.col("event_id"), F.lit(256)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 5 + 17, F.lit(256)).cast("int").alias("px"),
+    )
+
+    def write_frame(pdf):
+        import numpy as np
+        import pandas as pd
+
+        frame = int(pdf["frame"].iloc[0])
+        # Zero-pad partial groups at tiny sf (see imread_pgm.write_image).
+        ordered = np.zeros(256, dtype="uint8")
+        ordered[pdf["pos"].to_numpy()] = pdf["px"].to_numpy().astype("uint8")
+        payload = encode_pgm(ordered, 16, 16)
+        with open(f"{out_dir}/frame_{frame:03d}.pgm", "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"frame": [frame], "n_bytes": [len(payload)]})
+
+    px.groupBy("frame").applyInPandas(
+        write_frame, "frame int, n_bytes int"
+    ).collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.pgm")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"frame": [], "n_px": [], "s": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_pgm(bytes(content))
+                rows["frame"].append(
+                    int(path.rsplit("frame_", 1)[1].split(".")[0])
+                )
+                rows["n_px"].append(w * h)
+                rows["s"].append(sum(pixels))
+            yield pd.DataFrame(rows)
+
+    frames = scanned.select("path", "content").mapInPandas(
+        decode, "frame int, n_px int, s long"
+    )
+    return (
+        frames.groupBy((F.col("frame") / nframes).cast("int").alias("slab"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("n_px").cast("int").alias("n_px"),
+            F.pmod(F.sum("s"), F.lit(65536)).cast("int").alias("checksum"),
+        )
     )
 
 
