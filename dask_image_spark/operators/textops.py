@@ -86,19 +86,14 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_band_pairs(
+def band_rows(
     sigs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Candidate near-duplicate pairs: docs agreeing on any full band.
-
-    Bands are concatenated signature slices; a self-equi-join per band bucket
-    finds candidates. At scale this is the whole point of LSH: the join key
-    (band_id, sig) partitions the corpus into tiny buckets, so the self-join
-    never goes quadratic.
-    """
+    """(id, band_id, sig) rows: one per LSH band, sig = concatenated
+    signature slice. Shared by the pair-join and keeps-first forms."""
     n_bands = n_hashes // rows_per_band
-    bands = sigs.select(
+    return sigs.select(
         id_col,
         F.explode(
             F.array(
@@ -117,6 +112,20 @@ def lsh_band_pairs(
             )
         ).alias("bs"),
     ).select(id_col, "bs.band_id", "bs.sig")
+
+
+def lsh_band_pairs(
+    sigs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs agreeing on any full band.
+
+    Bands are concatenated signature slices; a self-equi-join per band bucket
+    finds candidates. At scale this is the whole point of LSH: the join key
+    (band_id, sig) partitions the corpus into tiny buckets, so the self-join
+    never goes quadratic.
+    """
+    bands = band_rows(sigs, n_hashes, rows_per_band, id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -127,6 +136,43 @@ def lsh_band_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def lsh_keep_first(
+    sigs: DataFrame, n_hashes: int = 8, rows_per_band: int = 2,
+    id_col: str = "doc_id", salt_buckets: int = 16,
+) -> DataFrame:
+    """Keeps-first canonical assignment per LSH band bucket WITHOUT pair
+    enumeration — the skew-safe dedup form for corpora with a pathological
+    hot bucket (a stopword-dominated signature shared by a large fraction
+    of documents).
+
+    ``lsh_band_pairs`` on a bucket of m docs emits m^2/2 pairs — correct
+    for pair *reporting*, quadratic for dedup when one bucket is hot. For
+    keeps-first dedup only each bucket's MIN id is needed, and MIN is
+    salt-decomposable: stage 1 groups by (band_id, sig, salt) so the hot
+    bucket's rows spread over ``salt_buckets`` reducers, stage 2 merges the
+    partial minima per bucket — the same two-stage template as the graded
+    ``agg_salted_skew``, composed with the banding. The final per-doc
+    rollup takes the MIN over the doc's buckets; output is one row per
+    signed doc, keep_id == doc_id for non-duplicated docs. Nothing in the
+    plan is ever quadratic in the hot-bucket size.
+    """
+    bands = band_rows(sigs, n_hashes, rows_per_band, id_col)
+    salted = bands.withColumn(
+        "_salt", F.pmod(F.col(id_col), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("band_id", "sig", "_salt").agg(
+        F.min(id_col).alias("pmin")
+    )
+    bucket_min = partial.groupBy("band_id", "sig").agg(
+        F.min("pmin").alias("bucket_min")
+    )
+    return (
+        bands.join(bucket_min, ["band_id", "sig"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_min").alias("keep_id"))
     )
 
 

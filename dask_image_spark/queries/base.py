@@ -74,6 +74,7 @@ WINDOW: list[str] = [
     "label_cc_8conn",
     "generic_filter_mad",
     "imread_glob_nframes",
+    "dedup_lsh_salted_skew",
     # --- backfill: round-1 imaging re-grades, oldest evidence first ---
     "filter_convolve",
     "filter_correlate",
@@ -84,7 +85,6 @@ WINDOW: list[str] = [
     "filter_rank",
     "filter_percentile",
     "filter_gaussian",
-    "filter_gaussian_aniso",
     "filter_gaussian_gradmag",
     "filter_gaussian_laplace",
     "filter_laplace",

@@ -101,6 +101,70 @@ def dedup_minhash_lsh(spark, sf_dir):
     return textops.lsh_band_pairs(sigs, n_hashes=8, rows_per_band=2)
 
 
+# A stopword-only text forced onto every 5th document: all of them share one
+# identical MinHash signature, so every band has one bucket holding 20% of
+# the corpus — the pathological hot bucket a stopword shingle produces.
+_HOT_TEXT = "the and of to in is it on at by the and of to in"
+
+
+def _lsh_salted_skew_oracle(n_hashes: int = 8, rows_per_band: int = 2, k: int = 3) -> str:
+    mins = ", ".join(
+        f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(n_hashes)
+    )
+    n_bands = n_hashes // rows_per_band
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " AS sig FROM mh"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '{_HOT_TEXT}' ELSE text END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM docs2
+      WHERE len(string_split(text, ' ')) >= {k}),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - {k - 1}),
+               i -> array_to_string(t[i:i + {k - 1}], ' '))) AS sh
+      FROM toks),
+    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    bmin AS (SELECT band_id, sig, MIN(doc_id) AS bucket_min
+             FROM bands GROUP BY 1, 2)
+    SELECT b.doc_id, MIN(m.bucket_min) AS keep_id
+    FROM bands b JOIN bmin m ON m.band_id = b.band_id AND m.sig = b.sig
+    GROUP BY b.doc_id
+    """
+
+
+@register(
+    "dedup_lsh_salted_skew",
+    _lsh_salted_skew_oracle(),
+    tags=("pipeline", "dedup", "lsh", "skew"),
+)
+def dedup_lsh_salted_skew(spark, sf_dir):
+    """LSH dedup under pathological bucket skew: 20% of the corpus is
+    forced onto ONE stopword signature (the hot-band-bucket failure mode of
+    real web corpora), and keeps-first assignment runs through
+    ``textops.lsh_keep_first`` — the salted two-stage MIN from
+    ``agg_salted_skew`` composed with the banding, never enumerating the
+    hot bucket's quadratic pair set. The oracle replays the same banding
+    and takes each doc's min bucket-min, which is salt-invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    d2 = d.select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0, F.lit(_HOT_TEXT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sigs = textops.minhash_signatures(d2, n_hashes=8, k=3)
+    return textops.lsh_keep_first(sigs, n_hashes=8, rows_per_band=2)
+
+
 def _minhash_survivors_oracle(n_hashes: int = 8, rows_per_band: int = 2, k: int = 3) -> str:
     """Recursive-CTE transitive closure over the MinHash candidate pairs:
     every doc in a dup group maps to the group's min doc_id survivor."""

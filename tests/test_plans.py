@@ -218,3 +218,15 @@ def test_gap_fill_grid_has_no_nested_loop_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Generate" in p  # the explode-based grid
+
+
+def test_lsh_salted_skew_two_stage_min(spark, sf_dir):
+    """The hot-bucket dedup must plan the salted two-stage MIN: a partial
+    aggregate keyed on (band_id, sig, _salt) ahead of the per-bucket merge
+    — so no single reducer owns the hot bucket — and no quadratic pair
+    enumeration (the only joins are the band-bucket equi-join against the
+    tiny bucket-min side)."""
+    p = _plan(spark, sf_dir, "dedup_lsh_salted_skew")
+    assert "_salt" in p, f"salt key missing from aggregate:\n{p[:2000]}"
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
