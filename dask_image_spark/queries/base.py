@@ -75,6 +75,7 @@ WINDOW: list[str] = [
     "generic_filter_mad",
     "imread_glob_nframes",
     "dedup_lsh_salted_skew",
+    "streaming_session_state",
     # --- backfill: round-1 imaging re-grades, oldest evidence first ---
     "filter_convolve",
     "filter_correlate",
@@ -95,7 +96,6 @@ WINDOW: list[str] = [
     "morph_dilation",
     "morph_opening",
     "morph_closing",
-    "morph_erosion_iter2",
     "filter_laplace_3d",
     "filter_box_multi_image",
     "measure_area",

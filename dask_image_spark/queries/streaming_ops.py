@@ -148,3 +148,34 @@ def streaming_stream_join(spark, sf_dir):
     equivalence): every purchase x same-user click within the prior hour.
     The oracle is the identical interval join in batch SQL."""
     return ops.stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "streaming_session_state",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+      FROM g)
+    SELECT user_id, sess, COUNT(*) AS n_events,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total_value,
+           MIN(ts) AS session_start,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, sess
+    """,
+    tags=("streaming", "stateful", "session"),
+)
+def streaming_session_state(spark, sf_dir):
+    """Arbitrary-state streaming sessionization: the per-user GroupState is
+    an open-session walk (non-decomposable, multi-row emission), flushed
+    batch-equivalently under availableNow — graded against the SAME
+    session-stats oracle as the batch form, so the stateful API and the
+    window-function form are proven to agree event for event."""
+    return ops.session_state_walk(spark, sf_dir)

@@ -274,3 +274,75 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", F.col("p_user").alias("user_id"), "click_id")
     return run_to_memory(joined, "append")
+
+
+def session_state_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization through GENUINELY arbitrary state
+    (``applyInPandasWithState``): the per-user state is the one open
+    session (index, start, last-seen, running count/sum) — not a
+    decomposable aggregate — and each invocation emits ZERO OR MORE closed
+    sessions, so neither the state shape nor the output cardinality maps
+    to a groupBy. ``stateful_user_stats`` exercises the same API with
+    aggregate-shaped state; this is the session walk the API exists for
+    (the upstream analog of ``session_window`` semantics, but with the
+    gap logic hand-carried across micro-batches).
+
+    availableNow + one input file = one micro-batch, so the flushed
+    sessions equal the batch lag/running-sum sessionization — the
+    batch-equivalence that makes the query strong-oracle-checkable."""
+    from dask_image_spark.queries.timeseries import GAP_US
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "value", "event_id"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            sess, start_us, last_us, n, total = state.get
+        else:
+            sess, start_us, last_us, n, total = 0, 0, None, 0, 0.0
+        out: dict[str, list] = {
+            "user_id": [], "sess": [], "n_events": [], "total_value": [],
+            "session_start": [], "duration_us": [],
+        }
+
+        def close():
+            out["user_id"].append(key[0])
+            out["sess"].append(sess)
+            out["n_events"].append(n)
+            out["total_value"].append(round(total + 1.2345e-8, 4))
+            out["session_start"].append(pd.Timestamp(start_us, unit="us"))
+            out["duration_us"].append(last_us - start_us)
+
+        for ts, val in zip(rows["ts"], rows["value"]):
+            us = pd.Timestamp(ts).value // 1000
+            if last_us is None or us - last_us > GAP_US:
+                if last_us is not None:
+                    close()
+                sess += 1
+                start_us, n, total = us, 0, 0.0
+            n += 1
+            total += float(val)
+            last_us = us
+        # availableNow's single final batch: flush the open session too
+        # (a continuous deployment would close it on a state timeout).
+        if last_us is not None:
+            close()
+        state.update((sess, start_us, last_us, n, total))
+        yield pd.DataFrame(out)
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id LONG, sess LONG, n_events LONG, total_value DOUBLE, "
+            "session_start TIMESTAMP, duration_us LONG"
+        ),
+        stateStructType=(
+            "sess LONG, start_us LONG, last_us LONG, n LONG, total DOUBLE"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(agg, "update")
