@@ -246,10 +246,21 @@ def cosine_pairs_lsh(
     # so we can't unpersist our own before it executes) — repeated invocations
     # hold at most one band cache in executor storage.
     bk = bk.cache()
-    prev = getattr(cosine_pairs_lsh, "_cached_bands", None)
+    # Cache registry is keyed PER SparkSession: a cached DataFrame must not
+    # outlive its owning session (unpersisting a dead session's frame
+    # throws, e.g. across test fixtures), and keying by session also makes
+    # concurrent sessions independent.
+    spark = emb.sparkSession
+    caches = getattr(cosine_pairs_lsh, "_cached_bands", None)
+    if caches is None:
+        caches = cosine_pairs_lsh._cached_bands = {}
+    prev = caches.pop(id(spark), None)
     if prev is not None:
-        prev.unpersist()
-    cosine_pairs_lsh._cached_bands = bk
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # owning context already stopped; nothing to release
+    caches[id(spark)] = bk
     a, b_ = bk.alias("l"), bk.alias("r")
     cand = (
         a.join(b_, on=["band_id", "bucket"])

@@ -41,10 +41,20 @@ def shingles_of(tokens_col: Column | str, k: int = 3) -> Column:
 def exploded_shingles(
     docs: DataFrame, k: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
+    widen: bool | None = None,
 ) -> DataFrame:
     """(id, sh) rows: one per k-shingle, tokenizing each document ONCE (the
     token array is projected before the generator so the plan keeps a
-    Project under the Generate, exactly like the hand-written SQL form)."""
+    Project under the Generate, exactly like the hand-written SQL form).
+
+    ``widen``: force (True) or suppress (False) the under-split
+    repartition below; the default ``None`` auto-detects from the scan's
+    split count, which makes the PLAN SHAPE machine-dependent (same
+    results, different Exchange count) — plan-pinning tests over shingle
+    queries must either pass an explicit value or avoid asserting on this
+    exchange, and the auto probe costs one driver-side ``.rdd`` plan
+    conversion per call.
+    """
     t_df = docs.select(id_col, tokens(text_col).alias("_t")).filter(
         F.size("_t") >= k
     )
@@ -61,7 +71,9 @@ def exploded_shingles(
     # no extra exchange is paid.
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if t_df.rdd.getNumPartitions() < target:
+    if widen is None:
+        widen = t_df.rdd.getNumPartitions() < target
+    if widen:
         t_df = t_df.repartition(target, id_col)
     return t_df.select(
         id_col, F.explode(shingles_of("_t", k)).alias("sh")

@@ -31,6 +31,11 @@ class Query:
     fn: QueryFn
     oracle: str | None = None  # DuckDB SQL; None -> weak rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Static DDL of the result schema. REQUIRED for queries tagged
+    # "io-write" (whose construction executes jobs / writes files): the
+    # type-contract test checks these against the oracle without building
+    # the DataFrame, so a schema-only test never runs real workloads.
+    schema: str | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -106,13 +111,18 @@ WINDOW: list[str] = [
 ]
 
 
-def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
+    schema: str | None = None,
+):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags)
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, tags=tags, schema=schema
+        )
         return fn
 
     return deco

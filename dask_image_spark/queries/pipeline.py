@@ -1013,7 +1013,8 @@ def multimodal_meta(spark, sf_dir):
     FROM events WHERE event_id < 8192
     GROUP BY 1
     """,
-    tags=("pipeline", "multimodal", "imread"),
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema="img int, width int, height int, n_px int, checksum int",
 )
 def imread_pgm(spark, sf_dir):
     """REAL image-file ingest, end to end (the ``dask_image.imread`` path
@@ -1095,7 +1096,8 @@ def imread_pgm(spark, sf_dir):
     FROM events WHERE event_id < 8192
     GROUP BY 1
     """,
-    tags=("pipeline", "multimodal", "imread"),
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema="img int, width int, height int, n_px int, checksum int",
 )
 def imread_png(spark, sf_dir):
     """Second REAL image codec through the ``imread`` path (upstream
@@ -1169,7 +1171,8 @@ def imread_png(spark, sf_dir):
     FROM events WHERE event_id < 8192
     GROUP BY 1
     """,
-    tags=("pipeline", "multimodal", "imread"),
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema="img int, width int, height int, n_px int, checksum int",
 )
 def imread_tiff(spark, sf_dir):
     """Third REAL image codec through the ``imread`` path — and the one the
@@ -1249,7 +1252,8 @@ def imread_tiff(spark, sf_dir):
            CAST(SUM(s) % 65536 AS INT) AS checksum
     FROM per_frame GROUP BY 1
     """,
-    tags=("pipeline", "multimodal", "imread"),
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema="slab int, n_frames int, n_px int, checksum int",
 )
 def imread_glob_nframes(spark, sf_dir):
     """Multi-file ``imread`` glob with ``nframes`` slabbing (upstream

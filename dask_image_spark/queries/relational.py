@@ -1009,7 +1009,8 @@ def approx_distinct(spark, sf_dir):
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents WHERE n_chars > 50 GROUP BY lang ORDER BY lang
     """,
-    tags=("relational", "scan", "sink", "orc"),
+    tags=("relational", "scan", "sink", "orc", "io-write"),
+    schema="lang string, n bigint, min_doc bigint, total_chars bigint",
 )
 def scan_orc_roundtrip(spark, sf_dir):
     """ORC sink + scan — Spark's second native columnar format (predicate

@@ -34,8 +34,18 @@ def main() -> None:
             traceback.print_exc()
             continue
         try:
-            df = q.all_queries()[name](spark, SF)
-            stypes = dict(df.dtypes)
+            reg = q.REGISTRY[name]
+            if "io-write" in reg.tags and reg.schema is not None:
+                # side-effectful construction: use the static declaration
+                from pyspark.sql.types import StructType
+
+                stypes = {
+                    f.name: f.dataType.simpleString()
+                    for f in StructType.fromDDL(reg.schema).fields
+                }
+            else:
+                df = q.all_queries()[name](spark, SF)
+                stypes = dict(df.dtypes)
         except Exception:
             print(f"!! {name}: spark build failed")
             traceback.print_exc()

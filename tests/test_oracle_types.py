@@ -42,6 +42,41 @@ ALLOWED: set[tuple[str, str]] = {
 STRONG = sorted(q.all_oracles().keys())
 
 
+def _spark_dtypes(spark, name: str, sf: str) -> list[tuple[str, str]]:
+    """Spark-side (col, dtype) pairs. Queries tagged "io-write" execute
+    jobs and write files at DataFrame-CONSTRUCTION time, so a schema-only
+    test must not build them — they are required to declare a static
+    ``schema=`` DDL in the registry instead (enforced here)."""
+    reg = q.REGISTRY[name]
+    if "io-write" in reg.tags:
+        assert reg.schema is not None, (
+            f"{name} is tagged io-write but declares no static schema; "
+            "add schema=... to its @register so type tests stay side-effect-free"
+        )
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromDDL(reg.schema)
+        return [(f.name, f.dataType.simpleString()) for f in st.fields]
+    return q.all_queries()[name](spark, sf).dtypes
+
+
+def test_io_write_static_schemas_match_reality(spark):
+    """The static DDLs above must never drift from the real output schema:
+    build each io-write query ONCE (side effects allowed in this one test)
+    and diff against its declaration."""
+    for name, reg in q.REGISTRY.items():
+        if "io-write" not in reg.tags or reg.oracle is None:
+            continue
+        from pyspark.sql.types import StructType
+
+        declared = [
+            (f.name, f.dataType.simpleString())
+            for f in StructType.fromDDL(reg.schema).fields
+        ]
+        actual = q.all_queries()[name](spark, SF_SMALL).dtypes
+        assert declared == actual, f"{name}: static schema drifted"
+
+
 @pytest.mark.parametrize("name", STRONG)
 def test_oracle_types_match(spark, name):
     oracle = q.all_oracles()[name]
@@ -50,9 +85,8 @@ def test_oracle_types_match(spark, name):
     sf = SF_MID if name == "scan_binaryfile" else SF_SMALL
     con = duck_con(sf)
     duck_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle}").fetchall()}
-    df = q.all_queries()[name](spark, sf)
     bad = []
-    for col, stype in df.dtypes:
+    for col, stype in _spark_dtypes(spark, name, sf):
         dtype = duck_types.get(col, "<MISSING>")
         if (stype, dtype) not in ALLOWED:
             bad.append(f"{col}: spark={stype} duck={dtype}")
