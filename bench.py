@@ -35,6 +35,9 @@ HEADLINE = [
     # (stock-PySpark equivalents measured in BASELINE.md the same way)
     ("minhash_lsh", "dedup_minhash_lsh"),
     ("ivf_topk", "similarity_ivf_topk"),
+    # round-4 addition (VERDICT_r03 item 8): the flagship end-to-end curation
+    # composition gets a tracked number (stock-PySpark baseline in BASELINE.md)
+    ("curation_pipeline", "curation_pipeline"),
 ]
 
 BASELINE_K = [
