@@ -17,6 +17,7 @@ from dask_image_spark.queries.base import REGISTRY, all_oracles, all_queries  # 
 def load_all() -> None:
     """Import every query module so its registrations run."""
     from dask_image_spark.queries import (  # noqa: F401
+        curation,
         imaging,
         interp,
         pipeline,

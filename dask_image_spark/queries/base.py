@@ -78,6 +78,12 @@ WINDOW: list[str] = [
     # backfill tail entries below) ---
     "label_cc_8conn",
     "generic_filter_mad",
+    "pii_redact",
+    "chunk_overlap",
+    "token_zipf",
+    "mine_hard_negatives",
+    "dedup_semantic",
+    "mix_temperature",
     "imread_glob_nframes",
     "dedup_lsh_salted_skew",
     "streaming_session_state",
@@ -95,12 +101,6 @@ WINDOW: list[str] = [
     "filter_gaussian_laplace",
     "filter_laplace",
     "filter_sobel",
-    "filter_prewitt",
-    "filter_threshold_local",
-    "morph_erosion",
-    "morph_dilation",
-    "morph_opening",
-    "morph_closing",
     "filter_laplace_3d",
     "filter_box_multi_image",
     "measure_area",
