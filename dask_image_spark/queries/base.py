@@ -84,6 +84,10 @@ WINDOW: list[str] = [
     "mine_hard_negatives",
     "dedup_semantic",
     "mix_temperature",
+    "embedding_pca_power",
+    "bm25_search",
+    "kl_source_drift",
+    "dedup_substring_spans",
     "imread_glob_nframes",
     "dedup_lsh_salted_skew",
     "streaming_session_state",
@@ -95,12 +99,8 @@ WINDOW: list[str] = [
     "filter_maximum",
     "filter_median",
     "filter_rank",
-    "filter_percentile",
     "filter_gaussian",
-    "filter_gaussian_gradmag",
-    "filter_gaussian_laplace",
     "filter_laplace",
-    "filter_sobel",
     "filter_laplace_3d",
     "filter_box_multi_image",
     "measure_area",

@@ -429,3 +429,363 @@ def mix_temperature(spark, sf_dir):
         "rate",
         F.col("n_selected").cast("long").alias("n_selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Part 3: corpus/embedding analytics — distributed linear algebra, IR
+# scoring, distribution drift, and substring-level dedup.
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_EPS_LIT = "1.2345e-8"
+
+
+def _pca_power_oracle(iters: int = 2) -> str:
+    """DuckDB replay of the identical quantized power iterations."""
+    rng = f"range(1, {_DIM + 1})"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"mu AS (SELECT i, ROUND({_EPS_LIT} + AVG(val), 6) AS m FROM "
+        f"(SELECT unnest({rng}) AS i, unnest(v) AS val FROM e) GROUP BY i)",
+        "mul AS (SELECT list(m ORDER BY i) AS ml FROM mu)",
+        # v0 = 1/sqrt(64) each (DuckDB bans subqueries in lambdas, so each
+        # iterate is a 1-row CTE cross-joined in and referenced by column)
+        f"vl0 AS (SELECT list_transform({rng}, i -> 0.125) AS vl)",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"s{it} AS (SELECT vec_id, list_aggregate(list_transform({rng}, "
+            f"i -> (e.v[i] - ml[i]) * vl[i]), 'sum') AS s "
+            f"FROM e CROSS JOIN mul CROSS JOIN vl{it - 1})"
+        )
+        ctes.append(
+            f"w{it} AS (SELECT i, SUM(sv) AS w FROM (SELECT "
+            f"unnest({rng}) AS i, "
+            f"unnest(list_transform({rng}, j -> s{it}.s * (e.v[j] - ml[j]))) "
+            f"AS sv FROM s{it} JOIN e USING (vec_id) CROSS JOIN mul) GROUP BY i)"
+        )
+        ctes.append(
+            f"n{it} AS (SELECT sqrt(SUM(w * w)) AS n FROM w{it})"
+        )
+        ctes.append(
+            f"v{it} AS (SELECT i, ROUND({_EPS_LIT} + w / n, 6) AS vi "
+            f"FROM w{it}, n{it})"
+        )
+        ctes.append(
+            f"vl{it} AS (SELECT list(vi ORDER BY i) AS vl FROM v{it})"
+        )
+    last = iters
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    sf AS (SELECT vec_id, list_aggregate(list_transform({rng},
+           i -> (e.v[i] - ml[i]) * vl[i]), 'sum') AS s
+           FROM e CROSS JOIN mul CROSS JOIN vl{last}),
+    lam AS (SELECT ROUND({_EPS_LIT} + SUM(s * s) / COUNT(*), 4) AS eigval
+            FROM sf)
+    SELECT CAST(v{last}.i AS INT) AS dim,
+           ROUND({_EPS_LIT} + v{last}.vi, 4) AS loading,
+           lam.eigval
+    FROM v{last}, lam
+    """
+
+
+@register(
+    "embedding_pca_power",
+    _pca_power_oracle(iters=2),
+    tags=("pipeline", "curation", "linalg"),
+)
+def embedding_pca_power(spark, sf_dir):
+    """Top principal component of the embedding corpus by POWER ITERATION —
+    the covariance-free distributed PCA pattern: never materialize the
+    64×64 (or at real dims, 4096×4096) covariance matrix; each iteration
+    computes w = Σ_x (xᵀv)(x−μ) as one broadcast of v plus one
+    partial-aggregatable shuffle keyed by dimension index. The iterate is
+    QUANTIZED (round 6) after each normalization — the same determinism
+    barrier as kmeans_lloyd — so both engines walk identical discrete
+    trajectories. v0 = uniform unit vector; 2 unrolled iterations; output
+    is the 64 loadings plus the Rayleigh-quotient eigenvalue estimate.
+
+    Scale: per iteration, Exchange #1 is dimension-keyed (64 rows at any
+    corpus size — effectively free) and the projections s_x stay row-local
+    (map-side). The driver never sees a vector; only the dim-sized iterate
+    moves. This is textbook Spark PCA (same shape as MLlib's
+    RowMatrix.computePrincipalComponents power path)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # mean vector, quantized, reassembled as a 1-row array
+    mu = (
+        e.select(F.posexplode("v").alias("i0", "val"))
+        .groupBy("i0")
+        .agg(F.round(F.avg("val") + F.lit(1.2345e-8), 6).alias("m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i0", "m"))),
+                lambda s: s["m"],
+            ).alias("ml")
+        )
+    )
+    centered = e.crossJoin(F.broadcast(mu)).select(
+        "vec_id", F.zip_with("v", "ml", lambda x, m: x - m).alias("c")
+    )
+    v_df = spark.range(1).select(
+        F.array([F.lit(0.125)] * _DIM).alias("vl")
+    )
+    for _ in range(2):
+        s = centered.crossJoin(F.broadcast(v_df)).select(
+            "vec_id",
+            "c",
+            F.aggregate(
+                F.zip_with("c", "vl", lambda x, vv: x * vv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+        )
+        w = (
+            s.select(
+                F.posexplode(
+                    F.transform("c", lambda x: x * F.col("s"))
+                ).alias("i0", "sv")
+            )
+            .groupBy("i0")
+            .agg(F.sum("sv").alias("w"))
+        )
+        v_df = (
+            w.select(
+                "i0",
+                (
+                    F.col("w")
+                    / F.sqrt(F.sum(F.col("w") * F.col("w")).over(
+                        Window.partitionBy()
+                    ))
+                ).alias("nv"),
+            )
+            .select("i0", F.round(F.col("nv") + F.lit(1.2345e-8), 6).alias("vi"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i0", "vi"))),
+                    lambda st: st["vi"],
+                ).alias("vl")
+            )
+        )
+    sf = centered.crossJoin(F.broadcast(v_df)).select(
+        F.aggregate(
+            F.zip_with("c", "vl", lambda x, vv: x * vv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s")
+    )
+    lam = sf.agg(
+        _eps_round(F.sum(F.col("s") * F.col("s")) / F.count(F.lit(1)), 4)
+        .alias("eigval")
+    )
+    loadings = v_df.select(F.posexplode("vl").alias("i0", "vi")).select(
+        (F.col("i0") + 1).cast("int").alias("dim"),
+        _eps_round("vi", 4).alias("loading"),
+    )
+    return loadings.crossJoin(F.broadcast(lam))
+
+
+_BM25_TERMS = ("data", "fast", "query")
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL),
+    dl AS (SELECT doc_id, len(t) AS dl FROM d),
+    avgdl AS (SELECT AVG(dl) AS adl, COUNT(*) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1 + (n - df + 0.5) / (df + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / adl)))
+               AS score
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), avgdl
+      GROUP BY tf.doc_id)
+    SELECT doc_id, ROUND(1.2345e-8 + score, 4) AS bm25
+    FROM scored
+    ORDER BY ROUND(1.2345e-8 + score, 4) DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("pipeline", "curation", "ir"),
+)
+def bm25_search(spark, sf_dir):
+    """BM25 full-text relevance search (k1=1.2, b=0.75) for a 3-term
+    query — the retrieval scorer an inverted-index pipeline feeds. The
+    query terms are a pushdown IN-filter on the exploded token stream, so
+    the per-(doc, term) tf table only materializes matching postings
+    (PushedFilters at the scan at real scale with a pre-built posting
+    store). idf and avgdl are tiny aggregate side-tables, broadcast; the
+    final score is one partial-agg groupBy(doc) and a TakeOrderedAndProject
+    top-20 — per-partition heaps, no global sort. Ranking compares the
+    ROUNDED score (+ doc_id) so both engines break ties identically."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    avgdl = dl.agg(
+        F.avg("dl").alias("adl"), F.count(F.lit(1)).alias("n")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("adl"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy(F.col("doc_id"))
+        .agg(
+            F.sum(idf * F.col("tf") * 2.2 / denom).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", _eps_round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "kl_source_drift",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    sc AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+    gc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS g FROM sc GROUP BY 1),
+    gt AS (SELECT CAST(SUM(g) AS BIGINT) AS gn FROM gc)
+    SELECT sc.source,
+           st.n AS n_tokens,
+           ROUND(1.2345e-8 + SUM(
+             (c / CAST(st.n AS DOUBLE))
+             * ln((c / CAST(st.n AS DOUBLE))
+                  / (g / CAST(gt.gn AS DOUBLE)))), 4) AS kl_bits
+    FROM sc JOIN st USING (source) JOIN gc USING (tok), gt
+    GROUP BY sc.source, st.n
+    """,
+    tags=("pipeline", "curation", "stats"),
+)
+def kl_source_drift(spark, sf_dir):
+    """Per-source token-distribution drift: KL(P_source ‖ P_corpus) — the
+    monitor that catches a source whose content shifted (scraper broke,
+    spam flood) before it pollutes a training mix. Every input is a
+    partial-aggregatable count: per-(source, token) counts, per-source
+    totals, global token counts; the KL sum is one more partial-agg
+    groupBy(source). The token-keyed join is the only corpus-scale
+    shuffle, and it reuses the (source, tok) grouping's partitioning.
+    P_source is absolutely continuous w.r.t. P_corpus by construction
+    (every source token is in the corpus), so no smoothing term is
+    needed."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    sc = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("g"))
+    gt = gc.agg(F.sum("g").alias("gn"))
+    ps = F.col("c") / F.col("n").cast("double")
+    pc = F.col("g") / F.col("gn").cast("double")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(gc, "tok")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source", "n")
+        .agg(_eps_round(F.sum(ps * F.log(ps / pc)), 4).alias("kl_bits"))
+        .select(
+            "source", F.col("n").cast("long").alias("n_tokens"), "kl_bits"
+        )
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 10),
+    sh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(t[pos:pos + 9], ' ')) AS h
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9)) AS pos
+            FROM t)),
+    shared AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pos,
+           CAST(COUNT(shared.h) AS BIGINT) AS n_dup_pos,
+           ROUND(1.2345e-8 + COUNT(shared.h) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS dup_ratio
+    FROM sh LEFT JOIN shared USING (h)
+    GROUP BY sh.doc_id
+    HAVING COUNT(shared.h) > 0
+    """,
+    tags=("pipeline", "curation", "dedup"),
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Substring-level duplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): a
+    10-token window occurring in MORE THAN ONE document marks a
+    cross-document duplicated span — the exact-substring signal their
+    suffix-array finds, here via positional shingle hashing, which is the
+    shuffle-friendly equivalent (same window length family as their
+    50-token threshold, shortened to fit the test corpus). Per doc:
+    total window positions, positions covered by a shared window, and the
+    duplicated-span ratio used as a drop/trim signal.
+
+    Scale: one explode (positions ≈ token mass), one partial-agg groupBy
+    on the 16-byte window hash, one hash-join back on the same key — the
+    join reuses the groupBy's partitioning, so one corpus-scale shuffle
+    total. No suffix array, no global sort, nothing driver-sized."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 10
+    )
+    pos = t.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), F.size("t") - 9)).alias("pos"),
+    )
+    sh = pos.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("pos"), 10))).alias("h"),
+    )
+    shared = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    return (
+        sh.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("n_dup_pos"),
+        )
+        .filter(F.col("n_dup_pos") > 0)
+        .select(
+            "doc_id",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_dup_pos").cast("long").alias("n_dup_pos"),
+            _eps_round(
+                F.col("n_dup_pos") / F.col("n_pos").cast("double"), 4
+            ).alias("dup_ratio"),
+        )
+    )
