@@ -75,34 +75,40 @@ def main() -> None:
     registry = q.all_queries()
 
     results: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for label, name in HEADLINE:
         # BASELINE.md methodology: build the DataFrame once, warm once, then
-        # best-of-3 wall-clock on a full materialization of the same plan
-        fn = conv3x3_fullscale if name == "__conv3x3_fullscale__" else registry[name]
-        df = fn(spark, SF_DIR)
-        df.count()  # warm-up (codegen + page cache)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df.count()
-            best = min(best, time.perf_counter() - t0)
-        results[label] = round(best, 4)
+        # best-of-3 wall-clock on a full materialization of the same plan.
+        # Per-query fault isolation: one broken query must never zero the
+        # round's bench evidence (round-4 lesson — a single AnalysisException
+        # aborted the loop and the whole round had no numbers).
+        try:
+            fn = conv3x3_fullscale if name == "__conv3x3_fullscale__" else registry[name]
+            df = fn(spark, SF_DIR)
+            df.count()  # warm-up (codegen + page cache)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+            results[label] = round(best, 4)
+        except Exception as e:  # noqa: BLE001 — isolate ANY per-query failure
+            errors[label] = f"{type(e).__name__}: {e}"[:500]
 
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(sum(results.values()), 4),
-                "unit": "sec",
-                "queries": results,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -144,3 +144,37 @@ def labeled_comprehension(
         lambda s: s["value"],
     )
     return lbl.groupBy("label").agg(fn_udf(arr).alias(out_col))
+
+
+def labeled_comprehension_numpy(
+    lbl: DataFrame, function, out_col: str = "v"
+) -> DataFrame:
+    """``labeled_comprehension`` with a TRULY arbitrary user callable
+    (upstream ``ndmeasure/__init__.py::labeled_comprehension``):
+    ``function(values) -> float`` receives each label's pixel values as a
+    1-D numpy array in ravel (y-major) order — the exact contract scipy
+    gives its ``func``. The per-label aggregation twin of
+    ``ndfilters.generic_filter_tiles``: per-label ``applyInPandas`` groups
+    run the callable Arrow-batched, one per label, no collect.
+
+    Scale: one shuffle on ``label``; a label's pixels must fit one task
+    (true of the upstream contract too — scipy materializes each label's
+    value vector before calling ``func``). SQL-expressible per-label fns
+    should use the R1 aggregates in this module instead; this is the
+    escape hatch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    label_dtype = dict(lbl.dtypes)["label"]
+
+    def per_label(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["y", "x"])
+        v = np.asarray(pdf["value"].to_numpy(), dtype=np.float64)
+        return pd.DataFrame(
+            {"label": [pdf["label"].iloc[0]], out_col: [float(function(v))]}
+        )
+
+    return lbl.groupBy("label").applyInPandas(
+        per_label, schema=f"label {label_dtype}, {out_col} double"
+    )

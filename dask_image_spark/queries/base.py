@@ -47,67 +47,68 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 4 window (VERDICT_r03 "Next round" item 1): the 19 strong queries
-# that have NEVER been driver-graded — the whole round-3-late batch, the
-# curation pipeline + its four component ops first, then the HUGEINT-risk
-# aggregates (inverted_index) early — followed by new round-4 queries as
-# they land, backfilled with re-grades of the oldest evidence (the round-1
-# imaging families) for drift protection.
+# Round 5 window (VERDICT_r04 "Next round" items 1-2, 8): the 8 ts-broken
+# queries first (the two r4 fails, then the six whose last green grade is
+# against pre-µs data that no longer exists), then every other ts-touching
+# or streaming query whose evidence is equally stale, then new round-5
+# queries as they land, backfilled with re-grades of the oldest remaining
+# evidence (the round-2 relational family) per COVERAGE.md rotation.
 WINDOW: list[str] = [
-    # --- never driver-graded (19): pure evidence yield ---
-    "curation_pipeline",
-    "sample_stratified",
-    "pack_sequences",
-    "embedding_quantize_int8",
-    "ann_recall_ivf",
-    "inverted_index",
-    "contamination_check",
-    "ivf_kmeans_topk",
-    "winsorize_values",
-    "dedup_simhash_pairs",
-    "quality_repetition",
-    "gap_fill_hours",
-    "asof_join_forward",
-    "scan_orc_roundtrip",
+    # --- the 8 broken-on-µs-data queries (regression fix -> fresh grades) ---
     "streaming_stream_join",
-    "fourier_shift_frac",
-    "fourier_gaussian_3d",
-    "affine_order1_3d",
-    "affine_order4_identity",
-    # --- new round-4 queries are swapped in here as they land (replacing
-    # backfill tail entries below) ---
-    "label_cc_8conn",
-    "generic_filter_mad",
-    "pii_redact",
-    "chunk_overlap",
-    "token_zipf",
-    "mine_hard_negatives",
-    "dedup_semantic",
-    "mix_temperature",
-    "embedding_pca_power",
-    "bm25_search",
-    "kl_source_drift",
-    "dedup_substring_spans",
-    "imread_glob_nframes",
-    "dedup_lsh_salted_skew",
     "streaming_session_state",
-    # --- backfill: round-1 imaging re-grades, oldest evidence first ---
-    "filter_convolve",
-    "filter_correlate",
-    "filter_uniform",
-    "filter_minimum",
-    "filter_maximum",
-    "filter_median",
-    "filter_rank",
-    "filter_gaussian",
-    "filter_laplace",
-    "filter_laplace_3d",
-    "filter_box_multi_image",
-    "measure_area",
-    "measure_minimum_position",
-    "measure_histogram",
-    "measure_find_objects",
-    "label_cc",
+    "streaming_tumbling",
+    "streaming_sliding",
+    "streaming_static_join",
+    "streaming_session_window",
+    "sessionize",
+    "session_stats",
+    # --- stale ts/streaming evidence: last green vs pre-µs data ---
+    "window_tumbling",
+    "window_sliding",
+    "session_window_batch",
+    "asof_join",
+    "streaming_stateful",
+    "streaming_dedup",
+    "streaming_parquet_sink",
+    # --- new round-5 queries are swapped in here as they land (replacing
+    # backfill tail entries below) ---
+    "labeled_comprehension_mad",
+    # --- backfill: round-2 relational re-grades, oldest evidence first ---
+    "q1_pricing_summary",
+    "q3_join_topk",
+    "join_inner_geo",
+    "join_left_orders",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_bands",
+    "join_bucketed",
+    "window_rank",
+    "window_lag_lead",
+    "window_frames",
+    "window_range_frame",
+    "window_ranking_family",
+    "topk_orders",
+    "set_ops",
+    "agg_stats",
+    "agg_quantiles",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_salted_skew",
+    "filter_project",
+    "pivot_events",
+    "profile_table",
+    "upsert_latest_wins",
+    "time_rollup_multires",
+    "string_funcs",
+    "date_funcs",
+    "json_funcs",
+    "array_funcs",
+    "udtf_ngrams",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
 ]
 
 

@@ -651,3 +651,33 @@ def labeled_comprehension_sumsq(spark, sf_dir):
     lbl = labeled_grid(spark, sf_dir)
     out = ndmeasure.labeled_comprehension(lbl, sumsq, out_col="v")
     return out.select("label", _eps_round("v", 4).alias("v"))
+
+
+@register(
+    "labeled_comprehension_mad",
+    with_pixel_ctes(
+        "SELECT l.label, ROUND(1.2345e-8 + MEDIAN(ABS(l.value - m.med)), 4) AS v "
+        "FROM labeled l JOIN m USING (label) GROUP BY l.label",
+        extra=[
+            "m AS (SELECT label, MEDIAN(value) AS med FROM labeled GROUP BY label)"
+        ],
+    ),
+    tags=("imaging", "ndmeasure", "udf", "r2"),
+)
+def labeled_comprehension_mad(spark, sf_dir):
+    """labeled_comprehension with a REAL user callable (upstream
+    ``ndmeasure/__init__.py::labeled_comprehension``): an arbitrary numpy
+    function — per-label median absolute deviation — routed through the
+    per-label ``applyInPandas`` path (``ndmeasure.
+    labeled_comprehension_numpy``), not a pre-baked SQL aggregate. MAD was
+    picked because SQL *can* mirror it (two chained medians per label),
+    keeping the oracle strong while the engine path is the fully-generic
+    escape hatch — the aggregation twin of ``generic_filter_mad``."""
+    import numpy as np
+
+    def mad(v: "np.ndarray") -> float:
+        return float(np.median(np.abs(v - np.median(v))))
+
+    lbl = labeled_grid(spark, sf_dir)
+    out = ndmeasure.labeled_comprehension_numpy(lbl, mad, out_col="v")
+    return out.select("label", _eps_round("v", 4).alias("v"))

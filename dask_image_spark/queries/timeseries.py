@@ -3,9 +3,12 @@ tumbling/sliding/session windows (batch forms; streaming variants live in
 ``queries/streaming_ops.py``).
 
 All timestamps compared with the oracle are microsecond-precision on both
-sides (Spark converts the ns parquet via ``timestamp_micros(ts div 1000)``;
-DuckDB 1.0 truncates ns->µs on read), and all time arithmetic uses integer
-microseconds (``unix_micros`` / ``epoch_us``) — never float seconds.
+sides (``sources.tables.normalize_events_ts`` canonicalizes whatever the
+file's physical ts encoding is — ns-long / µs-NTZ / µs-LTZ — to TIMESTAMP
+under the pinned UTC zone; DuckDB truncates ns->µs on read), and all time
+arithmetic uses integer microseconds (``unix_micros`` / ``epoch_us``) —
+never float seconds. ``unix_micros`` is valid here precisely because the
+normalizer guarantees LTZ input.
 """
 
 from __future__ import annotations

@@ -35,17 +35,12 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table; fixes the ``events.ts`` timestamp[ns] column.
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs every read depends on.
 
-    With ``spark.sql.legacy.parquet.nanosAsLong=true`` the ns-precision ``ts``
-    arrives as a long. ``ts div 1000`` (integer division — float division
-    would round at ~2^53 and corrupt microseconds) then ``timestamp_micros``
-    recovers a timestamp truncated to microseconds, matching how the DuckDB
-    oracle's ns timestamps truncate when cast to regular (µs) timestamps.
+    The driver may hand us a session built without the engine confs; all
+    four are runtime-settable and required for correct + fast reads.
     """
-    # Defensive: the driver may hand us a session built without the engine
-    # confs; both are runtime-settable and required for correct reads.
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
@@ -58,9 +53,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set(k, v)
         except Exception:
             pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize the ``events.ts`` column to TIMESTAMP (LTZ, pinned UTC).
+
+    The driver's generator has shipped ``ts`` under three physical parquet
+    encodings across rounds — the engine must treat the dtype as data-driven
+    (the reference infers dtypes from the source, never hard-codes them):
+
+    - ``timestamp[ns]`` → with ``nanosAsLong=true`` it arrives as a LONG of
+      nanoseconds. ``ts div 1000`` (integer division — float division would
+      round at ~2^53 and corrupt microseconds) then ``timestamp_micros``
+      truncates to µs, matching DuckDB's ns→µs cast.
+    - ``timestamp[us]`` without timezone → Spark's TIMESTAMP_NTZ. Cast to
+      TIMESTAMP: under the pinned UTC session zone this is value-preserving
+      (naive wall-clock == UTC instant), and it restores the LTZ type the
+      rest of the engine (``unix_micros``, windows, watermarks) consumes.
+    - ``timestamp[us/ms]`` with UTC adjustment → already TIMESTAMP; no-op.
+
+    Used by BOTH the batch loader and the streaming reader so their schemas
+    can never drift (the round-4 µs regression class).
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; canonicalizes ``events.ts`` (see
+    ``normalize_events_ts``) so downstream code sees exactly one ts type
+    regardless of the file's physical encoding."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

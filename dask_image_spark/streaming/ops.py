@@ -7,9 +7,11 @@ transforms, memory sink, return the materialized table. Real deployments
 swap the source for Kafka/files and the trigger for continuous; the
 transformations are unchanged.
 
-``events.ts`` arrives as long (ns) under the nanosAsLong flag and is
-converted exactly like the batch loader, so streaming and batch results are
-comparable — which is what gives these ops their oracle story.
+``events.ts`` is canonicalized through the SAME normalizer as the batch
+loader (``sources.tables.normalize_events_ts``), so streaming and batch
+schemas can never drift whatever the file's physical ts encoding
+(ns-as-long / µs-NTZ / µs-LTZ) — which is what gives these ops their
+oracle story.
 """
 
 from __future__ import annotations
@@ -22,23 +24,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dask_image_spark.queries.base import r as _eps_round
-
-EVENTS_SCHEMA = (
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
+from dask_image_spark.sources.tables import ensure_engine_confs, normalize_events_ts
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The file-stream source needs an explicit schema. NEVER guess it: read
+    # the actual footer schema via a batch scan (metadata-only, no data jobs)
+    # so the physical ts encoding is whatever the file says — the round-4
+    # regression was a hard-coded `ts LONG` here silently dividing µs values
+    # by 1000 when the generator switched from ns to µs.
+    ensure_engine_confs(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # the file-stream source requires a directory basePath; select the one
     # table file via a glob filter (a real deployment points this at a
     # landing directory that accumulates files)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_events_ts(raw)
 
 
 def run_to_memory(

@@ -1,0 +1,312 @@
+#!/usr/bin/env python
+"""Stock-PySpark baseline suite (the BASELINE.md bar), committed so the
+numbers can be re-measured in the SAME session as bench.py — environment
+drift (round-4 A/B showed ~1.3×) otherwise makes cross-round totals lie.
+
+Methodology mirrors BASELINE.md: plain PySpark (no engine code), the query
+texts from BASELINE.md §"Query texts", warm once then best-of-3 wall-clock
+on a full .count(). Stock config: shuffle.partitions=8 (the baseline's
+original choice), nanosAsLong defensively (harmless when ts is µs).
+
+Prints ONE JSON line {"metric": "stock_baseline_total", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_stock_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("stock-baseline")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def register(spark):
+    from pyspark.sql import functions as F
+
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+        if t == "events":
+            # stock normalization, mirroring what any user must do for the
+            # current physical encoding (ns-long legacy or µs NTZ)
+            dt = dict(df.dtypes).get("ts")
+            if dt == "bigint":
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            elif dt == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df.createOrReplaceTempView(t)
+
+
+def q1(spark):
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) sq,
+               sum(l_extendedprice) sp,
+               sum(l_extendedprice*(1-l_discount)) disc, avg(l_quantity) aq,
+               count(*) c
+        FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q3(spark):
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, sum(l.l_extendedprice*(1-l.l_discount)) rev,
+               o.o_orderdate
+        FROM customer c JOIN orders o ON c.c_custkey=o.o_custkey
+        JOIN lineitem l ON l.l_orderkey=o.o_orderkey
+        WHERE c.c_mktsegment='BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate ORDER BY rev DESC LIMIT 10
+        """
+    )
+
+
+def window_rank(spark):
+    return spark.sql(
+        """
+        SELECT * FROM (SELECT user_id, event_type, value, ts,
+          row_number() OVER (PARTITION BY user_id ORDER BY value DESC) rn
+          FROM events) WHERE rn <= 3
+        """
+    )
+
+
+def sessionize(spark):
+    return spark.sql(
+        """
+        WITH g AS (SELECT user_id, ts,
+          CASE WHEN unix_timestamp(ts)-unix_timestamp(lag(ts) OVER w) > 1800
+                 OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) sess
+        FROM g
+        """
+    )
+
+
+def similarity_top10(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.table("embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (
+                F.expr(
+                    "aggregate(zip_with(embedding, q, (a,b)->a*b), 0D, (acc,x)->acc+x)"
+                )
+                / (
+                    F.expr(
+                        "sqrt(aggregate(transform(embedding, a->a*a), 0D, (acc,x)->acc+x))"
+                    )
+                    * F.expr(
+                        "sqrt(aggregate(transform(q, a->a*a), 0D, (acc,x)->acc+x))"
+                    )
+                )
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"))
+        .limit(10)
+    )
+
+
+def exact_dedup_docs(spark):
+    return spark.sql(
+        "SELECT sha2(text,256) h, count(*) c FROM documents GROUP BY h "
+        "HAVING count(*) > 1"
+    )
+
+
+def conv3x3_sim(spark):
+    return spark.sql(
+        """
+        WITH px AS (SELECT CAST(event_id % 300 AS INT) y,
+                           CAST(event_id/300 AS INT) x, value FROM events),
+        k AS (SELECT * FROM VALUES (-1,-1,0.1),(-1,0,0.1),(-1,1,0.1),
+              (0,-1,0.1),(0,0,0.2),(0,1,0.1),(1,-1,0.1),(1,0,0.1),(1,1,0.1)
+              t(dy,dx,w))
+        SELECT p.y+k.dy yy, p.x+k.dx xx, sum(p.value*k.w) v
+        FROM px p CROSS JOIN k GROUP BY p.y+k.dy, p.x+k.dx
+        """
+    )
+
+
+def minhash_lsh(spark):
+    hs = ", ".join(
+        f"min(md5(concat('{s}:', sh))) h{s}" for s in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} band_id, concat(h{2 * b}, h{2 * b + 1}) sig FROM mh"
+        for b in range(4)
+    )
+    return spark.sql(
+        f"""
+        WITH toks AS (SELECT doc_id, split(text, ' ') t FROM documents
+                      WHERE size(split(text, ' ')) >= 3),
+        sh AS (SELECT doc_id, explode(transform(sequence(0, size(t)-3),
+                   i -> concat_ws(' ', slice(t, i+1, 3)))) sh FROM toks),
+        mh AS (SELECT doc_id, {hs} FROM sh GROUP BY doc_id),
+        bands AS ({bands})
+        SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+        """
+    )
+
+
+def ivf_topk(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.table("embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("i", "a")
+    ).groupBy("label", "i").agg(F.avg("a").alias("m"))
+    cvecs = dims.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, m))), s -> s.m)"
+        ).alias("cvec")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = (
+        "aggregate(zip_with({a}, {b}, (x,y)->x*y), 0D, (acc,x)->acc+x) / "
+        "(sqrt(aggregate(transform({a}, x->x*x), 0D, (acc,x)->acc+x)) * "
+        "sqrt(aggregate(transform({b}, x->x*x), 0D, (acc,x)->acc+x)))"
+    )
+    probe = (
+        cvecs.crossJoin(F.broadcast(qv))
+        .select("label", F.expr(cos.format(a="cvec", b="qv")).alias("c"))
+        .orderBy(F.desc("c"))
+        .limit(1)
+        .select("label")
+    )
+    return (
+        emb.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", F.expr(cos.format(a="embedding", b="qv")).alias("cos")
+        )
+        .orderBy(F.desc("cos"))
+        .limit(10)
+    )
+
+
+def curation_pipeline(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = spark.table("documents")
+    sampled = docs.filter(
+        F.expr(
+            "substr(md5(concat('strat7:', CAST(doc_id AS STRING))), 1, 2) < "
+            "CASE WHEN lang = 'en' THEN '40' ELSE 'cc' END"
+        )
+    )
+    keeper = (
+        sampled.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    dedup = sampled.withColumn("h", F.sha2("text", 256)).join(
+        keeper, ["h", "doc_id"]
+    )
+    qual = dedup.filter(F.size(F.split(F.col("text"), " ")) >= 20).select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins, cur, cur_tok = [], 0, 0
+        for t in pdf["n_tok"]:
+            if cur_tok + t > 512 and cur_tok > 0:
+                cur += 1
+                cur_tok = 0
+            bins.append(cur)
+            cur_tok += t
+        pdf = pdf.assign(bin=bins)
+        return pdf[["doc_id", "lang", "n_tok", "bin"]]
+
+    packed = qual.groupBy("lang").applyInPandas(
+        pack, schema="doc_id long, lang string, n_tok int, bin long"
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+
+
+SUITE = [
+    ("q1", q1),
+    ("q3", q3),
+    ("window_rank", window_rank),
+    ("sessionize", sessionize),
+    ("similarity_top10", similarity_top10),
+    ("exact_dedup_docs", exact_dedup_docs),
+    ("conv3x3", conv3x3_sim),
+    ("minhash_lsh", minhash_lsh),
+    ("ivf_topk", ivf_topk),
+    ("curation_pipeline", curation_pipeline),
+]
+
+
+def main() -> None:
+    spark = get_stock_spark()
+    register(spark)
+    results: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for label, fn in SUITE:
+        try:
+            df = fn(spark)
+            df.count()  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df.count()
+                best = min(best, time.perf_counter() - t0)
+            results[label] = round(best, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[label] = f"{type(e).__name__}: {e}"[:500]
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    out = {
+        "metric": "stock_baseline_total",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
