@@ -74,6 +74,10 @@ WINDOW: list[str] = [
     # --- new round-5 queries are swapped in here as they land (replacing
     # backfill tail entries below) ---
     "labeled_comprehension_mad",
+    "rolling_1h_user_stats",
+    "split_group_hash",
+    "tfidf_cosine_pairs",
+    "token_pmi_bigrams",
     # --- backfill: round-2 relational re-grades, oldest evidence first ---
     "q1_pricing_summary",
     "q3_join_topk",
@@ -104,11 +108,7 @@ WINDOW: list[str] = [
     "time_rollup_multires",
     "string_funcs",
     "date_funcs",
-    "json_funcs",
-    "array_funcs",
     "udtf_ngrams",
-    "dedup_exact_groups",
-    "dedup_minhash_lsh",
 ]
 
 

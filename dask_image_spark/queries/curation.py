@@ -789,3 +789,233 @@ def dedup_substring_spans(spark, sf_dir):
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "split_group_hash",
+    """
+    WITH a AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN substr(md5('split:' || source), 1, 2) < 'c0'
+                    THEN 'train'
+                  WHEN substr(md5('split:' || source), 1, 2) < 'e0'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT doc_id) AS n_distinct
+    FROM a GROUP BY split, lang
+    """,
+    tags=("pipeline", "curation", "split"),
+)
+def split_group_hash(spark, sf_dir):
+    """Leakage-safe GROUP-WISE train/val/test split: the assignment hashes
+    the SOURCE (not the document), so every document from one source lands
+    in the same split — the standard guard against near-duplicate leakage
+    across splits (web pages from one domain are mutual near-dups; a
+    doc-level split would put copies in both train and test). Deterministic
+    md5 thresholding (~75/12.5/12.5), no rand(), so the split is
+    reproducible run-over-run and shard-parallel: map-only assignment plus
+    one partial-agg shuffle, nothing global."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.lit("split:"), F.col("source"))), 1, 2)
+    split = (
+        F.when(h < "c0", "train").when(h < "e0", "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("doc_id").alias("n_distinct"),
+        )
+    )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    """
+    WITH n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs
+      FROM documents WHERE text IS NOT NULL),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n_docs / df.df) AS w
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+      WHERE df.df <= 50),
+    wn AS (
+      SELECT doc_id, tok,
+             w / sqrt(SUM(w * w) OVER (PARTITION BY doc_id)) AS wn
+      FROM w),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(1.2345e-8 + SUM(a.wn * b.wn), 4) AS cos
+      FROM wn a JOIN wn b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, cos FROM p WHERE cos >= 0.3
+    """,
+    tags=("pipeline", "curation", "similarity", "sparse"),
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine document pairs (>= 0.3) — the sparse-vector
+    similarity twin of the dense embedding dedups, via the classic
+    token-inverted-index join (Bayardo et al. 2007 all-pairs shape):
+    L2-normalized weights meet on the TOKEN key and partial dot-products
+    aggregate per pair, so only documents sharing a token ever pair, and
+    the pair dot IS the cosine (no norm re-join). The scale levers:
+
+    - df prune (df <= 50 here): stopword-grade tokens have quadratic
+      posting lists and near-zero idf — dropping them bounds per-token
+      pair work (the prefix-filtering idea in the all-pairs literature).
+    - per-doc norms via a WINDOW over the doc-keyed weights, not a
+      separate aggregate + two re-joins — one plan branch, not three.
+    - the normalized posting table is persist()ed before the self-join:
+      Spark recomputes non-cached branches per join side, which would
+      re-scan+re-shingle the corpus twice; caching materializes it once
+      (memory-and-disk, the production all-pairs checkpoint shape).
+
+    Threshold compares the EPS-rounded value on both engines so a 1-ulp
+    dot difference can't flip membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = (
+        docs.filter(F.col("text").isNotNull())
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    tok = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(df.filter(F.col("df") <= 50), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wn = w.select(
+        "doc_id",
+        "tok",
+        (F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(wdoc))).alias("wn"),
+    ).persist()
+    a, b = wn.alias("a"), wn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(_eps_round(F.sum(F.col("a.wn") * F.col("b.wn")), 4).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+@register(
+    "token_pmi_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+    uni AS (
+      SELECT unnest(t) AS tok FROM toks),
+    ucnt AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM uni
+             WHERE tok <> '' GROUP BY tok),
+    utot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ucnt),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+      FROM toks),
+    bcnt AS (
+      SELECT p.a AS tok_a, p.b AS tok_b, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM bi WHERE p.a <> '' AND p.b <> '' GROUP BY p.a, p.b),
+    btot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM bcnt)
+    SELECT tok_a, tok_b, CAST(bc.c AS BIGINT) AS n_pair,
+           ROUND(1.2345e-8 + ln((bc.c / bt.n) / ((ua.c / ut.n) * (ub.c / ut.n))), 4)
+             AS pmi
+    FROM bcnt bc
+    JOIN ucnt ua ON ua.tok = bc.tok_a
+    JOIN ucnt ub ON ub.tok = bc.tok_b
+    CROSS JOIN btot bt CROSS JOIN utot ut
+    WHERE bc.c >= 5
+    ORDER BY pmi DESC, tok_a, tok_b LIMIT 20
+    """,
+    tags=("pipeline", "curation", "collocation"),
+)
+def token_pmi_bigrams(spark, sf_dir):
+    """Pointwise mutual information over adjacent-token bigrams — the
+    collocation detector (Church & Hanks 1990) used to pick merge
+    candidates and multi-word units in tokenizer/vocab construction:
+    PMI = ln(p(a,b) / (p(a) p(b))), top-20 pairs with support >= 5.
+    All inputs are partial-agg counts (unigrams, bigrams, two 1-row
+    totals broadcast back); the bigram->unigram joins meet on the token
+    key, and the final top-20 is a TakeOrderedAndProject heap, not a
+    global sort. The two count tables are persist()ed: each feeds
+    multiple plan branches (ucnt -> both join sides + its total; bcnt ->
+    the pair filter + its total), and without the cache Spark re-derives
+    each branch from a fresh corpus scan — count tables are vocab-sized,
+    far smaller than the corpus they summarize, the textbook cache
+    candidate. Rank determinism: PMI is EPS-rounded BEFORE ordering and
+    ties break on the token pair, so both engines pick identical rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    uni = toks.select(F.explode("t").alias("tok")).filter(F.col("tok") != "")
+    ucnt = uni.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    ).persist()
+    utot = ucnt.agg(F.sum("c").alias("un"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+    bcnt = bi.groupBy(
+        F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("bc")).persist()
+    btot = bcnt.agg(F.sum("bc").alias("bn"))
+    ua = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    ub = ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    pmi = _eps_round(
+        F.log(
+            (F.col("bc") / F.col("bn"))
+            / ((F.col("ca") / F.col("un")) * (F.col("cb") / F.col("un")))
+        ),
+        4,
+    )
+    return (
+        bcnt.filter(F.col("bc") >= 5)
+        .join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "tok_a", "tok_b", F.col("bc").cast("long").alias("n_pair"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(20)
+    )

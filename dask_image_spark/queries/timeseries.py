@@ -279,6 +279,45 @@ def asof_join_forward(spark, sf_dir):
 
 
 @register(
+    "rolling_1h_user_stats",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           ROUND(1.2345e-8 + AVG(value) OVER w, 4) AS avg_1h,
+           ROUND(1.2345e-8 + SUM(value) OVER w, 4) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "window", "rolling"),
+)
+def rolling_1h_user_stats(spark, sf_dir):
+    """Time-interval rolling features — the per-event trailing-1-hour
+    count/avg/sum every behavioral feature store computes: a RANGE frame
+    over EVENT TIME (not row count), so sparse and bursty users get the
+    same wall-clock window. Spark expresses interval RANGE frames over the
+    integer epoch-µs ordering key (``rangeBetween`` needs a numeric key);
+    both engines include the exact -1h boundary and all equal-ts peers, so
+    the frames are identical. One shuffle on user_id, no self-join — the
+    naive form is an interval self-join (events × events within 1h), which
+    explodes quadratically on hot users; the RANGE frame is the
+    linear-per-partition plan."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        _eps_round(F.avg("value").over(w), 4).alias("avg_1h"),
+        _eps_round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+@register(
     "gap_fill_hours",
     """
     WITH hourly AS (
