@@ -27,23 +27,34 @@ from dask_image_spark.queries.base import r as _eps_round
 from dask_image_spark.sources.tables import ensure_engine_confs, normalize_events_ts
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming source over the events table.
+
+    ``glob``/``max_files_per_trigger`` let tests (and real landing-zone
+    deployments) run the SAME transformations over a directory of many
+    files in many micro-batches — availableNow honors the rate limit, so
+    ``max_files_per_trigger=1`` with N files exercises N-batch stateful
+    accumulation (see tests/test_streaming_multibatch.py).
+    """
     # The file-stream source needs an explicit schema. NEVER guess it: read
     # the actual footer schema via a batch scan (metadata-only, no data jobs)
     # so the physical ts encoding is whatever the file says — the round-4
     # regression was a hard-coded `ts LONG` here silently dividing µs values
     # by 1000 when the generator switched from ns to µs.
     ensure_engine_confs(spark)
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    # the file-stream source requires a directory basePath; select the one
-    # table file via a glob filter (a real deployment points this at a
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    # the file-stream source requires a directory basePath; select the
+    # table file(s) via a glob filter (a real deployment points this at a
     # landing directory that accumulates files)
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return normalize_events_ts(raw)
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return normalize_events_ts(reader.parquet(sf_dir))
 
 
 def run_to_memory(
@@ -63,10 +74,10 @@ def run_to_memory(
     return stream_df.sparkSession.table(name)
 
 
-def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tumbling_counts(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """1-hour tumbling windowed aggregation with a watermark — the canonical
     late-data-tolerant streaming aggregate."""
-    ev = events_stream(spark, sf_dir)
+    ev = events_stream(spark, sf_dir, **stream_opts)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -76,18 +87,22 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
-def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stateful_user_stats(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` — the
     arbitrary-state streaming surface (per-user running count / sum / max
     kept in explicit GroupState across micro-batches).
 
-    With the availableNow trigger and a single input file this processes one
-    micro-batch, so the emitted final states equal the batch GROUP BY —
-    which is what makes it oracle-checkable at all.
+    The update-mode memory sink APPENDS every per-batch emission; a
+    production sink (Delta/JDBC) MERGEs by key instead. The final
+    per-user groupBy below keeps only the last emission (``n_events`` is
+    monotonic across batches), which makes the result identical whether
+    availableNow ran one micro-batch or many (tested with
+    ``max_files_per_trigger=1`` in tests/test_streaming_multibatch.py)
+    and equal to the batch GROUP BY — the oracle story.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    ev = events_stream(spark, sf_dir, **stream_opts).select("user_id", "value")
 
     def update(key, pdfs, state: GroupState):
         n, total, mx = (
@@ -114,12 +129,19 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(agg, "update")
+    mem = run_to_memory(agg, "update")
+    # keyed-merge semantics over the append-only memory sink: last (= max,
+    # counts are monotonic) emission per user wins
+    return (
+        mem.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value", "max_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value", "s.max_value")
+    )
 
 
-def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_counts(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """Streaming dropDuplicates then per-user distinct-type counts."""
-    ev = events_stream(spark, sf_dir)
+    ev = events_stream(spark, sf_dir, **stream_opts)
     agg = (
         ev.dropDuplicates(["user_id", "event_type"])
         .groupBy("user_id")
@@ -128,10 +150,10 @@ def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
-def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sliding_counts(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """2-hour windows sliding by 1 hour with a watermark — every event lands
     in two windows; complete-mode availableNow output is batch-equivalent."""
-    ev = events_stream(spark, sf_dir)
+    ev = events_stream(spark, sf_dir, **stream_opts)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
@@ -144,7 +166,7 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
-def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """Streaming FILE sink: availableNow stream written to a parquet
     directory with a checkpoint (exactly-once via the commit log), then
     read back as a batch table and aggregated. The production landing-zone
@@ -160,7 +182,7 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
 
-    ev = events_stream(spark, sf_dir).select(
+    ev = events_stream(spark, sf_dir, **stream_opts).select(
         "event_id", "user_id", "event_type", "value"
     )
     q = (
@@ -182,7 +204,7 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_static_join(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """Stream-static join: the events STREAM enriched against a static
     user-segment dimension (derived deterministically from customer), then
     a windowed aggregate per segment. The static side is broadcast into
@@ -191,7 +213,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-equivalent and strong-oracle-checkable."""
     from dask_image_spark.sources.tables import load_table
 
-    ev = events_stream(spark, sf_dir)
+    ev = events_stream(spark, sf_dir, **stream_opts)
     seg = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         (F.pmod(F.col("c_custkey"), F.lit(4))).cast("int").alias("segment"),
@@ -209,12 +231,12 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
-def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def session_window_counts(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """STREAMING session windows (30-min gap, watermarked): Spark merges
     per-user events into gap-separated sessions as state, emitting them in
     complete mode under availableNow — batch-equivalent, so the batch
     sessionization SQL is a strong oracle."""
-    ev = events_stream(spark, sf_dir)
+    ev = events_stream(spark, sf_dir, **stream_opts)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -230,13 +252,13 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
-def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_within_watermark(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """``dropDuplicatesWithinWatermark``: bounded-state dedup — state for a
     key is dropped once the watermark passes it, the production answer to
     unbounded dedup state. The events fixture spans far longer than the
     watermark, so rows per key CAN recur across distant event times; counts
     reflect per-(user, type) occurrences surviving the windowed dedup."""
-    ev = events_stream(spark, sf_dir)
+    ev = events_stream(spark, sf_dir, **stream_opts)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
@@ -244,7 +266,7 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_stream_join(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """Stream-stream inner join with watermarks and a time-interval
     condition — Spark's bounded-state two-stream join (each side buffers
     only rows inside its watermark): purchases matched to the same user's
@@ -252,7 +274,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what lets the state store evict — an unbounded-condition join would
     grow state forever. availableNow + append gives batch equivalence."""
     clicks = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, **stream_opts)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -262,7 +284,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "2 hours")
     )
     purchases = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, **stream_opts)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -281,7 +303,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, "append")
 
 
-def session_state_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def session_state_walk(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """Streaming sessionization through GENUINELY arbitrary state
     (``applyInPandasWithState``): the per-user state is the one open
     session (index, start, last-seen, running count/sum) — not a
@@ -292,13 +314,20 @@ def session_state_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the upstream analog of ``session_window`` semantics, but with the
     gap logic hand-carried across micro-batches).
 
-    availableNow + one input file = one micro-batch, so the flushed
-    sessions equal the batch lag/running-sum sessionization — the
-    batch-equivalence that makes the query strong-oracle-checkable."""
+    Each batch flushes the still-open session too (with its
+    stats-so-far); under multi-batch availableNow a session spanning
+    batches is therefore emitted more than once with growing counts. The
+    final (user, sess) groupBy keeps only the last emission — keyed-merge
+    semantics over the append-only memory sink — so the flushed sessions
+    equal the batch lag/running-sum sessionization whether the stream ran
+    one micro-batch or many (the multi-batch path assumes per-key
+    time-ordered file arrival, the CDC-log contract; out-of-order data
+    belongs to the watermarked ``session_window`` op instead). That
+    batch-equivalence is what makes the query strong-oracle-checkable."""
     from dask_image_spark.queries.timeseries import GAP_US
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = events_stream(spark, sf_dir).select(
+    ev = events_stream(spark, sf_dir, **stream_opts).select(
         "user_id", "ts", "value", "event_id"
     )
 
@@ -350,4 +379,20 @@ def session_state_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(agg, "update")
+    mem = run_to_memory(agg, "update")
+    return (
+        mem.groupBy("user_id", "sess")
+        .agg(
+            F.max(
+                F.struct("n_events", "duration_us", "total_value", "session_start")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "sess",
+            "s.n_events",
+            "s.total_value",
+            "s.session_start",
+            "s.duration_us",
+        )
+    )

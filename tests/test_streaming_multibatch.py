@@ -1,0 +1,100 @@
+"""Multi-micro-batch equivalence for the streaming operators.
+
+The graded queries run availableNow over ONE events file = one micro-batch.
+A real landing zone delivers MANY files; stateful operators must accumulate
+across triggers. This splits the sf0.001 events into 4 time-ranged files
+and re-runs each op with ``max_files_per_trigger=1`` (availableNow honors
+the rate limit -> 4 micro-batches), asserting results identical to the
+single-batch run:
+
+- complete-mode aggregates (tumbling/sliding/session_window/dedup) re-emit
+  the full state each trigger, so the final table must match trivially —
+  unless state is accidentally dropped between batches.
+- the stream-stream join buffers both sides in the state store across
+  batches; time-ranged files keep every match inside the watermark.
+- the update-mode applyInPandasWithState ops emit per batch; their
+  final-emission-per-key groupBy (keyed-merge semantics) must collapse the
+  multi-batch emission history to the same answer.
+
+The arbitrary-state session walk additionally assumes per-key time-ordered
+arrival (the CDC-log contract), which the time-ranged split satisfies.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from dask_image_spark.streaming import ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def multi_dir(spark, tmp_path_factory):
+    """sf0.001 events sorted by ts, split into 4 time-ranged parquet files
+    (plus the customer table the static-join op needs)."""
+    root = str(tmp_path_factory.mktemp("multibatch"))
+    from dask_image_spark.sources.tables import load_table
+
+    pdf = load_table(spark, SF, "events").toPandas().sort_values(
+        ["ts", "event_id"]
+    )
+    quarter = (len(pdf) + 3) // 4
+    for i in range(4):
+        chunk = pdf.iloc[i * quarter : (i + 1) * quarter]
+        chunk.to_parquet(os.path.join(root, f"events_{i}.parquet"), index=False)
+    shutil.copy(
+        os.path.join(SF, "customer.parquet"),
+        os.path.join(root, "customer.parquet"),
+    )
+    return root
+
+
+MULTI = dict(glob="events_*.parquet", max_files_per_trigger=1)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        ops.tumbling_counts,
+        ops.sliding_counts,
+        ops.session_window_counts,
+        ops.dedup_counts,
+        ops.stream_static_join,
+        ops.stream_stream_join,
+        ops.stateful_user_stats,
+        ops.session_state_walk,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_multibatch_equals_single_batch(spark, multi_dir, op):
+    single = _rows(op(spark, SF))
+    multi = _rows(op(spark, multi_dir, **MULTI))
+    assert multi == single
+
+
+def test_four_micro_batches_actually_ran(spark, multi_dir):
+    """Guard that the rate limit really splits the run (otherwise the
+    parametrized test proves nothing)."""
+    import uuid
+
+    ev = ops.events_stream(spark, multi_dir, **MULTI)
+    name = f"probe_{uuid.uuid4().hex[:8]}"
+    q = (
+        ev.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) == 4, [p["numInputRows"] for p in progress]
