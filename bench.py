@@ -38,6 +38,11 @@ HEADLINE = [
     # round-4 addition (VERDICT_r03 item 8): the flagship end-to-end curation
     # composition gets a tracked number (stock-PySpark baseline in BASELINE.md)
     ("curation_pipeline", "curation_pipeline"),
+    # round-5 additions: the two new corpus-scale operators worth tracking
+    # (time-interval rolling window; all-pairs sparse cosine — the latter is
+    # the heaviest new shuffle shape, persist + inverted-index self-join)
+    ("rolling_1h", "rolling_1h_user_stats"),
+    ("tfidf_pairs", "tfidf_cosine_pairs"),
 ]
 
 BASELINE_K = [

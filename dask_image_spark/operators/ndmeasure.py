@@ -147,15 +147,22 @@ def labeled_comprehension(
 
 
 def labeled_comprehension_numpy(
-    lbl: DataFrame, function, out_col: str = "v"
+    lbl: DataFrame,
+    function,
+    out_col: str = "v",
+    pass_positions: bool = False,
+    grid: int | None = None,
 ) -> DataFrame:
     """``labeled_comprehension`` with a TRULY arbitrary user callable
     (upstream ``ndmeasure/__init__.py::labeled_comprehension``):
     ``function(values) -> float`` receives each label's pixel values as a
     1-D numpy array in ravel (y-major) order — the exact contract scipy
-    gives its ``func``. The per-label aggregation twin of
-    ``ndfilters.generic_filter_tiles``: per-label ``applyInPandas`` groups
-    run the callable Arrow-batched, one per label, no collect.
+    gives its ``func``. With ``pass_positions=True`` (upstream's
+    ``pass_positions``) the callable is invoked ``function(values,
+    positions)`` where positions are the raveled indices ``y * grid + x``
+    (``grid`` = row width, required then). The per-label aggregation twin
+    of ``ndfilters.generic_filter_tiles``: per-label ``applyInPandas``
+    groups run the callable Arrow-batched, one per label, no collect.
 
     Scale: one shuffle on ``label``; a label's pixels must fit one task
     (true of the upstream contract too — scipy materializes each label's
@@ -166,14 +173,23 @@ def labeled_comprehension_numpy(
     import numpy as np
     import pandas as pd
 
+    if pass_positions and grid is None:
+        raise ValueError("pass_positions=True requires grid= (row width)")
+
     label_dtype = dict(lbl.dtypes)["label"]
 
     def per_label(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["y", "x"])
         v = np.asarray(pdf["value"].to_numpy(), dtype=np.float64)
-        return pd.DataFrame(
-            {"label": [pdf["label"].iloc[0]], out_col: [float(function(v))]}
-        )
+        if pass_positions:
+            pos = (
+                pdf["y"].to_numpy().astype(np.int64) * grid
+                + pdf["x"].to_numpy().astype(np.int64)
+            )
+            res = float(function(v, pos))
+        else:
+            res = float(function(v))
+        return pd.DataFrame({"label": [pdf["label"].iloc[0]], out_col: [res]})
 
     return lbl.groupBy("label").applyInPandas(
         per_label, schema=f"label {label_dtype}, {out_col} double"

@@ -74,10 +74,12 @@ WINDOW: list[str] = [
     # --- new round-5 queries are swapped in here as they land (replacing
     # backfill tail entries below) ---
     "labeled_comprehension_mad",
+    "labeled_comprehension_positions",
     "rolling_1h_user_stats",
     "split_group_hash",
     "tfidf_cosine_pairs",
     "token_pmi_bigrams",
+    "scd2_history",
     # --- backfill: round-2 relational re-grades, oldest evidence first ---
     "q1_pricing_summary",
     "q3_join_topk",
@@ -107,8 +109,6 @@ WINDOW: list[str] = [
     "upsert_latest_wins",
     "time_rollup_multires",
     "string_funcs",
-    "date_funcs",
-    "udtf_ngrams",
 ]
 
 

@@ -681,3 +681,30 @@ def labeled_comprehension_mad(spark, sf_dir):
     lbl = labeled_grid(spark, sf_dir)
     out = ndmeasure.labeled_comprehension_numpy(lbl, mad, out_col="v")
     return out.select("label", _eps_round("v", 4).alias("v"))
+
+
+@register(
+    "labeled_comprehension_positions",
+    with_pixel_ctes(
+        f"SELECT label, ROUND(1.2345e-8 + SUM(value * (y * {GRID} + x)) "
+        "/ SUM(value), 4) AS v FROM labeled GROUP BY label"
+    ),
+    tags=("imaging", "ndmeasure", "udf", "r2"),
+)
+def labeled_comprehension_positions(spark, sf_dir):
+    """labeled_comprehension with ``pass_positions=True`` (upstream
+    ``ndmeasure/__init__.py::labeled_comprehension``'s positions mode):
+    the numpy callable receives (values, raveled_positions) per label —
+    here the value-weighted mean raveled index, i.e. a 1-D center of
+    mass, which SQL mirrors exactly so the positions plumbing is
+    strong-oracle-checked."""
+    import numpy as np
+
+    def wmean_pos(v: "np.ndarray", pos: "np.ndarray") -> float:
+        return float(np.sum(v * pos) / np.sum(v))
+
+    lbl = labeled_grid(spark, sf_dir)
+    out = ndmeasure.labeled_comprehension_numpy(
+        lbl, wmean_pos, out_col="v", pass_positions=True, grid=GRID
+    )
+    return out.select("label", _eps_round("v", 4).alias("v"))

@@ -349,6 +349,69 @@ def upsert_latest_wins(spark, sf_dir):
 
 
 @register(
+    "scd2_history",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice AS price, 0 AS version FROM orders
+      UNION ALL
+      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2), 1
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, ROUND(o_totalprice * 1.2, 2), 2
+      FROM orders WHERE o_orderkey % 20 = 3),
+    hist AS (
+      SELECT o_orderkey, version, price,
+             LEAD(version) OVER (PARTITION BY o_orderkey
+                                 ORDER BY version) AS valid_to
+      FROM unioned)
+    SELECT o_orderkey, version,
+           CAST(COALESCE(valid_to, -1) AS INT) AS valid_to,
+           ROUND(1.2345e-8 + price, 4) AS price,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM hist WHERE o_orderkey % 100 = 3
+    """,
+    tags=("relational", "upsert", "cdc", "scd2"),
+)
+def scd2_history(spark, sf_dir):
+    """SCD TYPE-2 history build — the lakehouse dimension-versioning twin
+    of ``upsert_latest_wins`` (SCD1 keeps only the latest row; SCD2 keeps
+    EVERY version with a validity interval): union the snapshot with two
+    change batches, then one LEAD window per key assigns each version its
+    ``valid_to`` (next version, -1/is_current for the open row). At scale
+    the whole history build is a single shuffle on the merge key — and
+    with the snapshot bucketed on that key (``join_bucketed``) even that
+    exchange disappears; this is what a Delta/Iceberg MERGE does under
+    the hood, expressed as a plain window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    v0 = o.withColumn("version", F.lit(0))
+    v1 = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.round(F.col("price") * 1.1, 2).alias("price"),
+        F.lit(1).alias("version"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 20 == 3).select(
+        "o_orderkey",
+        F.round(F.col("price") * 1.2, 2).alias("price"),
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("version")
+    hist = (
+        v0.unionByName(v1)
+        .unionByName(v2)
+        .withColumn("valid_to", F.lead("version").over(w))
+    )
+    return hist.filter(F.col("o_orderkey") % 100 == 3).select(
+        "o_orderkey",
+        "version",
+        F.coalesce(F.col("valid_to"), F.lit(-1)).cast("int").alias("valid_to"),
+        _r(F.col("price")).alias("price"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@register(
     "profile_table",
     """
     SELECT COUNT(*) AS n_rows,

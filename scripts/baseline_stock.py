@@ -260,6 +260,50 @@ def curation_pipeline(spark):
     )
 
 
+def rolling_1h(spark):
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_1h, AVG(value) OVER w AS avg_1h,
+               SUM(value) OVER w AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(unix_micros(ts) AS BIGINT)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+def tfidf_pairs(spark):
+    # the first-correct-thing a stock user writes: tf/df/norms as separate
+    # CTE branches, norm re-joins (no persist, no window-norm) — Spark
+    # re-derives each branch from the corpus
+    return spark.sql(
+        """
+        WITH tok AS (
+          SELECT doc_id, explode(split(text, ' ')) AS tok
+          FROM documents WHERE text IS NOT NULL),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs
+              FROM documents WHERE text IS NOT NULL),
+        w AS (
+          SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n_docs / df.df) AS w
+          FROM tf JOIN df USING (tok) CROSS JOIN n WHERE df.df <= 50),
+        nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY doc_id),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, p.dot / (x.nm * y.nm) AS cos
+        FROM p JOIN nrm x ON x.doc_id = p.doc_a
+               JOIN nrm y ON y.doc_id = p.doc_b
+        WHERE p.dot / (x.nm * y.nm) >= 0.3
+        """
+    )
+
+
 SUITE = [
     ("q1", q1),
     ("q3", q3),
@@ -271,6 +315,8 @@ SUITE = [
     ("minhash_lsh", minhash_lsh),
     ("ivf_topk", ivf_topk),
     ("curation_pipeline", curation_pipeline),
+    ("rolling_1h", rolling_1h),
+    ("tfidf_pairs", tfidf_pairs),
 ]
 
 
