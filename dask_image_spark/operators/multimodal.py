@@ -1,13 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, processed with Arrow-batched pandas UDFs (``mapInPandas``).
 
-The real decoders (PIL/tifffile/librosa/ffmpeg) are not in this container,
-mirroring the reference's optional ``pims`` dependency
-(``dask_image/imread/__init__.py`` imports pims lazily). Decoding is
-therefore STUBBED: ``decode_image`` raises unless given the deterministic
-fake codec, while all the Spark-side plumbing — schema, Arrow batching,
-partition-parallel fan-out, UDF signatures — is real and tested. Swapping
-the stub for PIL is a one-function change.
+The heavyweight decoders (PIL/tifffile/librosa/ffmpeg) are not in this
+container, mirroring the reference's optional ``pims`` dependency
+(``dask_image/imread/__init__.py`` imports pims lazily). Four formats are
+nonetheless REAL, written from scratch on the stdlib: PGM, PNG, baseline
+TIFF (images) and 16-bit PCM WAV (audio) — full encode -> file -> scan ->
+decode roundtrips. Only the generic ``decode_image`` catch-all stays
+STUBBED (raises unless given the deterministic fake codec), while all the
+Spark-side plumbing — schema, Arrow batching, partition-parallel fan-out,
+UDF signatures — is real and tested. Swapping the stub for PIL is a
+one-function change; video remains metadata+stub (no pure-python codec is
+reasonable there).
 
 The deterministic fake treats the payload bytes themselves as the "pixels":
 metadata (byte length, first byte, byte-sum checksum) is computable by the
@@ -261,6 +265,68 @@ def decode_tiff(payload: bytes) -> tuple[int, int, list[int]]:
     if len(data) < width * height:
         raise ValueError("truncated TIFF strip data")
     return width, height, list(data[: width * height])
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Encode 16-bit signed PCM mono samples as a WAV (RIFF) file — a REAL
+    audio format, written from scratch (RIFF framing + fmt/data chunks are
+    pure ``struct``; no audio library exists or is needed). The audio
+    analog of ``encode_pgm``: it makes the audio modality an actual
+    encode -> file -> scan -> decode roundtrip instead of a stub."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,              # PCM
+        1,              # mono
+        sample_rate,
+        sample_rate * 2,  # byte rate = rate * channels * 2
+        2,              # block align
+        16,             # bits per sample
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Parse a PCM WAV file: walk the RIFF chunk list, read the fmt chunk,
+    return (sample_rate, samples). Validates framing like a real parser —
+    truncated chunks, non-PCM encodings, or stereo raise."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    rate, n_channels, bits = None, None, None
+    samples: list[int] | None = None
+    while pos + 8 <= min(end, len(payload)):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if len(chunk) < size:
+            raise ValueError("truncated chunk")
+        if tag == b"fmt ":
+            codec, n_channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if codec != 1 or n_channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only 16-bit mono PCM supported"
+                )
+        elif tag == b"data":
+            samples = [
+                struct.unpack("<h", chunk[i : i + 2])[0]
+                for i in range(0, size, 2)
+            ]
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
 
 
 def decode_image(payload: bytes, codec: str = "fake"):

@@ -80,6 +80,7 @@ WINDOW: list[str] = [
     "tfidf_cosine_pairs",
     "token_pmi_bigrams",
     "scd2_history",
+    "audio_wav_stats",
     # --- backfill: round-2 relational re-grades, oldest evidence first ---
     "q1_pricing_summary",
     "q3_join_topk",
@@ -108,7 +109,6 @@ WINDOW: list[str] = [
     "profile_table",
     "upsert_latest_wins",
     "time_rollup_multires",
-    "string_funcs",
 ]
 
 

@@ -1238,6 +1238,94 @@ def imread_tiff(spark, sf_dir):
 
 
 @register(
+    "audio_wav_stats",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS clip,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(4096 AS INT) AS n_samples,  -- padded: files carry the full clip
+           CAST(MAX((event_id * 31 + 7) % 65536) AS INT) AS peak_u16,
+           CAST(SUM((event_id * 31 + 7) % 65536) % 65536 AS INT) AS checksum
+    FROM events WHERE event_id < 8192
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "audio", "io-write"),
+    schema="clip int, sample_rate int, n_samples int, peak_u16 int, checksum int",
+)
+def audio_wav_stats(spark, sf_dir):
+    """REAL audio-file ingest, end to end — the audio modality made
+    concrete rather than stubbed: derive two deterministic 16-bit PCM
+    clips from events, ENCODE each as a WAV file (RIFF framing written
+    from scratch — no audio library), land them in a directory, re-ingest
+    with Spark's ``binaryFile`` source, and DECODE with the pure-python
+    RIFF parser inside mapInPandas. The oracle recomputes per-clip sample
+    stats straight from events, so any error in chunk framing,
+    little-endian int16 packing, fmt parsing, or two's-complement
+    recovery breaks the checksum. Same distributed shape as
+    ``imread_pgm``: per-clip encode groups, partition-parallel decode."""
+    import os
+
+    from dask_image_spark.operators.multimodal import decode_wav, encode_wav
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/wav_{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    smp = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("clip"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        # u16 sample value; stored as signed int16 two's complement
+        F.pmod(F.col("event_id") * 31 + 7, F.lit(65536)).cast("int").alias("u"),
+    )
+
+    def write_clip(pdf):
+        import numpy as np
+        import pandas as pd
+
+        clip = int(pdf["clip"].iloc[0])
+        # zero-pad partial clips at tiny sf (zero samples leave both the
+        # checksum and the u16 peak invariant, exactly like the image pads)
+        u = np.zeros(4096, dtype=np.uint16)
+        u[pdf["pos"].to_numpy()] = pdf["u"].to_numpy().astype(np.uint16)
+        samples = u.astype(np.int16)  # two's-complement reinterpretation
+        payload = encode_wav(samples.tolist(), 8000)
+        path = f"{out_dir}/clip_{clip}.wav"
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"clip": [clip], "n_bytes": [len(payload)]})
+
+    smp.groupBy("clip").applyInPandas(write_clip, "clip int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.wav")
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "clip": [], "sample_rate": [], "n_samples": [],
+                "peak_u16": [], "checksum": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rate, samples = decode_wav(bytes(content))
+                u = np.asarray(samples, dtype=np.int16).astype(np.uint16)
+                rows["clip"].append(
+                    int(path.rsplit("clip_", 1)[1].split(".")[0])
+                )
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["peak_u16"].append(int(u.max()))
+                rows["checksum"].append(int(u.sum(dtype=np.int64) % 65536))
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode,
+        "clip int, sample_rate int, n_samples int, peak_u16 int, checksum int",
+    )
+
+
+@register(
     "imread_glob_nframes",
     """
     WITH per_frame AS (

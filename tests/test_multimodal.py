@@ -216,3 +216,33 @@ def test_tiff_decoder_rejects_bad_payloads():
     good[2] = 41  # wrong magic
     with pytest.raises(ValueError):
         decode_tiff(bytes(good))
+
+
+def test_wav_roundtrip_and_edge_samples():
+    from dask_image_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    rate, out = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000
+    assert out == samples
+
+
+def test_wav_decoder_rejects_bad_payloads():
+    import struct
+
+    import pytest
+
+    from dask_image_spark.operators.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS....")
+    # stereo fmt chunk -> unsupported
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        decode_wav(payload)
+    # truncated data chunk
+    good = bytearray(encode_wav([1, 2, 3], 8000))
+    with pytest.raises(ValueError):
+        decode_wav(bytes(good[:-2]))
