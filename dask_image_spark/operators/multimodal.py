@@ -3,15 +3,15 @@ metadata, processed with Arrow-batched pandas UDFs (``mapInPandas``).
 
 The heavyweight decoders (PIL/tifffile/librosa/ffmpeg) are not in this
 container, mirroring the reference's optional ``pims`` dependency
-(``dask_image/imread/__init__.py`` imports pims lazily). Four formats are
+(``dask_image/imread/__init__.py`` imports pims lazily). FIVE formats are
 nonetheless REAL, written from scratch on the stdlib: PGM, PNG, baseline
-TIFF (images) and 16-bit PCM WAV (audio) — full encode -> file -> scan ->
-decode roundtrips. Only the generic ``decode_image`` catch-all stays
-STUBBED (raises unless given the deterministic fake codec), while all the
-Spark-side plumbing — schema, Arrow batching, partition-parallel fan-out,
-UDF signatures — is real and tested. Swapping the stub for PIL is a
-one-function change; video remains metadata+stub (no pure-python codec is
-reasonable there).
+TIFF (images), 16-bit PCM WAV (audio), and Y4M/YUV4MPEG2 (video — raw
+planar frames, so container parsing needs no codec) — full encode ->
+file -> scan -> decode roundtrips covering all three modalities. Only the
+generic ``decode_image`` catch-all stays STUBBED (raises unless given the
+deterministic fake codec), while all the Spark-side plumbing — schema,
+Arrow batching, partition-parallel fan-out, UDF signatures — is real and
+tested. Swapping the stub for PIL/ffmpeg is a one-function change.
 
 The deterministic fake treats the payload bytes themselves as the "pixels":
 metadata (byte length, first byte, byte-sum checksum) is computable by the
@@ -327,6 +327,64 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     if rate is None or samples is None:
         raise ValueError("missing fmt or data chunk")
     return rate, samples
+
+
+def encode_y4m(frames, width: int, height: int, fps: int = 25) -> bytes:
+    """Encode 8-bit grayscale frames as a Y4M (YUV4MPEG2) video — a REAL
+    video container format whose header is plain text and whose frames are
+    raw planar YUV (no compression), so it needs no codec library: mono
+    C420 with flat 128 chroma planes. The video analog of ``encode_pgm``/
+    ``encode_wav`` — it makes video ingest an actual container roundtrip
+    instead of a byte-slab stub."""
+    header = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = bytes([128]) * ((width // 2) * (height // 2))
+    out = [header]
+    for f in frames:
+        y = bytes(int(v) & 0xFF for v in f)
+        if len(y) != width * height:
+            raise ValueError("frame size mismatch")
+        out.append(b"FRAME\n" + y + chroma + chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse a Y4M stream: text header (W/H/F/C tags), then FRAME-delimited
+    raw planar frames. Returns (width, height, fps, y_planes). Validates
+    the magic, requires C420 (the only subsampling we emit), and raises on
+    truncated frames — a real parser, not a length heuristic."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", errors="replace").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = fps = None
+    colorspace = "C420"
+    for tag in head[1:]:
+        if tag.startswith("W"):
+            width = int(tag[1:])
+        elif tag.startswith("H"):
+            height = int(tag[1:])
+        elif tag.startswith("F"):
+            fps = int(tag[1:].split(":")[0])
+        elif tag.startswith("C"):
+            colorspace = tag
+    if width is None or height is None:
+        raise ValueError("missing W/H header tags")
+    if not colorspace.startswith("C420"):
+        raise NotImplementedError("only C420 supported")
+    y_len = width * height
+    frame_len = y_len + 2 * ((width // 2) * (height // 2))
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.index(b"\n", pos)
+        if payload[pos:fnl].split(b" ")[0] != b"FRAME":
+            raise ValueError("bad frame marker")
+        start = fnl + 1
+        if start + frame_len > len(payload):
+            raise ValueError("truncated frame")
+        frames.append(payload[start : start + y_len])
+        pos = start + frame_len
+    return width, height, fps or 0, frames
 
 
 def decode_image(payload: bytes, codec: str = "fake"):

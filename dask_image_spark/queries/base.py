@@ -81,6 +81,7 @@ WINDOW: list[str] = [
     "token_pmi_bigrams",
     "scd2_history",
     "audio_wav_stats",
+    "video_y4m_frames",
     # --- backfill: round-2 relational re-grades, oldest evidence first ---
     "q1_pricing_summary",
     "q3_join_topk",
@@ -108,7 +109,6 @@ WINDOW: list[str] = [
     "pivot_events",
     "profile_table",
     "upsert_latest_wins",
-    "time_rollup_multires",
 ]
 
 

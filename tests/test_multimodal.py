@@ -246,3 +246,30 @@ def test_wav_decoder_rejects_bad_payloads():
     good = bytearray(encode_wav([1, 2, 3], 8000))
     with pytest.raises(ValueError):
         decode_wav(bytes(good[:-2]))
+
+
+def test_y4m_roundtrip_multiframe():
+    from dask_image_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = [
+        [i % 256 for i in range(16 * 8)],
+        [(i * 3 + 7) % 256 for i in range(16 * 8)],
+        [0] * (16 * 8),
+    ]
+    w, h, fps, ys = decode_y4m(encode_y4m(frames, 16, 8, 30))
+    assert (w, h, fps) == (16, 8, 30)
+    assert [list(y) for y in ys] == frames
+
+
+def test_y4m_decoder_rejects_bad_payloads():
+    import pytest
+
+    from dask_image_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF....WAVE\n")
+    good = encode_y4m([[1] * 4], 2, 2)
+    with pytest.raises(ValueError):
+        decode_y4m(good[:-2])  # truncated frame
+    with pytest.raises(NotImplementedError):
+        decode_y4m(good.replace(b"C420", b"C444"))
