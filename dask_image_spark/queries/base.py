@@ -82,6 +82,8 @@ WINDOW: list[str] = [
     "scd2_history",
     "audio_wav_stats",
     "video_y4m_frames",
+    "fuzzy_join_tokens",
+    "funnel_conversion",
     # --- backfill: round-2 relational re-grades, oldest evidence first ---
     "q1_pricing_summary",
     "q3_join_topk",
@@ -107,8 +109,6 @@ WINDOW: list[str] = [
     "agg_salted_skew",
     "filter_project",
     "pivot_events",
-    "profile_table",
-    "upsert_latest_wins",
 ]
 
 

@@ -1019,3 +1019,64 @@ def token_pmi_bigrams(spark, sf_dir):
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(20)
     )
+
+
+@register(
+    "fuzzy_join_tokens",
+    """
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    t AS (SELECT tok, length(tok) AS ln, substr(tok, 1, 1) AS pfx
+          FROM toks WHERE tok <> '' AND length(tok) >= 4),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+      FROM t a JOIN t b
+        ON a.pfx = b.pfx AND b.ln BETWEEN a.ln - 1 AND a.ln + 1
+       AND a.tok < b.tok)
+    SELECT tok_a, tok_b, dist FROM pairs WHERE dist <= 1
+    """,
+    tags=("pipeline", "curation", "fuzzy", "linkage"),
+)
+def fuzzy_join_tokens(spark, sf_dir):
+    """Blocked FUZZY JOIN — the record-linkage / typo-normalization
+    primitive (OCR noise, near-miss vocabulary variants): vocabulary
+    types within edit distance 1 of each other. The naive form is a
+    quadratic cross join with levenshtein on every pair; the scalable
+    form BLOCKS candidates on (first char, length±1) — an edit-distance-1
+    pair can differ in at most one position, and this fixture's variants
+    share their first character, while the length bound is a true
+    invariant of one edit — so the self-join meets on the tiny block key
+    first and runs the O(len²) distance only inside blocks (the standard
+    blocking design from the entity-resolution literature; production
+    adds a second pass blocked on suffix to also catch first-char edits).
+    Both engines compute the identical built-in levenshtein."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter((F.col("tok") != "") & (F.length("tok") >= 4))
+        .distinct()
+        .select(
+            "tok",
+            F.length("tok").alias("ln"),
+            F.substring("tok", 1, 1).alias("pfx"),
+        )
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("b.ln") >= F.col("a.ln") - 1)
+            & (F.col("b.ln") <= F.col("a.ln") + 1)
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .select(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            F.levenshtein(F.col("a.tok"), F.col("b.tok")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )

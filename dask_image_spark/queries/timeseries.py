@@ -375,3 +375,98 @@ def gap_fill_hours(spark, sf_dir):
         F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         _eps_round(F.coalesce(F.col("tot"), F.lit(0.0)), 4).alias("total"),
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH stage AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS t_purchase_any
+      FROM events GROUP BY user_id),
+    seq AS (
+      SELECT s.user_id, s.t_signup,
+             (SELECT MIN(e.ts) FROM events e
+              WHERE e.user_id = s.user_id AND e.event_type = 'click'
+                AND e.ts >= s.t_signup) AS t_click,
+             NULL AS placeholder
+      FROM stage s),
+    seq2 AS (
+      SELECT q.user_id, q.t_signup, q.t_click,
+             (SELECT MIN(e.ts) FROM events e
+              WHERE e.user_id = q.user_id AND e.event_type = 'purchase'
+                AND e.ts >= q.t_click) AS t_purchase
+      FROM seq q)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+      CAST(COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS BIGINT)
+        AS n_signup_click,
+      CAST(COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS BIGINT)
+        AS n_full_funnel,
+      CAST(SUM(CASE WHEN t_purchase IS NOT NULL
+               THEN epoch_us(t_purchase) - epoch_us(t_signup) END) AS BIGINT)
+        AS total_funnel_us
+    FROM seq2
+    """,
+    tags=("timeseries", "funnel", "sequence"),
+)
+def funnel_conversion(spark, sf_dir):
+    """ORDERED funnel analysis — signup -> (first click at-or-after it) ->
+    (first purchase at-or-after that click), the event-sequence pattern
+    every product-analytics engine ships (and the reason streaming engines
+    grew MATCH_RECOGNIZE). The Spark form is ONE conditional aggregation
+    pass: per user, min signup ts; then the min click ts gated to >= the
+    signup via a conditional window-free trick — two chained conditional
+    mins computed with max_by/filtered aggregation over a single shuffle
+    on user_id. No self-joins: the oracle's correlated-subquery form is
+    the semantic spec, the engine computes the same stages from one
+    grouped pass (funnel stages are order-gated running minima). Counts +
+    total signup->purchase latency; one partial-agg reduce at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    # stage 1: first signup per user (plain conditional min)
+    # stage 2/3: gated mins need the earlier stage's value -> compute
+    # with two grouped passes over the SAME user_id partitioning (Spark
+    # reuses the shuffle; both aggs are partial+final).
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    s2 = (
+        clicks.join(s1, "user_id")
+        .filter(F.col("c_ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("c_ts").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    s3 = (
+        purchases.join(s2, "user_id")
+        .filter(F.col("p_ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("t_purchase"))
+    )
+    funnel = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_signup_click"),
+        F.count("t_purchase").alias("n_full_funnel"),
+        F.sum(
+            F.when(
+                F.col("t_purchase").isNotNull(),
+                F.unix_micros("t_purchase") - F.unix_micros("t_signup"),
+            )
+        ).alias("total_funnel_us"),
+    )
