@@ -230,3 +230,62 @@ def test_lsh_salted_skew_two_stage_min(spark, sf_dir):
     assert "_salt" in p, f"salt key missing from aggregate:\n{p[:2000]}"
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_rolling_window_is_single_user_shuffle(spark, sf_dir):
+    """The trailing-1h RANGE frame must be one hash partition on user_id +
+    in-partition sort — never an interval self-join (no join node at all)."""
+    plan = _plan(spark, sf_dir, "rolling_1h_user_stats")
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"rolling window plan grew a {bad}"
+
+
+def test_fuzzy_join_is_blocked_not_cartesian(spark, sf_dir):
+    """The edit-distance join must meet on the (prefix, length-band) block
+    key — an equi-join — never a cartesian/nested-loop pair explosion."""
+    plan = _plan(spark, sf_dir, "fuzzy_join_tokens")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS a join, on the pfx equi-key
+
+
+def test_token_pmi_top20_is_heap_and_caches_counts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "token_pmi_bigrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan  # count tables cached, not re-derived
+
+
+def test_tfidf_pairs_join_reads_cached_postings(spark, sf_dir):
+    """Both sides of the token self-join must read the persisted normalized
+    posting table instead of re-deriving the corpus per side."""
+    plan = _plan(spark, sf_dir, "tfidf_cosine_pairs")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_funnel_is_aggregate_only_no_window(spark, sf_dir):
+    """Funnel stages are order-gated mins via grouped passes — the plan must
+    stay partial+final aggregates and equi-joins on user_id."""
+    plan = _plan(spark, sf_dir, "funnel_conversion")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_merge_key_shuffle(spark, sf_dir):
+    """SCD2 history = union + one LEAD window on the merge key; no joins."""
+    plan = _plan(spark, sf_dir, "scd2_history")
+    assert "Window" in plan
+    assert "Union" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan
+
+
+def test_split_group_hash_is_map_plus_partial_agg(spark, sf_dir):
+    """Deterministic split: md5 assignment map-side, then ONE partial+final
+    aggregate — no window, no join."""
+    plan = _plan(spark, sf_dir, "split_group_hash")
+    assert "HashAggregate" in plan
+    for bad in ("Window", "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan
