@@ -84,6 +84,8 @@ WINDOW: list[str] = [
     "video_y4m_frames",
     "fuzzy_join_tokens",
     "funnel_conversion",
+    "anomaly_mad_zscore",
+    "sample_topk_per_stratum",
     # --- backfill: round-2 relational re-grades, oldest evidence first ---
     "q1_pricing_summary",
     "q3_join_topk",
@@ -107,8 +109,6 @@ WINDOW: list[str] = [
     "agg_cube",
     "agg_grouping_sets",
     "agg_salted_skew",
-    "filter_project",
-    "pivot_events",
 ]
 
 

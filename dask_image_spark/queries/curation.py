@@ -1080,3 +1080,124 @@ def fuzzy_join_tokens(spark, sf_dir):
         )
         .filter(F.col("dist") <= 1)
     )
+
+
+@register(
+    "anomaly_mad_zscore",
+    """
+    WITH med AS (
+      SELECT user_id, MEDIAN(value) AS med FROM events GROUP BY user_id),
+    dev AS (
+      SELECT e.user_id, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (user_id)),
+    mad AS (
+      SELECT user_id, MEDIAN(adev) AS mad FROM dev GROUP BY user_id),
+    scored AS (
+      SELECT d.user_id, d.value,
+             CASE WHEN m.mad > 0
+                  THEN 0.6745 * (d.value - d.med) / m.mad END AS mz
+      FROM dev d JOIN mad m USING (user_id))
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN ABS(mz) > 3.5 THEN 1 END) AS BIGINT)
+             AS n_outliers,
+           ROUND(1.2345e-8 + MAX(ABS(mz)), 4) AS max_abs_mz
+    FROM scored GROUP BY user_id
+    HAVING COUNT(CASE WHEN ABS(mz) > 3.5 THEN 1 END) > 0
+    """,
+    tags=("pipeline", "curation", "anomaly", "robust"),
+)
+def anomaly_mad_zscore(spark, sf_dir):
+    """Robust per-key outlier detection — the modified z-score of Iglewicz
+    & Hoaglin (0.6745·(x−median)/MAD > 3.5), the standard
+    mean/σ-contamination-proof anomaly rule a data-quality pass runs per
+    entity: unlike plain z-scores, one huge outlier cannot inflate its own
+    threshold. Two exact per-user medians (value, then absolute deviation)
+    — both groupBys and both joins meet on user_id, so at scale the whole
+    pipeline re-uses ONE hash partitioning with no extra Exchange
+    (exact MEDIAN matches the oracle hash-for-hash where approx quantiles
+    could not; both engines interpolate even-count medians identically).
+    MAD=0 keys (constant values) flag nothing by construction."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr("median(value)").alias("med")
+    )
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("median(adev)").alias("mad"))
+    scored = dev.join(mad, "user_id").withColumn(
+        "mz",
+        F.when(
+            F.col("mad") > 0,
+            0.6745 * (F.col("value") - F.col("med")) / F.col("mad"),
+        ),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.abs("mz") > 3.5, 1)).alias("n_outliers"),
+            _eps_round(F.max(F.abs("mz")), 4).alias("max_abs_mz"),
+        )
+        .filter(F.col("n_outliers") > 0)
+    )
+
+
+@register(
+    "sample_topk_per_stratum",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             md5('evalk:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               AS rnk
+      FROM keyed)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS k_actual,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY rnk)) AS sample_hash
+    FROM ranked WHERE rnk <= 25 GROUP BY lang
+    """,
+    tags=("pipeline", "curation", "sampling"),
+)
+def sample_topk_per_stratum(spark, sf_dir):
+    """EXACT-k uniform sample per stratum — eval-set construction needs
+    'exactly 25 docs per language', which rate-based sampling
+    (``sample_stratified``) cannot promise. Deterministic: rank each
+    stratum by md5(doc_id) (a uniform permutation, reproducible across
+    runs and engines) and keep the first k. At scale this is the grouped
+    top-k pattern: one shuffle on the stratum key and a per-group heap —
+    Spark's WindowGroupLimit pushes the rnk<=k filter map-side, so
+    the shuffle carries at most k rows per stratum per mapper, never the
+    corpus. The verification hash is the ordered doc_id list per stratum,
+    so both engines must pick IDENTICAL samples in IDENTICAL order."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.concat(F.lit("evalk:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = keyed.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 25
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("k_actual"),
+        F.sum("n_chars").alias("total_chars"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "doc_id"))
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+            )
+        ).alias("sample_hash"),
+    )
