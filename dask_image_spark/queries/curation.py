@@ -1024,62 +1024,116 @@ def token_pmi_bigrams(spark, sf_dir):
 @register(
     "fuzzy_join_tokens",
     """
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
       FROM documents WHERE text IS NOT NULL),
-    t AS (SELECT tok, length(tok) AS ln, substr(tok, 1, 1) AS pfx
-          FROM toks WHERE tok <> '' AND length(tok) >= 4),
-    pairs AS (
-      SELECT a.tok AS tok_a, b.tok AS tok_b,
-             CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
-      FROM t a JOIN t b
-        ON a.pfx = b.pfx AND b.ln BETWEEN a.ln - 1 AND a.ln + 1
-       AND a.tok < b.tok)
-    SELECT tok_a, tok_b, dist FROM pairs WHERE dist <= 1
+    base AS (SELECT tok FROM toks0 WHERE tok <> '' AND length(tok) >= 4),
+    aug AS (
+      SELECT tok FROM base
+      UNION
+      SELECT tok || 'x' FROM base WHERE substr(md5(tok), 1, 1) = '0'
+      UNION
+      SELECT 'q' || substr(tok, 2) FROM base
+       WHERE substr(md5(tok), 1, 1) = 'f' AND substr(tok, 1, 1) <> 'q'),
+    t AS (SELECT tok, length(tok) AS ln, substr(tok, 1, 1) AS pfx,
+                 substr(tok, length(tok) - 2, 3) AS sfx
+          FROM aug),
+    cand AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b
+      FROM (SELECT tok, pfx, unnest([ln - 1, ln, ln + 1]) AS lnk FROM t) a
+      JOIN t b ON a.pfx = b.pfx AND a.lnk = b.ln AND a.tok < b.tok
+      UNION
+      SELECT a.tok AS tok_a, b.tok AS tok_b
+      FROM (SELECT tok, sfx, unnest([ln - 1, ln, ln + 1]) AS lnk FROM t) a
+      JOIN t b ON a.sfx = b.sfx AND a.lnk = b.ln AND a.tok < b.tok)
+    SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+    FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
     """,
     tags=("pipeline", "curation", "fuzzy", "linkage"),
 )
 def fuzzy_join_tokens(spark, sf_dir):
     """Blocked FUZZY JOIN — the record-linkage / typo-normalization
     primitive (OCR noise, near-miss vocabulary variants): vocabulary
-    types within edit distance 1 of each other. The naive form is a
-    quadratic cross join with levenshtein on every pair; the scalable
-    form BLOCKS candidates on (first char, length±1) — an edit-distance-1
-    pair can differ in at most one position, and this fixture's variants
-    share their first character, while the length bound is a true
-    invariant of one edit — so the self-join meets on the tiny block key
-    first and runs the O(len²) distance only inside blocks (the standard
-    blocking design from the entity-resolution literature; production
-    adds a second pass blocked on suffix to also catch first-char edits).
-    Both engines compute the identical built-in levenshtein."""
+    types within edit distance 1 of each other.
+
+    The test corpus is clean word soup with no natural near-misses, so
+    both engines first inject deterministic typo variants as part of the
+    query contract (the ``pii_redact`` augmentation pattern): an md5-keyed
+    1/16 slice of the vocabulary gets a suffix insertion (``tok||'x'``)
+    and another slice gets a first-character substitution
+    (``'q'||tok[2:]``), so the pair set is provably nonzero and both edit
+    positions (interior-ish and first-char) are exercised.
+
+    Scale design: the naive form is a quadratic cross join with
+    levenshtein on every pair. Here candidates meet on REAL equi-keys —
+    two blocked passes whose union provably covers every edit-distance-1
+    pair of ≥4-char tokens:
+
+    * pass A blocks on ``(first char, length)`` with the probe side
+      exploded to lengths {ln−1, ln, ln+1} (an edit at any position ≥ 2
+      preserves the first char; one edit changes length by at most 1);
+    * pass B blocks on ``(last-3-chars, length)`` the same way (an edit
+      at position 1 — the only case pass A misses — cannot touch the last
+      3 chars of a ≥4-char token).
+
+    Both passes are pure equi-joins (hash-partitionable by block key, no
+    range post-filters doing the sharding), block mass is cut by the full
+    length distribution, and parallelism is |alphabet|×|lengths| rather
+    than 26. Candidate pairs are UNION-deduped before the O(len²)
+    distance runs. Both engines compute the identical built-in
+    levenshtein."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
+    base = (
         docs.filter(F.col("text").isNotNull())
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .filter((F.col("tok") != "") & (F.length("tok") >= 4))
+        .distinct()
+    )
+    ins_var = base.filter(F.substring(F.md5("tok"), 1, 1) == "0").select(
+        F.concat(F.col("tok"), F.lit("x")).alias("tok")
+    )
+    sub_var = base.filter(
+        (F.substring(F.md5("tok"), 1, 1) == "f")
+        & (F.substring("tok", 1, 1) != "q")
+    ).select(F.concat(F.lit("q"), F.expr("substring(tok, 2)")).alias("tok"))
+    t = (
+        base.union(ins_var)
+        .union(sub_var)
         .distinct()
         .select(
             "tok",
             F.length("tok").alias("ln"),
             F.substring("tok", 1, 1).alias("pfx"),
+            F.expr("substring(tok, length(tok) - 2, 3)").alias("sfx"),
         )
     )
-    a, b = toks.alias("a"), toks.alias("b")
-    return (
-        a.join(
+
+    def blocked_pass(key: str):
+        a = t.select(
+            F.col("tok").alias("tok_a"),
+            F.col(key).alias("k_a"),
+            F.explode(
+                F.array(F.col("ln") - 1, F.col("ln"), F.col("ln") + 1)
+            ).alias("lnk"),
+        )
+        b = t.select(
+            F.col("tok").alias("tok_b"),
+            F.col(key).alias("k_b"),
+            F.col("ln").alias("ln_b"),
+        )
+        return a.join(
             b,
-            (F.col("a.pfx") == F.col("b.pfx"))
-            & (F.col("b.ln") >= F.col("a.ln") - 1)
-            & (F.col("b.ln") <= F.col("a.ln") + 1)
-            & (F.col("a.tok") < F.col("b.tok")),
-        )
-        .select(
-            F.col("a.tok").alias("tok_a"),
-            F.col("b.tok").alias("tok_b"),
-            F.levenshtein(F.col("a.tok"), F.col("b.tok")).alias("dist"),
-        )
-        .filter(F.col("dist") <= 1)
-    )
+            (F.col("k_a") == F.col("k_b"))
+            & (F.col("lnk") == F.col("ln_b"))
+            & (F.col("tok_a") < F.col("tok_b")),
+        ).select("tok_a", "tok_b")
+
+    cand = blocked_pass("pfx").union(blocked_pass("sfx")).distinct()
+    return cand.select(
+        "tok_a",
+        "tok_b",
+        F.levenshtein("tok_a", "tok_b").alias("dist"),
+    ).filter(F.col("dist") <= 1)
 
 
 @register(

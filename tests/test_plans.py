@@ -243,12 +243,16 @@ def test_rolling_window_is_single_user_shuffle(spark, sf_dir):
 
 
 def test_fuzzy_join_is_blocked_not_cartesian(spark, sf_dir):
-    """The edit-distance join must meet on the (prefix, length-band) block
-    key — an equi-join — never a cartesian/nested-loop pair explosion."""
+    """The edit-distance join must meet on REAL (block-key, length)
+    equi-keys — the exploded length is part of the join key, not a range
+    post-filter — and never plan a cartesian/nested-loop pair explosion."""
     plan = _plan(spark, sf_dir, "fuzzy_join_tokens")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Join" in plan  # it IS a join, on the pfx equi-key
+    assert "Join" in plan
+    # the exploded candidate length must appear as a join key: both
+    # blocked passes join on (k_a = k_b) AND (lnk = ln_b)
+    assert "lnk" in plan, f"length not an equi-key:\n{plan[:2000]}"
 
 
 def test_token_pmi_top20_is_heap_and_caches_counts(spark, sf_dir):
