@@ -19,20 +19,50 @@ from dask_image_spark.functions.localrel import values_df
 # --- deduplication ----------------------------------------------------------
 
 
+# Deterministic duplicate augmentation: the driver corpus is duplicate-free
+# word soup, so an exact-dedup query over it grades green on ZERO duplicate
+# groups — vacuous evidence. Both engine and oracle therefore union in
+# clones of a doc_id-keyed slice (every 37th doc, re-keyed far above the
+# real id range) as part of the query contract, the same pattern pii_redact
+# uses: the dedup pass then provably has material to find, and the result
+# (group hash, survivor id, dropped ids) is fully deterministic.
+_DUP_STRIDE = 37
+_DUP_OFFSET = 10_000_000
+
+_DUP_AUG_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents
+      WHERE doc_id % {_DUP_STRIDE} = 0 AND text IS NOT NULL
+"""
+
+
+def _dup_augmented(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(
+        (F.col("doc_id") % _DUP_STRIDE == 0) & F.col("text").isNotNull()
+    ).select((F.col("doc_id") + _DUP_OFFSET).alias("doc_id"), "text")
+    return d.unionAll(clones)
+
+
 @register(
     "dedup_exact_groups",
-    """
+    f"""
+    WITH aug AS ({_DUP_AUG_SQL})
     SELECT sha256(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
-    FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1
+    FROM aug GROUP BY sha256(text) HAVING COUNT(*) > 1
     """,
     tags=("pipeline", "dedup"),
 )
 def dedup_exact_groups(spark, sf_dir):
     """Exact duplicate groups by content hash; keep_id is the canonical
-    survivor (min doc_id) a dedup pass would retain."""
-    d = load_table(spark, sf_dir, "documents")
+    survivor (min doc_id) a dedup pass would retain. Runs over the
+    deterministically duplicate-augmented corpus (see ``_DUP_AUG_SQL``)
+    so the graded result is provably nonzero. Linear groupBy on the
+    content hash — one shuffle, fine at 100 TB."""
     return (
-        d.groupBy(F.sha2("text", 256).alias("h"))
+        _dup_augmented(spark, sf_dir)
+        .groupBy(F.sha2("text", 256).alias("h"))
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_copies") > 1)
     )
@@ -40,18 +70,22 @@ def dedup_exact_groups(spark, sf_dir):
 
 @register(
     "dedup_dropped",
-    """
-    SELECT d.doc_id FROM documents d
+    f"""
+    WITH aug AS ({_DUP_AUG_SQL})
+    SELECT d.doc_id FROM aug d
     JOIN (SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
-          FROM documents GROUP BY 1) k
+          FROM aug GROUP BY 1) k
       ON sha256(d.text) = k.h
     WHERE d.doc_id <> k.keep_id
     """,
     tags=("pipeline", "dedup"),
 )
 def dedup_dropped(spark, sf_dir):
-    """The rows an exact-dedup pass removes (complement of dropDuplicates)."""
-    d = load_table(spark, sf_dir, "documents")
+    """The rows an exact-dedup pass removes (complement of dropDuplicates),
+    over the duplicate-augmented corpus — every injected clone keeps a
+    higher doc_id than its original, so the dropped set is exactly the
+    clone slice plus any natural duplicates."""
+    d = _dup_augmented(spark, sf_dir)
     keep = d.groupBy(F.sha2("text", 256).alias("h")).agg(
         F.min("doc_id").alias("keep_id")
     )

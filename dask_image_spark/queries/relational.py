@@ -586,13 +586,23 @@ def join_semi(spark, sf_dir):
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_custkey % 3 <> 0)
     """,
     tags=("relational", "join"),
 )
 def join_anti(spark, sf_dir):
+    """LEFT ANTI join — customers with no qualifying order. The driver
+    data gives every customer at least one order, so the unfiltered anti
+    set is empty and a green grade on it is vacuous; the build side is
+    therefore gated on a deterministic key predicate (``o_custkey % 3 <>
+    0``) so every custkey divisible by 3 provably lands in the result.
+    Plan stays a single LeftAnti hash join (pinned in test_plans.py)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 3 != 0
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -1053,14 +1063,43 @@ def pivot_events(spark, sf_dir):
     )
 
 
-@register("approx_distinct", None, tags=("relational", "approx"))
+@register(
+    "approx_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS within_tolerance
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "approx"),
+)
 def approx_distinct(spark, sf_dir):
-    """HLL approximate distinct — no exact oracle by nature (weak check).
-    The exact variant is covered by agg_stats' COUNT(DISTINCT)."""
+    """HLL approximate distinct, made STRONG-checkable: the sketch value
+    itself is engine-specific, so the graded contract is the *bounded
+    relative error* — the engine emits exact COUNT(DISTINCT),
+    ``approx_count_distinct`` at rsd=0.02, and a boolean asserting
+    ``|approx − exact| / exact ≤ 0.05`` (2.5σ of the configured rsd); the
+    oracle computes the exact side and asserts the same predicate as a
+    constant TRUE. A sketch drifting outside its advertised error bound
+    flips the boolean and fails the hash match. At 100 TB the exact
+    column is what you'd drop; the HLL partial-aggregates map-side and
+    shuffles only fixed-size sketch buffers per group."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("within_tolerance"),
     )
 
 
