@@ -99,16 +99,25 @@ def main() -> None:
             results[label] = round(best, 4)
         except Exception as e:  # noqa: BLE001 — isolate ANY per-query failure
             errors[label] = f"{type(e).__name__}: {e}"[:500]
+        finally:
+            # drop persisted intermediates (tfidf postings, PMI count
+            # tables) so caches never accumulate across the suite
+            q.release_caches()
 
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+    # A partial total must never be mistaken for a full-suite number: when
+    # any query failed, value is null and the n_ok/n_expected counts say
+    # how much of the suite the per-query timings cover.
     out = {
         "metric": "headline_suite_total",
-        "value": round(sum(results.values()), 4),
+        "value": round(sum(results.values()), 4) if not errors else None,
         "unit": "sec",
         "queries": results,
+        "n_ok": len(results),
+        "n_expected": len(HEADLINE),
         "sf": sf,
     }
     if errors:

@@ -11,7 +11,12 @@ orders; last-ulp differences are expected and rounding makes the comparison
 deterministic without hiding real bugs (which diverge at >= 1e-3).
 """
 
-from dask_image_spark.queries.base import REGISTRY, all_oracles, all_queries  # noqa: F401
+from dask_image_spark.queries.base import (  # noqa: F401
+    REGISTRY,
+    all_oracles,
+    all_queries,
+    release_caches,
+)
 
 
 def load_all() -> None:

@@ -33,7 +33,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_image_spark.operators import similarity
-from dask_image_spark.queries.base import r as _eps_round, register
+from dask_image_spark.queries.base import (
+    persist_tracked,
+    r as _eps_round,
+    register,
+)
 from dask_image_spark.sources.tables import load_table
 
 # Synthetic PII augmentation: the test corpus is clean word soup, so both
@@ -912,7 +916,8 @@ def tfidf_cosine_pairs(spark, sf_dir):
         "doc_id",
         "tok",
         (F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(wdoc))).alias("wn"),
-    ).persist()
+    )
+    wn = persist_tracked(wn)
     a, b = wn.alias("a"), wn.alias("b")
     return (
         a.join(
@@ -981,9 +986,9 @@ def token_pmi_bigrams(spark, sf_dir):
         .filter(F.size("t") >= 2)
     )
     uni = toks.select(F.explode("t").alias("tok")).filter(F.col("tok") != "")
-    ucnt = uni.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
-    ).persist()
+    ucnt = persist_tracked(
+        uni.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
     utot = ucnt.agg(F.sum("c").alias("un"))
     bi = toks.select(
         F.explode(
@@ -993,9 +998,10 @@ def token_pmi_bigrams(spark, sf_dir):
             )
         ).alias("p")
     ).filter((F.col("p.a") != "") & (F.col("p.b") != ""))
-    bcnt = bi.groupBy(
-        F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b")
-    ).agg(F.count(F.lit(1)).cast("double").alias("bc")).persist()
+    bcnt = persist_tracked(
+        bi.groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("bc"))
+    )
     btot = bcnt.agg(F.sum("bc").alias("bn"))
     ua = ucnt.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
     ub = ucnt.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))

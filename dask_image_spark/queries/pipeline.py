@@ -16,6 +16,20 @@ from dask_image_spark.queries.base import r as _eps_round, register
 from dask_image_spark.sources.tables import load_table
 from dask_image_spark.functions.localrel import values_df
 
+
+def _fresh_dir(path: str) -> None:
+    """Reset a /tmp io-write landing directory before encoding into it.
+
+    The binaryFile scan globs EVERYTHING in the directory, so stale clip
+    or image files left by a prior run over since-regenerated driver data
+    would be re-ingested and break the oracle match (ADVICE r5); the
+    parquet/orc sinks already rmtree for the same reason."""
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
 # --- deduplication ----------------------------------------------------------
 
 
@@ -1070,7 +1084,7 @@ def imread_pgm(spark, sf_dir):
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out_dir = f"/tmp/dask_image_spark_io/pgm_{tag}"
-    os.makedirs(out_dir, exist_ok=True)
+    _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
     px = ev.select(
@@ -1149,7 +1163,7 @@ def imread_png(spark, sf_dir):
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out_dir = f"/tmp/dask_image_spark_io/png_{tag}"
-    os.makedirs(out_dir, exist_ok=True)
+    _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
     px = ev.select(
@@ -1225,7 +1239,7 @@ def imread_tiff(spark, sf_dir):
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out_dir = f"/tmp/dask_image_spark_io/tiff_{tag}"
-    os.makedirs(out_dir, exist_ok=True)
+    _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
     px = ev.select(
@@ -1302,7 +1316,7 @@ def audio_wav_stats(spark, sf_dir):
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out_dir = f"/tmp/dask_image_spark_io/wav_{tag}"
-    os.makedirs(out_dir, exist_ok=True)
+    _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
     smp = ev.select(
@@ -1397,7 +1411,7 @@ def video_y4m_frames(spark, sf_dir):
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out_dir = f"/tmp/dask_image_spark_io/y4m_{tag}"
-    os.makedirs(out_dir, exist_ok=True)
+    _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
     px = ev.select(
@@ -1486,7 +1500,7 @@ def imread_glob_nframes(spark, sf_dir):
     nframes = 3
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     out_dir = f"/tmp/dask_image_spark_io/pgm_glob_{tag}"
-    os.makedirs(out_dir, exist_ok=True)
+    _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2048)
     px = ev.select(

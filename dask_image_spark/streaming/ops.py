@@ -109,6 +109,10 @@ def stateful_user_stats(spark: SparkSession, sf_dir: str, **stream_opts) -> Data
             state.get if state.exists else (0, 0.0, float("-inf"))
         )
         for pdf in pdfs:
+            if not len(pdf):
+                # Arrow batch splits can hand the update an empty chunk;
+                # folding its NaN max would poison mx (ADVICE r5)
+                continue
             n += len(pdf)
             total += float(pdf["value"].sum())
             mx = max(mx, float(pdf["value"].max()))

@@ -22,3 +22,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_MID
+
+
+@pytest.fixture(autouse=True)
+def _release_query_caches():
+    """Unpersist tracked intermediates after every test so cached count /
+    posting tables never accumulate across the 500-test session."""
+    yield
+    from dask_image_spark import queries as q
+
+    q.release_caches()
