@@ -33,39 +33,58 @@ def _src_exprs(matrix, offset):
 
 def affine_transform_order0(
     px: DataFrame, matrix, offset=(0.0, 0.0), shape=None,
-    mode: str = "nearest", keys=(),
+    mode: str = "nearest", cval: float = 0.0, keys=(),
 ) -> DataFrame:
     """Nearest-neighbor affine: source = round(M @ out + offset), one gather
     join. Rounding is floor(v + 0.5) — fixed, documented tie behavior that
-    the oracle reproduces exactly."""
+    the oracle reproduces exactly.
+
+    ``mode`` is the upstream ``affine_transform(mode=)`` out-of-range
+    surface: reflect/mirror/nearest/wrap remap the source coordinate via
+    the shared ``remap_sql`` expression (identical text on both engines);
+    ``constant`` turns the gather into a left join with ``coalesce(v,
+    cval)`` — out-of-range reads cost nothing extra at scale (absent keys
+    simply don't match)."""
     keys = list(keys)
     h, w = shape
     fy, fx = _src_exprs(matrix, offset)
     out = px.select(*keys, "y", "x").withColumns(
         {
-            "sy": F.floor(fy + 0.5).cast("int"),
-            "sx": F.floor(fx + 0.5).cast("int"),
+            "ry": F.floor(fy + 0.5).cast("int"),
+            "rx": F.floor(fx + 0.5).cast("int"),
         }
     )
-    # clamp into range (scipy 'nearest'); other modes would use remap_sql
+    remap = "constant" if mode == "constant" else mode
     out = out.withColumns(
         {
-            "sy": F.least(F.greatest(F.col("sy"), F.lit(0)), F.lit(h - 1)),
-            "sx": F.least(F.greatest(F.col("sx"), F.lit(0)), F.lit(w - 1)),
+            "sy": F.expr(remap_sql("ry", h, remap)).cast("int"),
+            "sx": F.expr(remap_sql("rx", w, remap)).cast("int"),
         }
     )
     src = px.select(
         *keys, F.col("y").alias("sy"), F.col("x").alias("sx"),
         F.col("value").alias("v"),
     )
+    if mode == "constant":
+        return (
+            out.join(src, on=[*keys, "sy", "sx"], how="left")
+            .select(
+                *keys, "y", "x",
+                F.coalesce(F.col("v"), F.lit(float(cval))).alias("v"),
+            )
+        )
     return out.join(src, on=[*keys, "sy", "sx"]).select(*keys, "y", "x", "v")
 
 
 def affine_transform_order1(
     px: DataFrame, matrix, offset=(0.0, 0.0), shape=None, keys=(),
+    mode: str = "nearest", cval: float = 0.0,
 ) -> DataFrame:
     """Bilinear affine: join the 4 corner pixels with weights
-    (1-ty/ty) x (1-tx/tx) computed in SQL; clamped (nearest) at edges."""
+    (1-ty/ty) x (1-tx/tx) computed in SQL. ``mode`` handles the upstream
+    out-of-range surface exactly as :func:`affine_transform_order0` —
+    coordinate remap for the symmetric/periodic modes, left-join +
+    ``coalesce(sv, cval)`` per corner for ``constant``."""
     keys = list(keys)
     h, w = shape
     fy, fx = _src_exprs(matrix, offset)
@@ -81,20 +100,37 @@ def affine_transform_order1(
             "tx": F.col("fx") - F.floor(F.col("fx")),
         }
     )
+    remap = "constant" if mode == "constant" else mode
     j = base.crossJoin(F.broadcast(corners)).withColumns(
         {
-            "sy": F.least(F.greatest(F.col("y0") + F.col("cy"), F.lit(0)), F.lit(h - 1)),
-            "sx": F.least(F.greatest(F.col("x0") + F.col("cx"), F.lit(0)), F.lit(w - 1)),
+            "ry": F.col("y0") + F.col("cy"),
+            "rx": F.col("x0") + F.col("cx"),
             "wgt": (
                 F.when(F.col("cy") == 0, 1 - F.col("ty")).otherwise(F.col("ty"))
                 * F.when(F.col("cx") == 0, 1 - F.col("tx")).otherwise(F.col("tx"))
             ),
+        }
+    ).withColumns(
+        {
+            "sy": F.expr(remap_sql("ry", h, remap)).cast("int"),
+            "sx": F.expr(remap_sql("rx", w, remap)).cast("int"),
         }
     )
     src = px.select(
         *keys, F.col("y").alias("sy"), F.col("x").alias("sx"),
         F.col("value").alias("sv"),
     )
+    if mode == "constant":
+        return (
+            j.join(src, on=[*keys, "sy", "sx"], how="left")
+            .groupBy(*keys, "y", "x")
+            .agg(
+                F.sum(
+                    F.col("wgt")
+                    * F.coalesce(F.col("sv"), F.lit(float(cval)))
+                ).alias("v")
+            )
+        )
     return (
         j.join(src, on=[*keys, "sy", "sx"])
         .groupBy(*keys, "y", "x")

@@ -71,9 +71,14 @@ def affine_order1(spark, sf_dir):
     return out.select("y", "x", _eps_round("v", 4).alias("v"))
 
 
-def _affine1_oracle(m00, m01, o0, m10, m11, o1) -> str:
+def _affine1_oracle(m00, m01, o0, m10, m11, o1, mode="nearest", cval=0.0) -> str:
     """General bilinear-affine oracle SQL; float literals are repr'd so both
-    engines parse the identical doubles the Spark plan uses."""
+    engines parse the identical doubles the Spark plan uses. ``mode`` mirrors
+    the operator's out-of-range surface: the symmetric/periodic modes reuse
+    the SAME ``remap_sql`` expression text the Spark plan compiles, and
+    ``constant`` becomes a LEFT JOIN with ``COALESCE(value, cval)``."""
+    from dask_image_spark.functions.boundary import remap_sql
+
     # CAST literals to DOUBLE: DuckDB otherwise parses a 17-digit literal as
     # DECIMAL(18,17) and overflows on the multiply; Spark's F.lit is DOUBLE
     def d(v):
@@ -81,22 +86,100 @@ def _affine1_oracle(m00, m01, o0, m10, m11, o1) -> str:
 
     syf = f"({d(m00)} * o.y + {d(m01)} * o.x + {d(o0)})"
     sxf = f"({d(m10)} * o.y + {d(m11)} * o.x + {d(o1)})"
+    remap = "constant" if mode == "constant" else mode
+    sy = remap_sql(f"CAST(FLOOR({syf}) AS INT) + c.cy", N, remap)
+    sx = remap_sql(f"CAST(FLOOR({sxf}) AS INT) + c.cx", N, remap)
+    join = "LEFT JOIN" if mode == "constant" else "JOIN"
+    val = (
+        f"COALESCE(p.value, {d(float(cval))})"
+        if mode == "constant"
+        else "p.value"
+    )
     return with_pixel_ctes(
         f"""
-        SELECT g.y, g.x, ROUND(1.2345e-8 + SUM(g.wgt * p.value), 4) AS v
+        SELECT g.y, g.x, ROUND(1.2345e-8 + SUM(g.wgt * {val}), 4) AS v
         FROM (
-          SELECT o.y, o.x,
-                 LEAST(GREATEST(CAST(FLOOR({syf}) AS INT) + c.cy, 0), {N - 1}) AS sy,
-                 LEAST(GREATEST(CAST(FLOOR({sxf}) AS INT) + c.cx, 0), {N - 1}) AS sx,
+          SELECT o.y, o.x, {sy} AS sy, {sx} AS sx,
                  (CASE WHEN c.cy = 0 THEN 1 - ({syf} - FLOOR({syf}))
                        ELSE ({syf} - FLOOR({syf})) END)
                * (CASE WHEN c.cx = 0 THEN 1 - ({sxf} - FLOOR({sxf}))
                        ELSE ({sxf} - FLOOR({sxf})) END) AS wgt
           FROM pixels o CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(cy, cx)
-        ) g JOIN pixels p ON p.y = g.sy AND p.x = g.sx
+        ) g {join} pixels p ON p.y = g.sy AND p.x = g.sx
         GROUP BY g.y, g.x
         """
     )
+
+
+# Boundary-mode transform: zoom 1.3 with negative offsets maps output
+# coordinates to source points in [-8.6, 74.6] — genuinely outside the
+# 64-grid on BOTH sides, so every remap branch (negative and >= N) is
+# exercised. Single-bounce domain (-N < c < 2N) holds.
+_BMODE = dict(matrix=[[1.3, 0.0], [0.0, 1.3]], offset=(-8.3, -8.6))
+
+
+def _affine0_oracle(m00, o0, m11, o1, mode) -> str:
+    from dask_image_spark.functions.boundary import remap_sql
+
+    def d(v):
+        return f"CAST({v!r} AS DOUBLE)"
+
+    sy = remap_sql(f"CAST(FLOOR({d(m00)} * o.y + {d(o0)} + 0.5) AS INT)", N, mode)
+    sx = remap_sql(f"CAST(FLOOR({d(m11)} * o.x + {d(o1)} + 0.5) AS INT)", N, mode)
+    return with_pixel_ctes(
+        f"SELECT o.y, o.x, ROUND(1.2345e-8 + p.value, 4) AS v "
+        f"FROM pixels o JOIN pixels p ON p.y = {sy} AND p.x = {sx}"
+    )
+
+
+@register(
+    "affine_order0_wrap",
+    _affine0_oracle(1.3, -8.3, 1.3, -8.6, "wrap"),
+    tags=("imaging", "ndinterp", "boundary"),
+)
+def affine_order0_wrap_q(spark, sf_dir):
+    """Nearest-neighbor affine with PERIODIC out-of-range handling — the
+    upstream ``affine_transform(mode='wrap')`` surface (default is graded
+    by ``affine_order0``): out-of-range source coordinates wrap modulo the
+    grid via the shared ``remap_sql`` text."""
+    px = pixel_grid(spark, sf_dir)
+    out = ndinterp.affine_transform_order0(
+        px, _BMODE["matrix"], _BMODE["offset"], SHAPE, mode="wrap"
+    )
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register(
+    "affine_order1_mirror",
+    _affine1_oracle(1.3, 0.0, -8.3, 0.0, 1.3, -8.6, mode="mirror"),
+    tags=("imaging", "ndinterp", "boundary"),
+)
+def affine_order1_mirror_q(spark, sf_dir):
+    """Bilinear affine with whole-sample MIRROR out-of-range handling
+    (``affine_transform(mode='mirror')``) — corner coordinates reflect
+    without edge repetition before the gather join."""
+    px = pixel_grid(spark, sf_dir)
+    out = ndinterp.affine_transform_order1(
+        px, _BMODE["matrix"], _BMODE["offset"], SHAPE, mode="mirror"
+    )
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register(
+    "affine_order1_constant",
+    _affine1_oracle(1.3, 0.0, -8.3, 0.0, 1.3, -8.6, mode="constant"),
+    tags=("imaging", "ndinterp", "boundary"),
+)
+def affine_order1_constant_q(spark, sf_dir):
+    """Bilinear affine with CONSTANT (cval=0) out-of-range handling — the
+    scipy DEFAULT ``mode='constant'``: the gather becomes a LEFT join and
+    absent corners contribute ``cval`` through ``coalesce``, so edge
+    output pixels blend into the fill value exactly as upstream does."""
+    px = pixel_grid(spark, sf_dir)
+    out = ndinterp.affine_transform_order1(
+        px, _BMODE["matrix"], _BMODE["offset"], SHAPE, mode="constant"
+    )
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
 
 
 @register(
@@ -117,12 +200,90 @@ def affine_order3_identity(spark, sf_dir):
     return out.select("y", "x", _eps_round("v", 4).alias("v"))
 
 
-@register("affine_order3", None, tags=("imaging", "ndinterp", "udf"))
+def _affine_spline_sep_oracle(scale_y, off_y, scale_x, off_x, order=3):
+    """STRONG oracle for an axis-aligned fractional spline affine.
+
+    The engine runs IIR prefilter lines + a 16-tap gather join; DuckDB
+    cannot run a recursive filter, but the whole transform is LINEAR, so
+    the oracle contracts the raw pixels against exact per-axis
+    interpolation matrices computed driver-side in numpy and embedded as
+    double literals (the ``_fourier_conv_oracle`` precedent):
+
+    * the prefilter inverse is built INDEPENDENTLY of the engine's IIR
+      code — as ``inv(B)`` where B is the mirror-folded B-spline
+      smoothing matrix (the reconstruction operator the green
+      ``spline_filter`` identity oracle already pins as the prefilter's
+      exact inverse) — so a wrong IIR init/recurrence in the engine
+      diverges from ``inv(B)`` and fails the match;
+    * each output row's 4 basis taps (mirror-remapped) are folded through
+      that inverse, giving one dense weight row per output coordinate.
+
+    DuckDB then evaluates two chained 1-D join-aggregates (y-contraction,
+    then x-contraction) over the same parquet pixels. Engine bugs in line
+    grouping, gather keying, mirror remap SQL, weight expressions, or the
+    final shuffle all break the match. Weights below 1e-13 are dropped —
+    eight orders below the 1e-4 comparison resolution."""
+    import numpy as np
+
+    from dask_image_spark.functions.boundary import remap_py
+    from dask_image_spark.operators.ndinterp import bspline_weight_np
+
+    def axis_matrix(n, scale, off):
+        bb = bspline_weight_np([-1.0, 0.0, 1.0], 3)
+        B = np.zeros((n, n))
+        for i in range(n):
+            for dj, wv in zip((-1, 0, 1), bb):
+                B[i, remap_py(i + dj, n, "mirror")] += wv
+        Minv = np.linalg.inv(B)
+        A = np.zeros((n, n))
+        lo, hi = -(order // 2), order // 2 + 1
+        for y in range(n):
+            f = scale * y + off
+            y0 = int(np.floor(f))
+            for cy in range(lo, hi + 1):
+                wv = float(bspline_weight_np(f - (y0 + cy), order))
+                if wv != 0.0:
+                    A[y, :] += wv * Minv[remap_py(y0 + cy, n, "mirror"), :]
+        return A
+
+    def taps_sql(A):
+        return ", ".join(
+            f"({o}, {s}, CAST({float(A[o, s])!r} AS DOUBLE))"
+            for o in range(A.shape[0])
+            for s in range(A.shape[1])
+            if abs(A[o, s]) >= 1e-13
+        )
+
+    ay = axis_matrix(N, scale_y, off_y)
+    ax = axis_matrix(N, scale_x, off_x)
+    return with_pixel_ctes(
+        f"""
+        SELECT iy.y, wx.o AS x, ROUND(1.2345e-8 + SUM(wx.w * iy.v), 4) AS v
+        FROM (
+          SELECT wy.o AS y, p.x, SUM(wy.w * p.value) AS v
+          FROM pixels p JOIN wy ON wy.s = p.y GROUP BY 1, 2
+        ) iy JOIN wx ON wx.s = iy.x
+        GROUP BY 1, 2
+        """,
+        extra=[
+            f"wy(o, s, w) AS (VALUES {taps_sql(ay)})",
+            f"wx(o, s, w) AS (VALUES {taps_sql(ax)})",
+        ],
+    )
+
+
+@register(
+    "affine_order3",
+    _affine_spline_sep_oracle(0.7, 2.5, 0.7, 5.25),
+    tags=("imaging", "ndinterp", "udf"),
+)
 def affine_order3_q(spark, sf_dir):
-    """Cubic affine, zoom 0.7 + translate — the scipy-default-order path a
-    round-1 user had no access to. Weak here (the IIR prefilter is not
-    SQL-expressible off the identity); differentially tested against a dense
-    numpy implementation in tests/test_affine_order3.py."""
+    """Cubic affine, zoom 0.7 + translate — the scipy-default-order path.
+    STRONG since round 6: the fractional prefilter+gather transform is
+    linear, so the oracle contracts exact driver-computed per-axis weight
+    matrices against the raw pixels (see ``_affine_spline_sep_oracle``);
+    also differentially tested against a dense numpy implementation
+    (incl. full shear matrices) in tests/test_affine_order3.py."""
     px = pixel_grid(spark, sf_dir)
     out = ndinterp.affine_transform_order3(
         px, [[0.7, 0.0], [0.0, 0.7]], (2.5, 5.25), SHAPE
