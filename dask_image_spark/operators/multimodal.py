@@ -169,58 +169,93 @@ def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     return width, height, px
 
 
-def encode_tiff(pixels, width: int, height: int) -> bytes:
-    """Encode 8-bit grayscale pixels as baseline TIFF (the reference's
-    primary format — upstream ``dask_image/imread/__init__.py`` reads TIFF
-    stacks via pims/tifffile), written from scratch: little-endian header,
-    one IFD with the baseline-required tags for bilevel/grayscale
-    (ImageWidth/ImageLength/BitsPerSample/Compression=none/
-    Photometric=BlackIsZero/StripOffsets/RowsPerStrip/StripByteCounts),
-    pixel data as TWO strips so the decoder's strip walk is exercised."""
+def encode_tiff_multipage(frames) -> bytes:
+    """Encode a STACK of 8-bit grayscale frames as one multi-page baseline
+    TIFF — the container form upstream's ``imread(fname, nframes=…)``
+    slabs frames *within* (``dask_image/imread/__init__.py`` via
+    pims/tifffile). Written from scratch per the TIFF 6.0 spec: one IFD
+    per page carrying the baseline grayscale tags, pages chained through
+    the next-IFD pointer, each page's pixel data as TWO strips so the
+    strip walk is exercised on every page.
+
+    ``frames`` is a sequence of ``(pixels, width, height)``."""
     import struct
 
-    data = bytes(bytearray(pixels))
-    rows_per_strip = (height + 1) // 2
-    strip0 = data[: rows_per_strip * width]
-    strip1 = data[rows_per_strip * width :]
-    # layout: 8-byte header | pixel strips | IFD
-    off0 = 8
-    off1 = off0 + len(strip0)
-    ifd_off = off1 + len(strip1)
-    header = struct.pack("<2sHI", b"II", 42, ifd_off)
+    pages = []
+    for pixels, width, height in frames:
+        data = bytes(bytearray(pixels))
+        rows_per_strip = (height + 1) // 2
+        pages.append(
+            (
+                width,
+                height,
+                rows_per_strip,
+                data[: rows_per_strip * width],
+                data[rows_per_strip * width :],
+            )
+        )
+    # layout: 8-byte header | all pages' strips | per-page IFD (+ strip
+    # offset/bytecount arrays when the page has more than one strip)
+    off = 8
+    strip_offs = []
+    for _, _, _, s0, s1 in pages:
+        strip_offs.append((off, off + len(s0)))
+        off += len(s0) + len(s1)
+    ifd_size = 2 + 12 * 9 + 4
+    ifd_offs = []
+    for _, _, _, s0, s1 in pages:
+        ifd_offs.append(off)
+        off += ifd_size + (16 if s1 else 0)
+    header = struct.pack("<2sHI", b"II", 42, ifd_offs[0])
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         return struct.pack("<HHII", tag, typ, count, value)
 
-    n_strips = 2 if strip1 else 1
-    # multi-value StripOffsets/ByteCounts arrays live after the IFD
-    post = ifd_off + 2 + 12 * 9 + 4
-    entries = [
-        entry(256, 4, 1, width),            # ImageWidth LONG
-        entry(257, 4, 1, height),           # ImageLength LONG
-        entry(258, 3, 1, 8),                # BitsPerSample SHORT
-        entry(259, 3, 1, 1),                # Compression: none
-        entry(262, 3, 1, 1),                # Photometric: BlackIsZero
-        entry(273, 4, n_strips, post if n_strips > 1 else off0),
-        entry(277, 3, 1, 1),                # SamplesPerPixel
-        entry(278, 4, 1, rows_per_strip),   # RowsPerStrip
-        entry(279, 4, n_strips,
-              post + 4 * n_strips if n_strips > 1 else len(strip0)),
-    ]
-    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
-    tail = b""
-    if n_strips > 1:
-        tail = struct.pack("<2I", off0, off1) + struct.pack(
-            "<2I", len(strip0), len(strip1)
+    out = [header]
+    for _, _, _, s0, s1 in pages:
+        out.append(s0)
+        out.append(s1)
+    for i, (width, height, rows_per_strip, s0, s1) in enumerate(pages):
+        n_strips = 2 if s1 else 1
+        post = ifd_offs[i] + ifd_size
+        off0, off1 = strip_offs[i]
+        entries = [
+            entry(256, 4, 1, width),            # ImageWidth LONG
+            entry(257, 4, 1, height),           # ImageLength LONG
+            entry(258, 3, 1, 8),                # BitsPerSample SHORT
+            entry(259, 3, 1, 1),                # Compression: none
+            entry(262, 3, 1, 1),                # Photometric: BlackIsZero
+            entry(273, 4, n_strips, post if n_strips > 1 else off0),
+            entry(277, 3, 1, 1),                # SamplesPerPixel
+            entry(278, 4, 1, rows_per_strip),   # RowsPerStrip
+            entry(279, 4, n_strips,
+                  post + 4 * n_strips if n_strips > 1 else len(s0)),
+        ]
+        next_ifd = ifd_offs[i + 1] if i + 1 < len(pages) else 0
+        out.append(
+            struct.pack("<H", len(entries))
+            + b"".join(entries)
+            + struct.pack("<I", next_ifd)
         )
-    return header + strip0 + strip1 + ifd + tail
+        if n_strips > 1:
+            out.append(
+                struct.pack("<2I", off0, off1)
+                + struct.pack("<2I", len(s0), len(s1))
+            )
+    return b"".join(out)
 
 
-def decode_tiff(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode baseline 8-bit grayscale uncompressed TIFF: both byte orders
-    (II/MM), IFD tag walk, inline-vs-offset value resolution (values <= 4
-    bytes are packed in the entry itself — the classic TIFF gotcha), and
-    multi-strip assembly. Pure python, from the TIFF 6.0 spec."""
+def encode_tiff(pixels, width: int, height: int) -> bytes:
+    """Single-page baseline TIFF (see :func:`encode_tiff_multipage`)."""
+    return encode_tiff_multipage([(pixels, width, height)])
+
+
+def decode_tiff_pages(payload: bytes) -> list[tuple[int, int, list[int]]]:
+    """Decode EVERY page of a baseline 8-bit grayscale uncompressed TIFF:
+    both byte orders (II/MM), per-page IFD tag walk following the
+    next-IFD chain, inline-vs-offset value resolution (values <= 4 bytes
+    are packed in the entry itself — the classic TIFF gotcha), and
+    multi-strip assembly per page. Pure python, from the TIFF 6.0 spec."""
     import struct
 
     if payload[:2] == b"II":
@@ -232,7 +267,6 @@ def decode_tiff(payload: bytes) -> tuple[int, int, list[int]]:
     magic, ifd_off = struct.unpack(e + "HI", payload[2:8])
     if magic != 42:
         raise ValueError("bad TIFF magic")
-    (n_entries,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
     TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
     def values(typ: int, count: int, raw: bytes) -> list[int]:
@@ -245,26 +279,41 @@ def decode_tiff(payload: bytes) -> tuple[int, int, list[int]]:
             return list(struct.unpack(e + fmt, fld))
         raise ValueError(f"unsupported TIFF field type {typ}")
 
-    tags: dict[int, list[int]] = {}
-    for i in range(n_entries):
-        base = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack(e + "HHI", payload[base : base + 8])
-        size = TYPE_SIZE.get(typ, 0) * count
-        if size > 4:
-            (off,) = struct.unpack(e + "I", payload[base + 8 : base + 12])
-            raw = payload[off : off + size]
-        else:
-            raw = payload[base + 8 : base + 12]
-        tags[tag] = values(typ, count, raw)
-    width, height = tags[256][0], tags[257][0]
-    if tags.get(258, [8])[0] != 8 or tags.get(259, [1])[0] != 1:
-        raise NotImplementedError("only 8-bit uncompressed TIFF supported")
-    data = b"".join(
-        payload[o : o + n] for o, n in zip(tags[273], tags[279])
-    )
-    if len(data) < width * height:
-        raise ValueError("truncated TIFF strip data")
-    return width, height, list(data[: width * height])
+    pages: list[tuple[int, int, list[int]]] = []
+    seen: set[int] = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("cyclic TIFF IFD chain")
+        seen.add(ifd_off)
+        (n_entries,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+        tags: dict[int, list[int]] = {}
+        for i in range(n_entries):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, count = struct.unpack(e + "HHI", payload[base : base + 8])
+            size = TYPE_SIZE.get(typ, 0) * count
+            if size > 4:
+                (off,) = struct.unpack(e + "I", payload[base + 8 : base + 12])
+                raw = payload[off : off + size]
+            else:
+                raw = payload[base + 8 : base + 12]
+            tags[tag] = values(typ, count, raw)
+        width, height = tags[256][0], tags[257][0]
+        if tags.get(258, [8])[0] != 8 or tags.get(259, [1])[0] != 1:
+            raise NotImplementedError("only 8-bit uncompressed TIFF supported")
+        data = b"".join(
+            payload[o : o + n] for o, n in zip(tags[273], tags[279])
+        )
+        if len(data) < width * height:
+            raise ValueError("truncated TIFF strip data")
+        pages.append((width, height, list(data[: width * height])))
+        next_base = ifd_off + 2 + 12 * n_entries
+        (ifd_off,) = struct.unpack(e + "I", payload[next_base : next_base + 4])
+    return pages
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, list[int]]:
+    """First page of :func:`decode_tiff_pages` (single-page surface)."""
+    return decode_tiff_pages(payload)[0]
 
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:

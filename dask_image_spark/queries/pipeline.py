@@ -1556,6 +1556,105 @@ def imread_glob_nframes(spark, sf_dir):
 
 
 @register(
+    "imread_tiff_multipage",
+    """
+    WITH per_frame AS (
+      SELECT CAST(event_id // 256 AS INT) AS frame,
+             SUM((event_id * 11 + 29) % 256) AS s
+      FROM events WHERE event_id < 2048 GROUP BY 1
+    )
+    SELECT CAST(frame // 4 AS INT) AS slab,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(COUNT(*) * 256 AS INT) AS n_px,
+           CAST(SUM(s) % 65536 AS INT) AS checksum
+    FROM per_frame GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema="slab int, n_frames int, n_px int, checksum int",
+)
+def imread_tiff_multipage(spark, sf_dir):
+    """``imread`` with ``nframes`` slabbing WITHIN one multi-page TIFF
+    (upstream ``dask_image/imread/__init__.py::imread(fname, nframes=…)``
+    on a multi-frame container — the surface the glob variant doesn't
+    cover): derive EIGHT deterministic 16x16 frames from events, encode
+    them as ONE chained-IFD multi-page TIFF (two strips per page), scan
+    the file with ``binaryFile``, walk the IFD chain decoding every page,
+    then roll frames up per ``slab = page // 4`` exactly as the
+    reference's frames-per-chunk grouping concatenates container frames
+    into one array chunk. The oracle replays the slab grouping from
+    events; page count, padded pixel count, and the pixel checksum must
+    all survive encode -> one-file scan -> page walk -> slab rollup.
+
+    Scale note: a single container file is ONE binaryFile split, so
+    per-page parallelism comes from the slab mapInPandas fan-out after
+    decode — on a real corpus you shard across many containers, which the
+    glob query covers; this one grades the within-file page chain."""
+    import os
+
+    from dask_image_spark.operators.multimodal import (
+        decode_tiff_pages,
+        encode_tiff_multipage,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/tiffmp_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2048)
+    px = ev.select(
+        (F.col("event_id") / 256).cast("int").alias("frame"),
+        F.pmod(F.col("event_id"), F.lit(256)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 11 + 29, F.lit(256)).cast("int").alias("px"),
+    )
+
+    def write_stack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        frames = []
+        for frame in sorted(pdf["frame"].unique()):
+            sub = pdf[pdf["frame"] == frame]
+            # Zero-pad partial groups at tiny sf (see imread_pgm).
+            ordered = np.zeros(256, dtype="uint8")
+            ordered[sub["pos"].to_numpy()] = sub["px"].to_numpy().astype("uint8")
+            frames.append((ordered, 16, 16))
+        payload = encode_tiff_multipage(frames)
+        with open(f"{out_dir}/stack.tiff", "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"n_pages": [len(frames)], "n_bytes": [len(payload)]})
+
+    # one container file => one encode group (constant key)
+    px.groupBy(F.lit(0).alias("g")).applyInPandas(
+        write_stack, "n_pages int, n_bytes int"
+    ).collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.tiff")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"frame": [], "n_px": [], "s": []}
+            for content in pdf["content"]:
+                for page_no, (w, h, pixels) in enumerate(
+                    decode_tiff_pages(bytes(content))
+                ):
+                    rows["frame"].append(page_no)
+                    rows["n_px"].append(w * h)
+                    rows["s"].append(sum(pixels))
+            yield pd.DataFrame(rows)
+
+    frames = scanned.select("content").mapInPandas(
+        decode, "frame int, n_px int, s long"
+    )
+    return frames.groupBy((F.col("frame") / 4).cast("int").alias("slab")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.sum("n_px").cast("int").alias("n_px"),
+        F.pmod(F.sum("s"), F.lit(65536)).cast("int").alias("checksum"),
+    )
+
+
+@register(
     "multimodal_resize",
     """
     SELECT doc_id,

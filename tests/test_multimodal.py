@@ -273,3 +273,57 @@ def test_y4m_decoder_rejects_bad_payloads():
         decode_y4m(good[:-2])  # truncated frame
     with pytest.raises(NotImplementedError):
         decode_y4m(good.replace(b"C420", b"C444"))
+
+
+def test_tiff_multipage_roundtrip_chained_ifds():
+    from dask_image_spark.operators.multimodal import (
+        decode_tiff,
+        decode_tiff_pages,
+        encode_tiff_multipage,
+    )
+
+    frames = [
+        ([(i * 13 + k) % 256 for i in range(w * h)], w, h)
+        for k, (w, h) in enumerate([(16, 16), (16, 16), (7, 5), (3, 1)])
+    ]
+    payload = encode_tiff_multipage(frames)
+    pages = decode_tiff_pages(payload)
+    assert len(pages) == 4
+    for (px, w, h), (dw, dh, dpx) in zip(frames, pages):
+        assert (dw, dh) == (w, h)
+        assert dpx == px
+    # single-page surface reads the first page of a multi-page container
+    assert decode_tiff(payload) == pages[0]
+
+
+def test_tiff_multipage_single_page_equals_encode_tiff():
+    from dask_image_spark.operators.multimodal import (
+        decode_tiff_pages,
+        encode_tiff,
+        encode_tiff_multipage,
+    )
+
+    px = [(i * 5) % 256 for i in range(12 * 4)]
+    assert encode_tiff(px, 12, 4) == encode_tiff_multipage([(px, 12, 4)])
+    assert decode_tiff_pages(encode_tiff(px, 12, 4)) == [(12, 4, px)]
+
+
+def test_tiff_multipage_rejects_cyclic_chain():
+    import struct
+
+    import pytest
+
+    from dask_image_spark.operators.multimodal import (
+        decode_tiff_pages,
+        encode_tiff_multipage,
+    )
+
+    payload = bytearray(
+        encode_tiff_multipage([([1] * 4, 2, 2), ([2] * 4, 2, 2)])
+    )
+    # point the SECOND page's next-IFD pointer back at the first IFD
+    (first_ifd,) = struct.unpack("<I", payload[4:8])
+    second_next = first_ifd + 2 + 12 * 9 + 4 + 16 + 2 + 12 * 9
+    payload[second_next : second_next + 4] = struct.pack("<I", first_ifd)
+    with pytest.raises(ValueError, match="cyclic"):
+        decode_tiff_pages(bytes(payload))
