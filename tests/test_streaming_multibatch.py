@@ -80,6 +80,59 @@ def test_multibatch_equals_single_batch(spark, multi_dir, op):
     assert multi == single
 
 
+def test_multibatch_dedup_within_watermark_bounds(spark, multi_dir):
+    """``dropDuplicatesWithinWatermark`` is NOT batch-equivalent by design
+    (state for a key is evicted once the watermark passes its event time,
+    so far-apart recurrences may re-emit), so the multi-batch run is
+    checked against provable BOUNDS instead of equality:
+
+    * lower bound — the single-batch run (one availableNow batch never
+      advances the watermark mid-run, so it deduplicates globally:
+      exactly one survivor per (user, type) key);
+    * upper bound — the greedy 1-hour chain count: a row can only survive
+      if the watermark passed the previous survivor's ts + delay, and
+      with time-ordered arrival the watermark never exceeds the current
+      event time, so consecutive survivors of one key are >= 1 hour
+      apart; keep-first greedy selection maximizes such a chain.
+
+    Equality of either bound would be a red flag too: lower==upper means
+    the fixture has no far-apart recurrences and the test is vacuous —
+    guarded by the strictness assertion on the totals."""
+    from collections import Counter
+
+    from dask_image_spark.sources.tables import load_table
+
+    multi = {
+        r["event_type"]: r["n"]
+        for r in ops.dedup_within_watermark(spark, multi_dir, **MULTI).collect()
+    }
+    single = {
+        r["event_type"]: r["n"]
+        for r in ops.dedup_within_watermark(spark, SF).collect()
+    }
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type", "ts")
+        .toPandas()
+        .sort_values("ts", kind="mergesort")
+    )
+    upper: Counter = Counter()
+    last: dict = {}
+    for row in pdf.itertuples():
+        key = (row.user_id, row.event_type)
+        prev = last.get(key)
+        if prev is None or (row.ts - prev).total_seconds() >= 3600:
+            upper[row.event_type] += 1
+            last[key] = row.ts  # advance only on survivors (greedy chain)
+    assert set(multi) == set(single)
+    for et in single:
+        assert single[et] <= multi[et] <= upper[et], (
+            et, single[et], multi[et], upper[et],
+        )
+    # non-vacuity: the fixture must actually contain far-apart recurrences
+    assert sum(upper.values()) > sum(single.values())
+
+
 def test_four_micro_batches_actually_ran(spark, multi_dir):
     """Guard that the rate limit really splits the run (otherwise the
     parametrized test proves nothing)."""
