@@ -69,68 +69,68 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 5 window (VERDICT_r04 "Next round" items 1-2, 8): the 8 ts-broken
-# queries first (the two r4 fails, then the six whose last green grade is
-# against pre-µs data that no longer exists), then every other ts-touching
-# or streaming query whose evidence is equally stale, then new round-5
-# queries as they land, backfilled with re-grades of the oldest remaining
-# evidence (the round-2 relational family) per COVERAGE.md rotation.
+# Round 6 window (VERDICT_r05 "Next round" items 1-6, 9): first the queries
+# whose CONTRACT changed this round (typo-injected fuzzy join, duplicate-
+# augmented dedups, gated join_anti, newly-strong approx_distinct and
+# affine_order3, the new boundary-mode and multipage-TIFF queries) — all
+# need fresh grades against the new oracles; then the 32 queries whose
+# newest driver grade is still round 1 (the imaging filter/morph/measure
+# families — their evidence predates three data regenerations); backfilled
+# with the oldest remaining round-2 grades.
 WINDOW: list[str] = [
-    # --- the 8 broken-on-µs-data queries (regression fix -> fresh grades) ---
-    "streaming_stream_join",
-    "streaming_session_state",
-    "streaming_tumbling",
-    "streaming_sliding",
-    "streaming_static_join",
-    "streaming_session_window",
-    "sessionize",
-    "session_stats",
-    # --- stale ts/streaming evidence: last green vs pre-µs data ---
-    "window_tumbling",
-    "window_sliding",
-    "session_window_batch",
-    "asof_join",
-    "streaming_stateful",
-    "streaming_dedup",
-    "streaming_parquet_sink",
-    # --- new round-5 queries are swapped in here as they land (replacing
-    # backfill tail entries below) ---
-    "labeled_comprehension_mad",
-    "labeled_comprehension_positions",
-    "rolling_1h_user_stats",
-    "split_group_hash",
-    "tfidf_cosine_pairs",
-    "token_pmi_bigrams",
-    "scd2_history",
-    "audio_wav_stats",
-    "video_y4m_frames",
+    # --- changed/new contracts this round -> must re-grade ---
     "fuzzy_join_tokens",
-    "funnel_conversion",
-    "anomaly_mad_zscore",
-    "sample_topk_per_stratum",
-    # --- backfill: round-2 relational re-grades, oldest evidence first ---
-    "q1_pricing_summary",
-    "q3_join_topk",
-    "join_inner_geo",
-    "join_left_orders",
-    "join_full_outer",
-    "join_semi",
+    "dedup_exact_groups",
+    "dedup_dropped",
     "join_anti",
-    "join_range_bands",
-    "join_bucketed",
-    "window_rank",
-    "window_lag_lead",
-    "window_frames",
-    "window_range_frame",
-    "window_ranking_family",
-    "topk_orders",
-    "set_ops",
-    "agg_stats",
-    "agg_quantiles",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_salted_skew",
+    "approx_distinct",
+    "affine_order3",
+    "affine_order0_wrap",
+    "affine_order1_mirror",
+    "affine_order1_constant",
+    "imread_tiff_multipage",
+    # --- round-1 evidence rotation: imaging families (32) ---
+    "affine_order0",
+    "affine_order1",
+    "filter_convolve_constant",
+    "filter_gaussian_aniso",
+    "filter_gaussian_gradmag",
+    "filter_gaussian_laplace",
+    "filter_gaussian_r2_tiles",
+    "filter_median_cross",
+    "filter_minimum_nearest",
+    "filter_percentile",
+    "filter_prewitt",
+    "filter_sobel",
+    "filter_threshold_local",
+    "filter_uniform_wrap",
+    "measure_center_of_mass",
+    "measure_extrema",
+    "measure_maximum",
+    "measure_maximum_position",
+    "measure_mean",
+    "measure_median",
+    "measure_minimum",
+    "measure_stddev",
+    "measure_sum",
+    "measure_variance",
+    "morph_closing",
+    "morph_dilation",
+    "morph_erosion",
+    "morph_erosion_iter2",
+    "morph_opening",
+    "rotate90",
+    "rotate_order1",
+    "shift_wrap",
+    # --- backfill: oldest remaining round-2 evidence ---
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "filter_project",
+    "fourier_shift",
+    "generic_filter_ptp",
+    "knn_per_label",
 ]
 
 
