@@ -43,6 +43,10 @@ HEADLINE = [
     # the heaviest new shuffle shape, persist + inverted-index self-join)
     ("rolling_1h", "rolling_1h_user_stats"),
     ("tfidf_pairs", "tfidf_cosine_pairs"),
+    # round-6 addition (VERDICT_r05 item 8): the R2 halo-exchange tile path
+    # gets a tracked number at real image scale — 9x9 gaussian over a dense
+    # 1024x1024 grid (1M px), stock twin in scripts/baseline_stock.py
+    ("gauss_r2_1024", "__gauss_r2_1024__"),
 ]
 
 BASELINE_K = [
@@ -71,6 +75,51 @@ def conv3x3_fullscale(spark, sf_dir):
     return ndfilters.correlate(px, BASELINE_K, (300, w), mode="constant")
 
 
+def gauss_r2_1024(spark, sf_dir):
+    """9x9 gaussian (sigma=1) over a dense 1024x1024 grid through the R2
+    tile path (``chunked.map_overlap_tiles`` — dask's map_overlap: tile +
+    halo exchange + per-tile numpy, separable two-pass inside the tile).
+    The grid is data-derived: pixel (y, x) takes the value of event
+    ``id % n_events`` via a broadcast modular join."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.functions import kernels as K
+    from dask_image_spark.operators import chunked
+    from dask_image_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    n = ev.count()
+    px = (
+        spark.range(1024 * 1024)
+        .select(
+            (F.col("id") % 1024).cast("int").alias("y"),
+            (F.col("id") / 1024).cast("int").alias("x"),
+            (F.col("id") % n).alias("event_id"),
+        )
+        .join(F.broadcast(ev), "event_id")
+        .select("y", "x", "value")
+    )
+    taps = K.gaussian_taps_1d(1.0)
+    depth = max(abs(o) for o, _ in taps)
+
+    def tile_fn(tile: np.ndarray) -> np.ndarray:
+        nr, nc = tile.shape
+        t1 = np.zeros_like(tile)
+        for d, w in taps:
+            t1[depth : nr - depth, :] += w * tile[depth + d : nr - depth + d, :]
+        out = np.zeros_like(tile)
+        for d, w in taps:
+            out[depth : nr - depth, depth : nc - depth] += (
+                w * t1[depth : nr - depth, depth + d : nc - depth + d]
+            )
+        return out
+
+    return chunked.map_overlap_tiles(
+        px, tile_fn, (1024, 1024), depth=depth, block=128, mode="reflect"
+    )
+
+
 def main() -> None:
     from dask_image_spark import queries as q
     from dask_image_spark.session import get_spark
@@ -88,7 +137,11 @@ def main() -> None:
         # round's bench evidence (round-4 lesson — a single AnalysisException
         # aborted the loop and the whole round had no numbers).
         try:
-            fn = conv3x3_fullscale if name == "__conv3x3_fullscale__" else registry[name]
+            specials = {
+                "__conv3x3_fullscale__": conv3x3_fullscale,
+                "__gauss_r2_1024__": gauss_r2_1024,
+            }
+            fn = specials.get(name, registry.get(name))
             df = fn(spark, SF_DIR)
             df.count()  # warm-up (codegen + page cache)
             best = float("inf")
