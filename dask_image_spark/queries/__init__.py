@@ -26,6 +26,7 @@ def load_all() -> None:
         imaging,
         interp,
         pipeline,
+        ranking,
         relational,
         streaming_ops,
         timeseries,

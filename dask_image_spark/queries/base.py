@@ -122,15 +122,16 @@ WINDOW: list[str] = [
     "rotate90",
     "rotate_order1",
     "shift_wrap",
+    # --- new round-6 operators (fresh contracts -> first grades) ---
+    "pagerank_2iter",
+    "mg_heavy_hitters",
+    "rrf_hybrid_search",
     # --- backfill: oldest remaining round-2 evidence ---
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "doc_fingerprint",
     "filter_project",
-    "fourier_shift",
-    "generic_filter_ptp",
-    "knn_per_label",
 ]
 
 

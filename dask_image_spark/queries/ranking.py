@@ -1,0 +1,320 @@
+"""Corpus-ranking operators: link-graph centrality, sketch-based heavy
+hitters, and hybrid retrieval fusion — the quality-weighting / frequency /
+search stages a crawl-scale training-data pipeline runs on top of the
+curation passes.
+
+Reference parity note: upstream dask_image has no analogue — these are
+SURVEY.md §2.B "LLM-data-pipeline" extensions, designed Spark-first. Every
+query pairs with a strong DuckDB oracle; float policy per queries/base.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_image_spark.queries.base import r as _eps_round, register
+from dask_image_spark.sources.tables import load_table
+
+# PageRank fixture graph: each document emits 3 out-links by fixed modular
+# arithmetic over the contiguous doc_id space — deterministic, identically
+# derivable by both engines, with real in-degree variation (the multi-edge
+# collisions and uneven preimage counts are what give non-uniform ranks).
+_PR_DAMPING = 0.85
+_PR_EDGE_SQL = "(doc_id * doc_id * 31 + 7919 * j) % {n}"
+
+
+@register(
+    "pagerank_2iter",
+    """
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * doc_id * 31 + 7919 * j) % n.c AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    pr0 AS (SELECT doc_id, 1.0 / n.c AS pr FROM nodes CROSS JOIN n),
+    agg1 AS (SELECT e.dst, SUM(p.pr / 3) AS inflow
+             FROM edges e JOIN pr0 p ON p.doc_id = e.src GROUP BY e.dst),
+    pr1 AS (SELECT nd.doc_id, 0.15 / n.c + 0.85 * COALESCE(a.inflow, 0) AS pr
+            FROM nodes nd CROSS JOIN n
+            LEFT JOIN agg1 a ON a.dst = nd.doc_id),
+    agg2 AS (SELECT e.dst, SUM(p.pr / 3) AS inflow
+             FROM edges e JOIN pr1 p ON p.doc_id = e.src GROUP BY e.dst),
+    pr2 AS (SELECT nd.doc_id, 0.15 / n.c + 0.85 * COALESCE(a.inflow, 0) AS pr
+            FROM nodes nd CROSS JOIN n
+            LEFT JOIN agg2 a ON a.dst = nd.doc_id)
+    SELECT p.doc_id, ROUND(1.2345e-8 + p.pr * n.c, 4) AS pr_norm
+    FROM pr2 p CROSS JOIN n
+    """,
+    tags=("ranking", "graph", "pagerank"),
+)
+def pagerank_2iter(spark, sf_dir):
+    """PageRank, 2 fixed power iterations (damping 0.85) over a
+    deterministic 3-out-regular link graph on the document ids (QUADRATIC
+    modular targets — non-invertible, so in-degrees genuinely vary: hubs,
+    zero-in-degree leaves, and multi-edges all occur) — the
+    crawl-graph centrality signal CommonCrawl-scale pipelines use to
+    weight page quality before sampling (harmonic/PageRank centrality in
+    the CCNet/RefinedWeb lineage). Fixed iteration count makes the whole
+    computation SQL-replayable (the ``kmeans_lloyd_2iter`` precedent);
+    converged PageRank is this block looped with a tolerance check.
+
+    Scale shape: per iteration, ONE join of the rank vector to the edge
+    list on src (both sides hash-partitioned by the same key — at scale
+    you pre-partition edges once and every iteration reuses that
+    partitioning) and ONE groupBy(dst) shuffle with map-side partial
+    sums; dangling mass is structurally absent (every node has outdegree
+    3). Ranks are emitted normalized to mean 1 (``pr * n``) so the
+    4-decimal float policy keeps full signal at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    nodes = docs.crossJoin(F.broadcast(cnt))
+    edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "src",
+        F.pmod(F.col("src") * F.col("src") * 31 + 7919 * F.col("j"),
+               F.col("n")).alias("dst"),
+    )
+
+    def iterate(pr):
+        contrib = (
+            edges.join(
+                pr.select(F.col("doc_id").alias("src"), "pr"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / 3).alias("inflow"))
+        )
+        return nodes.join(
+            contrib, nodes.doc_id == contrib.dst, "left"
+        ).select(
+            "doc_id",
+            "n",
+            (
+                (1.0 - _PR_DAMPING) / F.col("n")
+                + _PR_DAMPING * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("pr"),
+        )
+
+    pr0 = nodes.select("doc_id", "n", (F.lit(1.0) / F.col("n")).alias("pr"))
+    pr2 = iterate(iterate(pr0))
+    return pr2.select(
+        "doc_id", _eps_round(F.col("pr") * F.col("n"), 4).alias("pr_norm")
+    )
+
+
+# Heavy-hitter fixture stream: the driver's events are near-uniform over
+# 150 users (no natural heavy hitter), so the item stream deterministically
+# funnels every third event into one of 5 "whale" identities — the
+# contract-level skew injection pattern (pii_redact / dedup augmentation):
+# whales carry ~n/15 occurrences each (far above the n/K threshold), the
+# per-user tail sits far below it, and both engines derive the identical
+# stream.
+_HH_K = 50
+_HH_STREAM_SQL = """
+      SELECT CASE WHEN event_id % 3 = 0
+                  THEN 'whale' || CAST(user_id % 5 AS VARCHAR)
+                  ELSE 'user' || CAST(user_id AS VARCHAR) END AS item
+      FROM events
+"""
+
+
+@register(
+    "mg_heavy_hitters",
+    f"""
+    WITH stream AS ({_HH_STREAM_SQL}),
+    tot AS (SELECT COUNT(*) AS c FROM stream)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM stream CROSS JOIN tot
+    GROUP BY item, tot.c
+    HAVING COUNT(*) * {_HH_K} > tot.c
+    """,
+    tags=("ranking", "sketch", "heavy-hitters"),
+)
+def mg_heavy_hitters(spark, sf_dir):
+    """Two-pass distributed heavy hitters (items with frequency > n/K,
+    K=50) — the Misra-Gries summary + exact-rescan design that replaces a
+    full-vocabulary groupBy when the item domain is huge (trillions of
+    tokens, billions of distinct):
+
+    1. **Sketch pass**: each partition maintains a K−1-counter
+       Misra-Gries summary in ``mapInPandas`` (decrement-all on
+       overflow). By pigeonhole, any global heavy hitter exceeds
+       ``n_p/K`` in at least one partition, so the UNION of per-partition
+       candidate sets is a guaranteed superset — with at most
+       ``(K−1) × partitions`` candidates total, vs a full-domain shuffle.
+    2. **Exact pass**: re-scan counting ONLY the broadcast candidate set
+       (a tiny hash table per executor), then keep items whose exact
+       count clears the threshold.
+
+    The result is EXACT (the sketch only prunes), which is why a strong
+    DuckDB oracle exists: plain GROUP BY ... HAVING count·K > n. A wrong
+    decrement rule or lost candidate shows up as a missing row."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("whale"), (F.col("user_id") % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("user"), F.col("user_id").cast("string")))
+        .alias("item")
+    )
+
+    def mg_sketch(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for it in pdf["item"]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < _HH_K - 1:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters)})
+
+    cands = ev.mapInPandas(mg_sketch, "item string").distinct()
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        ev.join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occ") * _HH_K > F.col("n_total"))
+        .select("item", "n_occ")
+    )
+
+
+# Hybrid retrieval: the same 3-term lexical query the bm25_search op grades,
+# fused with dense cosine retrieval against the vec_id=0 embedding (the
+# similarity_top10 probe) by Reciprocal Rank Fusion (Cormack et al. 2009):
+# rrf(d) = sum over lists of 1/(60 + rank_d). Both rank lists order by the
+# ROUNDED score with id tiebreak, so engine and oracle ranks are identical.
+_RRF_C = 60
+_RRF_TOPN = 20
+
+
+@register(
+    "rrf_hybrid_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL),
+    dl AS (SELECT doc_id, len(t) AS dl FROM d),
+    avgdl AS (SELECT AVG(dl) AS adl, COUNT(*) AS n FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+      WHERE tok IN ('data', 'fast', 'query')
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    bm_scored AS (
+      SELECT tf.doc_id,
+             ROUND(1.2345e-8 + SUM(ln(1 + (n - df + 0.5) / (df + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / adl))), 4)
+               AS bm25
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), avgdl
+      GROUP BY tf.doc_id),
+    bm_rank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+      FROM bm_scored ORDER BY bm25 DESC, doc_id LIMIT {_RRF_TOPN}),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos_scored AS (
+      SELECT vec_id AS doc_id,
+             ROUND(1.2345e-8 + list_aggregate(list_transform(generate_series(1, 64),
+                     i -> embedding[i]::DOUBLE * q.qv[i]::DOUBLE), 'sum')
+               / (SQRT(list_aggregate(list_transform(embedding,
+                     x -> x::DOUBLE * x::DOUBLE), 'sum'))
+                * SQRT(list_aggregate(list_transform(q.qv,
+                     x -> x::DOUBLE * x::DOUBLE), 'sum'))), 4) AS cos_sim
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+    cos_rank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r_cos
+      FROM cos_scored ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_TOPN})
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           CAST(COALESCE(b.r_bm, 0) AS INT) AS r_bm25,
+           CAST(COALESCE(c.r_cos, 0) AS INT) AS r_cos,
+           ROUND(1.2345e-8
+                 + COALESCE(1.0 / ({_RRF_C} + b.r_bm), 0)
+                 + COALESCE(1.0 / ({_RRF_C} + c.r_cos), 0), 6) AS rrf
+    FROM bm_rank b FULL OUTER JOIN cos_rank c ON b.doc_id = c.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("ranking", "ir", "hybrid"),
+)
+def rrf_hybrid_search(spark, sf_dir):
+    """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion (Cormack
+    et al. 2009, the standard zero-tuning fusion in RAG/search stacks):
+    BM25 top-20 for a 3-term query fused with brute-force cosine top-20
+    against the vec_id=0 probe embedding, ``rrf = Σ 1/(60 + rank)``,
+    absent-from-list contributes 0.
+
+    Scale shape: each branch ends in a TakeOrderedAndProject heap (top-20
+    per-partition, no global sort); the fusion join and rank windows then
+    run on 20+20 rows — driver-trivial regardless of corpus size. Ranks
+    order by the ROUNDED branch score with id tiebreak so both engines
+    rank identically; the unpartitioned row_number windows are safe
+    because their input is already the 20-row heap output."""
+    from pyspark.sql import Window
+
+    from dask_image_spark.operators import similarity
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("adl"), F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin("data", "fast", "query"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("adl"))
+    bm = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * 2.2 / denom).alias("score"))
+        .select("doc_id", _eps_round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r_bm"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    cos = similarity.brute_force_topk(e, query_id=0, k=_RRF_TOPN).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    cosr = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), "doc_id"))
+        .alias("r_cos"),
+    )
+    fused = bmr.join(cosr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("r_bm", F.lit(0)).cast("int").alias("r_bm25"),
+        F.coalesce("r_cos", F.lit(0)).cast("int").alias("r_cos"),
+        _eps_round(
+            F.coalesce(1.0 / (_RRF_C + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("r_cos")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
