@@ -293,3 +293,34 @@ def test_split_group_hash_is_map_plus_partial_agg(spark, sf_dir):
     assert "HashAggregate" in plan
     for bad in ("Window", "SortMergeJoin", "BroadcastHashJoin"):
         assert bad not in plan
+
+
+def test_pagerank_no_cartesian_and_partial_aggs(spark, sf_dir):
+    """Each PageRank iteration must be an equi-join of the rank vector to
+    the edge list plus a partial+final aggregate on dst — the 1-row count
+    is the only broadcast-nested-loop (scalar) join allowed."""
+    plan = _plan(spark, sf_dir, "pagerank_2iter")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # the scalar corpus-count broadcasts; the edge/rank joins must not be
+    # nested-loop over non-trivial sides
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 2, (
+        plan[:2000]
+    )
+
+
+def test_heavy_hitters_candidate_join_broadcasts(spark, sf_dir):
+    """The exact rescan must join the stream against the BROADCAST
+    candidate set (a tiny MG summary), never shuffle the full stream
+    against itself."""
+    plan = _plan(spark, sf_dir, "mg_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan  # the sketch pass is really in the plan
+
+
+def test_rrf_branches_are_topk_heaps(spark, sf_dir):
+    """Both retrieval branches must end in TakeOrderedAndProject heaps
+    (top-20 per partition), never a global sort of the corpus."""
+    plan = _plan(spark, sf_dir, "rrf_hybrid_search")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
