@@ -126,12 +126,12 @@ WINDOW: list[str] = [
     "pagerank_2iter",
     "mg_heavy_hitters",
     "rrf_hybrid_search",
+    "streaming_foreach_batch",
     # --- backfill: oldest remaining round-2 evidence ---
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "doc_fingerprint",
-    "filter_project",
 ]
 
 

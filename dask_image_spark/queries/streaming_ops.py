@@ -69,6 +69,23 @@ def streaming_parquet_sink(spark, sf_dir):
 
 
 @register(
+    "streaming_foreach_batch",
+    """
+    SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "sink", "foreach-batch"),
+)
+def streaming_foreach_batch(spark, sf_dir):
+    """``foreachBatch`` custom-sink surface: the complete-mode per-type
+    aggregate handed to arbitrary batch code per epoch (idempotent keyed
+    overwrite into parquet), read back and checked against the batch
+    GROUP BY oracle."""
+    return ops.foreach_batch_sink(spark, sf_dir)
+
+
+@register(
     "streaming_static_join",
     """
     SELECT CAST(DATE_TRUNC('hour', e.ts) AS TIMESTAMP) AS hour_start,

@@ -208,6 +208,49 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str, **stream_opts) -> D
     )
 
 
+def foreach_batch_sink(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
+    """``foreachBatch`` custom sink — THE production sink surface for
+    stores with no native streaming writer (JDBC upsert, Delta MERGE,
+    search-index bulk load): Spark hands each micro-batch to arbitrary
+    batch-DataFrame code along with its epoch id.
+
+    Here the complete-mode per-type running aggregate is OVERWRITTEN into
+    a parquet target every epoch — an idempotent keyed refresh, so the
+    final table equals the last epoch's full state whether availableNow
+    ran one micro-batch or many (multi-batch invariance tested in
+    tests/test_streaming_multibatch.py), and equals the batch GROUP BY —
+    the oracle story. A real deployment replaces the overwrite with a
+    MERGE keyed on event_type; the epoch id is what makes retries
+    idempotent there."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = f"/tmp/dask_image_spark_io/feb_sink_{tag}"
+    ckpt = f"{out}_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    ev = events_stream(spark, sf_dir, **stream_opts)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        _eps_round(F.sum("value"), 4).alias("total"),
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("event_type", "n", "min_id", "total")
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """Stream-static join: the events STREAM enriched against a static
     user-segment dimension (derived deterministically from customer), then

@@ -71,6 +71,7 @@ def _rows(df):
         ops.stream_stream_join,
         ops.stateful_user_stats,
         ops.session_state_walk,
+        ops.foreach_batch_sink,
     ],
     ids=lambda f: f.__name__,
 )
