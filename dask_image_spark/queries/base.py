@@ -127,11 +127,11 @@ WINDOW: list[str] = [
     "mg_heavy_hitters",
     "rrf_hybrid_search",
     "streaming_foreach_batch",
+    "audio_zcr_rms",
     # --- backfill: oldest remaining round-2 evidence ---
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "doc_fingerprint",
 ]
 
 

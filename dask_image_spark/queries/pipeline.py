@@ -1374,6 +1374,103 @@ def audio_wav_stats(spark, sf_dir):
 
 
 @register(
+    "audio_zcr_rms",
+    """
+    WITH s AS (
+      SELECT CAST(event_id // 4096 AS INT) AS clip,
+             CAST(event_id % 4096 AS INT) AS pos,
+             CAST((event_id * 31 + 7) % 65536 AS BIGINT) AS u
+      FROM events WHERE event_id < 8192),
+    sv AS (SELECT clip, pos,
+                  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp
+           FROM s),
+    z AS (SELECT clip, smp,
+                 LAG(smp) OVER (PARTITION BY clip ORDER BY pos) AS prev
+          FROM sv)
+    SELECT clip,
+           CAST(COUNT(CASE WHEN prev IS NOT NULL
+                            AND ((prev < 0) <> (smp < 0)) THEN 1 END) AS INT)
+             AS zero_crossings,
+           ROUND(1.2345e-8 + SQRT(AVG(CAST(smp AS DOUBLE) * smp)), 4) AS rms,
+           ROUND(1.2345e-8 + AVG(ABS(CAST(smp AS DOUBLE))), 4) AS mean_abs
+    FROM z GROUP BY clip
+    """,
+    tags=("pipeline", "multimodal", "audio", "dsp", "io-write"),
+    schema="clip int, zero_crossings int, rms double, mean_abs double",
+)
+def audio_zcr_rms(spark, sf_dir):
+    """Audio FEATURE EXTRACTION over real decoded files — the DSP layer a
+    training pipeline runs after ingest (silence detection, energy
+    gating, crude voicedness): per clip, the zero-crossing count
+    (sign-change transitions, 0 counted non-negative), RMS energy, and
+    mean absolute amplitude, computed in numpy over the int16 samples
+    recovered from the WAV files this query itself encodes and lands
+    (same fixture arithmetic as ``audio_wav_stats``, separate directory).
+    The oracle replays sample ordering with LAG over the generation
+    arithmetic — a wrong sample ORDER inside the decoded stream (not just
+    a wrong multiset, which checksums can't see) breaks zero_crossings."""
+    import os
+
+    from dask_image_spark.operators.multimodal import decode_wav, encode_wav
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/wavdsp_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    smp = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("clip"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 31 + 7, F.lit(65536)).cast("int").alias("u"),
+    )
+
+    def write_clip(pdf):
+        import numpy as np
+        import pandas as pd
+
+        clip = int(pdf["clip"].iloc[0])
+        n = int(pdf["pos"].max()) + 1  # no zero-tail: ZC is order-sensitive
+        u = np.zeros(n, dtype=np.uint16)
+        u[pdf["pos"].to_numpy()] = pdf["u"].to_numpy().astype(np.uint16)
+        payload = encode_wav(u.astype(np.int16).tolist(), 8000)
+        with open(f"{out_dir}/clip_{clip}.wav", "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"clip": [clip], "n_bytes": [len(payload)]})
+
+    smp.groupBy("clip").applyInPandas(write_clip, "clip int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.wav")
+
+    def features(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"clip": [], "zero_crossings": [], "rms": [], "mean_abs": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _rate, samples = decode_wav(bytes(content))
+                s = np.asarray(samples, dtype=np.float64)
+                neg = s < 0
+                rows["clip"].append(
+                    int(path.rsplit("clip_", 1)[1].split(".")[0])
+                )
+                rows["zero_crossings"].append(
+                    int(np.count_nonzero(neg[:-1] != neg[1:]))
+                )
+                rows["rms"].append(
+                    round(float(np.sqrt(np.mean(s * s))) + 1.2345e-8, 4)
+                )
+                rows["mean_abs"].append(
+                    round(float(np.mean(np.abs(s))) + 1.2345e-8, 4)
+                )
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        features, "clip int, zero_crossings int, rms double, mean_abs double"
+    )
+
+
+@register(
     "video_y4m_frames",
     """
     WITH px AS (
