@@ -269,6 +269,9 @@ def padded_pixels_nd(
                         seg = _rng(0, shape[i], c)
                     branch = seg if branch is None else branch.crossJoin(seg)
                 strips = branch if strips is None else strips.union(branch)
+        if strips is None:
+            # zero-radius kernel (center tap only): nothing out of range
+            return body
         if keys:
             strips = px.select(*keys).distinct().crossJoin(strips)
         return body.unionByName(strips.select(*keys, *coords, fill))
@@ -358,26 +361,47 @@ def convolve(px, weights, shape, mode="reflect", cval=0.0, keys=()):
     return correlate(px, K.flip(list(weights)), shape, mode, cval, keys)
 
 
-def uniform_filter(px, size=3, shape=None, mode="reflect", cval=0.0, keys=()):
+def shift_origin(offsets, origin):
+    """Apply scipy's ``origin=`` window placement to an offset kernel:
+    output o reads input ``o + k − (size//2 + origin)``, i.e. every offset
+    shifts by −origin per axis (positive origin moves the window left/up —
+    the documented scipy convention upstream passes straight through)."""
+    oy, ox = origin
+    return [(dy - oy, dx - ox, w) for dy, dx, w in offsets]
+
+
+def uniform_filter(
+    px, size=3, shape=None, mode="reflect", cval=0.0, keys=(), origin=(0, 0),
+):
     """Moving mean over a box (``ndfilters/_smooth.py``); separable 1-D passes.
 
     Even ``size`` follows scipy's origin convention (offsets
     ``-(size//2) .. size-1-size//2``), so weights always sum to 1.
+    ``origin`` shifts window placement per axis (scipy passthrough).
     """
     taps = [(o, 1.0 / size) for o in K.box_range(size)]
-    out = correlate(px, K.taps_to_offsets_1d(taps, 0), shape, mode, cval, keys)
+    oy, ox = origin
+    ty = [(o - oy, w) for o, w in taps]
+    tx = [(o - ox, w) for o, w in taps]
+    out = correlate(px, K.taps_to_offsets_1d(ty, 0), shape, mode, cval, keys)
     out = out.withColumnRenamed("v", "value")
-    out = correlate(out, K.taps_to_offsets_1d(taps, 1), shape, mode, cval, keys)
+    out = correlate(out, K.taps_to_offsets_1d(tx, 1), shape, mode, cval, keys)
     return out
 
 
-def minimum_filter(px, size=3, shape=None, mode="reflect", cval=0.0, keys=(), footprint=None):
-    fp = footprint or K.box_footprint(size)
+def minimum_filter(
+    px, size=3, shape=None, mode="reflect", cval=0.0, keys=(),
+    footprint=None, origin=(0, 0),
+):
+    fp = shift_origin(footprint or K.box_footprint(size), origin)
     return _agg_stencil(px, fp, F.min("v"), shape, mode, cval, keys)
 
 
-def maximum_filter(px, size=3, shape=None, mode="reflect", cval=0.0, keys=(), footprint=None):
-    fp = footprint or K.box_footprint(size)
+def maximum_filter(
+    px, size=3, shape=None, mode="reflect", cval=0.0, keys=(),
+    footprint=None, origin=(0, 0),
+):
+    fp = shift_origin(footprint or K.box_footprint(size), origin)
     return _agg_stencil(px, fp, F.max("v"), shape, mode, cval, keys)
 
 

@@ -174,6 +174,44 @@ def filter_minimum_nearest(spark, sf_dir):
     )
 
 
+@register(
+    "filter_minimum_origin",
+    _linear_oracle(
+        [(ndfilters.shift_origin(_BOX3, (-1, 1)), "MIN({v})", REFL, 0.0)]
+    ),
+    tags=("imaging", "ndfilters", "origin"),
+)
+def filter_minimum_origin(spark, sf_dir):
+    """``minimum_filter(origin=(-1, 1))`` — scipy's window-placement
+    parameter (upstream passes it through to scipy): the 3×3 window
+    shifts down one row and left one column relative to each output."""
+    return _round_v(
+        ndfilters.minimum_filter(
+            pixel_grid(spark, sf_dir), 3, SHAPE, origin=(-1, 1)
+        )
+    )
+
+
+@register(
+    "filter_uniform_origin",
+    _linear_oracle([
+        (K.taps_to_offsets_1d([(o - 1, 1 / 3) for o in (-1, 0, 1)], 0),
+         CORR, REFL, 0.0),
+        (K.taps_to_offsets_1d([(o + 1, 1 / 3) for o in (-1, 0, 1)], 1),
+         CORR, REFL, 0.0),
+    ]),
+    tags=("imaging", "ndfilters", "origin"),
+)
+def filter_uniform_origin(spark, sf_dir):
+    """``uniform_filter(origin=(1, -1))`` — separable passes with
+    per-axis origin shifts."""
+    return _round_v(
+        ndfilters.uniform_filter(
+            pixel_grid(spark, sf_dir), 3, SHAPE, origin=(1, -1)
+        )
+    )
+
+
 @register("filter_maximum", _linear_oracle([(_BOX3, "MAX({v})", "mirror", 0.0)]),
           tags=("imaging", "ndfilters", "boundary"))
 def filter_maximum(spark, sf_dir):
@@ -389,6 +427,46 @@ def _threshold_oracle() -> str:
 def filter_threshold_local(spark, sf_dir):
     return ndfilters.threshold_local(
         pixel_grid(spark, sf_dir), block_size=3, method="mean",
+        offset=0.05, shape=SHAPE,
+    ).select("y", "x", "v")
+
+
+def _threshold_method_oracle(passes, offset: float) -> str:
+    """Threshold oracle for any smoothing chain: value > smoothed − offset."""
+    ctes: list[str] = []
+    last = _chain(ctes, "s", "pixels", passes)
+    return with_pixel_ctes(
+        f"SELECT p.y, p.x, p.value > ({last}.value - {offset!r}) AS v "
+        f"FROM pixels p JOIN {last} ON p.y = {last}.y AND p.x = {last}.x",
+        extra=ctes,
+    )
+
+
+@register(
+    "filter_threshold_local_gaussian",
+    _threshold_method_oracle(_gauss_passes(0, 0), 0.02),
+    tags=("imaging", "ndfilters"),
+)
+def filter_threshold_local_gaussian(spark, sf_dir):
+    """``threshold_local(method='gaussian')`` — the skimage-parity method
+    surface upstream exposes (``ndfilters/_threshold.py``): the local
+    reference is a σ=1 gaussian smoothing instead of the box mean."""
+    return ndfilters.threshold_local(
+        pixel_grid(spark, sf_dir), block_size=3, method="gaussian",
+        offset=0.02, shape=SHAPE, sigma=1.0,
+    ).select("y", "x", "v")
+
+
+@register(
+    "filter_threshold_local_median",
+    _threshold_method_oracle([(_BOX3, "MEDIAN({v})", REFL, 0.0)], 0.05),
+    tags=("imaging", "ndfilters"),
+)
+def filter_threshold_local_median(spark, sf_dir):
+    """``threshold_local(method='median')``: the outlier-robust variant —
+    local reference is the 3×3 window median."""
+    return ndfilters.threshold_local(
+        pixel_grid(spark, sf_dir), block_size=3, method="median",
         offset=0.05, shape=SHAPE,
     ).select("y", "x", "v")
 
