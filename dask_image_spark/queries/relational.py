@@ -479,6 +479,55 @@ def agg_quantiles(spark, sf_dir):
     )
 
 
+@register(
+    "approx_quantiles_bounded",
+    """
+    SELECT l_returnflag,
+           ROUND(1.2345e-8 + quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(1.2345e-8 + quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           TRUE AS p50_within_rank_tol,
+           TRUE AS p90_within_rank_tol
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "approx", "sketch"),
+)
+def approx_quantiles_bounded(spark, sf_dir):
+    """Approximate quantile sketch made STRONG-checkable — the
+    ``approx_distinct`` pattern applied to ``percentile_approx``
+    (Greenwald-Khanna): the sketch's published guarantee is RANK error
+    ≤ 1/accuracy, so the engine asserts each approximate quantile lies
+    between the EXACT quantiles at p ± 2/accuracy (double margin absorbs
+    interpolation wiggle at order-statistic boundaries) and emits the
+    booleans; the oracle computes the exact quantiles and the same
+    predicate as constant TRUE. A sketch drifting outside its advertised
+    rank bound flips the boolean and fails the hash. At 100 TB the exact
+    columns are what you'd drop; GK sketches partial-aggregate map-side
+    and merge in fixed space."""
+    acc = 100
+    m = 2.0 / acc
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(p) for p in (0.5 - m, 0.5, 0.5 + m, 0.9 - m, 0.9, 0.9 + m)]),
+        ).alias("ex"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(acc)
+        ).alias("ap"),
+    )
+    return agg.select(
+        "l_returnflag",
+        _r(F.col("ex")[1]).alias("p50"),
+        _r(F.col("ex")[4]).alias("p90"),
+        (
+            (F.col("ap")[0] >= F.col("ex")[0]) & (F.col("ap")[0] <= F.col("ex")[2])
+        ).alias("p50_within_rank_tol"),
+        (
+            (F.col("ap")[1] >= F.col("ex")[3]) & (F.col("ap")[1] <= F.col("ex")[5])
+        ).alias("p90_within_rank_tol"),
+    ).orderBy("l_returnflag")
+
+
 def write_bucketed_tables(spark, sf_dir, n_buckets: int = 8) -> tuple[str, str]:
     """Write orders + lineitem as parquet tables bucketed on the join key
     (``bucketBy`` + external path under /tmp) and register them in the
