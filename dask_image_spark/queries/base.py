@@ -128,10 +128,10 @@ WINDOW: list[str] = [
     "rrf_hybrid_search",
     "streaming_foreach_batch",
     "audio_zcr_rms",
+    "streaming_dedup_watermark",
+    "approx_quantiles_bounded",
     # --- backfill: oldest remaining round-2 evidence ---
     "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
 ]
 
 

@@ -129,11 +129,25 @@ def streaming_session_window(spark, sf_dir):
     return ops.session_window_counts(spark, sf_dir)
 
 
-@register("streaming_dedup_watermark", None, tags=("streaming", "dedup", "watermark"))
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
 def streaming_dedup_watermark(spark, sf_dir):
-    """Bounded-state dedup: state evicts once the watermark passes a key.
-    Weak-checked — mid-batch expiry under availableNow is an engine detail
-    no batch SQL reproduces exactly."""
+    """Bounded-state dedup (``dropDuplicatesWithinWatermark``): state for
+    a key evicts once the watermark passes its event time. STRONG since
+    round 6: the graded contract is the single-source availableNow run —
+    ONE micro-batch, in which the watermark never advances mid-batch, so
+    state eviction cannot fire and the operator provably equals a global
+    per-(user, type) dedup (count distinct users per type). The
+    multi-batch eviction behavior — where far-apart recurrences may
+    legitimately re-emit — is bounds-tested against the provable
+    [global-dedup, greedy-1h-chain] envelope in
+    tests/test_streaming_multibatch.py."""
     return ops.dedup_within_watermark(spark, sf_dir)
 
 
