@@ -1794,6 +1794,50 @@ def multimodal_frames(spark, sf_dir):
 
 
 @register(
+    "shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents WHERE text IS NOT NULL)
+    SELECT CAST(instr('0123456789abcdef', substr(hh, 1, 1)) - 1 AS INT)
+             AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY substr(hh, 1, 1) ORDER BY hh, doc_id)
+                AS INT) AS pos,
+           doc_id
+    FROM h
+    """,
+    tags=("pipeline", "sampling", "shuffle"),
+)
+def shuffle_shards(spark, sf_dir):
+    """Deterministic GLOBAL SHUFFLE into ordered shards — the
+    reproducible-training primitive (fixed seed -> identical example
+    order on every rerun, resumable mid-epoch by (shard, pos)): each doc
+    hashes to one of 16 shards by a salted md5, and its position within
+    the shard is the md5's lexicographic rank. Hash-based (not rand())
+    so the permutation is join-stable across engines and runs.
+
+    Scale shape: ONE hash exchange on the shard key, then an
+    in-partition sort per shard (at 100 TB: shards = files, written with
+    ``sortWithinPartitions`` — no global sort ever happens; the window's
+    PARTITION BY matches the exchange so Spark plans a single shuffle)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string"))).alias("hh"),
+    )
+    w = Window.partitionBy(F.substring("hh", 1, 1)).orderBy("hh", "doc_id")
+    return h.select(
+        (
+            F.instr(F.lit("0123456789abcdef"), F.substring("hh", 1, 1)) - 1
+        ).cast("int").alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"),
+        "doc_id",
+    )
+
+
+@register(
     "sample_stratified",
     """
     SELECT doc_id, lang, n_chars
