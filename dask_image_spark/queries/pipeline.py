@@ -1793,6 +1793,70 @@ def multimodal_frames(spark, sf_dir):
     return multimodal.frame_sample(multimodal.with_binary_payload(d))
 
 
+def _zorder_sql(ycol: str, xcol: str, idiv: str, bits: int = 6) -> str:
+    """Bit-interleaved Morton/Z-order value as integer SQL:
+    z = Σ_b ((y>>b & 1) << (2b+1)) | ((x>>b & 1) << 2b), written with
+    integer-div/mod so no bitwise operators are needed. ``idiv`` is the
+    engine's integer-division operator (Spark ``div``, DuckDB ``//``) —
+    the only token the two engines disagree on."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({ycol} {idiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"(({xcol} {idiv} {1 << b}) % 2) * {1 << (2 * b)}")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout",
+    f"""
+    WITH px AS (
+      SELECT CAST(event_id % 64 AS INT) AS y,
+             CAST((event_id // 64) % 64 AS INT) AS x,
+             SUM(value) AS value
+      FROM events GROUP BY 1, 2),
+    z AS (
+      SELECT y, x, value, CAST({_zorder_sql('y', 'x', '//')} AS INT) AS zval
+      FROM px)
+    SELECT CAST(zval // 64 AS INT) AS tile,
+           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(MIN(zval) AS INT) AS z_lo,
+           CAST(MAX(zval) AS INT) AS z_hi,
+           CAST(MAX(y) - MIN(y) AS INT) AS y_extent,
+           CAST(MAX(x) - MIN(x) AS INT) AS x_extent,
+           ROUND(1.2345e-8 + SUM(value), 4) AS mass
+    FROM z GROUP BY 1
+    """,
+    tags=("pipeline", "layout", "zorder"),
+)
+def zorder_layout(spark, sf_dir):
+    """Z-ORDER (Morton) clustering key — the multi-dimensional data-layout
+    primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleaving the
+    bits of (y, x) makes 1-D z-ranges map to compact 2-D blocks, so
+    min/max file statistics prune BOTH dimensions at once. The query
+    computes the 12-bit z-value for the 64×64 pixel grid, groups into
+    64-cell z-tiles, and emits each tile's coordinate extents — every
+    tile provably spans an 8×8 block (y_extent = x_extent = 7), which IS
+    the locality property file skipping relies on. The interleave is
+    div/mod arithmetic (pure codegen, map-only); the tile rollup is one
+    partial-agg shuffle. At 100 TB you'd `repartitionByRange(zval)` and
+    write — the same expression becomes the clustering key."""
+    from dask_image_spark.functions.pixelgrid import pixel_grid
+
+    px = pixel_grid(spark, sf_dir)
+    z = px.select(
+        "y", "x", "value",
+        F.expr(_zorder_sql("y", "x", "div")).cast("int").alias("zval"),
+    )
+    return z.groupBy((F.col("zval") / 64).cast("int").alias("tile")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_px"),
+        F.min("zval").cast("int").alias("z_lo"),
+        F.max("zval").cast("int").alias("z_hi"),
+        (F.max("y") - F.min("y")).cast("int").alias("y_extent"),
+        (F.max("x") - F.min("x")).cast("int").alias("x_extent"),
+        _eps_round(F.sum("value"), 4).alias("mass"),
+    )
+
+
 @register(
     "shuffle_shards",
     """

@@ -324,3 +324,16 @@ def test_rrf_branches_are_topk_heaps(spark, sf_dir):
     (top-20 per partition), never a global sort of the corpus."""
     plan = _plan(spark, sf_dir, "rrf_hybrid_search")
     assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """The shard window's PARTITION BY must reuse the shard-key exchange:
+    one shuffle total, in-partition sort, never a global sort."""
+    plan = _plan(spark, sf_dir, "shuffle_shards")
+    tree = plan.split("\n\n")[0]
+    shuffles = [
+        line for line in tree.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+    ]
+    assert len(shuffles) == 1, f"expected one Exchange:\n{tree}"
