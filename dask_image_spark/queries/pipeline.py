@@ -340,6 +340,81 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_NGRAM_TRUTH_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i + 2], ' '))) AS sh
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+"""
+
+
+@register(
+    "lsh_dedup_recall",
+    f"""
+    WITH cand AS ({_minhash_oracle()}),
+    truth AS ({_NGRAM_TRUTH_SQL}),
+    hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+           ROUND(1.2345e-8 + CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) AS recall,
+           ROUND(1.2345e-8 + CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM cand), 0), 4) AS precision
+    """,
+    tags=("pipeline", "dedup", "eval"),
+)
+def lsh_dedup_recall(spark, sf_dir):
+    """LSH candidate-quality EVAL — the measurement a pipeline owner runs
+    before trusting sketch-based dedup at 100 TB (the ``ann_recall_ivf``
+    pattern applied to MinHash-LSH): ground truth = exact shingle-Jaccard
+    ≥ 0.8 pairs, candidates = the banded MinHash pairs, report recall
+    (what fraction of true near-dups the bands catch — the 8-hash/4-band
+    S-curve makes this high at 0.8) and precision (how much of the
+    candidate set is real — the part the exact verify pass must filter).
+    Truth is computed only for shingle-sharing pairs, candidates only
+    within band buckets: both sides stay sub-quadratic; the final
+    scalars are three broadcast 1-row aggregates."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            _eps_round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_truth"), F.lit(0)),
+                4,
+            ).alias("recall"),
+            _eps_round(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                4,
+            ).alias("precision"),
+        )
+    )
+
+
 # --- similarity search ------------------------------------------------------
 
 
