@@ -1086,8 +1086,12 @@ def fuzzy_join_tokens(spark, sf_dir):
     range post-filters doing the sharding), block mass is cut by the full
     length distribution, and parallelism is |alphabet|×|lengths| rather
     than 26. Candidate pairs are UNION-deduped before the O(len²)
-    distance runs. Both engines compute the identical built-in
-    levenshtein."""
+    distance runs. The block-key LENGTH is the scale knob: at a 10⁸-type
+    vocabulary widen the keys to (2-char prefix, ln) / (4-char suffix,
+    ln) — same plan shape, block mass shrinks by another |alphabet|
+    factor per added character (coverage argument unchanged as long as
+    prefix length + suffix length ≤ the minimum token length). Both
+    engines compute the identical built-in levenshtein."""
     docs = load_table(spark, sf_dir, "documents")
     base = (
         docs.filter(F.col("text").isNotNull())
