@@ -528,6 +528,58 @@ def approx_quantiles_bounded(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+@register(
+    "equidepth_bins",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(l_extendedprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+      FROM lineitem),
+    b AS (
+      SELECT 1 + len(list_filter(c, x -> l_extendedprice >= x)) AS bin,
+             l_extendedprice AS v
+      FROM lineitem CROSS JOIN cuts)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + MIN(v), 4) AS lo,
+           ROUND(1.2345e-8 + MAX(v), 4) AS hi,
+           ROUND(1.2345e-8 + AVG(v), 4) AS avg_v
+    FROM b GROUP BY bin
+    """,
+    tags=("relational", "feature", "binning"),
+)
+def equidepth_bins(spark, sf_dir):
+    """Equi-depth (decile) feature binning — the quantile bucketing a
+    feature-engineering pass applies to heavy-tailed numerics. The
+    SCALE-correct formulation: compute the 9 exact cut points as ONE
+    grouped aggregate, broadcast them, and assign each row's bin with a
+    map-side expression (``1 + #cuts ≤ v``) — never a global NTILE sort,
+    which would funnel the entire table through one partition. Rows equal
+    to a cut land in the upper bin on both engines (>= comparison); at
+    100 TB you'd swap the exact percentiles for the GK sketch graded in
+    ``approx_quantiles_bounded``, same plan otherwise."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    cuts = li.agg(
+        F.percentile(
+            "v", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("c")
+    )
+    binned = li.crossJoin(F.broadcast(cuts)).select(
+        "v",
+        (
+            F.lit(1) + F.size(F.filter(F.col("c"), lambda x: F.col("v") >= x))
+        ).cast("int").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.min("v")).alias("lo"),
+        _r(F.max("v")).alias("hi"),
+        _r(F.avg("v")).alias("avg_v"),
+    )
+
+
 def write_bucketed_tables(spark, sf_dir, n_buckets: int = 8) -> tuple[str, str]:
     """Write orders + lineitem as parquet tables bucketed on the join key
     (``bucketBy`` + external path under /tmp) and register them in the

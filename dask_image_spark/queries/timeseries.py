@@ -470,3 +470,49 @@ def funnel_conversion(spark, sf_dir):
             )
         ).alias("total_funnel_us"),
     )
+
+
+@register(
+    "time_decay_score",
+    """
+    WITH mx AS (SELECT MAX(ts) AS t1 FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(1.2345e-8 + SUM(value * EXP(
+                 -CAST(epoch_us(t1) - epoch_us(ts) AS DOUBLE) / 86400000000.0
+           )), 4) AS decayed_value
+    FROM events CROSS JOIN mx
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "feature", "decay"),
+)
+def time_decay_score(spark, sf_dir):
+    """Exponentially time-decayed engagement score per user — the
+    recency-weighted feature every ranking/engagement pipeline computes
+    (half-life weighting, here τ = 1 day): Σ value·exp(−Δt/τ) against
+    the corpus's max timestamp (a deterministic reference both engines
+    derive from the data, broadcast as a 1-row aggregate).
+
+    Scale shape: the decay weight is a map-side expression, so the sum
+    partial-aggregates before the single user_id shuffle — unlike a
+    window formulation there is no per-user ordering anywhere. Exact
+    integer-µs time arithmetic feeds the double exponent (the repo-wide
+    ts contract); cross-engine exp() noise is ~1e-13 relative, absorbed
+    by the EPS+round policy."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    mx = ev.agg(F.max("ts").alias("t1"))
+    dt_us = F.unix_micros(F.col("t1")) - F.unix_micros(F.col("ts"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _eps_round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(-dt_us.cast("double") / 86400000000.0)
+                ),
+                4,
+            ).alias("decayed_value"),
+        )
+    )
