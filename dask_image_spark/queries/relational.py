@@ -529,6 +529,96 @@ def approx_quantiles_bounded(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(1.2345e-8 + SUM(l_extendedprice * l_discount), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "agg", "tpch", "sql-surface"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change) — run through the literal
+    ``spark.sql`` ENTRY POINT over a registered temp view, proving the
+    SQL-text surface end to end (every other query builds DataFrames;
+    a reference user migrating SQL scripts uses this path). The
+    conjunctive filter is the canonical pushdown showcase: all three
+    predicates reach the parquet scan, the aggregate is a 1-row
+    partial+final — the cheapest possible full-table query at 100 TB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_q6"
+    )
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount) + 1.2345e-8, 4)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem_q6
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "q5_local_supplier",
+    """
+    SELECT n.n_name,
+           ROUND(1.2345e-8 + SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume) — the six-table join chain with
+    the classic same-nation correlation (customer's nation must equal
+    the line's supplier nation). Scale shape: region/nation/supplier are
+    broadcast dimensions; the only shuffles are the big-side
+    orders⋈lineitem equi-join and the final small groupBy — the join
+    order Catalyst picks once the dims broadcast, no cartesian anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_r(F.sum(rev)).alias("revenue"))
+    )
+
+
+@register(
     "equidepth_bins",
     """
     WITH cuts AS (

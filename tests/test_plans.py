@@ -337,3 +337,19 @@ def test_shuffle_shards_single_exchange(spark, sf_dir):
         and "ReusedExchange" not in line
     ]
     assert len(shuffles) == 1, f"expected one Exchange:\n{tree}"
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """Q5's six-table chain: dimensions broadcast, the only shuffles are
+    the fact-side equi-join and the final groupBy; never a cartesian."""
+    plan = _plan(spark, sf_dir, "q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_sql_surface_pushes_filters(spark, sf_dir):
+    """The literal spark.sql Q6 must push its conjunctive predicates to
+    the parquet scan."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:300], plan[:2500]
