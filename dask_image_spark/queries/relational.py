@@ -619,6 +619,93 @@ def q5_local_supplier(spark, sf_dir):
 
 
 @register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(1.2345e-8 + SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY ROUND(1.2345e-8 + SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned item reporting) — the lost-revenue top-20: a
+    quarter's 'R'-flagged lines joined back to their customers. Scale
+    shape: the returnflag + date predicates push into both fact scans,
+    nation broadcasts, the customer join shuffles once on custkey, and
+    the top-20 plans as a TakeOrderedAndProject heap on the ROUNDED
+    revenue (+custkey tiebreak) so both engines rank identically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_r(F.sum(rev)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+    SELECT ROUND(1.2345e-8 + 100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 (promotion effect) — the conditional-aggregate-over-join
+    shape: one month of lines joined to the part dimension, promo share
+    of revenue as a ratio of two SUMs computed in a single pass. Scale
+    shape: the date range pushes into the lineitem scan, part broadcasts,
+    and the whole query is one map-side joined scan + a 1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _r(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "equidepth_bins",
     """
     WITH cuts AS (
