@@ -706,6 +706,60 @@ def q14_promo_effect(spark, sf_dir):
 
 
 @register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           ROUND(1.2345e-8 + o.o_totalprice, 4) AS o_totalprice,
+           ROUND(1.2345e-8 + SUM(l.l_quantity), 4) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY ROUND(1.2345e-8 + o.o_totalprice, 4) DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large volume customer) — the HAVING-subquery shape: the
+    big-order key set is itself an aggregate (SUM(qty) > 150 per order),
+    then the fact re-joins against that set. Scale shape: the key set is
+    a semi-filter (left-semi join after its own partial+final aggregate),
+    the customer join shuffles on custkey, and the top-100 is a
+    TakeOrderedAndProject heap on the rounded totalprice with an orderkey
+    tiebreak so both engines rank identically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        c.join(o_big, c.c_custkey == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(_r(F.sum("l_quantity")).alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            _r(F.col("o_totalprice")).alias("o_totalprice"), "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
     "equidepth_bins",
     """
     WITH cuts AS (
