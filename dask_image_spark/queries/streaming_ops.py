@@ -69,6 +69,24 @@ def streaming_parquet_sink(spark, sf_dir):
 
 
 @register(
+    "streaming_json_source",
+    """
+    SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total,
+           MAX(ts) AS max_ts
+    FROM events WHERE event_id < 5000 GROUP BY event_type
+    """,
+    tags=("streaming", "source", "json"),
+)
+def streaming_json_source(spark, sf_dir):
+    """NDJSON landing-zone streaming source (4 sharded JSON-lines files,
+    integer-µs wire timestamps): every event and its timestamp must
+    survive parquet -> json-lines -> file stream -> rollup against the
+    direct-on-events oracle."""
+    return ops.json_source_rollup(spark, sf_dir)
+
+
+@register(
     "streaming_foreach_batch",
     """
     SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,

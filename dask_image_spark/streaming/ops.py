@@ -251,6 +251,55 @@ def foreach_batch_sink(spark: SparkSession, sf_dir: str, **stream_opts) -> DataF
     return spark.read.parquet(out).select("event_type", "n", "min_id", "total")
 
 
+def json_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming over an NDJSON landing zone — the second file format of
+    the streaming reader (parquet is the first): a deterministic events
+    slice is landed as JSON-lines files (4 shards, as a log shipper
+    would), then ``readStream.json`` with an explicit schema ingests the
+    directory and runs a per-type rollup. Timestamps are shipped as
+    integer unix-µs (the ts contract's canonical wire form — JSON
+    timestamp string formats are exactly the cross-engine drift this
+    avoids)."""
+    import shutil
+
+    from dask_image_spark.sources.tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    land = f"/tmp/dask_image_spark_io/json_land_{tag}"
+    shutil.rmtree(land, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .json(land)
+    )
+    schema = (
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, "
+        "ts_us LONG"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.json")
+        .json(land)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        _eps_round(F.sum("value"), 4).alias("total"),
+        F.max("ts").alias("max_ts"),
+    )
+    return run_to_memory(agg, "complete")
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """Stream-static join: the events STREAM enriched against a static
     user-segment dimension (derived deterministically from customer), then
