@@ -516,3 +516,40 @@ def time_decay_score(spark, sf_dir):
             ).alias("decayed_value"),
         )
     )
+
+
+@register(
+    "rolling_1h_median",
+    """
+    SELECT event_id, user_id,
+           ROUND(1.2345e-8 + quantile_cont(value, 0.5) OVER w, 4) AS med_1h,
+           ROUND(1.2345e-8 + quantile_cont(value, 0.9) OVER w, 4) AS p90_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "window", "rolling", "order-statistic"),
+)
+def rolling_1h_median(spark, sf_dir):
+    """Rolling ORDER-STATISTIC features — the robust sibling of
+    ``rolling_1h_user_stats``: per event, the exact median and p90 of the
+    user's trailing hour (outlier-proof baselines for anomaly gating,
+    where a rolling mean is poisoned by the very spikes it should
+    detect). Spark rejects ``median`` over a frame but accepts
+    ``percentile``, which with a RANGE frame re-ranks each window — both
+    engines interpolate identically (the ``agg_quantiles`` parity). Same
+    single user_id shuffle + in-partition sort as the sum/avg form; the
+    per-window re-rank is the price of exactness (at 100 TB you'd bound
+    window row counts or switch to a sketch for the long tail)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _eps_round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med_1h"),
+        _eps_round(F.expr("percentile(value, 0.9)").over(w), 4).alias("p90_1h"),
+    )
