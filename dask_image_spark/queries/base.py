@@ -69,69 +69,69 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 6 window (VERDICT_r05 "Next round" items 1-6, 9): first the queries
-# whose CONTRACT changed this round (typo-injected fuzzy join, duplicate-
-# augmented dedups, gated join_anti, newly-strong approx_distinct and
-# affine_order3, the new boundary-mode and multipage-TIFF queries) — all
-# need fresh grades against the new oracles; then the 32 queries whose
-# newest driver grade is still round 1 (the imaging filter/morph/measure
-# families — their evidence predates three data regenerations); backfilled
-# with the oldest remaining round-2 grades.
+# Round 7 window (VERDICT_r06 "Next round" item 1): first the 17 late
+# round-6 queries that have NEVER been driver-graded (local parity green,
+# zero driver evidence — the only evidence gap the round-6 verdict found);
+# then the new round-7 operators (correlated-subquery TPC-H Q4/Q21/Q13/Q22,
+# the two remaining affine boundary modes, the CSV streaming source); then
+# backfill with the 22 queries whose newest driver grade is still round 2
+# (minhash/simhash/similarity/token families — evidence predates four data
+# regenerations) and the 4 oldest round-3 grades.
 WINDOW: list[str] = [
-    # --- changed/new contracts this round -> must re-grade ---
-    "fuzzy_join_tokens",
-    "dedup_exact_groups",
-    "dedup_dropped",
-    "join_anti",
-    "approx_distinct",
-    "affine_order3",
-    "affine_order0_wrap",
-    "affine_order1_mirror",
-    "affine_order1_constant",
-    "imread_tiff_multipage",
-    # --- round-1 evidence rotation: imaging families (32) ---
-    "affine_order0",
-    "affine_order1",
-    "filter_convolve_constant",
-    "filter_gaussian_aniso",
-    "filter_gaussian_gradmag",
-    "filter_gaussian_laplace",
-    "filter_gaussian_r2_tiles",
-    "filter_median_cross",
-    "filter_minimum_nearest",
-    "filter_percentile",
-    "filter_prewitt",
-    "filter_sobel",
-    "filter_threshold_local",
-    "filter_uniform_wrap",
-    "measure_center_of_mass",
-    "measure_extrema",
-    "measure_maximum",
-    "measure_maximum_position",
-    "measure_mean",
-    "measure_median",
-    "measure_minimum",
-    "measure_stddev",
-    "measure_sum",
-    "measure_variance",
-    "morph_closing",
-    "morph_dilation",
-    "morph_erosion",
-    "morph_erosion_iter2",
-    "morph_opening",
-    "rotate90",
-    "rotate_order1",
-    "shift_wrap",
-    # --- new round-6 operators (fresh contracts -> first grades) ---
-    "pagerank_2iter",
-    "mg_heavy_hitters",
-    "rrf_hybrid_search",
-    "streaming_foreach_batch",
-    "audio_zcr_rms",
-    "streaming_dedup_watermark",
-    "approx_quantiles_bounded",
-    # --- backfill: oldest remaining round-2 evidence ---
-    "dedup_embedding_cosine",
+    # --- never driver-graded (late round-6 additions) ---
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "zorder_layout",
+    "shuffle_shards",
+    "lsh_dedup_recall",
+    "time_decay_score",
+    "equidepth_bins",
+    "rolling_1h_median",
+    "streaming_json_source",
+    "filter_threshold_local_gaussian",
+    "filter_threshold_local_median",
+    "filter_uniform_origin",
+    "filter_minimum_origin",
+    # --- new round-7 operators (fresh contracts -> first grades) ---
+    "q4_order_priority",
+    "q21_suppliers_kept_waiting",
+    "q13_customer_distribution",
+    "q22_global_sales_opportunity",
+    "affine_order0_nearest",
+    "affine_order1_reflect",
+    "streaming_csv_source",
+    # --- backfill: all 22 queries with round-2 (oldest) evidence ---
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "filter_project",
+    "fourier_shift",
+    "generic_filter_ptp",
+    "knn_per_label",
+    "labeled_comprehension_sumsq",
+    "lang_id",
+    "multimodal_frames",
+    "multimodal_meta",
+    "quality_score",
+    "scan_binaryfile",
+    "similarity_ivf_topk",
+    "similarity_lsh_buckets",
+    "similarity_top10",
+    "spline_filter1d",
+    "tfidf_top_term",
+    "time_rollup_multires",
+    "token_stats",
+    "token_topk",
+    "udtf_ngrams",
+    # --- backfill: oldest round-3 evidence ---
+    "dedup_minhash_lsh",
+    "dedup_minhash_survivors",
+    "kmeans_lloyd_2iter",
+    "similarity_ivf_multiprobe",
 ]
 
 

@@ -825,6 +825,221 @@ def q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 (order priority checking) — the correlated-EXISTS shape:
+    count a quarter's orders per priority where at least one of the
+    order's lines satisfies a line-level predicate. The driver data has
+    no l_commitdate/l_receiptdate, so the spec's late-delivery predicate
+    (commitdate < receiptdate, TPC-H §2.4.4) is stood in by
+    ``l_returnflag = 'R'`` — the decorrelation under test is identical.
+    Scale shape: the EXISTS decorrelates to a LEFT-SEMI join on
+    l_orderkey (no duplicate explosion — an order with 4 matching lines
+    still counts once), the date range pushes into the orders scan, the
+    returnflag predicate into the lineitem scan, and the final aggregate
+    is 5 groups. No correlated per-row subquery execution anywhere."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting) — the double
+    correlated-subquery shape: an EXISTS (some OTHER supplier also
+    shipped in this order) and a NOT EXISTS (no OTHER supplier was late
+    in it), both correlated on l_orderkey with a suppkey INEQUALITY.
+    The driver data has no receipt/commit dates, so "late" is stood in
+    by ``l_returnflag = 'R'`` (TPC-H §2.4.21's l3.l_receiptdate >
+    l3.l_commitdate); the decorrelation under test is identical.
+    Scale shape: EXISTS -> LEFT-SEMI and NOT EXISTS -> LEFT-ANTI, BOTH
+    as equi-joins on l_orderkey with the ``<>`` as a join residual —
+    never a BroadcastNestedLoopJoin over the fact table (plan-pinned in
+    tests/test_plans.py). Three shuffles on the same l_orderkey key
+    (AQE reuses the exchange), 25-row heap at the end."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer distribution) — the left-outer-with-ON-filter
+    shape: orders-per-customer histogram where the filter
+    (o_orderpriority <> '1-URGENT', standing in for the spec's
+    o_comment NOT LIKE — the column doesn't exist in the driver data)
+    lives in the JOIN CONDITION, not WHERE, so zero-order customers
+    survive with count 0. COUNT(o_orderkey) (not COUNT(*)) makes the
+    null-extended rows count as zero on both engines. Scale shape: one
+    custkey shuffle for the outer join + grouped count, then a
+    trivially small second aggregate over the distinct counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    SELECT CAST(c.c_nationkey AS INT) AS cntry,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(1.2345e-8 + SUM(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    ORDER BY cntry
+    """,
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity) — the scalar-subquery + anti
+    shape: high-balance customers (above the positive-balance average,
+    an uncorrelated scalar subquery) with no finished URGENT order (a
+    correlated NOT EXISTS), grouped by country. Driver-data adaptations:
+    c_phone doesn't exist so the country code is c_nationkey, and every
+    customer has SOME order so the anti-join is scoped to the
+    status='F' + priority='1-URGENT' slice (333 antis at sf0.01 — the
+    spec's "never ordered" set is empty here by construction).
+    Scale shape: the scalar average is ONE grouped aggregate broadcast
+    as a 1-row crossJoin (never a per-row subquery), the NOT EXISTS is
+    a LEFT-ANTI equi-join on custkey with the order predicates pushed
+    into the orders scan BEFORE the join, and the final rollup is ≤25
+    nation groups."""
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, cust.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+@register(
     "equidepth_bins",
     """
     WITH cuts AS (

@@ -353,3 +353,35 @@ def test_q6_sql_surface_pushes_filters(spark, sf_dir):
     the parquet scan."""
     plan = _plan(spark, sf_dir, "q6_forecast_revenue")
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:300], plan[:2500]
+
+
+def test_q21_semi_anti_are_equi_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS decorrelation must plan as LEFT-SEMI and
+    LEFT-ANTI equi-joins on l_orderkey with the suppkey inequality as a
+    join residual — never a nested-loop pair explosion over the fact."""
+    plan = _plan(spark, sf_dir, "q21_suppliers_kept_waiting")
+    assert "LeftSemi" in plan, plan[:2500]
+    assert "LeftAnti" in plan, plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_left_semi(spark, sf_dir):
+    """Q4's EXISTS must decorrelate to one LEFT-SEMI join (an order with
+    several matching lines counts once) with both filters pushed to scans."""
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan, plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert len(pushed) >= 2 and "l_returnflag" in plan, plan[:2500]
+
+
+def test_q22_scalar_avg_is_broadcast_and_anti_pushes(spark, sf_dir):
+    """Q22's scalar average must reach the rows as a 1-row broadcast (a
+    BroadcastNestedLoopJoin over ONE row is the correct plan, not a
+    per-row subquery), and the NOT EXISTS must be a LEFT-ANTI equi-join
+    with the order predicates pushed below the join."""
+    plan = _plan(spark, sf_dir, "q22_global_sales_opportunity")
+    assert "LeftAnti" in plan, plan[:2500]
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
