@@ -47,6 +47,10 @@ HEADLINE = [
     # gets a tracked number at real image scale — 9x9 gaussian over a dense
     # 1024x1024 grid (1M px), stock twin in scripts/baseline_stock.py
     ("gauss_r2_1024", "__gauss_r2_1024__"),
+    # round-7 addition (VERDICT_r06 item 7): the same tile path at 16x the
+    # pixels (4096x4096 = 16M px, 256-px tiles) — two points on the size
+    # axis prove the halo-exchange path's scaling SLOPE, not just a point
+    ("gauss_r2_4096", "__gauss_r2_4096__"),
 ]
 
 BASELINE_K = [
@@ -75,8 +79,8 @@ def conv3x3_fullscale(spark, sf_dir):
     return ndfilters.correlate(px, BASELINE_K, (300, w), mode="constant")
 
 
-def gauss_r2_1024(spark, sf_dir):
-    """9x9 gaussian (sigma=1) over a dense 1024x1024 grid through the R2
+def _gauss_r2(spark, sf_dir, side: int, block: int):
+    """9x9 gaussian (sigma=1) over a dense side x side grid through the R2
     tile path (``chunked.map_overlap_tiles`` — dask's map_overlap: tile +
     halo exchange + per-tile numpy, separable two-pass inside the tile).
     The grid is data-derived: pixel (y, x) takes the value of event
@@ -91,10 +95,10 @@ def gauss_r2_1024(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     n = ev.count()
     px = (
-        spark.range(1024 * 1024)
+        spark.range(side * side)
         .select(
-            (F.col("id") % 1024).cast("int").alias("y"),
-            (F.col("id") / 1024).cast("int").alias("x"),
+            (F.col("id") % side).cast("int").alias("y"),
+            (F.col("id") / side).cast("int").alias("x"),
             (F.col("id") % n).alias("event_id"),
         )
         .join(F.broadcast(ev), "event_id")
@@ -116,8 +120,18 @@ def gauss_r2_1024(spark, sf_dir):
         return out
 
     return chunked.map_overlap_tiles(
-        px, tile_fn, (1024, 1024), depth=depth, block=128, mode="reflect"
+        px, tile_fn, (side, side), depth=depth, block=block, mode="reflect"
     )
+
+
+def gauss_r2_1024(spark, sf_dir):
+    return _gauss_r2(spark, sf_dir, side=1024, block=128)
+
+
+def gauss_r2_4096(spark, sf_dir):
+    # 16M px in 256-px tiles: 256 tiles + 4-px halos, the shape a 16k^2
+    # microscopy slab would run with proportionally larger tiles
+    return _gauss_r2(spark, sf_dir, side=4096, block=256)
 
 
 def main() -> None:
@@ -140,8 +154,12 @@ def main() -> None:
             specials = {
                 "__conv3x3_fullscale__": conv3x3_fullscale,
                 "__gauss_r2_1024__": gauss_r2_1024,
+                "__gauss_r2_4096__": gauss_r2_4096,
             }
-            fn = specials.get(name, registry.get(name))
+            # registry[name]: a KeyError names the missing query, instead
+            # of the opaque NoneType-not-callable a .get fallback produced
+            # (ADVICE r6); the try/except isolates it per query either way
+            fn = specials[name] if name in specials else registry[name]
             df = fn(spark, SF_DIR)
             df.count()  # warm-up (codegen + page cache)
             best = float("inf")

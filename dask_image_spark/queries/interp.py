@@ -150,6 +150,42 @@ def affine_order0_wrap_q(spark, sf_dir):
 
 
 @register(
+    "affine_order0_nearest",
+    _affine0_oracle(1.3, -8.3, 1.3, -8.6, "nearest"),
+    tags=("imaging", "ndinterp", "boundary"),
+)
+def affine_order0_nearest_q(spark, sf_dir):
+    """Nearest-neighbor affine with EDGE-CLAMP out-of-range handling
+    (``affine_transform(mode='nearest')``) on a transform that genuinely
+    leaves the grid on both sides ([-8.6, 74.6] source range) — unlike
+    the graded default ``affine_order0``, whose zoom-in stays in range,
+    this exercises both clamp branches of the shared ``remap_sql`` text."""
+    px = pixel_grid(spark, sf_dir)
+    out = ndinterp.affine_transform_order0(
+        px, _BMODE["matrix"], _BMODE["offset"], SHAPE, mode="nearest"
+    )
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register(
+    "affine_order1_reflect",
+    _affine1_oracle(1.3, 0.0, -8.3, 0.0, 1.3, -8.6, mode="reflect"),
+    tags=("imaging", "ndinterp", "boundary"),
+)
+def affine_order1_reflect_q(spark, sf_dir):
+    """Bilinear affine with HALF-SAMPLE symmetric out-of-range handling
+    (``affine_transform(mode='reflect')``) — the edge sample repeats at
+    the fold (``d c b a | a b c d``), distinguishing it from ``mirror``'s
+    whole-sample reflection; completes the scipy ``mode=`` matrix (all
+    five modes now have a graded affine instance)."""
+    px = pixel_grid(spark, sf_dir)
+    out = ndinterp.affine_transform_order1(
+        px, _BMODE["matrix"], _BMODE["offset"], SHAPE, mode="reflect"
+    )
+    return out.select("y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register(
     "affine_order1_mirror",
     _affine1_oracle(1.3, 0.0, -8.3, 0.0, 1.3, -8.6, mode="mirror"),
     tags=("imaging", "ndinterp", "boundary"),

@@ -1505,6 +1505,17 @@ def audio_zcr_rms(spark, sf_dir):
 
         clip = int(pdf["clip"].iloc[0])
         n = int(pdf["pos"].max()) + 1  # no zero-tail: ZC is order-sensitive
+        # This query's features are order- AND count-sensitive (LAG-based
+        # zero-crossing oracle, averages over n): a zero-filled gap would
+        # silently diverge from the oracle, which replays only PRESENT
+        # rows. Contiguous event_ids below the cutoff are part of the
+        # fixture contract — fail loudly if a data regeneration breaks it
+        # instead of grading a wrong-but-plausible number (ADVICE r6).
+        if len(pdf) != n:
+            raise ValueError(
+                f"clip {clip}: {len(pdf)} samples for {n} positions — "
+                "event_id gap below the 8192 cutoff"
+            )
         u = np.zeros(n, dtype=np.uint16)
         u[pdf["pos"].to_numpy()] = pdf["u"].to_numpy().astype(np.uint16)
         payload = encode_wav(u.astype(np.int16).tolist(), 8000)
@@ -1786,7 +1797,15 @@ def imread_tiff_multipage(spark, sf_dir):
         frames = []
         for frame in sorted(pdf["frame"].unique()):
             sub = pdf[pdf["frame"] == frame]
-            # Zero-pad partial groups at tiny sf (see imread_pgm).
+            # Zero-pad partial TAIL pages at tiny sf (oracle-consistent:
+            # zero px leave the checksum invariant and n_px counts full
+            # pages on both sides) but fail loudly on INTERIOR event_id
+            # gaps, which the fixture contract forbids (ADVICE r6).
+            if len(sub) != int(sub["pos"].max()) + 1:
+                raise ValueError(
+                    f"page {frame}: {len(sub)} px for positions up to "
+                    f"{int(sub['pos'].max())} — interior event_id gap"
+                )
             ordered = np.zeros(256, dtype="uint8")
             ordered[sub["pos"].to_numpy()] = sub["px"].to_numpy().astype("uint8")
             frames.append((ordered, 16, 16))
@@ -1932,6 +1951,31 @@ def zorder_layout(spark, sf_dir):
     )
 
 
+def shuffle_shard_plan(df, key: str = "doc_id", salt: str = "shuf1",
+                       hex_chars: int = 1):
+    """Deterministic global shuffle into ``16 ** hex_chars`` ordered shards
+    (the fan-out knob VERDICT r6 asked to make real: 1 hex char -> 16
+    shards, 2 -> 256, 3 -> 4096 — at 100 TB pick hex_chars so one shard
+    is a sane output-file size). Shard = integer value of the salted
+    md5's first ``hex_chars`` hex digits; pos = lexicographic md5 rank
+    within the shard. One hash exchange on the prefix, in-partition sort
+    — the window's PARTITION BY is the same expression, so Spark plans a
+    single shuffle and never a global sort."""
+    h = df.select(
+        key,
+        F.md5(
+            F.concat(F.lit(f"{salt}:"), F.col(key).cast("string"))
+        ).alias("hh"),
+    )
+    pfx = F.substring("hh", 1, hex_chars)
+    w = Window.partitionBy(pfx).orderBy("hh", key)
+    return h.select(
+        F.conv(pfx, 16, 10).cast("int").alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos"),
+        key,
+    )
+
+
 @register(
     "shuffle_shards",
     """
@@ -1953,27 +1997,19 @@ def shuffle_shards(spark, sf_dir):
     """Deterministic GLOBAL SHUFFLE into ordered shards — the
     reproducible-training primitive (fixed seed -> identical example
     order on every rerun, resumable mid-epoch by (shard, pos)): each doc
-    hashes to one of 16 shards by a salted md5, and its position within
-    the shard is the md5's lexicographic rank. Hash-based (not rand())
-    so the permutation is join-stable across engines and runs.
+    hashes to a shard by a salted md5, and its position within the shard
+    is the md5's lexicographic rank. Hash-based (not rand()) so the
+    permutation is join-stable across engines and runs. The graded
+    instance is ``shuffle_shard_plan``'s 16-shard point (hex_chars=1);
+    the fan-out is a real parameter (256/4096-shard variants are
+    unit-tested with the same single-exchange plan).
 
     Scale shape: ONE hash exchange on the shard key, then an
     in-partition sort per shard (at 100 TB: shards = files, written with
     ``sortWithinPartitions`` — no global sort ever happens; the window's
     PARTITION BY matches the exchange so Spark plans a single shuffle)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    h = d.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string"))).alias("hh"),
-    )
-    w = Window.partitionBy(F.substring("hh", 1, 1)).orderBy("hh", "doc_id")
-    return h.select(
-        (
-            F.instr(F.lit("0123456789abcdef"), F.substring("hh", 1, 1)) - 1
-        ).cast("int").alias("shard"),
-        F.row_number().over(w).cast("int").alias("pos"),
-        "doc_id",
-    )
+    return shuffle_shard_plan(d, key="doc_id", salt="shuf1", hex_chars=1)
 
 
 @register(

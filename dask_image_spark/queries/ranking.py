@@ -20,16 +20,21 @@ from dask_image_spark.sources.tables import load_table
 # derivable by both engines, with real in-degree variation (the multi-edge
 # collisions and uneven preimage counts are what give non-uniform ranks).
 _PR_DAMPING = 0.85
-_PR_EDGE_SQL = "(doc_id * doc_id * 31 + 7919 * j) % {n}"
+# Single source of truth for the edge formula — formatted into BOTH the
+# DuckDB oracle and the Spark builder (via F.expr), so an edit here changes
+# the two sides together (ADVICE r6: it must never be possible to edit one
+# copy and silently diverge).
+_PR_EDGE_SQL = "({src} * {src} * 31 + 7919 * {j}) % {n}"
 
 
 @register(
     "pagerank_2iter",
-    """
+    f"""
     WITH nodes AS (SELECT doc_id FROM documents),
     n AS (SELECT COUNT(*) AS c FROM nodes),
     edges AS (
-      SELECT doc_id AS src, (doc_id * doc_id * 31 + 7919 * j) % n.c AS dst
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
       FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
     pr0 AS (SELECT doc_id, 1.0 / n.c AS pr FROM nodes CROSS JOIN n),
     agg1 AS (SELECT e.dst, SUM(p.pr / 3) AS inflow
@@ -74,8 +79,7 @@ def pagerank_2iter(spark, sf_dir):
         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
     ).select(
         "src",
-        F.pmod(F.col("src") * F.col("src") * 31 + 7919 * F.col("j"),
-               F.col("n")).alias("dst"),
+        F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
     )
 
     def iterate(pr):
@@ -163,21 +167,27 @@ def mg_heavy_hitters(spark, sf_dir):
     )
 
     def mg_sketch(batches):
+        # Vectorized Misra-Gries: count each Arrow batch at C speed
+        # (collections.Counter over the batch), MERGE the counted batch
+        # into the running summary, and when more than K-1 counters
+        # remain subtract the K-th largest count from all and drop the
+        # non-positive ones. This is the standard mergeable-summary
+        # combine (Agarwal et al., "Mergeability of Summaries", PODS'12):
+        # total decrement stays <= n_p/K, so the pigeonhole superset
+        # guarantee is intact — and since the exact rescan only counts
+        # candidates, the query OUTPUT is identical to the per-row
+        # formulation it replaces at ~5x less Python-interpreter time
+        # per partition (micro-bench in scripts/README_bench_notes.md).
+        from collections import Counter
+
         counters: dict = {}
         for pdf in batches:
-            for it in pdf["item"]:
-                if it in counters:
-                    counters[it] += 1
-                elif len(counters) < _HH_K - 1:
-                    counters[it] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            for it, c in Counter(pdf["item"].to_list()).items():
+                counters[it] = counters.get(it, 0) + c
+            if len(counters) > _HH_K - 1:
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[_HH_K - 1]
+                counters = {k: v - m for k, v in counters.items() if v > m}
         yield pd.DataFrame({"item": list(counters)})
 
     cands = ev.mapInPandas(mg_sketch, "item string").distinct()

@@ -87,6 +87,27 @@ def streaming_json_source(spark, sf_dir):
 
 
 @register(
+    "streaming_csv_source",
+    """
+    SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total,
+           MAX(ts) AS max_ts
+    FROM events WHERE event_id >= 5000 AND event_id < 10000
+    GROUP BY event_type
+    """,
+    tags=("streaming", "source", "csv"),
+)
+def streaming_csv_source(spark, sf_dir):
+    """CSV landing-zone streaming source (4 headerless pipe-delimited
+    shards, integer-µs wire timestamps): every event and its timestamp
+    must survive parquet -> csv -> file stream -> rollup against the
+    direct-on-events oracle. Third streaming wire format after parquet
+    and NDJSON."""
+    return ops.csv_source_rollup(spark, sf_dir)
+
+
+@register(
     "streaming_foreach_batch",
     """
     SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,

@@ -300,6 +300,62 @@ def json_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
+def csv_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming over a CSV landing zone — the third wire format of the
+    streaming reader (parquet, NDJSON, now headerless pipe-delimited CSV,
+    the classic ETL drop-zone shape). A deterministic events slice is
+    landed as 4 CSV shards, then ``readStream.csv`` with an explicit
+    schema + delimiter ingests the directory for a per-type rollup.
+    Timestamps ship as integer unix-µs (same wire contract as the NDJSON
+    source — CSV has no timestamp type at all, so the integer form is
+    the only drift-free encoding)."""
+    import shutil
+
+    from dask_image_spark.sources.tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    land = f"/tmp/dask_image_spark_io/csv_land_{tag}"
+    shutil.rmtree(land, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") >= 5000) & (F.col("event_id") < 10000)
+    )
+    (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("header", "false")
+        .option("sep", "|")
+        .csv(land)
+    )
+    schema = (
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, "
+        "ts_us LONG"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.csv")
+        .option("header", "false")
+        .option("sep", "|")
+        .csv(land)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        _eps_round(F.sum("value"), 4).alias("total"),
+        F.max("ts").alias("max_ts"),
+    )
+    return run_to_memory(agg, "complete")
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
     """Stream-static join: the events STREAM enriched against a static
     user-segment dimension (derived deterministically from customer), then

@@ -136,15 +136,18 @@ def similarity_top10(spark):
 
 
 def exact_dedup_docs(spark):
-    # same duplicate-augmented corpus as the engine query (round 6): every
-    # 37th doc cloned above the id range, so the A/B stays like-for-like
+    # same duplicate-augmented corpus as the engine query (round 6),
+    # interpolated from the ENGINE's own constants so a contract change
+    # there can never silently de-pair the A/B (ADVICE r6)
+    from dask_image_spark.queries.pipeline import _DUP_OFFSET, _DUP_STRIDE
+
     return spark.sql(
-        """
+        f"""
         WITH aug AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 10000000, text FROM documents
-          WHERE doc_id % 37 = 0 AND text IS NOT NULL)
+          SELECT doc_id + {_DUP_OFFSET} AS doc_id, text FROM documents
+          WHERE doc_id % {_DUP_STRIDE} = 0 AND text IS NOT NULL)
         SELECT sha2(text,256) h, count(*) c FROM aug GROUP BY h
         HAVING count(*) > 1
         """
@@ -313,26 +316,24 @@ def tfidf_pairs(spark):
     )
 
 
-def gauss_r2_1024(spark):
-    """Stock twin of bench.py's gauss_r2_1024: the same dense 1024x1024
+def _gauss_r2(spark, side: int):
+    """Stock twin of bench.py's gauss_r2 points: the same dense side x side
     data-derived grid, 9x9 separable gaussian expressed the way a stock
     PySpark user writes a stencil — two chained 1-D 9-tap scatter
     join-aggregates (one shuffle per axis)."""
+    from dask_image_spark.functions import kernels as K
+
     n = spark.table("events").count()
-    taps = [
-        (-4, 0.00013383062461474175), (-3, 0.0044318616200312655),
-        (-2, 0.05399112742070441), (-1, 0.24197144565660073),
-        (0, 0.39894346935609776), (1, 0.24197144565660073),
-        (2, 0.05399112742070441), (3, 0.0044318616200312655),
-        (4, 0.00013383062461474175),
-    ]
+    # the ENGINE's own taps, so the stock twin convolves the identical
+    # kernel the bench query does (ADVICE r6 — no duplicated literals)
+    taps = K.gaussian_taps_1d(1.0)
     tap_sql = ", ".join(f"({d}, CAST({w!r} AS DOUBLE))" for d, w in taps)
     return spark.sql(
         f"""
         WITH px AS (
-          SELECT CAST(r.id % 1024 AS INT) y, CAST(r.id DIV 1024 AS INT) x,
+          SELECT CAST(r.id % {side} AS INT) y, CAST(r.id DIV {side} AS INT) x,
                  e.value
-          FROM range(1048576) r JOIN events e ON e.event_id = r.id % {n}),
+          FROM range({side * side}) r JOIN events e ON e.event_id = r.id % {n}),
         k AS (SELECT * FROM VALUES {tap_sql} t(d, w)),
         p1 AS (SELECT p.y + k.d AS y, p.x, SUM(p.value * k.w) AS v
                FROM px p CROSS JOIN k GROUP BY p.y + k.d, p.x)
@@ -340,6 +341,14 @@ def gauss_r2_1024(spark):
         FROM p1 CROSS JOIN k GROUP BY p1.y, p1.x + k.d
         """
     )
+
+
+def gauss_r2_1024(spark):
+    return _gauss_r2(spark, 1024)
+
+
+def gauss_r2_4096(spark):
+    return _gauss_r2(spark, 4096)
 
 
 SUITE = [
@@ -356,6 +365,7 @@ SUITE = [
     ("rolling_1h", rolling_1h),
     ("tfidf_pairs", tfidf_pairs),
     ("gauss_r2_1024", gauss_r2_1024),
+    ("gauss_r2_4096", gauss_r2_4096),
 ]
 
 

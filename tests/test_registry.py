@@ -35,3 +35,18 @@ def test_oracleless_queries_sort_last():
             seen_weak = True
         else:
             assert not seen_weak, f"strong-oracle {n} after an oracle-less query"
+
+
+def test_coverage_doc_header_count_matches_registry():
+    """COVERAGE.md's headline query count went stale in round 6 (said 207
+    while the registry held 220) — pin it to the registry so the audit
+    doc can never silently drift again."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("COVERAGE.md").read_text()
+    m = re.search(r"EVERY registered query \((\d+)\)", text)
+    assert m, "COVERAGE.md header count sentence missing"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"COVERAGE.md says {m.group(1)} queries, registry has {len(REGISTRY)}"
+    )
