@@ -1040,6 +1040,530 @@ def q22_global_sales_opportunity(spark, sf_dir):
 
 
 @register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eu AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+           FROM supplier s
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'EUROPE')
+    SELECT ROUND(1.2345e-8 + eu.s_acctbal, 4) AS s_acctbal,
+           eu.s_name, eu.n_name, p.p_partkey, p.p_name
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN eu ON eu.s_suppkey = ps.l_suppkey
+    WHERE p.p_type = 'SMALL' AND p.p_size <= 10
+      AND eu.s_acctbal = (SELECT MIN(eu2.s_acctbal)
+                          FROM ps ps2
+                          JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+                          WHERE ps2.l_partkey = p.p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum cost supplier) — the correlated scalar-MIN
+    subquery: per part, keep only the European supplier(s) with the
+    minimum cost. Driver-data adaptations: there is no partsupp table,
+    so the part-supplier relation is the DISTINCT (l_partkey, l_suppkey)
+    pairs observed in lineitem (who actually supplied what), and
+    ps_supplycost is stood in by s_acctbal; the decorrelation under test
+    is identical. Scale shape: the correlated MIN decorrelates to ONE
+    grouped aggregate over the same pair join (never per-part subquery
+    execution), re-joined on (partkey, min) equality; the European
+    supplier dimension broadcasts into both uses, the distinct pair set
+    is one shuffle, and ties at the minimum all survive, exactly as the
+    spec requires."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+    min_cost = pairs.groupBy("l_partkey").agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        pairs.join(F.broadcast(min_cost), "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(
+            _r(F.col("s_acctbal")).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(1.2345e-8 + SUM(CASE WHEN nation = 'NATION_6'
+                                      THEN vol ELSE 0 END) / SUM(vol), 4)
+             AS mkt_share,
+           ROUND(1.2345e-8 + SUM(vol), 4) AS total_vol
+    FROM (
+      SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS vol,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    ) t GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share) — one nation's share of a
+    region's market for one part type, by order year: the eight-table
+    chain with BOTH nation roles (customer's region scopes the market,
+    supplier's nation is the share dimension) and a conditional-ratio
+    aggregate. Scale shape: part/supplier/both-nation-roles/region all
+    broadcast, the date range pushes into the orders scan and the type
+    filter into the part scan before its broadcast; the only shuffles
+    are the fact-side equi-joins and a 2-group aggregate."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), "n_regionkey")
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    share_num = F.sum(F.when(F.col("nation") == "NATION_6", vol).otherwise(0.0))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            _r(share_num / F.sum(vol)).alias("mkt_share"),
+            _r(F.sum(vol)).alias("total_vol"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT n.n_name, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           ROUND(1.2345e-8 + SUM(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 (product type profit) — profit per supplier nation per
+    year over parts matching a name pattern. Driver-data adaptation:
+    with no partsupp, the supply cost is stood in by
+    ``0.6 * p_retailprice`` (a fixed margin against the part's list
+    price) — the join topology and the LIKE-filtered part dimension are
+    the spec's. Scale shape: the name pattern prunes part BEFORE its
+    broadcast, supplier+nation broadcast, and the orders join carries
+    only the order date; one fact shuffle + a 175-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(_r(F.sum(profit)).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH v AS (
+      SELECT l.l_partkey,
+             SUM(l.l_extendedprice * l.l_quantity) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = 2
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, ROUND(1.2345e-8 + val, 4) AS val
+    FROM v
+    WHERE val > (SELECT SUM(val) * 0.0015 FROM v)
+    ORDER BY val DESC, l_partkey
+    """,
+    tags=("relational", "agg", "tpch", "subquery"),
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock identification) — parts whose supplied
+    value from one nation exceeds a FRACTION OF THE GLOBAL TOTAL (an
+    uncorrelated scalar aggregate-of-aggregate subquery). Driver-data
+    adaptation: partsupp value (supplycost × availqty) is stood in by
+    the nation's lineitem value (extendedprice × quantity) — the
+    aggregate-then-scalar-threshold decorrelation is the spec's.
+    Scale shape: the per-part aggregate is computed ONCE and persisted
+    for both uses (the value table and its own grand total), the scalar
+    total broadcasts as a 1-row crossJoin, and the threshold filter is
+    map-side — never a second scan or a per-row subquery."""
+    from dask_image_spark.queries.base import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 2)
+    v = persist_tracked(
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    total = v.agg((F.sum("val") * 0.0015).alias("threshold"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("l_partkey", _r(F.col("val")).alias("val"))
+        .orderBy(F.col("val").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 (shipping modes and order priority) — the
+    conditional-count-over-join shape: per shipping class, how many
+    lines belong to high- vs low-priority orders. Driver-data
+    adaptation: lineitem has no l_shipmode/receiptdate, so the class
+    dimension is l_returnflag and the year window is on l_shipdate —
+    the CASE-count aggregation under test is the spec's. Scale shape:
+    the date range pushes into the lineitem scan, one orderkey join,
+    3-group aggregate with map-side partials."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(1.2345e-8 + rev.total, 4) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total = (SELECT MAX(total) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("relational", "agg", "tpch", "subquery"),
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier) — the view-plus-scalar-MAX shape: a
+    quarter's revenue per supplier, keeping the supplier(s) whose total
+    EQUALS the maximum (the spec's CREATE VIEW revenue0 + scalar
+    subquery; ties all survive). Scale shape: the revenue aggregate is
+    computed ONCE and persisted for both uses (the rank table and its
+    own max), the 1-row max broadcasts as a crossJoin, the supplier
+    dimension broadcasts into the final join — one fact shuffle total,
+    and the equality compares the engine's own aggregate values so it
+    is exact by construction."""
+    from dask_image_spark.queries.base import persist_tracked
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = persist_tracked(
+        li.groupBy("l_suppkey").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total").alias("max_total"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("max_total"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", _r(F.col("total")).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+    """,
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship) — supplier counts per
+    (brand, type, size) bucket, EXCLUDING a blacklisted supplier set via
+    NOT IN (the spec blacklists complaint suppliers; the driver data has
+    no comments, so the blacklist is negative-balance suppliers —
+    the anti-join decorrelation under test is identical, and no
+    blacklist key is NULL so NOT IN == anti-join). Scale shape: the
+    part-supplier relation is the distinct lineitem pair set (one
+    shuffle), the blacklist is a broadcast LEFT-ANTI, the part dimension
+    broadcasts with all three predicates pushed into its scan, and
+    COUNT(DISTINCT) runs as Spark's two-phase distinct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(1.2345e-8 + SUM(l.l_extendedprice) / 7.0, 4)
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#2' AND p.p_type = 'ECONOMY'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue) — the correlated
+    scalar-AVG subquery: lines whose quantity is below a fraction of
+    THAT PART's average quantity. Scale shape: the correlated average
+    decorrelates to ONE groupBy(partkey) over lineitem joined back as a
+    broadcast (it is at most |part| rows) — never per-row subquery
+    execution; the brand/type filter prunes part before broadcast, and
+    the per-part average is computed over ALL lines of those parts
+    exactly as the spec's inner query (unfiltered by the outer
+    predicate). Single-row aggregate output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    # lines of the selected parts (broadcast part prune first)
+    lp = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avg_q = lp.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        lp.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            _r(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT ROUND(1.2345e-8 + SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue) — the disjunctive multi-bracket
+    join predicate: three OR'd (brand, size-range, quantity-range)
+    brackets that each mix columns from BOTH sides of the join (the
+    shape that defeats naive pushdown and forces a residual join
+    condition). Scale shape: the partkey equi-join stays a
+    BroadcastHashJoin with the OR as its residual; the part-side
+    disjunction (brand IN + size <= max) is separately pushable and
+    Catalyst derives it, so the broadcast build side is pruned even
+    though the full predicate can't split."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(p),
+            (F.col("l_partkey") == F.col("p_partkey")) & bracket,
+        )
+        .agg(
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+    SELECT s.s_name, ROUND(1.2345e-8 + s.s_acctbal, 4) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 55)
+    ORDER BY s.s_name
+    """,
+    tags=("relational", "join", "tpch", "subquery"),
+)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion) — the nested IN-subquery
+    chain: suppliers in one nation who shipped MORE THAN A THRESHOLD of
+    some name-matched part (the spec's excess-stock predicate over
+    partsupp/availqty, stood in by the grouped shipment total over
+    lineitem — the two-level IN decorrelation is identical). Scale
+    shape: the inner part IN prunes via a broadcast LEFT-SEMI before
+    the group-by, the HAVING runs as a partial+final aggregate on
+    (suppkey, partkey), the resulting supplier key set is a LEFT-SEMI
+    against the broadcast-joined nation slice — three joins, zero
+    nested-loop subquery execution."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 55)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", _r(F.col("s_acctbal")).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
     "equidepth_bins",
     """
     WITH cuts AS (

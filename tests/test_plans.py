@@ -422,3 +422,44 @@ def test_shuffle_shard_plan_256_single_exchange(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_q19_disjunction_stays_equi_join(spark, sf_dir):
+    """Q19's three OR'd cross-side brackets must remain a residual on the
+    partkey BroadcastHashJoin — never a nested-loop pair explosion."""
+    plan = _plan(spark, sf_dir, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_is_one_aggregate(spark, sf_dir):
+    """Q2's correlated scalar MIN must decorrelate to a single grouped
+    aggregate joined back — no nested-loop, and exactly one HashAggregate
+    pair computing the per-part minimum."""
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q17_correlated_avg_broadcasts_back(spark, sf_dir):
+    """Q17's correlated per-part AVG must come back as a broadcast join
+    (bounded by |part|), never re-execute per row."""
+    plan = _plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_in_chain_is_semi_joins(spark, sf_dir):
+    """Q20's two-level IN must plan as LEFT-SEMI joins at both levels."""
+    plan = _plan(spark, sf_dir, "q20_excess_suppliers")
+    assert plan.count("LeftSemi") >= 2, plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    """Q16's NOT IN blacklist must plan as a LEFT-ANTI equi-join."""
+    plan = _plan(spark, sf_dir, "q16_supplier_count")
+    assert "LeftAnti" in plan, plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan
