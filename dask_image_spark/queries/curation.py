@@ -1265,3 +1265,123 @@ def sample_topk_per_stratum(spark, sf_dir):
             )
         ).alias("sample_hash"),
     )
+
+
+@register(
+    "sample_weighted_gumbel",
+    """
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
+             (('0x' || substr(md5('es11:' || CAST(doc_id AS VARCHAR)),
+                              1, 8))::BIGINT + 0.5) / 4294967296.0 AS u
+      FROM documents WHERE text IS NOT NULL AND n_chars > 0)
+    SELECT doc_id, ROUND(1.2345e-8 + wt, 4) AS wt,
+           ROUND(1.2345e-8 + 1000.0 * (-ln(u)) / wt, 6) AS ekey
+    FROM w
+    ORDER BY ekey, doc_id
+    LIMIT 50
+    """,
+    tags=("curation", "sampling", "weighted"),
+)
+def sample_weighted_gumbel(spark, sf_dir):
+    """Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    Spirakis 2006, the exponential-clocks / Gumbel-top-k form): each doc
+    draws u from a salted-md5 uniform and gets key = -ln(u) / w; the k
+    smallest keys are a weight-proportional sample without replacement
+    (here w = n_chars, biasing toward longer documents — the typical
+    length-proportional pretraining draw). Hash-derived u (not rand())
+    makes the sample reproducible and engine-portable, and keys are
+    QUANTIZED (scaled round 6dp, EPS-shifted) before ranking so a last-
+    ulp libm difference between engines can never flip the selected set.
+
+    Scale shape: the key is pure map-side codegen over the scan; the
+    top-k is a TakeOrderedAndProject heap (per-partition heaps, no
+    global sort) — at 100 TB this is ONE scan plus a k-row driver merge,
+    the same plan as a uniform top-k. Weighted sampling this way needs
+    no total-weight pass at all, which is why it beats quota methods
+    (``mix_temperature``) when weights are per-row."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("es11:"), F.col("doc_id").cast("string"))
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("double")
+            + 0.5
+        )
+        / 4294967296.0
+    )
+    wt = F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            _eps_round(wt, 4).alias("wt"),
+            _eps_round(1000.0 * (-F.log(u)) / wt, 6).alias("ekey"),
+        )
+        .orderBy("ekey", "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "quality_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(text)),
+                                   i -> substr(text, i, 1))) AS c
+      FROM documents WHERE text IS NOT NULL),
+    cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+    n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id)
+    SELECT cnt.doc_id, CAST(n.n AS BIGINT) AS n_chars,
+           ROUND(1.2345e-8 + log2(n.n) - SUM(k * log2(k)) / n.n, 4)
+             AS entropy,
+           CAST(log2(n.n) - SUM(k * log2(k)) / n.n >= 3.0 AS BOOLEAN)
+             AS keep
+    FROM cnt JOIN n ON n.doc_id = cnt.doc_id
+    GROUP BY cnt.doc_id, n.n
+    """,
+    tags=("curation", "quality", "entropy"),
+)
+def quality_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document — the information-
+    density quality gate (low entropy flags boilerplate, repeated
+    padding, single-character spam; the Gopher/RefinedWeb rule family):
+    H = log2(n) - (Σ k·log2 k)/n over per-character counts, plus the
+    H >= 3 bits/char keep flag a filter stage would apply.
+
+    Scale shape: one explode to characters (linear in corpus bytes),
+    ONE (doc_id, char) partial-agg groupBy — the per-doc totals are a
+    window-free second aggregate on the SAME doc_id key, so AQE reuses
+    the partitioning; no UDF, all codegen. At 100 TB the char explode
+    is the bandwidth cost and fuses into the scan stage."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ch = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    ent = (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n"),
+            F.sum(F.col("k") * F.log2("k")).alias("klogk"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            (F.log2("n") - F.col("klogk") / F.col("n")).alias("h"),
+        )
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars",
+        _eps_round("h", 4).alias("entropy"),
+        (F.col("h") >= 3.0).alias("keep"),
+    )

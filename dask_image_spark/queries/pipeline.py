@@ -2650,3 +2650,191 @@ def dedup_simhash_pairs(spark, sf_dir):
         .filter(ham <= 3)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
+
+
+def _incr_batch_oracle(n_hashes: int = 8, rows_per_band: int = 2, k: int = 3) -> str:
+    """Two-sided (batch vs corpus) replay of the md5 MinHash machinery —
+    the ``_minhash_oracle`` construction applied per side, with the band
+    join restricted to batch x corpus."""
+    mins = ", ".join(
+        f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(n_hashes)
+    )
+    n_bands = n_hashes // rows_per_band
+
+    def bands(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            + " || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + f" AS sig FROM {src}"
+            for b in range(n_bands)
+        )
+
+    def side(name: str, docs: str) -> str:
+        return f"""
+    toks_{name} AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM {docs}
+      WHERE len(string_split(text, ' ')) >= {k}),
+    sh_{name} AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - {k - 1}),
+               i -> array_to_string(t[i:i + {k - 1}], ' '))) AS sh
+      FROM toks_{name}),
+    mh_{name} AS (SELECT doc_id, {mins} FROM sh_{name} GROUP BY doc_id),
+    bands_{name} AS ({bands(f'mh_{name}')})"""
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    batch AS (
+      SELECT doc_id + {_DUP_OFFSET * 2} AS doc_id, text FROM documents
+      WHERE text IS NOT NULL AND doc_id % 41 = 0
+      UNION ALL
+      SELECT doc_id + {_DUP_OFFSET * 3} AS doc_id,
+             'zqx' || CAST(doc_id AS VARCHAR)
+             || ' wvu' || CAST(doc_id * 3 + 1 AS VARCHAR)
+             || ' ptk' || CAST(doc_id * 5 + 2 AS VARCHAR)
+             || ' mno' || CAST(doc_id * 7 + 3 AS VARCHAR)
+             || ' qrs' || CAST(doc_id * 11 + 4 AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 83 = 0),
+    {side('c', 'corpus')},
+    {side('b', 'batch')},
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM bands_b b JOIN bands_c c USING (band_id, sig))
+    SELECT bt.doc_id AS batch_id,
+           MIN(cand.corpus_id) AS match_id,
+           CAST(MIN(cand.corpus_id) IS NOT NULL AS BOOLEAN) AS is_dup
+    FROM batch bt LEFT JOIN cand ON cand.batch_id = bt.doc_id
+    GROUP BY bt.doc_id
+    """
+
+
+@register(
+    "dedup_incremental_batch",
+    _incr_batch_oracle(),
+    tags=("pipeline", "dedup", "lsh", "incremental"),
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """INCREMENTAL near-dup detection: an incoming BATCH checked against
+    the EXISTING corpus — the production dedup shape (a recrawl or new
+    dump lands; only the new data should pay compute, and batch-internal
+    or corpus-internal pairs are not the question). The batch is
+    deterministic by contract: every 41st doc re-ingested verbatim (the
+    recrawl case — must match) plus generated novel docs for every 83rd
+    id (must NOT match), so the graded result provably contains both
+    outcomes. Candidates come from an LSH band join restricted to
+    batch x corpus; each batch doc reports its lowest-id corpus match.
+
+    Scale shape: the corpus side's signatures are a linear scan (in
+    production they are PRECOMPUTED once and stored — the batch run
+    only reads them), the band join meets on (band_id, sig) buckets so
+    cost is |batch| x bucket-size, never |batch| x |corpus|, and the
+    final left join is batch-sized. This is the round-4 MinHash
+    machinery (``textops.minhash_signatures`` / ``band_rows``) reused
+    on two asymmetric sides."""
+    from dask_image_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    recrawl = d.filter(F.pmod(F.col("doc_id"), F.lit(41)) == 0).select(
+        (F.col("doc_id") + _DUP_OFFSET * 2).alias("doc_id"), "text"
+    )
+    novel = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.pmod(F.col("doc_id"), F.lit(83)) == 0)
+        .select(
+            (F.col("doc_id") + _DUP_OFFSET * 3).alias("doc_id"),
+            F.concat(
+                F.lit("zqx"), F.col("doc_id").cast("string"),
+                F.lit(" wvu"), (F.col("doc_id") * 3 + 1).cast("string"),
+                F.lit(" ptk"), (F.col("doc_id") * 5 + 2).cast("string"),
+                F.lit(" mno"), (F.col("doc_id") * 7 + 3).cast("string"),
+                F.lit(" qrs"), (F.col("doc_id") * 11 + 4).cast("string"),
+            ).alias("text"),
+        )
+    )
+    batch = recrawl.unionByName(novel)
+    bands_c = textops.band_rows(textops.minhash_signatures(d)).select(
+        "band_id", "sig", F.col("doc_id").alias("corpus_id")
+    )
+    bands_b = textops.band_rows(textops.minhash_signatures(batch)).select(
+        "band_id", "sig", F.col("doc_id").alias("batch_id")
+    )
+    cand = (
+        bands_b.join(bands_c, on=["band_id", "sig"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    matched = cand.groupBy("batch_id").agg(
+        F.min("corpus_id").alias("match_id")
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_id"))
+        .join(matched, "batch_id", "left")
+        .select(
+            "batch_id", "match_id", F.col("match_id").isNotNull().alias("is_dup")
+        )
+    )
+
+
+@register(
+    "udaf_geomean",
+    """
+    SELECT event_type,
+           ROUND(1.2345e-8 + EXP(AVG(LN(value))), 4) AS geo_mean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("pipeline", "udf", "udaf"),
+)
+def udaf_geomean(spark, sf_dir):
+    """The TRUE UDAF surface: a ``pandas_udf`` GROUPED-AGG function (one
+    Arrow-batched Python reduction per group) computing the geometric
+    mean of event values per type — the aggregate shape users reach for
+    when the reduction genuinely isn't expressible as built-ins (here it
+    IS — exp(avg(ln x)) — which is exactly what makes a strong oracle
+    possible: the numpy log-mean-exp must match the SQL identity to 4
+    decimals). Completes the custom-function matrix: scalar pandas_udf
+    (filters), UDTF (``udtf_ngrams``), applyInPandas (codecs),
+    mapInPandas (decoders), applyInPandasWithState (streaming), and now
+    GROUPED_AGG.
+
+    Scale note: a grouped-agg pandas_udf has NO partial aggregation —
+    every row of a group ships to one task (fine at 6 groups; wrong for
+    high-cardinality keys, where the built-in identity keeps map-side
+    combine — the docstring trade-off is the point of grading both)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geo(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # real annotation objects (module-wide `from __future__ import
+    # annotations` stringifies inline hints, and pyspark's typehint
+    # inspection can't resolve 'pd.Series' from a function-local import)
+    _geo.__annotations__ = {"v": pd.Series, "return": float}
+    geo_mean = pandas_udf(_geo, "double")
+
+    def _cnt(v):
+        return len(v)
+
+    # Spark forbids mixing a grouped-agg pandas UDF with non-pandas
+    # aggregates in one agg(), so the count is a pandas agg too
+    _cnt.__annotations__ = {"v": pd.Series, "return": int}
+    n_rows = pandas_udf(_cnt, "long")
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            _eps_round(geo_mean("value"), 4).alias("geo_mean"),
+            n_rows("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -2317,3 +2317,65 @@ def winsorize_values(spark, sf_dir):
         _eps_round(F.avg("value"), 4).alias("mean_raw"),
         _eps_round(F.avg(clipped), 4).alias("mean_winsor"),
     )
+
+
+@register(
+    "join_salted_skew",
+    """
+    WITH fact AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN 0 ELSE user_id END AS uid,
+             value
+      FROM events),
+    dim AS (
+      SELECT c_custkey % 150 AS uid, MIN(c_custkey % 4) AS segment
+      FROM customer GROUP BY c_custkey % 150)
+    SELECT CAST(d.segment AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + SUM(f.value), 4) AS total
+    FROM fact f JOIN dim d ON d.uid = f.uid
+    GROUP BY d.segment
+    ORDER BY segment
+    """,
+    tags=("relational", "join", "skew"),
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted SKEW JOIN — the join-side counterpart of
+    ``agg_salted_skew``: a third of the fact stream funnels onto ONE hot
+    key (uid 0), which in a shuffle join would put a third of the table
+    in a single task. The engine salts the fact side (salt =
+    event_id % 8), EXPLODES the dimension 8x so every (uid, salt)
+    replica exists, and joins on the composite (uid, salt) key — the
+    hot key's rows now spread over 8 tasks. The join is forced to
+    sort-merge (merge hint) because the salting exists precisely for
+    the case where the dimension is too big to broadcast; at local
+    fixture scale Spark would otherwise broadcast and hide the skew.
+    Salt never leaks: results aggregate over it, and the oracle is the
+    UNSALTED plain join. AQE's skew-join split is the automatic
+    alternative; explicit salting is the portable one that also works
+    mid-pipeline where AQE can't re-split."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("salt"),
+    )
+    c = load_table(spark, sf_dir, "customer")
+    dim = (
+        c.groupBy(F.pmod(F.col("c_custkey"), F.lit(150)).alias("uid"))
+        .agg(F.min(F.pmod(F.col("c_custkey"), F.lit(4))).alias("segment"))
+        .select(
+            "uid", "segment",
+            F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("salt"),
+        )
+    )
+    return (
+        ev.hint("merge")
+        .join(dim, on=["uid", "salt"])
+        .groupBy(F.col("segment").cast("int").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("value")).alias("total"),
+        )
+        .orderBy("segment")
+    )

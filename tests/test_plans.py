@@ -463,3 +463,14 @@ def test_q16_not_in_is_anti_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q16_supplier_count")
     assert "LeftAnti" in plan, plan[:2500]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_salted_skew_spreads_hot_key(spark, sf_dir):
+    """The skew join must meet on the composite (uid, salt) key as a
+    sort-merge join — the salt genuinely in the join keys, no broadcast
+    hiding the skew, no nested loop."""
+    plan = _plan(spark, sf_dir, "join_salted_skew")
+    assert "SortMergeJoin" in plan, plan[:2500]
+    # the formatted detail section lists the join keys: salt must be one
+    assert "Left keys" in plan and "salt" in plan[plan.index("Left keys"):][:200], plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan
