@@ -2379,3 +2379,187 @@ def join_salted_skew(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH a AS (
+      SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg
+      FROM customer),
+    b AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS bal,
+             c_mktsegment AS seg
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT c_custkey + 5000 AS k, 500.0 AS bal, 'NEW' AS seg
+      FROM customer WHERE c_custkey % 11 = 0)
+    SELECT COALESCE(a.k, b.k) AS k,
+           CASE WHEN a.k IS NULL THEN 'I'
+                WHEN b.k IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           ROUND(1.2345e-8 + a.bal, 4) AS old_bal,
+           ROUND(1.2345e-8 + b.bal, 4) AS new_bal
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL OR a.bal <> b.bal OR a.seg <> b.seg
+    ORDER BY k
+    """,
+    tags=("relational", "cdc", "join"),
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """CHANGE-DATA-CAPTURE feed generation by snapshot diff — the inverse
+    of the ``upsert_latest_wins``/``scd2_history`` appliers: given two
+    snapshots of a dimension, emit the I/U/D change rows a downstream
+    consumer would apply (the nightly-snapshot CDC pattern for sources
+    with no changelog). Snapshot B is a deterministic mutation of A by
+    contract (every 7th balance bumped, every 13th key deleted, every
+    11th re-keyed as an insert), so the graded feed provably contains
+    all three op kinds. Scale shape: ONE full-outer equi-join on the
+    business key (both sides hash-partitioned, map-side change filter)
+    — never a row-by-row lookup; the unchanged majority is filtered
+    before any downstream work."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    b = (
+        c.filter(F.pmod(F.col("c_custkey"), F.lit(13)) != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(
+                F.pmod(F.col("c_custkey"), F.lit(7)) == 0,
+                F.col("c_acctbal") + 100.0,
+            ).otherwise(F.col("c_acctbal")).alias("bal_b"),
+            F.col("c_mktsegment").alias("seg_b"),
+        )
+        .unionByName(
+            c.filter(F.pmod(F.col("c_custkey"), F.lit(11)) == 0).select(
+                (F.col("c_custkey") + 5000).alias("k"),
+                F.lit(500.0).alias("bal_b"),
+                F.lit("NEW").alias("seg_b"),
+            )
+        )
+    )
+    j = a.join(b, "k", "full_outer")
+    changed = j.filter(
+        F.col("bal_a").isNull()
+        | F.col("bal_b").isNull()
+        | (F.col("bal_a") != F.col("bal_b"))
+        | (F.col("seg_a") != F.col("seg_b"))
+    )
+    return changed.select(
+        "k",
+        F.when(F.col("bal_a").isNull(), "I")
+        .when(F.col("bal_b").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        _r(F.col("bal_a")).alias("old_bal"),
+        _r(F.col("bal_b")).alias("new_bal"),
+    ).orderBy("k")
+
+
+@register(
+    "scan_merge_schema",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN event_id >= 5000 THEN 1 END) AS BIGINT)
+             AS n_with_extra,
+           ROUND(1.2345e-8 + SUM(CASE WHEN event_id >= 5000
+                                      THEN value * 2 END), 4) AS sum_extra
+    FROM events WHERE event_id < 10000
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "scan", "schema-evolution"),
+)
+def scan_merge_schema(spark, sf_dir):
+    """SCHEMA EVOLUTION on read: two parquet batches with DIFFERENT
+    schemas land in one dataset directory (the second batch adds an
+    ``extra`` column — the additive evolution every long-lived dataset
+    undergoes), and ``mergeSchema=true`` must union them with NULLs for
+    the pre-evolution rows. The aggregate counts exactly which rows
+    carry the new column, so a wrong merge (dropped column, misaligned
+    nulls, failed scan) breaks the oracle match. Scale note: mergeSchema
+    pays a footer-read per file at planning time — production datasets
+    pin the merged schema in a metastore instead; the READ semantics
+    graded here are identical."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/dask_image_spark_io/mergeschema_{tag}"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 10000)
+    old = ev.filter(F.col("event_id") < 5000).select(
+        "event_id", "event_type", "value"
+    )
+    new = ev.filter(F.col("event_id") >= 5000).select(
+        "event_id", "event_type", "value",
+        (F.col("value") * 2).alias("extra"),
+    )
+    old.write.mode("overwrite").parquet(f"{path}/batch=1")
+    new.write.mode("overwrite").parquet(f"{path}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/batch=1", f"{path}/batch=2"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("extra").alias("n_with_extra"),
+            _r(F.sum("extra")).alias("sum_extra"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "compact_small_files",
+    """
+    SELECT CAST(4 AS INT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) % 1000000007 AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE text IS NOT NULL
+    """,
+    tags=("relational", "sink", "layout", "compaction"),
+)
+def compact_small_files(spark, sf_dir):
+    """SMALL-FILE COMPACTION — the table-maintenance pass every long-lived
+    data lake needs (streaming sinks and fine-grained partitioning leave
+    thousands of KB-scale files; scan planning and open() overhead then
+    dominate reads): a deliberately fragmented 64-file write is
+    compacted by ``coalesce(4)`` into 4 files, and the graded result
+    proves BOTH layout and content — the post-compaction file count is
+    measured from ``input_file_name()`` (not assumed), and row count +
+    id checksum + char total must survive the rewrite exactly.
+    Scale shape: ``coalesce`` is shuffle-FREE (it merges read splits),
+    which is the point — an OPTIMIZE/compaction job costs one read +
+    one write, never an exchange; target file count at 100 TB comes
+    from bytes/128MB, not a constant."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    frag = f"/tmp/dask_image_spark_io/frag_{tag}"
+    compacted = f"/tmp/dask_image_spark_io/compacted_{tag}"
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "n_chars")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    back = spark.read.parquet(compacted).select(
+        "doc_id", "n_chars",
+        # projected to a column first: Spark (correctly) refuses the
+        # non-deterministic input_file_name() directly inside an aggregate
+        F.input_file_name().alias("fname"),
+    )
+    return back.agg(
+        F.countDistinct("fname").cast("int").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("doc_id") % 1000000007).cast("long").alias("id_checksum"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -18,6 +18,12 @@ import os
 import sys
 import time
 
+# repo root on sys.path: the dedup/gauss twins import the ENGINE's fixture
+# constants (dup stride/offset, gaussian taps) so the A/B can never silently
+# de-pair — which requires the package to be importable when this script is
+# run as `python scripts/baseline_stock.py`
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
