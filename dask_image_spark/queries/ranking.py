@@ -10,6 +10,7 @@ query pairs with a strong DuckDB oracle; float policy per queries/base.py.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_image_spark.queries.base import r as _eps_round, register
@@ -328,3 +329,214 @@ def rrf_hybrid_search(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+# Count-min probe set: the 5 injected whales plus 3 ordinary users — the
+# estimate MUST be exact for nothing (collisions are real at w=64) but
+# deterministically identical in both engines (md5 bucket hashing).
+_CMS_D = 4
+_CMS_W = 64
+
+
+@register(
+    "cms_frequency_estimate",
+    f"""
+    WITH stream AS ({_HH_STREAM_SQL}),
+    cells AS (
+      SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || item),
+                 1, 8))::BIGINT % {_CMS_W} AS bucket,
+             COUNT(*) AS c
+      FROM stream CROSS JOIN (VALUES (0), (1), (2), (3)) rows(r)
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT DISTINCT item FROM stream
+      WHERE item IN ('whale0', 'whale1', 'whale2', 'whale3', 'whale4',
+                     'user7', 'user42', 'user99')),
+    est AS (
+      SELECT p.item,
+             MIN(c.c) AS est
+      FROM probes p
+      CROSS JOIN (VALUES (0), (1), (2), (3)) rows(r)
+      JOIN cells c ON c.r = rows.r
+       AND c.bucket = ('0x' || substr(md5(CAST(rows.r AS VARCHAR) || ':'
+                       || p.item), 1, 8))::BIGINT % {_CMS_W}
+      GROUP BY p.item),
+    truth AS (SELECT item, COUNT(*) AS true_n FROM stream GROUP BY item)
+    SELECT e.item, CAST(t.true_n AS BIGINT) AS true_n,
+           CAST(e.est AS BIGINT) AS cms_est,
+           CAST(e.est >= t.true_n AS BOOLEAN) AS never_underestimates
+    FROM est e JOIN truth t ON t.item = e.item
+    ORDER BY e.item
+    """,
+    tags=("ranking", "sketch", "count-min"),
+)
+def cms_frequency_estimate(spark, sf_dir):
+    """COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan
+    2005) — the fixed-memory point-query sketch that answers "how often
+    did item X occur" over a stream whose domain is too big to count
+    exactly: d=4 hash rows × w=64 buckets (256 cells total, vs the full
+    item domain), estimate = MIN over rows of the item's cell. Graded
+    on the same whale-skew stream as ``mg_heavy_hitters``; the result
+    carries the exact count next to the estimate plus the sketch's
+    defining one-sided guarantee (never underestimates — collisions
+    only ADD). md5 bucket hashing makes both engines build bit-identical
+    sketches, so the oracle is a full value match, not a tolerance.
+
+    Scale shape: the sketch build is ONE groupBy over (row, bucket) —
+    256 groups regardless of domain size, fully map-side combinable;
+    probes join against the 256-cell broadcast. At 100 TB you'd widen w
+    to control ε = e/w · N overestimate, still O(d·w) memory."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("whale"), (F.col("user_id") % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("user"), F.col("user_id").cast("string")))
+        .alias("item")
+    )
+    rows_df = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r")
+
+    def bucket(r_col, item_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(r_col.cast("string"), F.lit(":"), item_col)),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(_CMS_W),
+        )
+
+    cells = (
+        ev.select("item", rows_df)
+        .select("r", bucket(F.col("r"), F.col("item")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe_names = [f"whale{i}" for i in range(5)] + ["user7", "user42", "user99"]
+    probes = ev.filter(F.col("item").isin(probe_names)).select("item").distinct()
+    probe_buckets = probes.select(
+        "item", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("r")
+    ).select("item", "r", bucket(F.col("r"), F.col("item")).alias("bucket"))
+    est = (
+        probe_buckets.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("item")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    truth = ev.filter(F.col("item").isin(probe_names)).groupBy("item").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    return (
+        est.join(truth, "item")
+        .select(
+            "item", "true_n", "cms_est",
+            (F.col("cms_est") >= F.col("true_n")).alias("never_underestimates"),
+        )
+        .orderBy("item")
+    )
+
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+@register(
+    "bloom_membership",
+    f"""
+    WITH keys AS (
+      SELECT sha256(text) AS fp FROM documents WHERE text IS NOT NULL),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || fp),
+                       1, 8))::BIGINT % {_BLOOM_M} AS bit
+      FROM keys CROSS JOIN (VALUES (0), (1), (2)) hh(h)),
+    probes AS (
+      SELECT sha256(text) AS p, TRUE AS actually_present, doc_id AS rn
+      FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0
+      UNION ALL
+      SELECT sha256('absent-key-' || CAST(doc_id AS VARCHAR)) AS p,
+             FALSE AS actually_present, 1000000 + doc_id AS rn
+      FROM documents WHERE text IS NOT NULL AND doc_id % 25 = 0),
+    pb AS (
+      SELECT rn, actually_present,
+             ('0x' || substr(md5(CAST(hh.h AS VARCHAR) || ':' || p),
+              1, 8))::BIGINT % {_BLOOM_M} AS bit
+      FROM probes CROSS JOIN (VALUES (0), (1), (2)) hh(h)),
+    hits AS (
+      SELECT pb.rn, pb.actually_present,
+             CAST(COUNT(b.bit) = {_BLOOM_K} AS BOOLEAN) AS bloom_says
+      FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+      GROUP BY pb.rn, pb.actually_present)
+    SELECT CAST(actually_present AS BOOLEAN) AS actually_present,
+           CAST(bloom_says AS BOOLEAN) AS bloom_says,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM hits GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("ranking", "sketch", "bloom"),
+)
+def bloom_membership(spark, sf_dir):
+    """BLOOM FILTER membership — the fixed-memory set-membership sketch
+    behind runtime join pruning and dedup pre-filters: m=4096 bit
+    positions, k=3 md5-derived hashes, built over the corpus document
+    fingerprints; probed with 20 PRESENT fingerprints (every 25th doc —
+    a Bloom filter has NO false negatives, so these must all say yes)
+    and 20 ABSENT synthetic keys (false positives allowed at the
+    sketch's ~(1-e^{{-kn/m}})^k rate; at n=500, m=4096 that's <1%).
+    The result is the confusion matrix; md5 hashing makes both engines
+    build the identical bit set, so the match is exact.
+
+    Scale shape: the bit set is a distinct-aggregate of O(k·n) hashes
+    bounded by m=4096 DISTINCT values — broadcastable regardless of
+    corpus size; probes check their k bits against the broadcast via
+    one small join. At 100 TB this is how a dedup pass pre-filters
+    "definitely new" documents without touching the full key set."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hh = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("h")
+
+    def bit(h_col, key_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(h_col.cast("string"), F.lit(":"), key_col)),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(_BLOOM_M),
+        )
+
+    bits = (
+        d.select(F.sha2("text", 256).alias("fp"))
+        .select("fp", hh)
+        .select(bit(F.col("h"), F.col("fp")).alias("bit"))
+        .distinct()
+    )
+    # doc_id itself keys the probes (offset disambiguates the absent set)
+    # — no row_number window, nothing funnels to one partition
+    present = d.filter(F.pmod(F.col("doc_id"), F.lit(25)) == 0).select(
+        F.sha2("text", 256).alias("p"),
+        F.lit(True).alias("actually_present"),
+        F.col("doc_id").alias("rn"),
+    )
+    absent = d.filter(F.pmod(F.col("doc_id"), F.lit(25)) == 0).select(
+        F.sha2(
+            F.concat(F.lit("absent-key-"), F.col("doc_id").cast("string")), 256
+        ).alias("p"),
+        F.lit(False).alias("actually_present"),
+        (F.col("doc_id") + 1000000).alias("rn"),
+    )
+    pb = present.unionByName(absent).select(
+        "rn", "actually_present", hh, "p"
+    ).select("rn", "actually_present", bit(F.col("h"), F.col("p")).alias("bit"))
+    hits = (
+        pb.join(F.broadcast(bits.withColumn("present_bit", F.lit(1))), "bit", "left")
+        .groupBy("rn", "actually_present")
+        .agg((F.count("present_bit") == _BLOOM_K).alias("bloom_says"))
+    )
+    return (
+        hits.groupBy("actually_present", "bloom_says")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actually_present", "bloom_says")
+    )

