@@ -2838,3 +2838,119 @@ def udaf_geomean(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "video_scene_cuts",
+    """
+    WITH clips AS (
+      SELECT DISTINCT CAST(event_id // 4096 AS INT) AS clip
+      FROM events WHERE event_id < 8192),
+    grid AS (
+      SELECT c.clip, f.f AS frame, p.p AS p
+      FROM clips c
+      CROSS JOIN (VALUES (0), (1), (2), (3)) f(f)
+      CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS p) p),
+    px AS (
+      SELECT g.clip, g.frame, g.p,
+             CASE WHEN e.event_id IS NULL THEN 0 ELSE
+               ((g.clip * 4096 + g.frame * 1024 + g.p
+                 - CASE WHEN g.frame = 3 THEN 1024 ELSE 0 END)
+                * 13 + 7) % 251
+             END AS luma
+      FROM grid g LEFT JOIN events e
+        ON e.event_id = g.clip * 4096 + g.frame * 1024 + g.p),
+    d AS (
+      SELECT a.clip, a.frame,
+             AVG(ABS(CAST(a.luma AS DOUBLE) - b.luma)) AS mad
+      FROM px a JOIN px b
+        ON b.clip = a.clip AND b.p = a.p AND b.frame = a.frame - 1
+      GROUP BY a.clip, a.frame)
+    SELECT clip, frame, ROUND(1.2345e-8 + mad, 4) AS mean_abs_diff,
+           CAST(mad > 10.0 AS BOOLEAN) AS is_cut
+    FROM d ORDER BY clip, frame
+    """,
+    tags=("pipeline", "multimodal", "video", "dsp", "io-write"),
+    schema="clip int, frame int, mean_abs_diff double, is_cut boolean",
+)
+def video_scene_cuts(spark, sf_dir):
+    """VIDEO SCENE-CUT detection over real decoded containers — the
+    shot-boundary pass a video training pipeline runs after ingest
+    (sample around cuts, drop static spans): per adjacent frame pair,
+    the mean absolute luma difference, flagged as a cut above threshold.
+    The fixture luma is linear mod the PRIME 251 (any arithmetic mod 256
+    makes all frames identical, because the 1024-px frame stride is a
+    multiple of 256 and every stride term vanishes — mod 251 the stride
+    contributes a nonzero 9 per frame) and frame 3 deliberately
+    DUPLICATES frame 2, so the graded result
+    provably contains both a detected cut (frames 1, 2) and a rejected
+    one (frame 3, diff exactly 0). Encode -> one Y4M per clip ->
+    binaryFile -> container decode -> numpy frame differencing in
+    mapInPandas; the oracle replays the zero-padded raster on a dense
+    (clip, frame, pixel) grid, so plane offsets, frame order, AND the
+    zero-fill contract are all value-checked — a swapped or shifted
+    frame changes every diff."""
+    import os
+
+    from dask_image_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/y4mcut_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    eid_adj = F.col("event_id") - F.when(
+        F.pmod(F.col("event_id"), F.lit(4096)) >= 3072, F.lit(1024)
+    ).otherwise(F.lit(0))
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("clip"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(eid_adj * 13 + 7, F.lit(251)).cast("int").alias("luma"),
+    )
+
+    def write_clip(pdf):
+        import numpy as np
+        import pandas as pd
+
+        clip = int(pdf["clip"].iloc[0])
+        raster = np.zeros(4096, dtype=np.uint8)
+        raster[pdf["pos"].to_numpy()] = pdf["luma"].to_numpy().astype(np.uint8)
+        frames = [raster[f * 1024 : (f + 1) * 1024].tolist() for f in range(4)]
+        payload = encode_y4m(frames, 32, 32, fps=25)
+        with open(f"{out_dir}/clip_{clip}.y4m", "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"clip": [clip], "n_bytes": [len(payload)]})
+
+    px.groupBy("clip").applyInPandas(write_clip, "clip int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.y4m")
+
+    def cuts(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"clip": [], "frame": [], "mean_abs_diff": [], "is_cut": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                _w, _h, _fps, ys = decode_y4m(bytes(content))
+                clip = int(path.rsplit("clip_", 1)[1].split(".")[0])
+                arrs = [
+                    np.frombuffer(bytes(y), dtype=np.uint8).astype(np.float64)
+                    for y in ys
+                ]
+                for f_no in range(1, len(arrs)):
+                    mad = float(np.mean(np.abs(arrs[f_no] - arrs[f_no - 1])))
+                    rows["clip"].append(clip)
+                    rows["frame"].append(f_no)
+                    rows["mean_abs_diff"].append(round(mad + 1.2345e-8, 4))
+                    rows["is_cut"].append(mad > 10.0)
+            yield pd.DataFrame(rows)
+
+    return (
+        scanned.select("path", "content")
+        .mapInPandas(
+            cuts,
+            "clip int, frame int, mean_abs_diff double, is_cut boolean",
+        )
+        .orderBy("clip", "frame")
+    )

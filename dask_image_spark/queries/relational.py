@@ -2667,3 +2667,57 @@ def dq_expectations(spark, sf_dir):
     for ck in checks[1:]:
         out = out.unionByName(ck)
     return out.orderBy("check_name")
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + SUM(CASE WHEN event_type = 'click'
+                                      THEN value * 2 ELSE value END), 4)
+             AS total
+    FROM events WHERE event_id < 10000
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "sink", "partitioned", "overwrite"),
+)
+def sink_dynamic_partition_overwrite(spark, sf_dir):
+    """DYNAMIC partition overwrite — the idempotent-backfill sink
+    semantics every partitioned lake job depends on: with
+    ``partitionOverwriteMode=dynamic``, an overwrite-mode write replaces
+    ONLY the partitions present in the incoming frame and must leave
+    every other partition untouched (static mode would truncate the
+    whole table — the classic data-loss foot-gun this query pins). The
+    full events slice lands partitioned by type, then a corrected batch
+    (click values doubled) overwrites just the click partition; the
+    read-back aggregate proves the other partitions survived byte-for-
+    byte and the target partition was fully replaced, which is exactly
+    the backfill contract. Conf is set per-write via option(), not
+    session-wide. Scale: partition-granular replacement is what makes
+    reruns idempotent without a table-wide rewrite."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/dask_image_spark_io/dynpart_{tag}"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 10000
+    ).select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fixed = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "event_type", (F.col("value") * 2).alias("value")
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("value")).alias("total"),
+        )
+        .orderBy("event_type")
+    )
