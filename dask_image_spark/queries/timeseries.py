@@ -599,3 +599,53 @@ def trend_per_user(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    trans AS (
+      SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, event_type),
+    tot AS (SELECT from_type, SUM(n) AS row_n FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           ROUND(1.2345e-8 + t.n / tot.row_n, 4) AS p
+    FROM trans t JOIN tot ON tot.from_type = t.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+    tags=("timeseries", "markov", "sequence"),
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order MARKOV transition matrix over per-user event sequences
+    — P(next event type | current), the behavioral-model input for
+    churn prediction, next-action ranking, and anomalous-sequence
+    detection. LAG over each user's time-ordered stream pairs adjacent
+    events (ties broken by event_id so both engines pair identically),
+    then two same-key aggregates turn pair counts into row-normalized
+    probabilities. Scale shape: ONE user_id shuffle for the window (the
+    sessionize partitioning, reusable), then the transition-count
+    groupBy is |types|² ≤ 36 groups — map-side combinable to nothing;
+    no self-join of the event table ever happens."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            _eps_round(F.col("n") / F.col("row_n"), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
