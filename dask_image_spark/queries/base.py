@@ -69,14 +69,17 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 7 window (VERDICT_r06 "Next round" item 1): first the 17 late
-# round-6 queries that have NEVER been driver-graded (local parity green,
-# zero driver evidence — the only evidence gap the round-6 verdict found);
-# then the new round-7 operators (correlated-subquery TPC-H Q4/Q21/Q13/Q22,
-# the two remaining affine boundary modes, the CSV streaming source); then
-# backfill with the 22 queries whose newest driver grade is still round 2
-# (minhash/simhash/similarity/token families — evidence predates four data
-# regenerations) and the 4 oldest round-3 grades.
+# Round 7 window (VERDICT_r06 "Next round" item 1, extended): every slot
+# goes to a FIRST driver grade — the 17 late round-6 queries that have
+# never been driver-graded (the only evidence gap the round-6 verdict
+# found), then all 33 round-7 additions (the completed 22/22 TPC-H suite,
+# the last two affine boundary modes, the CSV streaming source, and the
+# round-7 operator families: sketches, weighted sampling, incremental
+# dedup, skew join, UDAF, CDC/schema-evolution/compaction sinks, video
+# DSP, graph, Markov). The round-2-evidence families (minhash/simhash/
+# similarity/token) stay next in line for the round-8 backfill — they are
+# re-proven by the local parity suite every round, while a never-graded
+# query has no driver evidence at all.
 WINDOW: list[str] = [
     # --- never driver-graded (late round-6 additions) ---
     "q5_local_supplier",
@@ -96,42 +99,42 @@ WINDOW: list[str] = [
     "filter_threshold_local_median",
     "filter_uniform_origin",
     "filter_minimum_origin",
-    # --- new round-7 operators (fresh contracts -> first grades) ---
+    # --- round-7: TPC-H suite completion (22/22) ---
     "q4_order_priority",
     "q21_suppliers_kept_waiting",
     "q13_customer_distribution",
     "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    # --- round-7: remaining affine modes + third streaming format ---
     "affine_order0_nearest",
     "affine_order1_reflect",
     "streaming_csv_source",
-    # --- backfill: all 22 queries with round-2 (oldest) evidence ---
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "filter_project",
-    "fourier_shift",
-    "generic_filter_ptp",
-    "knn_per_label",
-    "labeled_comprehension_sumsq",
-    "lang_id",
-    "multimodal_frames",
-    "multimodal_meta",
-    "quality_score",
-    "scan_binaryfile",
-    "similarity_ivf_topk",
-    "similarity_lsh_buckets",
-    "similarity_top10",
-    "spline_filter1d",
-    "tfidf_top_term",
-    "time_rollup_multires",
-    "token_stats",
-    "token_topk",
-    "udtf_ngrams",
-    # --- backfill: oldest round-3 evidence ---
-    "dedup_minhash_lsh",
-    "dedup_minhash_survivors",
-    "kmeans_lloyd_2iter",
-    "similarity_ivf_multiprobe",
+    # --- round-7: new operator families ---
+    "sample_weighted_gumbel",
+    "quality_entropy",
+    "dedup_incremental_batch",
+    "join_salted_skew",
+    "udaf_geomean",
+    "cdc_snapshot_diff",
+    "scan_merge_schema",
+    "compact_small_files",
+    "cms_frequency_estimate",
+    "bloom_membership",
+    "trend_per_user",
+    "dq_expectations",
+    "sink_dynamic_partition_overwrite",
+    "video_scene_cuts",
+    "graph_triangle_count",
+    "event_transition_matrix",
 ]
 
 
