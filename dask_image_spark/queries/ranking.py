@@ -181,14 +181,13 @@ def mg_heavy_hitters(spark, sf_dir):
         # per partition (micro-bench in scripts/README_bench_notes.md).
         from collections import Counter
 
+        from dask_image_spark.operators.sketches import mg_merge_counts
+
         counters: dict = {}
         for pdf in batches:
-            for it, c in Counter(pdf["item"].to_list()).items():
-                counters[it] = counters.get(it, 0) + c
-            if len(counters) > _HH_K - 1:
-                vals = sorted(counters.values(), reverse=True)
-                m = vals[_HH_K - 1]
-                counters = {k: v - m for k, v in counters.items() if v > m}
+            counters = mg_merge_counts(
+                counters, Counter(pdf["item"].to_list()), _HH_K
+            )
         yield pd.DataFrame({"item": list(counters)})
 
     cands = ev.mapInPandas(mg_sketch, "item string").distinct()
