@@ -80,6 +80,37 @@ def exploded_shingles(
     )
 
 
+# The MinHash "hash family", shared verbatim by the Spark builder below and
+# every DuckDB oracle (via ``minhash_mins_sql``) so the two sides can never
+# drift: hash s of a shingle is an 8-hex-char (32-bit) SLICE of
+# md5(seed:shingle), with seed = s // 4 and slice = s % 4 — n hashes cost
+# ceil(n/4) md5 evaluations per shingle instead of n (whole-stage codegen's
+# subexpression elimination computes each seeded md5 once per row).
+# Round-7 change; measured NEUTRAL at sf0.1 (the band join, not hashing,
+# dominates at 5k docs) — the 4x hash-cost cut is for the trillion-shingle
+# regime where signature computation is the linear-scan bottleneck.
+# Lexicographic MIN over fixed-width lowercase hex == numeric MIN over the
+# 32-bit value, so minhash semantics are unchanged; 32-bit slices keep
+# within-corpus min-collisions negligible (~N^2/2^33).
+_SLICES_PER_MD5 = 4
+
+
+def _minhash_seed_slice(s: int) -> tuple[int, int]:
+    return s // _SLICES_PER_MD5, 8 * (s % _SLICES_PER_MD5) + 1
+
+
+def minhash_mins_sql(n_hashes: int = 8, sh_expr: str = "sh") -> str:
+    """The oracle-side aggregate list: ``MIN(substr(md5('seed:'||sh), o, 8))
+    AS h{s}`` per hash — identical family to ``minhash_signatures``."""
+    parts = []
+    for s in range(n_hashes):
+        seed, off = _minhash_seed_slice(s)
+        parts.append(
+            f"MIN(substr(md5('{seed}:' || {sh_expr}), {off}, 8)) AS h{s}"
+        )
+    return ", ".join(parts)
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 8, k: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
@@ -87,14 +118,21 @@ def minhash_signatures(
     """Per-doc MinHash signature columns h0..h{n-1}.
 
     One explode + one groupBy (map-side partial MIN per hash). The "hash
-    family" is md5 over a seed-prefixed shingle — portable to any SQL engine,
-    unlike Spark's murmur ``hash``.
+    family" is the sliced seeded md5 documented above — portable to any
+    SQL engine, unlike Spark's murmur ``hash``, and ceil(n/4) md5
+    evaluations per shingle instead of n.
     """
     sh = exploded_shingles(docs, k, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
-        for s in range(n_hashes)
-    ]
+    aggs = []
+    for s in range(n_hashes):
+        seed, off = _minhash_seed_slice(s)
+        aggs.append(
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh"))), off, 8
+                )
+            ).alias(f"h{s}")
+        )
     return sh.groupBy(id_col).agg(*aggs)
 
 

@@ -112,9 +112,7 @@ def dedup_dropped(spark, sf_dir):
 
 
 def _minhash_oracle(n_hashes: int = 8, rows_per_band: int = 2, k: int = 3) -> str:
-    mins = ", ".join(
-        f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(n_hashes)
-    )
+    mins = textops.minhash_mins_sql(n_hashes)
     n_bands = n_hashes // rows_per_band
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
@@ -156,9 +154,7 @@ _HOT_TEXT = "the and of to in is it on at by the and of to in"
 
 
 def _lsh_salted_skew_oracle(n_hashes: int = 8, rows_per_band: int = 2, k: int = 3) -> str:
-    mins = ", ".join(
-        f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(n_hashes)
-    )
+    mins = textops.minhash_mins_sql(n_hashes)
     n_bands = n_hashes // rows_per_band
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
@@ -216,9 +212,7 @@ def dedup_lsh_salted_skew(spark, sf_dir):
 def _minhash_survivors_oracle(n_hashes: int = 8, rows_per_band: int = 2, k: int = 3) -> str:
     """Recursive-CTE transitive closure over the MinHash candidate pairs:
     every doc in a dup group maps to the group's min doc_id survivor."""
-    mins = ", ".join(
-        f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(n_hashes)
-    )
+    mins = textops.minhash_mins_sql(n_hashes)
     n_bands = n_hashes // rows_per_band
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
@@ -2656,9 +2650,7 @@ def _incr_batch_oracle(n_hashes: int = 8, rows_per_band: int = 2, k: int = 3) ->
     """Two-sided (batch vs corpus) replay of the md5 MinHash machinery —
     the ``_minhash_oracle`` construction applied per side, with the band
     join restricted to batch x corpus."""
-    mins = ", ".join(
-        f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(n_hashes)
-    )
+    mins = textops.minhash_mins_sql(n_hashes)
     n_bands = n_hashes // rows_per_band
 
     def bands(src: str) -> str:
