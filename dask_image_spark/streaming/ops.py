@@ -251,7 +251,9 @@ def foreach_batch_sink(spark: SparkSession, sf_dir: str, **stream_opts) -> DataF
     return spark.read.parquet(out).select("event_type", "n", "min_id", "total")
 
 
-def json_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def json_source_rollup(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming over an NDJSON landing zone — the second file format of
     the streaming reader (parquet is the first): a deterministic events
     slice is landed as JSON-lines files (4 shards, as a log shipper
@@ -285,11 +287,13 @@ def json_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, "
         "ts_us LONG"
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "*.json")
-        .json(land)
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "*.json")
+    if max_files_per_trigger:
+        # rate-limit so availableNow runs one micro-batch per shard file —
+        # the multi-batch equivalence test drives this knob
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(land).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
     )
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -300,7 +304,9 @@ def json_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "complete")
 
 
-def csv_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def csv_source_rollup(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming over a CSV landing zone — the third wire format of the
     streaming reader (parquet, NDJSON, now headerless pipe-delimited CSV,
     the classic ETL drop-zone shape). A deterministic events slice is
@@ -338,13 +344,16 @@ def csv_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, "
         "ts_us LONG"
     )
-    stream = (
+    reader = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.csv")
         .option("header", "false")
         .option("sep", "|")
-        .csv(land)
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.csv(land).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
     )
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

@@ -152,3 +152,19 @@ def test_four_micro_batches_actually_ran(spark, multi_dir):
     progress = q.recentProgress
     batches = [p for p in progress if p["numInputRows"] > 0]
     assert len(batches) == 4, [p["numInputRows"] for p in progress]
+
+
+@pytest.mark.parametrize(
+    "op", [ops.json_source_rollup, ops.csv_source_rollup],
+    ids=lambda f: f.__name__,
+)
+def test_wire_format_sources_multibatch(spark, op):
+    """The NDJSON and CSV landing-zone sources each land 4 shard files;
+    with maxFilesPerTrigger=1 availableNow must run 4 micro-batches and
+    the complete-mode rollup must equal the single-batch run (state kept
+    across triggers, wire decoding identical per shard). Runs at sf0.01:
+    the CSV source's event_id slice (5000-10000) is empty at sf0.001."""
+    sf = "/root/testdata/sf0.01"
+    single = _rows(op(spark, sf))
+    multi = _rows(op(spark, sf, max_files_per_trigger=1))
+    assert single == multi and len(single) > 0
