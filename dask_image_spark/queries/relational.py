@@ -2727,3 +2727,171 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "unpivot_events",
+    """
+    WITH wide AS (
+      SELECT user_id % 10 AS bucket,
+             ROUND(1.2345e-8 + SUM(CASE WHEN event_type = 'click'
+                                        THEN value END), 4) AS click,
+             ROUND(1.2345e-8 + SUM(CASE WHEN event_type = 'view'
+                                        THEN value END), 4) AS view,
+             ROUND(1.2345e-8 + SUM(CASE WHEN event_type = 'purchase'
+                                        THEN value END), 4) AS purchase
+      FROM events GROUP BY user_id % 10)
+    SELECT bucket, metric, total FROM wide
+    UNPIVOT INCLUDE NULLS (total FOR metric IN (click, view, purchase))
+    ORDER BY bucket, metric
+    """,
+    tags=("relational", "unpivot", "sql-surface"),
+)
+def unpivot_events(spark, sf_dir):
+    """UNPIVOT (melt) — the wide->long inverse of ``pivot_events``: a
+    per-bucket wide aggregate (one column per event type) melted back to
+    (bucket, metric, total) rows with ``DataFrame.unpivot``, NULLs
+    included so buckets missing a type still produce a row (the contract
+    difference that separates unpivot from a filtered union). Scale
+    shape: unpivot is a zero-shuffle generator (each input row fans out
+    to |metrics| rows map-side) — the cheap direction; it's the pivot
+    side that aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"))
+        .agg(
+            _r(F.sum(F.when(F.col("event_type") == "click", F.col("value")))).alias("click"),
+            _r(F.sum(F.when(F.col("event_type") == "view", F.col("value")))).alias("view"),
+            _r(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")))).alias("purchase"),
+        )
+    )
+    return wide.unpivot(
+        ids=["bucket"],
+        values=["click", "view", "purchase"],
+        variableColumnName="metric",
+        valueColumnName="total",
+    ).orderBy("bucket", "metric")
+
+
+@register(
+    "hll_sketch_merge",
+    """
+    WITH per_type AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_n
+      FROM events GROUP BY event_type),
+    merged AS (
+      SELECT COUNT(DISTINCT user_id) AS exact_union FROM events)
+    SELECT p.event_type, CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(TRUE AS BOOLEAN) AS est_within_5pct,
+           CAST(m.exact_union AS BIGINT) AS exact_union,
+           CAST(TRUE AS BOOLEAN) AS union_est_within_5pct
+    FROM per_type p CROSS JOIN merged m
+    ORDER BY p.event_type
+    """,
+    tags=("relational", "sketch", "hll", "mergeable"),
+)
+def hll_sketch_merge(spark, sf_dir):
+    """MERGEABLE HLL sketches (Spark 3.5 Apache DataSketches surface):
+    per-type user sketches built with ``hll_sketch_agg``, then UNIONED
+    with ``hll_union_agg`` into a global distinct estimate — the
+    re-aggregatable form ``approx_count_distinct`` can't give you (a
+    stored per-partition/per-day sketch table can answer any rollup
+    later without re-scanning raw data; this is the cube-of-distincts
+    design at 100 TB). The sketch binaries are engine-specific, so the
+    graded contract is the ``approx_distinct`` pattern: every per-type
+    estimate AND the merged-union estimate must sit within ±5% of the
+    exact counts, asserted identically on both engines (DuckDB asserts
+    the same predicate against literal TRUE)."""
+    ev = load_table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_n"),
+    )
+    est = sketches.select(
+        "event_type",
+        "exact_n",
+        F.hll_sketch_estimate("sk").alias("est"),
+        F.col("sk"),
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    exact_union = ev.agg(F.countDistinct("user_id").alias("exact_union"))
+    within = (
+        F.abs(F.col("est") - F.col("exact_n"))
+        <= 0.05 * F.col("exact_n")
+    )
+    u_within = (
+        F.abs(F.col("union_est") - F.col("exact_union"))
+        <= 0.05 * F.col("exact_union")
+    )
+    return (
+        est.crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact_union))
+        .select(
+            "event_type",
+            "exact_n",
+            within.alias("est_within_5pct"),
+            "exact_union",
+            u_within.alias("union_est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "variant_json_extract",
+    """
+    WITH j AS (
+      SELECT '{"u":' || CAST(user_id AS VARCHAR)
+             || ',"t":"' || event_type
+             || '","m":{"v":' || CAST(ROUND(value, 2) AS VARCHAR)
+             || ',"tags":["a","b"]}}' AS doc
+      FROM events WHERE event_id < 5000)
+    SELECT CAST(json_extract(doc, '$.t') ->> '$' AS VARCHAR) AS t,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + SUM(CAST(json_extract(doc, '$.m.v') AS DOUBLE)),
+                 4) AS total_v,
+           CAST(MAX(CAST(json_extract(doc, '$.u') AS BIGINT)) AS BIGINT)
+             AS max_u,
+           CAST(MAX(json_array_length(json_extract(doc, '$.m.tags')) = 2
+                    ) AS BOOLEAN) AS tags_len_ok
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "variant", "json", "spark4"),
+)
+def variant_json_extract(spark, sf_dir):
+    """The Spark 4 VARIANT type surface — semi-structured ingestion the
+    way lakehouse engines now do it: JSON text parsed ONCE into the
+    binary VARIANT encoding (``parse_json``), then typed path extraction
+    (``variant_get`` with nested paths ``$.m.v``) feeding ordinary
+    aggregates. Versus per-access ``get_json_object`` string re-parsing,
+    VARIANT pays the parse once and each extraction is a binary-offset
+    walk — the difference between O(accesses x parse) and O(parse) per
+    row at 100 TB. The JSON documents are derived deterministically from
+    events so DuckDB replays the same extraction with its JSON type,
+    value-checking string, double, bigint, and nested-array paths."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    doc = F.concat(
+        F.lit('{"u":'), F.col("user_id").cast("string"),
+        F.lit(',"t":"'), F.col("event_type"),
+        F.lit('","m":{"v":'), F.round("value", 2).cast("string"),
+        F.lit(',"tags":["a","b"]}}'),
+    )
+    v = ev.select(F.parse_json(doc).alias("var"))
+    extracted = v.select(
+        F.variant_get("var", "$.t", "string").alias("t"),
+        F.variant_get("var", "$.m.v", "double").alias("mv"),
+        F.variant_get("var", "$.u", "bigint").alias("u"),
+        F.variant_get("var", "$.m.tags", "array<string>").alias("tags"),
+    )
+    return (
+        extracted.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("mv")).alias("total_v"),
+            F.max("u").alias("max_u"),
+            F.max(F.size("tags") == 2).alias("tags_len_ok"),
+        )
+        .orderBy("t")
+    )
