@@ -607,3 +607,125 @@ def graph_triangle_count(spark, sf_dir):
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
     )
+
+
+def _pagerank_converged_oracle(n_iters: int = 60) -> str:
+    """Fixed-point replay: enough chained iterations that the replay sits
+    within ~1e-12 of the fixed point the engine's tolerance loop stops
+    at (rate 0.85^k; 41 iterations reach 1e-12 on this graph), so the
+    4-decimal top-10 is identical however many iterations the engine's
+    convergence check actually ran."""
+    its = []
+    prev = "pr0"
+    for i in range(1, n_iters + 1):
+        its.append(
+            # AS MATERIALIZED: DuckDB inlines plain CTEs, and 60 chained
+            # inlines blow the planner up exponentially — materialization
+            # makes the replay linear in iterations (seconds, not hours)
+            f"agg{i} AS MATERIALIZED (SELECT e.dst, SUM(p.pr / 3) AS inflow "
+            f"FROM edges e JOIN {prev} p ON p.doc_id = e.src GROUP BY e.dst), "
+            f"pr{i} AS MATERIALIZED (SELECT nd.doc_id, 0.15 / n.c + 0.85 * "
+            f"COALESCE(a.inflow, 0) AS pr FROM nodes nd CROSS JOIN n "
+            f"LEFT JOIN agg{i} a ON a.dst = nd.doc_id)"
+        )
+        prev = f"pr{i}"
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    pr0 AS (SELECT doc_id, 1.0 / n.c AS pr FROM nodes CROSS JOIN n),
+    {chain}
+    SELECT p.doc_id, ROUND(1.2345e-8 + p.pr * n.c, 4) AS pr_norm,
+           CAST(TRUE AS BOOLEAN) AS converged
+    FROM {prev} p CROSS JOIN n
+    ORDER BY pr_norm DESC, p.doc_id
+    LIMIT 10
+    """
+
+
+@register(
+    "pagerank_converged",
+    _pagerank_converged_oracle(),
+    tags=("ranking", "graph", "pagerank", "iterative"),
+)
+def pagerank_converged(spark, sf_dir):
+    """PageRank run to CONVERGENCE — the genuine iterative-algorithm
+    control flow (``pagerank_2iter`` unrolls a fixed count; this one
+    LOOPS with a driver-side tolerance check, the way an engine actually
+    terminates power iteration): iterate until max |Δpr| < 1e-10 (cap
+    60), checking the residual every 5 iterations so the driver
+    materializes ~8 times, not 60, and ``localCheckpoint`` truncates the
+    lineage at each check so the plan never grows unboundedly. Graded on
+    the top-10 ranks (well-separated at the fixed point — symmetric-pair
+    ties are EXACT equalities, id-tiebroken) plus the converged flag;
+    the oracle replays 60 fixed iterations, which lands within ~1e-12 of
+    the same fixed point, so the 4-decimal match is iteration-count
+    independent.
+
+    Scale shape: identical per-iteration plan to ``pagerank_2iter`` (one
+    src join + one dst groupBy, reusable partitioning); the convergence
+    check adds one tiny max-aggregate per 5 iterations; checkpointing is
+    what makes 40+ iterations viable on a real cluster (lineage and plan
+    size stay O(1) per check)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    nodes = docs.crossJoin(F.broadcast(cnt))
+    edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "src",
+        F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
+    ).localCheckpoint()
+
+    def iterate(pr):
+        contrib = (
+            edges.join(pr.select(F.col("doc_id").alias("src"), "pr"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / 3).alias("inflow"))
+        )
+        return nodes.join(
+            contrib, nodes.doc_id == contrib.dst, "left"
+        ).select(
+            "doc_id",
+            "n",
+            (
+                (1.0 - _PR_DAMPING) / F.col("n")
+                + _PR_DAMPING * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("pr"),
+        )
+
+    tol, cap, check_every = 1e-10, 60, 5
+    pr = nodes.select(
+        "doc_id", "n", (F.lit(1.0) / F.col("n")).alias("pr")
+    ).localCheckpoint()
+    converged = False
+    done = 0
+    while done < cap and not converged:
+        prev = pr
+        for _ in range(check_every):
+            pr = iterate(pr)
+        done += check_every
+        pr = pr.localCheckpoint()  # truncate lineage at each residual check
+        resid = (
+            pr.join(
+                prev.select("doc_id", F.col("pr").alias("pr_prev")), "doc_id"
+            )
+            .agg(F.max(F.abs(F.col("pr") - F.col("pr_prev"))).alias("r"))
+            .collect()[0]["r"]
+        )
+        converged = resid < tol
+    return (
+        pr.select(
+            "doc_id",
+            _eps_round(F.col("pr") * F.col("n"), 4).alias("pr_norm"),
+            F.lit(bool(converged)).alias("converged"),
+        )
+        .orderBy(F.col("pr_norm").desc(), "doc_id")
+        .limit(10)
+    )

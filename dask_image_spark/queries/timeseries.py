@@ -649,3 +649,150 @@ def event_transition_matrix(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH w AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+      FROM events),
+    first AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, wk FROM w),
+    m AS (
+      SELECT f.cohort, a.wk - f.cohort AS week_offset,
+             COUNT(DISTINCT a.user_id) AS n_active
+      FROM active a JOIN first f ON f.user_id = a.user_id
+      GROUP BY 1, 2),
+    sz AS (SELECT cohort, n_active AS cohort_n FROM m WHERE week_offset = 0)
+    SELECT m.cohort, CAST(m.week_offset AS BIGINT) AS week_offset,
+           CAST(m.n_active AS BIGINT) AS n_active,
+           ROUND(1.2345e-8 + m.n_active / CAST(sz.cohort_n AS DOUBLE), 4)
+             AS retention
+    FROM m JOIN sz ON sz.cohort = m.cohort
+    WHERE m.week_offset <= 8
+    ORDER BY m.cohort, week_offset
+    """,
+    tags=("timeseries", "cohort", "retention"),
+)
+def cohort_retention(spark, sf_dir):
+    """COHORT RETENTION matrix — the product-analytics staple: users
+    bucketed by first-active week (arithmetic week index from epoch-µs,
+    NOT date_trunc, so both engines share one week boundary convention),
+    then the share of each cohort still active k weeks later. Scale
+    shape: the first-seen table is one user-keyed aggregate reused for
+    the cohort sizes (offset-0 row) instead of a second scan; the
+    active-set distinct and the matrix groupBy are the only other
+    shuffles, and the matrix itself is |cohorts| × |offsets| tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(604800000000)).cast("long").alias("wk"),
+    )
+    first = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = w.distinct()
+    m = (
+        active.join(first, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sz = m.filter(F.col("week_offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_n")
+    )
+    return (
+        m.join(F.broadcast(sz), "cohort")
+        .filter(F.col("week_offset") <= 8)
+        .select(
+            "cohort", "week_offset", "n_active",
+            _eps_round(
+                F.col("n_active") / F.col("cohort_n").cast("double"), 4
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@register(
+    "abtest_conversion_z",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('ab7:' || CAST(user_id AS VARCHAR)), 1, 1)
+                  < '8' THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 10
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id),
+    s AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS c FROM u GROUP BY arm),
+    ab AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+             MAX(CASE WHEN arm = 'A' THEN c END) AS c_a,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+             MAX(CASE WHEN arm = 'B' THEN c END) AS c_b
+      FROM s)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+           ROUND(1.2345e-8 + CAST(c_a AS DOUBLE) / n_a, 4) AS p_a,
+           ROUND(1.2345e-8 + CAST(c_b AS DOUBLE) / n_b, 4) AS p_b,
+           ROUND(1.2345e-8 +
+             (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+    FROM ab
+    """,
+    tags=("timeseries", "abtest", "stats"),
+)
+def abtest_conversion_z(spark, sf_dir):
+    """A/B-TEST analysis — the two-proportion z-test an experimentation
+    pipeline runs on conversion: users deterministically split into arms
+    by salted md5 (the reproducible bucketing every experiment platform
+    uses — never rand()), per-user conversion = any purchase event, then
+    the pooled-variance z statistic. Scale shape: one user-keyed
+    aggregate for per-user conversion, one 2-group rollup, and the test
+    statistic is computed on a single row — the entire analysis is two
+    partial-agg shuffles regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ab7:"), F.col("user_id").cast("string"))),
+            1, 1,
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    # conversion = 10+ purchases (a plain any-purchase flag is universal
+    # in this fixture -> both rates 1.0 -> zero pooled variance)
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 10
+        ).cast("int").alias("conv")
+    ).select(arm.alias("arm"), "conv")
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    ab = s.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("c"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("c"))).alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return ab.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        _eps_round(p_a, 4).alias("p_a"),
+        _eps_round(p_b, 4).alias("p_b"),
+        _eps_round(z, 4).alias("z_score"),
+    )
