@@ -2895,3 +2895,63 @@ def variant_json_extract(spark, sf_dir):
         )
         .orderBy("t")
     )
+
+
+@register(
+    "ansi_try_functions",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE value END AS denom,
+             CASE WHEN event_id % 11 = 0
+                  THEN 'x' || CAST(event_id AS VARCHAR)
+                  ELSE CAST(event_id AS VARCHAR) END AS maybe_num
+      FROM events WHERE event_id < 5000)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN denom = 0 THEN 1 END) AS BIGINT)
+             AS zero_denoms,
+           ROUND(1.2345e-8 + SUM(CASE WHEN denom = 0 THEN NULL
+                                      ELSE event_id / denom END), 4)
+             AS sum_safe_div,
+           CAST(COUNT(TRY_CAST(maybe_num AS BIGINT)) AS BIGINT)
+             AS castable,
+           CAST(SUM(TRY_CAST(maybe_num AS BIGINT)) AS BIGINT) AS sum_cast
+    FROM t
+    """,
+    tags=("relational", "ansi", "sql-surface"),
+)
+def ansi_try_functions(spark, sf_dir):
+    """ANSI-mode error-safe expressions — Spark 4 runs under ANSI SQL by
+    default, where division by zero and bad casts are RUNTIME ERRORS
+    that kill the job (this repo's own ``abtest_conversion_z`` hit the
+    divide-by-zero class while being written); ``try_divide`` /
+    ``try_cast`` are the per-expression opt-outs that return NULL
+    instead — the dirty-data ingestion posture, graded here over a slice
+    with injected zero denominators and non-numeric strings. The
+    aggregates count exactly how many rows degraded to NULL, so an
+    engine that silently coerced (pre-ANSI semantics) or errored would
+    both fail the match. DuckDB mirrors try_divide with a CASE (its /
+    returns NULL-on-zero only for try_cast-style ops) and TRY_CAST
+    natively."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    t = ev.select(
+        "event_id",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) == 0, F.lit(0.0))
+        .otherwise(F.col("value"))
+        .alias("denom"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(11)) == 0,
+            F.concat(F.lit("x"), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("maybe_num"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("denom") == 0, 1)).alias("zero_denoms"),
+        _r(F.sum(F.try_divide(F.col("event_id"), F.col("denom")))).alias(
+            "sum_safe_div"
+        ),
+        F.count(F.col("maybe_num").try_cast("bigint")).alias("castable"),
+        F.sum(F.col("maybe_num").try_cast("bigint")).cast("long").alias("sum_cast"),
+    )
