@@ -2574,8 +2574,16 @@ def compact_small_files(spark, sf_dir):
 @register(
     "dq_expectations",
     """
+    WITH audited AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      UNION ALL
+      SELECT CAST(90000001 AS BIGINT), CAST(NULL AS BIGINT)
+      UNION ALL
+      SELECT (SELECT MIN(o_orderkey) FROM orders), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT CAST(90000002 AS BIGINT), CAST(999999 AS BIGINT))
     SELECT 'orders_custkey_not_null' AS check_name,
-           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+           CAST((SELECT COUNT(*) FROM audited WHERE o_custkey IS NULL)
                 AS BIGINT) AS n_violations
     UNION ALL
     SELECT 'lineitem_discount_in_range',
@@ -2584,12 +2592,13 @@ def compact_small_files(spark, sf_dir):
     UNION ALL
     SELECT 'orders_orderkey_unique',
            CAST((SELECT COUNT(*) FROM (
-                   SELECT o_orderkey FROM orders
+                   SELECT o_orderkey FROM audited
                    GROUP BY o_orderkey HAVING COUNT(*) > 1) t) AS BIGINT)
     UNION ALL
     SELECT 'orders_custkey_fk_customer',
-           CAST((SELECT COUNT(*) FROM orders o
-                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+           CAST((SELECT COUNT(*) FROM audited o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
                                    WHERE c.c_custkey = o.o_custkey))
                 AS BIGINT)
     UNION ALL
@@ -2611,18 +2620,42 @@ def dq_expectations(spark, sf_dir):
     Expectations / dbt-test shape) a pipeline runs before promoting a
     landed dataset: null checks, range checks, key uniqueness, and
     referential integrity (both fact->dim FKs), each reported as a
-    violation COUNT so the gate is auditable, not just boolean. All six
-    checks pass on the driver data (0 violations) — the graded value is
-    that both engines agree each count is exactly zero, and any future
-    data regeneration that breaks a contract shows up as a nonzero row.
+    violation COUNT so the gate is auditable, not just boolean. The
+    audited orders snapshot carries THREE injected contract violations
+    (a NULL custkey, a duplicated orderkey, an orphan custkey) so the
+    graded result provably shows nonzero counts where checks fail AND
+    zeros where the clean lineitem side passes — the de-vacuation
+    pattern (round-5 lesson: a gate that has never seen a violation is
+    untested evidence). The null-custkey row is excluded from the FK
+    check (it is the null check's finding, not an orphan).
 
     Scale shape: each check is one aggregate or one LEFT-ANTI join —
     the FK checks are anti-joins on the natural keys (never per-row
     EXISTS), uniqueness is a HAVING>1 aggregate, and the whole suite is
     a UNION of 1-row results, trivially parallel across checks."""
-    o = load_table(spark, sf_dir, "orders")
+    o_raw = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
+    # injected violations (see docstring): NULL custkey, duplicate of the
+    # minimum orderkey, orphan custkey — derived deterministically so the
+    # oracle constructs the identical audited snapshot
+    dirty_null = spark.range(1).select(
+        F.lit(90000001).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("o_custkey"),
+    )
+    dirty_dup = o_raw.agg(F.min("o_orderkey").alias("o_orderkey")).select(
+        "o_orderkey", F.lit(0).cast("long").alias("o_custkey")
+    )
+    dirty_orphan = spark.range(1).select(
+        F.lit(90000002).cast("long").alias("o_orderkey"),
+        F.lit(999999).cast("long").alias("o_custkey"),
+    )
+    o = (
+        o_raw.select("o_orderkey", "o_custkey")
+        .unionByName(dirty_null)
+        .unionByName(dirty_dup)
+        .unionByName(dirty_orphan)
+    )
 
     def one(name, cnt_df):
         return cnt_df.select(
@@ -2652,9 +2685,9 @@ def dq_expectations(spark, sf_dir):
         ),
         one(
             "orders_custkey_fk_customer",
-            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
-                F.count(F.lit(1)).alias("v")
-            ),
+            o.filter(F.col("o_custkey").isNotNull())
+            .join(c, F.col("o_custkey") == c.c_custkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("v")),
         ),
         one(
             "lineitem_orderkey_fk_orders",
