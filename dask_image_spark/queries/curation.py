@@ -1337,7 +1337,7 @@ def sample_weighted_gumbel(spark, sf_dir):
       SELECT doc_id,
              unnest(list_transform(generate_series(1, len(text)),
                                    i -> substr(text, i, 1))) AS c
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0),
     cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
     n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id)
     SELECT cnt.doc_id, CAST(n.n AS BIGINT) AS n_chars,
@@ -1362,8 +1362,11 @@ def quality_entropy(spark, sf_dir):
     window-free second aggregate on the SAME doc_id key, so AQE reuses
     the partitioning; no UDF, all codegen. At 100 TB the char explode
     is the bandwidth cost and fuses into the scan stage."""
+    # length > 0 on BOTH sides: Spark's split("", "") yields [""] while
+    # DuckDB's char enumeration yields no rows — an empty doc in a future
+    # data regeneration must not silently diverge the two engines
     d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
+        F.col("text").isNotNull() & (F.length("text") > 0)
     )
     ch = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
     cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
