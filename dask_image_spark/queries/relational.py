@@ -2988,3 +2988,59 @@ def ansi_try_functions(spark, sf_dir):
         F.count(F.col("maybe_num").try_cast("bigint")).alias("castable"),
         F.sum(F.col("maybe_num").try_cast("bigint")).cast("long").alias("sum_cast"),
     )
+
+
+@register(
+    "pareto_skyline_brand",
+    """
+    SELECT b.p_brand, b.p_partkey, CAST(b.p_size AS INT) AS p_size,
+           ROUND(1.2345e-8 + b.p_retailprice, 4) AS p_retailprice
+    FROM part b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part a
+      WHERE a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+        AND ((a.p_size > b.p_size AND a.p_retailprice <= b.p_retailprice)
+          OR (a.p_size >= b.p_size AND a.p_retailprice < b.p_retailprice)))
+    ORDER BY b.p_brand, b.p_partkey
+    """,
+    tags=("relational", "skyline", "window"),
+)
+def pareto_skyline_brand(spark, sf_dir):
+    """PARETO SKYLINE per brand — the multi-criteria shortlist query
+    (maximize size, minimize price; keep every part no other part of the
+    brand dominates). The DEFINITION is a quadratic correlated
+    NOT-EXISTS over dominance pairs — which is exactly what the oracle
+    runs — but the ENGINE uses the scan-line reformulation: one sort per
+    brand by size descending, and a part survives iff no strictly-larger
+    part is as cheap (running-min RANGE window excluding the current
+    size group) and no same-or-larger part is strictly cheaper
+    (peers-inclusive running min). Two RANGE frames over ONE
+    brand-partitioned sort: O(n log n) per brand with zero joins, versus
+    the O(n²) dominance join a naive translation ships — the equivalence
+    of the two shapes is what the hash match proves. At 100 TB with no
+    partitioning key you'd two-phase it (per-partition skyline, then
+    skyline-of-skylines — skylines compose under union)."""
+    p = load_table(spark, sf_dir, "part")
+    by_size = Window.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    m_strict = F.min("p_retailprice").over(
+        by_size.rangeBetween(Window.unboundedPreceding, -1)
+    )
+    m_incl = F.min("p_retailprice").over(
+        by_size.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        p.select(
+            "p_brand", "p_partkey", "p_size", "p_retailprice",
+            m_strict.alias("m_strict"), m_incl.alias("m_incl"),
+        )
+        .filter(
+            (F.col("m_strict").isNull() | (F.col("m_strict") > F.col("p_retailprice")))
+            & (F.col("m_incl") >= F.col("p_retailprice"))
+        )
+        .select(
+            "p_brand", "p_partkey",
+            F.col("p_size").cast("int").alias("p_size"),
+            _r(F.col("p_retailprice")).alias("p_retailprice"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
