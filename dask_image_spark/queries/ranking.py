@@ -729,3 +729,65 @@ def pagerank_converged(spark, sf_dir):
         .orderBy(F.col("pr_norm").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "tree_depth_doubling",
+    """
+    WITH RECURSIVE walk AS (
+      SELECT doc_id, doc_id AS cur, 0 AS d FROM documents
+      UNION ALL
+      SELECT doc_id, (cur - 1) // 2 AS cur, d + 1 FROM walk WHERE cur > 0),
+    depth AS (SELECT doc_id, MAX(d) AS depth FROM walk GROUP BY doc_id)
+    SELECT CAST(depth.depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(doc.n_chars) AS BIGINT) AS total_chars
+    FROM depth JOIN documents doc ON doc.doc_id = depth.doc_id
+    GROUP BY depth.depth
+    ORDER BY depth
+    """,
+    tags=("ranking", "graph", "hierarchy", "pointer-doubling"),
+)
+def tree_depth_doubling(spark, sf_dir):
+    """Hierarchy traversal by POINTER DOUBLING — the O(log depth)
+    technique that replaces depth-many sequential self-joins when
+    walking parent chains at scale (org charts, BOM explosions, category
+    trees; a chain of length d costs d joins naively but only ceil(log2
+    d) doubling rounds): the ancestor map starts as each node's
+    arithmetic parent in the implicit binary heap over doc_ids
+    (parent = (v-1)/2) and composes with ITSELF each round, so after k
+    rounds every node knows its 2^k-step ancestor and accumulated step
+    count; 4 rounds resolve the corpus tree (depth 8) to the root.
+    Result: nodes and character mass per level — the per-level rollup a
+    hierarchy aggregation produces. The oracle is the sequential
+    recursive-CTE walk, so the logarithmic composition must agree with
+    the linear one exactly. Scale: each round is ONE equi-join of the
+    ancestor map to itself (same key domain, reusable partitioning);
+    depth-10^6 chains cost 20 rounds, not a million."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    v = F.col("doc_id")
+    j = docs.select(
+        v.alias("v"),
+        F.when(v > 0, ((v - 1) / 2).cast("long")).otherwise(F.lit(0)).alias("a"),
+        F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).alias("d"),
+    )
+    # 4 doublings: 2^4 = 16 > max depth; the root's self-loop (a=0, d=0)
+    # makes extra rounds idempotent, so the cap only needs to be an upper
+    # bound on log2(depth)
+    for _ in range(4):
+        right = j.select(
+            F.col("v").alias("rv"), F.col("a").alias("ra"),
+            F.col("d").alias("rd"),
+        )
+        j = j.join(right, j.a == right.rv).select(
+            "v", F.col("ra").alias("a"), (F.col("d") + F.col("rd")).alias("d")
+        )
+    return (
+        j.join(docs, j.v == docs.doc_id)
+        .groupBy(F.col("d").cast("int").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("depth")
+    )

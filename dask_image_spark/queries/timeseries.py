@@ -796,3 +796,73 @@ def abtest_conversion_z(spark, sf_dir):
         _eps_round(p_b, 4).alias("p_b"),
         _eps_round(z, 4).alias("z_score"),
     )
+
+
+@register(
+    "max_concurrent_sessions",
+    """
+    WITH b AS (
+      SELECT event_type, ts AS t, 1 AS kind, 1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 10 MINUTE AS t, 0 AS kind,
+             -1 AS delta, event_id
+      FROM events),
+    r AS (
+      SELECT event_type, t, delta,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, kind, event_id
+                              ROWS UNBOUNDED PRECEDING) AS open_n
+      FROM b),
+    mx AS (SELECT event_type, MAX(open_n) AS max_concurrent FROM r
+           GROUP BY event_type)
+    SELECT r.event_type, CAST(mx.max_concurrent AS BIGINT) AS max_concurrent,
+           MIN(r.t) AS first_peak_at
+    FROM r JOIN mx ON mx.event_type = r.event_type
+                  AND r.open_n = mx.max_concurrent
+    GROUP BY r.event_type, mx.max_concurrent
+    ORDER BY r.event_type
+    """,
+    tags=("timeseries", "sweep-line", "concurrency"),
+)
+def max_concurrent_sessions(spark, sf_dir):
+    """Peak CONCURRENCY by sweep line — the interval-stabbing maximum
+    (peak simultaneous sessions/connections/jobs) computed the scalable
+    way: each event opens a 10-minute half-open interval, intervals
+    become +1/-1 boundary points, and ONE ordered running sum per
+    event_type yields the live count at every boundary — never the
+    quadratic interval self-join. Half-open semantics are pinned in the
+    sort key (ends sort before starts at the same instant via kind,
+    event_id final tiebreak) so both engines sweep in the identical
+    order. Emits each type's peak and the first time it is reached.
+    Scale: linear per partition after one event_type shuffle; a global
+    (unpartitioned) sweep would two-phase like the skyline — per-range
+    sums + broadcast prefix offsets."""
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("kind"),
+        F.lit(1).alias("delta"), "event_id",
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("t"),
+        F.lit(0).alias("kind"), F.lit(-1).alias("delta"), "event_id",
+    )
+    b = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = b.select("event_type", "t", F.sum("delta").over(w).alias("open_n"))
+    mx = r.groupBy("event_type").agg(
+        F.max("open_n").alias("max_concurrent")
+    )
+    return (
+        r.join(F.broadcast(mx), ["event_type"])
+        .filter(F.col("open_n") == F.col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(F.min("t").alias("first_peak_at"))
+        .select("event_type", "max_concurrent", "first_peak_at")
+        .orderBy("event_type")
+    )
