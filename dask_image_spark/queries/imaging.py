@@ -9,6 +9,7 @@ engine and oracle cannot drift on edge semantics or kernel weights.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_image_spark.functions import kernels as K
@@ -974,3 +975,63 @@ def affine_order1_3d(spark, sf_dir):
         px3, (0.7, 0.7, 0.7), (2.5, 1.25, 3.75), (_VOL, _VOL, _VOL)
     )
     return out.select("z", "y", "x", _eps_round("v", 4).alias("v"))
+
+
+@register(
+    "image_hist_equalize",
+    with_pixel_ctes(
+        """
+        SELECT m.lvl_out, CAST(SUM(m.cnt) AS BIGINT) AS n_px,
+               CAST(MIN(m.lvl) AS INT) AS min_lvl_in,
+               CAST(MAX(m.lvl) AS INT) AS max_lvl_in
+        FROM (
+          SELECT lvl, cnt,
+                 CAST(ROUND(255.0 * cum / tot + 1.2345e-8) AS INT) AS lvl_out
+          FROM (
+            SELECT lvl, cnt,
+                   SUM(cnt) OVER (ORDER BY lvl ROWS UNBOUNDED PRECEDING)
+                     AS cum,
+                   SUM(cnt) OVER () AS tot
+            FROM (SELECT CAST(FLOOR(value) AS BIGINT) % 256 AS lvl,
+                         COUNT(*) AS cnt
+                  FROM pixels GROUP BY 1) h) c) m
+        GROUP BY m.lvl_out
+        ORDER BY m.lvl_out
+        """
+    ),
+    tags=("imaging", "histogram", "pointwise"),
+)
+def image_hist_equalize(spark, sf_dir):
+    """HISTOGRAM EQUALIZATION — the global contrast-stretch pointwise
+    transform (skimage ``equalize_hist`` made discrete): quantize pixels
+    to 256 gray levels, build the level histogram, map each level
+    through the cumulative distribution (``255·cdf``), and report the
+    REMAPPED histogram with each output bin's input-level span. Scale
+    shape: the histogram is ONE partial-agg groupBy (≤256 groups
+    regardless of image size), the CDF window runs over that 256-row
+    LEVEL DOMAIN — not the image — and the per-pixel remap would be a
+    broadcast-joined map-side lookup; this is the canonical
+    small-state/pointwise image op, the opposite pole from the stencils."""
+    px = pixel_grid(spark, sf_dir)
+    h = px.select(
+        (F.floor("value").cast("bigint") % 256).alias("lvl")
+    ).groupBy("lvl").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = h.select(
+        "lvl", "cnt",
+        _eps_round(
+            255.0 * F.sum("cnt").over(w_cum) / F.sum("cnt").over(w_all), 0
+        ).cast("int").alias("lvl_out"),
+    )
+    return (
+        m.groupBy("lvl_out")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_px"),
+            F.min("lvl").cast("int").alias("min_lvl_in"),
+            F.max("lvl").cast("int").alias("max_lvl_in"),
+        )
+        .orderBy("lvl_out")
+    )

@@ -866,3 +866,60 @@ def max_concurrent_sessions(spark, sf_dir):
         .select("event_type", "max_concurrent", "first_peak_at")
         .orderBy("event_type")
     )
+
+
+@register(
+    "longest_streak",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events),
+    isl AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM d),
+    runs AS (
+      SELECT user_id, island, COUNT(*) AS run_len
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries", "gaps-islands", "streak"),
+)
+def longest_streak(spark, sf_dir):
+    """Longest consecutive-day activity STREAK per user — the
+    gaps-and-islands pattern (retention/engagement features,
+    Duolingo-style streaks): distinct active days, then the classic
+    ``day − ROW_NUMBER()`` trick turns every maximal consecutive run
+    into one constant island key, so runs fall out of a plain groupBy —
+    no self-join, no iterative expansion. Scale shape: everything after
+    the distinct runs on ONE user_id partitioning (window and both
+    aggregates share it); days are arithmetic epoch-day indices so both
+    engines bucket identically."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.select(
+        "user_id", "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_active_days"),
+            F.max("run_len").cast("long").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
