@@ -127,3 +127,45 @@ def test_islands_trick_equals_run_scan(days):
         longest = max(longest, cur)
     assert max(len(v) for v in islands.values()) == longest
     assert sum(len(v) for v in islands.values()) == len(days)
+
+
+# ---- Separable L1 distance transform == brute-force nearest search ---------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(2, 12), st.integers(2, 12),
+    st.sets(st.integers(0, 143), min_size=1, max_size=30),
+)
+def test_l1_dt_separable_equals_bruteforce(h, w, mask_cells):
+    import numpy as np
+
+    mask = np.zeros((h, w), dtype=bool)
+    any_set = False
+    for c in mask_cells:
+        y, x = c // 12, c % 12
+        if y < h and x < w:
+            mask[y, x] = True
+            any_set = True
+    if not any_set:
+        mask[0, 0] = True
+    INF = 1 << 20
+    g = np.where(mask, 0, INF)
+    xs = np.arange(w)
+    # row pass: the two running-min frames
+    dr = np.minimum(
+        np.minimum.accumulate(g - xs, axis=1) + xs,
+        np.minimum.accumulate((g + xs)[:, ::-1], axis=1)[:, ::-1] - xs,
+    )
+    ys = np.arange(h)[:, None]
+    dt = np.minimum(
+        np.minimum.accumulate(dr - ys, axis=0) + ys,
+        np.minimum.accumulate((dr + ys)[::-1, :], axis=0)[::-1, :] - ys,
+    )
+    # brute force
+    my, mx = np.nonzero(mask)
+    brute = np.min(
+        np.abs(np.arange(h)[:, None, None] - my)
+        + np.abs(np.arange(w)[None, :, None] - mx),
+        axis=2,
+    )
+    assert (dt == brute).all()
