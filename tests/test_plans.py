@@ -474,3 +474,27 @@ def test_join_salted_skew_spreads_hot_key(spark, sf_dir):
     # the formatted detail section lists the join keys: salt must be one
     assert "Left keys" in plan and "salt" in plan[plan.index("Left keys"):][:200], plan[:2500]
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skyline_is_pure_window_no_join(spark, sf_dir):
+    """The scan-line skyline must contain NO join at all — the quadratic
+    dominance join is exactly what the reformulation eliminates."""
+    plan = _plan(spark, sf_dir, "pareto_skyline_brand")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert bad not in plan, f"skyline plan grew a {bad}:\n{plan[:2000]}"
+    assert "Window" in plan
+
+
+def test_distance_transform_is_two_window_sorts(spark, sf_dir):
+    """The separable L1 transform must be window frames over two sorted
+    partitionings — never a pixels x mask nearest-neighbor join."""
+    plan = _plan(spark, sf_dir, "distance_transform_l1")
+    for bad in ("SortMergeJoin", "CartesianProduct", "ShuffledHashJoin"):
+        assert bad not in plan, f"DT plan grew a {bad}:\n{plan[:2000]}"
+    # the only nested-loop allowed is mask_grid's 1-ROW threshold
+    # broadcast (the documented correct scalar plan) — one occurrence in
+    # the tree, never a pixels x mask pair join
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    assert plan.count("Window") >= 2
