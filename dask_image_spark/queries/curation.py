@@ -1388,3 +1388,86 @@ def quality_entropy(spark, sf_dir):
         _eps_round("h", 4).alias("entropy"),
         (F.col("h") >= 3.0).alias("keep"),
     )
+
+
+@register(
+    "emd_source_drift",
+    """
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS nt
+      FROM documents WHERE text IS NOT NULL),
+    dom AS (SELECT DISTINCT nt FROM d),
+    src AS (SELECT DISTINCT source FROM d),
+    per_src AS (
+      SELECT s.source, dom.nt, COUNT(d.nt) AS c
+      FROM src s CROSS JOIN dom
+      LEFT JOIN d ON d.source = s.source AND d.nt = dom.nt
+      GROUP BY s.source, dom.nt),
+    tot AS (SELECT source, SUM(c) AS n FROM per_src GROUP BY source),
+    corpus AS (SELECT nt, COUNT(*) AS cc FROM d GROUP BY nt),
+    ctot AS (SELECT SUM(cc) AS cn FROM corpus),
+    cdf AS (
+      SELECT p.source, p.nt,
+             SUM(p.c) OVER (PARTITION BY p.source ORDER BY p.nt
+                            ROWS UNBOUNDED PRECEDING)
+               / CAST(tot.n AS DOUBLE) AS f_src,
+             SUM(corpus.cc) OVER (PARTITION BY p.source ORDER BY p.nt
+                                  ROWS UNBOUNDED PRECEDING)
+               / CAST(ctot.cn AS DOUBLE) AS f_corpus
+      FROM per_src p
+      JOIN tot ON tot.source = p.source
+      JOIN corpus ON corpus.nt = p.nt
+      CROSS JOIN ctot)
+    SELECT source,
+           ROUND(1.2345e-8 + SUM(ABS(f_src - f_corpus)), 4) AS emd
+    FROM cdf GROUP BY source ORDER BY source
+    """,
+    tags=("curation", "drift", "emd"),
+)
+def emd_source_drift(spark, sf_dir):
+    """1-D EARTH MOVER'S DISTANCE per source vs the corpus — the
+    distribution-shift metric that, unlike KL (`kl_source_drift`), is
+    finite on disjoint supports and respects the metric structure of the
+    domain (shifting mass by 1 token costs 1): for 1-D distributions,
+    EMD = Σ|CDF_src − CDF_corpus| over the value domain (the closed form
+    of optimal transport on the line). Each source's histogram is
+    aligned onto the SHARED token-count domain (dense grid via the
+    domain×source cross of two tiny distinct sets, zero-filled), then
+    one cumulative-sum window per source and a 1-row-per-source rollup.
+    Scale shape: histograms are partial-agg groupBys (domain-sized, not
+    corpus-sized); the CDF windows run over the |domain| rows per
+    source; nothing corpus-scale ever sorts."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("source", F.size(F.split("text", " ")).alias("nt"))
+    dom = d.select("nt").distinct()
+    src = d.select("source").distinct()
+    counts = d.groupBy("source", "nt").agg(F.count(F.lit(1)).alias("c"))
+    per_src = (
+        src.crossJoin(F.broadcast(dom))
+        .join(counts, ["source", "nt"], "left")
+        .select("source", "nt", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    tot = per_src.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = d.groupBy("nt").agg(F.count(F.lit(1)).alias("cc"))
+    ctot = corpus.agg(F.sum("cc").alias("cn"))
+    w = Window.partitionBy("source").orderBy("nt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = (
+        per_src.join(F.broadcast(tot), "source")
+        .join(F.broadcast(corpus), "nt")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source", "nt",
+            (F.sum("c").over(w) / F.col("n").cast("double")).alias("f_src"),
+            (F.sum("cc").over(w) / F.col("cn").cast("double")).alias(
+                "f_corpus"
+            ),
+        )
+    )
+    return (
+        cdf.groupBy("source")
+        .agg(_eps_round(F.sum(F.abs(F.col("f_src") - F.col("f_corpus"))), 4).alias("emd"))
+        .orderBy("source")
+    )

@@ -1099,3 +1099,74 @@ def distance_transform_l1(spark, sf_dir):
             F.min(F.col("dr") + F.col("y")).over(bwd_y) - F.col("y"),
         ).cast("int").alias("dist"),
     )
+
+
+@register(
+    "measure_perimeter",
+    with_pixel_ctes(
+        """
+        SELECT label, CAST(SUM(exposed) AS BIGINT) AS perimeter,
+               CAST(COUNT(*) AS BIGINT) AS area
+        FROM nb GROUP BY label ORDER BY label
+        """,
+        extra=[
+            """nb AS (
+          SELECT l.label, l.y, l.x,
+                 (CASE WHEN ly.label IS NULL OR ly.label <> l.label
+                       THEN 1 ELSE 0 END
+                + CASE WHEN ry.label IS NULL OR ry.label <> l.label
+                       THEN 1 ELSE 0 END
+                + CASE WHEN lx.label IS NULL OR lx.label <> l.label
+                       THEN 1 ELSE 0 END
+                + CASE WHEN rx.label IS NULL OR rx.label <> l.label
+                       THEN 1 ELSE 0 END) AS exposed
+          FROM labeled l
+          LEFT JOIN labeled ly ON ly.y = l.y - 1 AND ly.x = l.x
+          LEFT JOIN labeled ry ON ry.y = l.y + 1 AND ry.x = l.x
+          LEFT JOIN labeled lx ON lx.y = l.y AND lx.x = l.x - 1
+          LEFT JOIN labeled rx ON rx.y = l.y AND rx.x = l.x + 1)"""
+        ],
+    ),
+    tags=("imaging", "ndmeasure", "window"),
+)
+def measure_perimeter(spark, sf_dir):
+    """Per-label PERIMETER (4-connectivity exposed-edge count — the
+    regionprops measure upstream's ndmeasure family stops short of;
+    perimeter/area feeds shape descriptors like compactness): a pixel
+    edge counts when its 4-neighbor has a DIFFERENT label or lies
+    outside the grid. The engine computes neighbor labels with LAG/LEAD
+    over one sort per axis (partition by y order x, then partition by x
+    order y — the distance-transform pattern: dense-grid adjacency is
+    ORDER, not a join), then one grouped sum; the oracle uses the
+    definitional four shifted self-joins. Two window sorts + one
+    aggregate vs 4× self-join fan-out — the same reformulation win at
+    any image size."""
+    from dask_image_spark.functions.pixelgrid import labeled_grid
+
+    lb = labeled_grid(spark, sf_dir)
+    wx = Window.partitionBy("y").orderBy("x")
+    wy = Window.partitionBy("x").orderBy("y")
+
+    def exposed(neigh):
+        return F.when(neigh.isNull() | (neigh != F.col("label")), 1).otherwise(0)
+
+    along_x = lb.select(
+        "label", "y", "x",
+        (exposed(F.lag("label").over(wx)) + exposed(F.lead("label").over(wx))).alias("ex_x"),
+    )
+    both = along_x.select(
+        "label", "y", "x",
+        (
+            F.col("ex_x")
+            + exposed(F.lag("label").over(wy))
+            + exposed(F.lead("label").over(wy))
+        ).alias("exposed"),
+    )
+    return (
+        both.groupBy("label")
+        .agg(
+            F.sum("exposed").cast("long").alias("perimeter"),
+            F.count(F.lit(1)).alias("area"),
+        )
+        .orderBy("label")
+    )
