@@ -923,3 +923,252 @@ def longest_streak(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ohlc_bars",
+    """
+    WITH b AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT day, event_type,
+           ROUND(1.2345e-8 + MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           ROUND(1.2345e-8 + MAX(value), 4) AS high,
+           ROUND(1.2345e-8 + MIN(value), 4) AS low,
+           ROUND(1.2345e-8 + MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           ROUND(1.2345e-8 + SUM(value), 4) AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM b GROUP BY day, event_type ORDER BY day, event_type
+    """,
+    tags=("timeseries", "resample", "ohlc"),
+)
+def ohlc_bars(spark, sf_dir):
+    """Daily OHLC (open/high/low/close) resampling bars per event_type —
+    the canonical order-sensitive downsample (candlesticks, telemetry
+    first/last-reading rollups). Open/close are the FIRST/LAST value by
+    (ts, event_id), fetched with the struct-min trick — ``MIN(STRUCT(ts,
+    event_id, value))`` — so the whole bar is ONE hash aggregate with
+    map-side partial merge (structs compare lexicographically and min/max
+    of structs is associative), not a window sort followed by a groupBy.
+    The oracle replays the same bar with ROW_NUMBER windows, which is the
+    slow formulation the aggregate form replaces. Scale shape: a single
+    shuffle on (day, event_type); at 100 TB the partial aggregation means
+    each map task emits one candidate struct per (day, type), so the
+    shuffle volume is the number of bars, not the number of events."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type", "ts", "event_id", "value",
+    )
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        g.groupBy("day", "event_type")
+        .agg(
+            _eps_round(first_s.getField("value"), 4).alias("open"),
+            _eps_round(F.max("value"), 4).alias("high"),
+            _eps_round(F.min("value"), 4).alias("low"),
+            _eps_round(last_s.getField("value"), 4).alias("close"),
+            _eps_round(F.sum("value"), 4).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# Survival fixture: time-to-first-'error' event per user, in HOURS from
+# the user's first event. Users who never error are right-censored at
+# their last event. (An absolute-calendar censor horizon was tried first
+# and was vacuous: with ~67 events/user/month every user is active in the
+# final days, so a "still active at window end" definition censors ~all
+# users and the curve has zero death rows.) Integer-microsecond
+# arithmetic, identical on both engines.
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "survival_km",
+    f"""
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1,
+             MIN(CASE WHEN event_type = 'error' THEN ts END) AS te
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT user_id,
+             CAST((epoch_us(COALESCE(te, t1)) - epoch_us(t0))
+                  // {_HOUR_US} AS BIGINT) AS dur,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM u),
+    t AS (
+      SELECT dur, SUM(observed) AS deaths, COUNT(*) AS n_users
+      FROM d GROUP BY dur),
+    rs AS (
+      SELECT dur, deaths,
+             SUM(n_users) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+      FROM t),
+    km AS (
+      SELECT dur, deaths, at_risk,
+             CASE WHEN MIN(at_risk - deaths) OVER w = 0 THEN 0.0
+                  ELSE EXP(SUM(LN(CASE WHEN at_risk = deaths THEN 1.0
+                                       ELSE 1.0 - CAST(deaths AS DOUBLE)
+                                                  / at_risk END)) OVER w)
+             END AS s
+      FROM rs
+      WINDOW w AS (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(dur AS BIGINT) AS dur_hours, CAST(deaths AS BIGINT) AS deaths,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           ROUND(1.2345e-8 + s, 4) AS survival
+    FROM km WHERE deaths > 0 ORDER BY dur_hours
+    """,
+    tags=("timeseries", "survival", "stats"),
+)
+def survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-first-'error' per user
+    (hours from the user's first event), right-censoring users who never
+    error at their last event — the time-to-event estimator
+    (churn, time-to-conversion, incident recurrence). At each death time
+    t: at_risk = users whose duration >= t (a DESCENDING cumulative
+    count over the duration domain), S(t) = prod(1 - d/n) computed as
+    EXP(SUM(LN(...))) so the running product is a window aggregate; the
+    d = n full-depletion edge is handled by an explicit MIN-guard
+    (Spark's ln(0) is NULL while DuckDB's raises, so neither native
+    behavior is portable). Scale shape: the per-user collapse is the
+    only event-scale shuffle; the curve windows run over the
+    DISTINCT-HOUR domain (bounded by the calendar window, ~720 rows),
+    so the unpartitioned windows are bounded by calendar size, not data
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("te"),
+    )
+    d = u.select(
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("te", "t1")) - F.unix_micros("t0")
+            )
+            / F.lit(_HOUR_US)
+        ).cast("long").alias("dur"),
+        F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    t = d.groupBy("dur").agg(
+        F.sum("observed").alias("deaths"), F.count(F.lit(1)).alias("n_users")
+    )
+    w_desc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rs = t.select(
+        "dur", "deaths", F.sum("n_users").over(w_desc).alias("at_risk")
+    )
+    w_asc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    ln_term = F.log(
+        F.when(F.col("at_risk") == F.col("deaths"), F.lit(1.0)).otherwise(
+            F.lit(1.0) - F.col("deaths").cast("double") / F.col("at_risk")
+        )
+    )
+    km = rs.select(
+        "dur", "deaths", "at_risk",
+        F.when(
+            F.min(F.col("at_risk") - F.col("deaths")).over(w_asc) == 0,
+            F.lit(0.0),
+        ).otherwise(F.exp(F.sum(ln_term).over(w_asc))).alias("s"),
+    )
+    return (
+        km.filter(F.col("deaths") > 0)
+        .select(
+            F.col("dur").cast("long").alias("dur_hours"),
+            F.col("deaths").cast("long").alias("deaths"),
+            F.col("at_risk").cast("long").alias("at_risk"),
+            _eps_round("s", 4).alias("survival"),
+        )
+        .orderBy("dur_hours")
+    )
+
+
+@register(
+    "cusum_changepoint",
+    """
+    WITH s AS (
+      SELECT event_type, ts, event_id, value,
+             ROUND(1.2345e-8 + AVG(value) OVER (PARTITION BY event_type), 6)
+               AS mu,
+             STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS k
+      FROM events),
+    c AS (
+      SELECT event_type, ts, k, n, sd,
+             SUM(value - mu) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k
+      FROM s),
+    m AS (
+      SELECT event_type, ts, k,
+             ABS(s_k) / (sd * SQRT(n)) AS stat,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(s_k) DESC, k ASC) AS rn
+      FROM c)
+    SELECT event_type, CAST(k AS BIGINT) AS cp_index, ts AS cp_ts,
+           ROUND(1.2345e-8 + stat, 4) AS stat
+    FROM m WHERE rn = 1 ORDER BY event_type
+    """,
+    tags=("timeseries", "changepoint", "stats"),
+)
+def cusum_changepoint(spark, sf_dir):
+    """Offline CUSUM changepoint estimate per event_type (Page's test in
+    its Brownian-bridge form): with mean-centered prefix sums S_k, the
+    changepoint is argmax_k |S_k| and the statistic is
+    max|S_k| / (sigma * sqrt(n)) — the drift-monitoring primitive a
+    training-data pipeline runs over ingest metrics before a source flips
+    quality. Determinism across engines: the partition mean is rounded to
+    6 decimals FIRST (both engines), so every prefix sum is the same
+    left-to-right IEEE addition chain bitwise and the argmax tie-break
+    (smallest k) can never flip on a last-ulp difference; sigma only
+    scales the (4-decimal-rounded) statistic. Scale shape: one shuffle on
+    event_type shared by all four windows (same partition spec), one
+    in-partition sort; no self-join, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", "ts", "event_id", "value",
+        _eps_round(F.avg("value").over(wp), 6).alias("mu"),
+        F.stddev_pop("value").over(wp).alias("sd"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number().over(wo).alias("k"),
+    )
+    c = s.select(
+        "event_type", "ts", "k", "n", "sd",
+        F.sum(F.col("value") - F.col("mu"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s_k"),
+    )
+    wa = Window.partitionBy("event_type").orderBy(
+        F.abs("s_k").desc(), F.col("k").asc()
+    )
+    m = c.select(
+        "event_type", "ts", "k",
+        (F.abs("s_k") / (F.col("sd") * F.sqrt("n"))).alias("stat"),
+        F.row_number().over(wa).alias("rn"),
+    )
+    return (
+        m.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("cp_index"),
+            F.col("ts").alias("cp_ts"),
+            _eps_round("stat", 4).alias("stat"),
+        )
+        .orderBy("event_type")
+    )
