@@ -2946,3 +2946,93 @@ def video_scene_cuts(spark, sf_dir):
         )
         .orderBy("clip", "frame")
     )
+
+
+# Edit-distance near-dup fixture: every 53rd doc is cloned above the id
+# range with ONE substituted character at position 9 (levenshtein distance
+# exactly 1), so the graded result is provably nonzero — the same
+# contract-level injection pattern as _DUP_AUG_SQL / fuzzy_join_tokens.
+# The typo sits at position 9 so the 8-char blocking prefix still matches.
+_LEV_STRIDE = 53
+_LEV_OFFSET = 20_000_000
+
+_LEV_AUG_SQL = f"""
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + {_LEV_OFFSET} AS doc_id,
+             substr(text, 1, 8) || '#' || substr(text, 10) AS text
+      FROM documents
+      WHERE doc_id % {_LEV_STRIDE} = 0 AND text IS NOT NULL
+        AND length(text) >= 12
+"""
+
+
+@register(
+    "dedup_levenshtein",
+    f"""
+    WITH aug AS ({_LEV_AUG_SQL})
+    SELECT a.doc_id AS keep_id, b.doc_id AS dup_id,
+           CAST(levenshtein(substr(a.text, 1, 48),
+                            substr(b.text, 1, 48)) AS INT) AS dist
+    FROM aug a JOIN aug b
+      ON substr(a.text, 1, 8) = substr(b.text, 1, 8)
+     AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 2
+    WHERE levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) <= 2
+    ORDER BY keep_id, dup_id
+    """,
+    tags=("pipeline", "dedup", "levenshtein"),
+)
+def dedup_levenshtein(spark, sf_dir):
+    """Edit-distance near-duplicate pairs (levenshtein <= 2 on the first
+    48 chars) with PREFIX BLOCKING — the OCR-noise / typo-variant dedup
+    pass that hash dedup misses and MinHash over-reaches for (shingle
+    similarity stays high under many scattered single-char edits, but
+    bounded edit distance is the contract OCR dedup actually wants).
+    Candidates are generated only inside equal-8-char-prefix blocks
+    (a self equi-join — never an all-pairs cross join), pre-filtered by
+    the |len(a)-len(b)| <= 2 bound implied by distance <= 2, and the
+    O(48^2) DP runs only on surviving candidates, JVM-side
+    (``F.levenshtein``). Runs over the typo-injected corpus (see
+    ``_LEV_AUG_SQL``) so the graded result is provably nonzero. Scale
+    shape: one shuffle on the block key; block width is the
+    precision/recall knob exactly as in ``fuzzy_join_tokens`` (8 chars →
+    bounded buckets here; at 100 TB you widen the prefix or add a length
+    band to the key, trading recall for bucket size)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("text").isNotNull())
+    clones = base.filter(
+        (F.col("doc_id") % _LEV_STRIDE == 0) & (F.length("text") >= 12)
+    ).select(
+        (F.col("doc_id") + _LEV_OFFSET).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 8), F.lit("#"), F.expr("substring(text, 10)")
+        ).alias("text"),
+    )
+    aug = base.unionByName(clones).select(
+        "doc_id", "text",
+        F.substring("text", 1, 8).alias("blk"),
+        F.length("text").alias("ln"),
+        F.substring("text", 1, 48).alias("head"),
+    )
+    a = aug.select(
+        F.col("doc_id").alias("keep_id"), F.col("blk"),
+        F.col("ln").alias("ln_a"), F.col("head").alias("head_a"),
+    )
+    b = aug.select(
+        F.col("doc_id").alias("dup_id"), F.col("blk"),
+        F.col("ln").alias("ln_b"), F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("keep_id") < F.col("dup_id"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2)
+        )
+        .select(
+            "keep_id", "dup_id",
+            F.levenshtein("head_a", "head_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("keep_id", "dup_id")
+    )

@@ -791,3 +791,73 @@ def tree_depth_doubling(spark, sf_dir):
         )
         .orderBy("depth")
     )
+
+
+@register(
+    "bfs_3hop",
+    f"""
+    WITH RECURSIVE
+    nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    reach(doc_id, dist) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, r.dist + 1
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+      WHERE r.dist < 3)
+    SELECT doc_id, CAST(MIN(dist) AS INT) AS dist
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("ranking", "graph", "bfs"),
+)
+def bfs_3hop(spark, sf_dir):
+    """Single-source BFS shortest hop-distance, bounded at 3 hops, over
+    the same deterministic 3-out-regular link graph as ``pagerank_2iter``
+    — the k-hop neighborhood expansion (crawl frontier scheduling, account
+    link-fraud rings, citation radius). Frontier-iterative form: each hop
+    joins ONLY the newest frontier (not the whole visited set) against the
+    edge list, then an anti-join drops already-visited nodes, so per-hop
+    work is O(frontier out-degree) — the delta-iteration shape Pregel/
+    GraphX use, which is why it survives billion-edge graphs while the
+    oracle's recursive CTE (which re-derives every path) is exponential in
+    the hop bound. Visited stays small (<= nodes); at cluster scale both
+    sides of the per-hop join hash-partition on the node id, and the
+    3-hop unroll is a fixed 3-stage plan with no driver-side loop state
+    beyond plan construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("src"),
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            "src",
+            F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
+        )
+    )
+    visited = docs.filter(F.col("doc_id") == 0).select(
+        "doc_id", F.lit(0).alias("dist")
+    )
+    frontier = visited
+    for hop in (1, 2, 3):
+        reached = (
+            edges.join(
+                frontier.select(F.col("doc_id").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+        )
+        frontier = reached.join(visited, "doc_id", "left_anti").select(
+            "doc_id", F.lit(hop).alias("dist")
+        )
+        visited = visited.unionByName(frontier)
+    return visited.select(
+        "doc_id", F.col("dist").cast("int").alias("dist")
+    ).orderBy("doc_id")

@@ -3044,3 +3044,81 @@ def pareto_skyline_brand(spark, sf_dir):
         )
         .orderBy("p_brand", "p_partkey")
     )
+
+
+@register(
+    "chisq_independence",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS bucket,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    rowt AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+    colt AS (SELECT bucket, SUM(o) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    ex AS (
+      SELECT c.o, CAST(r.rt AS DOUBLE) * ct.ct / t.n AS e
+      FROM cells c
+      JOIN rowt r USING (event_type)
+      JOIN colt ct USING (bucket)
+      CROSS JOIN tot t)
+    SELECT ROUND(1.2345e-8 + SUM((o - e) * (o - e) / e), 4) AS chi2,
+           CAST((SELECT COUNT(*) - 1 FROM rowt)
+                * (SELECT COUNT(*) - 1 FROM colt) AS BIGINT) AS dof,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n
+    FROM ex
+    """,
+    tags=("relational", "stats", "chisq"),
+)
+def chisq_independence(spark, sf_dir):
+    """Pearson chi-square test of independence between event_type and a
+    value bucket (>= 50) — the contingency-table screen a feature
+    pipeline runs to decide whether a categorical column carries signal
+    about a target before paying for it (feature selection, drift
+    guards; the two-sample complement of ``abtest_conversion_z``).
+    chi2 = sum (O-E)^2/E with E = row_total * col_total / N. Scale
+    shape: ONE map-side-combinable groupBy over the fact table collapses
+    100 TB to |types| x |buckets| cells; the marginals and the statistic
+    are derived from those cells alone (re-aggregation of a tiny frame,
+    broadcast joins), so no second pass over the data. Cell counts are
+    exact integers in both engines, so E is the same IEEE division and
+    only the final 10-term sum needs the EPS-rounding policy."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.when(F.col("value") >= 50, "hi").otherwise("lo").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colt = cells.groupBy("bucket").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    ndof = (
+        rowt.agg((F.count(F.lit(1)) - 1).alias("r1"))
+        .crossJoin(colt.agg((F.count(F.lit(1)) - 1).alias("c1")))
+        .select((F.col("r1") * F.col("c1")).cast("long").alias("dof"))
+    )
+    ex = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    return (
+        ex.groupBy("n")
+        .agg(
+            _eps_round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                4,
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(ndof))
+        .select("chi2", "dof", F.col("n").cast("long").alias("n"))
+    )
