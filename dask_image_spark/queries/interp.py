@@ -759,6 +759,51 @@ def label_cc_8conn_q(spark, sf_dir):
     return label_cc.label(m, SHAPE, structure=np.ones((3, 3)))
 
 
+_RSO_MIN_SIZE = 20
+
+_REMOVE_SMALL_ORACLE = (
+    _LABEL_CC_ORACLE.replace(
+        "SELECT f.y, f.x, c.label FROM fg f JOIN comp c ON c.id = f.id",
+        f"""big AS (SELECT label FROM comp GROUP BY label
+        HAVING COUNT(*) >= {_RSO_MIN_SIZE})
+SELECT f.y, f.x, c.label FROM fg f
+JOIN comp c ON c.id = f.id JOIN big b ON b.label = c.label
+ORDER BY f.y, f.x""",
+    ).replace(
+        "comp AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src)",
+        "comp AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src),",
+    )
+)
+
+
+@register(
+    "remove_small_objects", _REMOVE_SMALL_ORACLE,
+    tags=("imaging", "ndmeasure", "label", "morphology"),
+)
+def remove_small_objects_q(spark, sf_dir):
+    """Remove connected components smaller than ``min_size=20`` pixels —
+    skimage's ``morphology.remove_small_objects`` as the canonical
+    label->area->gate composition over the distributed CC labeling
+    (speckle/noise suppression before per-object measurement; upstream
+    dask-image users compose ``ndmeasure.label`` + ``ndmeasure.area`` +
+    a mask for exactly this). Scale shape: the labeling's block/merge
+    stages dominate; the area gate is ONE map-side-combinable groupBy on
+    the label column plus a broadcast-sized semi-join back (the surviving
+    label set is tiny by construction — it's the large components), so
+    the gate adds no event-scale shuffle beyond the labeling itself."""
+    m = mask_grid(spark, sf_dir)
+    lab = label_cc.label(m, SHAPE)
+    big = (
+        lab.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("area"))
+        .filter(F.col("area") >= _RSO_MIN_SIZE)
+        .select("label")
+    )
+    return lab.join(F.broadcast(big), "label").select(
+        "y", "x", "label"
+    ).orderBy("y", "x")
+
+
 from dask_image_spark.queries.imaging import _BOX3, _linear_oracle  # noqa: E402
 
 

@@ -1172,3 +1172,67 @@ def cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# Trailing FIR smoother: truncated EMA with alpha = 0.3 over the last 8
+# events per user. The tap weights are generated ONCE here and formatted
+# into BOTH the oracle SQL and the Spark builder, so the kernel cannot
+# drift between the two sides; taps are summed in fixed k-ascending order
+# on both engines (left-associative addition), so the float chains are
+# bitwise identical before the final rounding.
+_FIR_ALPHA = 0.3
+_FIR_TAPS = [round(_FIR_ALPHA * (1 - _FIR_ALPHA) ** k, 12) for k in range(8)]
+
+
+def _fir_sql() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(LAG(value, {k}) OVER w * {wk!r}, 0.0)"
+        for k, wk in enumerate(_FIR_TAPS)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(value, {k}) OVER w IS NULL THEN 0.0 ELSE {wk!r} END"
+        for k, wk in enumerate(_FIR_TAPS)
+    )
+    return num, den
+
+
+_FIR_NUM, _FIR_DEN = _fir_sql()
+
+
+@register(
+    "fir_smooth_8tap",
+    f"""
+    SELECT event_id, user_id,
+           ROUND(1.2345e-8 + ({_FIR_NUM}) / ({_FIR_DEN}), 4) AS smooth
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+    tags=("timeseries", "window", "smoothing"),
+)
+def fir_smooth_8tap(spark, sf_dir):
+    """Per-event exponentially-weighted smoothing as an 8-tap trailing FIR
+    filter (truncated EMA, alpha = 0.3, weights renormalized over the taps
+    actually available near the partition head) — the per-reading noise
+    filter for sensor/metric streams. The textbook recursive EMA
+    (s_i = a*x_i + (1-a)*s_{{i-1}}) is NOT window-expressible and its
+    prefix-product linearization overflows at sequence length (the
+    (1-a)^-i rescaling explodes), so the truncation IS the scale-safe
+    reformulation: 0.7^8 < 6% residual mass, constant per-row work, and
+    all 16 LAG terms share ONE (user_id, ts) window sort — one shuffle,
+    no self-join, no recursion. Both engines evaluate the identical
+    fixed-order tap sum, so the result is bitwise-stable before
+    rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k, wk in enumerate(_FIR_TAPS):
+        lagv = F.lag("value", k).over(w)
+        t = F.coalesce(lagv * F.lit(wk), F.lit(0.0))
+        d = F.when(lagv.isNull(), F.lit(0.0)).otherwise(F.lit(wk))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return ev.select(
+        "event_id", "user_id", _eps_round(num / den, 4).alias("smooth")
+    ).orderBy("event_id")
