@@ -828,9 +828,15 @@ def bfs_3hop(spark, sf_dir):
     sides of the per-hop join hash-partition on the node id, and the
     3-hop unroll is a fixed 3-stage plan with no driver-side loop state
     beyond plan construction."""
+    from dask_image_spark.queries.base import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     cnt = docs.agg(F.count(F.lit(1)).alias("n"))
-    edges = (
+    # Persisted because every hop references it: the cached edge list is
+    # scanned per hop instead of Catalyst splicing a fresh derivation
+    # subtree into each iteration — the "partition the edges once, reuse
+    # every iteration" posture shared with pagerank_2iter.
+    edges = persist_tracked(
         docs.crossJoin(F.broadcast(cnt))
         .select(
             F.col("doc_id").alias("src"),

@@ -3084,8 +3084,13 @@ def chisq_independence(spark, sf_dir):
     broadcast joins), so no second pass over the data. Cell counts are
     exact integers in both engines, so E is the same IEEE division and
     only the final 10-term sum needs the EPS-rounding policy."""
+    from dask_image_spark.queries.base import persist_tracked
+
     ev = load_table(spark, sf_dir, "events")
-    cells = (
+    # The cells frame (|types| x |buckets| rows) feeds four derivations;
+    # persisting it pins the plan to ONE scan of the fact parquet —
+    # without it Catalyst re-derives the event-scale aggregate per branch.
+    cells = persist_tracked(
         ev.select(
             "event_type",
             F.when(F.col("value") >= 50, "hi").otherwise("lo").alias("bucket"),

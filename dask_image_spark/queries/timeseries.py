@@ -930,17 +930,14 @@ def longest_streak(spark, sf_dir):
     """
     WITH b AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             event_type, ts, event_id, value,
-             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
-                                ORDER BY ts, event_id) AS rn_a,
-             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
-                                ORDER BY ts DESC, event_id DESC) AS rn_d
+             event_type, value,
+             CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id AS ord
       FROM events)
     SELECT day, event_type,
-           ROUND(1.2345e-8 + MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           ROUND(1.2345e-8 + arg_min(value, ord), 4) AS open,
            ROUND(1.2345e-8 + MAX(value), 4) AS high,
            ROUND(1.2345e-8 + MIN(value), 4) AS low,
-           ROUND(1.2345e-8 + MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           ROUND(1.2345e-8 + arg_max(value, ord), 4) AS close,
            ROUND(1.2345e-8 + SUM(value), 4) AS volume,
            CAST(COUNT(*) AS BIGINT) AS n_trades
     FROM b GROUP BY day, event_type ORDER BY day, event_type
@@ -950,30 +947,35 @@ def longest_streak(spark, sf_dir):
 def ohlc_bars(spark, sf_dir):
     """Daily OHLC (open/high/low/close) resampling bars per event_type —
     the canonical order-sensitive downsample (candlesticks, telemetry
-    first/last-reading rollups). Open/close are the FIRST/LAST value by
-    (ts, event_id), fetched with the struct-min trick — ``MIN(STRUCT(ts,
-    event_id, value))`` — so the whole bar is ONE hash aggregate with
-    map-side partial merge (structs compare lexicographically and min/max
-    of structs is associative), not a window sort followed by a groupBy.
-    The oracle replays the same bar with ROW_NUMBER windows, which is the
-    slow formulation the aggregate form replaces. Scale shape: a single
-    shuffle on (day, event_type); at 100 TB the partial aggregation means
-    each map task emits one candidate struct per (day, type), so the
-    shuffle volume is the number of bars, not the number of events."""
+    first/last-reading rollups). Open/close are the FIRST/LAST value in
+    (ts, event_id) order via ``min_by``/``max_by`` over a fixed-width
+    zero-padded "epoch_us || event_id" string key: order-isomorphic to
+    the (ts, event_id) tuple, packed as epoch_us * 1e10 + event_id in a
+    DECIMAL(28,0) (HUGEINT on the oracle side). The packing is the plan
+    lever: a fixed-width mutable buffer keeps the whole bar a
+    HashAggregate with map-side partial merge, while a STRUCT (or
+    string) ordering buffer silently degrades min_by to SortAggregate —
+    an extra per-partition sort at fact-table scale (regression pinned
+    in tests/test_plans.py). Scale shape: ONE
+    shuffle on (day, event_type), and partial aggregation means each map
+    task emits one candidate per bar, so shuffle volume is the number of
+    bars, not the number of events."""
     ev = load_table(spark, sf_dir, "events")
+    ordk = (
+        F.unix_micros("ts").cast("decimal(28,0)") * F.lit(10_000_000_000)
+        + F.col("event_id")
+    )
     g = ev.select(
         F.date_trunc("day", F.col("ts")).alias("day"),
-        "event_type", "ts", "event_id", "value",
+        "event_type", "value", ordk.alias("ord"),
     )
-    first_s = F.min(F.struct("ts", "event_id", "value"))
-    last_s = F.max(F.struct("ts", "event_id", "value"))
     return (
         g.groupBy("day", "event_type")
         .agg(
-            _eps_round(first_s.getField("value"), 4).alias("open"),
+            _eps_round(F.min_by("value", "ord"), 4).alias("open"),
             _eps_round(F.max("value"), 4).alias("high"),
             _eps_round(F.min("value"), 4).alias("low"),
-            _eps_round(last_s.getField("value"), 4).alias("close"),
+            _eps_round(F.max_by("value", "ord"), 4).alias("close"),
             _eps_round(F.sum("value"), 4).alias("volume"),
             F.count(F.lit(1)).alias("n_trades"),
         )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -498,3 +499,67 @@ def test_distance_transform_is_two_window_sorts(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
     assert plan.count("Window") >= 2
+
+
+def test_ohlc_is_one_aggregate_no_window(spark, sf_dir):
+    """The struct-min OHLC must plan as a partial+final hash aggregate —
+    never the ROW_NUMBER-window formulation the oracle replays (which
+    would add a per-(day,type) sort before the groupBy)."""
+    plan = _plan(spark, sf_dir, "ohlc_bars")
+    tree = plan.split("\n\n")[0]
+    assert "HashAggregate" in tree, tree
+    assert "SortAggregate" not in tree, tree
+    assert "Window" not in tree, tree
+
+
+def test_levenshtein_dedup_is_equi_block_join(spark, sf_dir):
+    """The edit-distance pass must join on the block-key equi-condition
+    (hash-partitionable) — never a cartesian/nested-loop pair join, and
+    the levenshtein DP must run AFTER the equi-join as a filter."""
+    plan = _plan(spark, sf_dir, "dedup_levenshtein")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"levenshtein dedup grew a {bad}:\n{plan[:2000]}"
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "blk" in plan
+
+
+def test_chisq_single_fact_aggregate(spark, sf_dir):
+    """Chi-square must collapse the fact table with ONE event-scale
+    aggregate; marginals re-aggregate the tiny cell frame and join back
+    as broadcasts — the events parquet must be scanned exactly once."""
+    plan = _plan(spark, sf_dir, "chisq_independence")
+    tree = plan.split("\n\n")[0]
+    # the cache-build subtree is PRINTED under every InMemoryTableScan,
+    # so count unique node ids, not text occurrences
+    scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scans) <= 1, tree
+    assert "InMemoryTableScan" in tree, tree
+
+
+def test_fir_smooth_single_window_sort(spark, sf_dir):
+    """All 16 FIR lag terms must share ONE window sort on (user_id, ts) —
+    one shuffle total, never one window per tap."""
+    plan = _plan(spark, sf_dir, "fir_smooth_8tap")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1, tree
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, f"FIR plan grew a {bad}:\n{plan[:2000]}"
+
+
+def test_bfs_frontier_joins_are_equi(spark, sf_dir):
+    """Every per-hop frontier expansion and visited anti-join must be an
+    equi-join on the node id — no nested-loop anywhere except the 1-row
+    node-count broadcast used to derive the edge formula."""
+    plan = _plan(spark, sf_dir, "bfs_3hop")
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    # the cached edge list is the per-hop input: the only BNLJ is the
+    # 1-row count broadcast inside the cache-build subtree (which the
+    # formatted explain reprints under every InMemoryTableScan), so
+    # count unique node ids
+    bnlj = set(re.findall(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", tree))
+    assert len(bnlj) <= 1, tree
+    assert "InMemoryTableScan" in tree, tree
+    assert "LeftAnti" in plan
