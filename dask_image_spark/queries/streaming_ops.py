@@ -249,3 +249,32 @@ def streaming_session_state(spark, sf_dir):
     session-stats oracle as the batch form, so the stateful API and the
     window-function form are proven to agree event for event."""
     return ops.session_state_walk(spark, sf_dir)
+
+
+@register(
+    "streaming_ohlc",
+    """
+    WITH b AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_type, value,
+             CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id AS ord
+      FROM events)
+    SELECT day, event_type,
+           ROUND(1.2345e-8 + arg_min(value, ord), 4) AS open,
+           ROUND(1.2345e-8 + MAX(value), 4) AS high,
+           ROUND(1.2345e-8 + MIN(value), 4) AS low,
+           ROUND(1.2345e-8 + arg_max(value, ord), 4) AS close,
+           ROUND(1.2345e-8 + SUM(value), 4) AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM b GROUP BY day, event_type
+    """,
+    tags=("streaming", "window", "ohlc"),
+)
+def streaming_ohlc(spark, sf_dir):
+    """Order-sensitive aggregates (min_by/max_by open/close) surviving
+    incremental micro-batch merge — strong because availableNow +
+    complete mode equals the batch daily bars, and the multi-batch
+    invariance of the min_by state merge is what the oracle actually
+    certifies (a naive "first value seen per batch" implementation
+    would diverge the moment the source splits into >1 trigger)."""
+    return ops.ohlc_stream(spark, sf_dir)

@@ -1238,3 +1238,56 @@ def fir_smooth_8tap(spark, sf_dir):
     return ev.select(
         "event_id", "user_id", _eps_round(num / den, 4).alias("smooth")
     ).orderBy("event_id")
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM events)
+    SELECT COALESCE(touch, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(1.2345e-8 + SUM(value), 4) AS attributed_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("timeseries", "attribution", "window"),
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch revenue attribution: each purchase's value is credited
+    to the user's most recent PRECEDING non-purchase event type — the
+    marketing-attribution primitive (the first-touch variant flips the
+    frame direction). One pass: ``last(..., ignorenulls=True)`` over the
+    (user_id, ts) sort carries the latest touch forward, purchases read
+    it in place — no purchases-to-touches self-join, no per-purchase
+    subquery (the NOT-EXISTS formulation is quadratic). 'none' buckets
+    purchases with no preceding touch, so credited value totals
+    exactly the purchase revenue. Scale shape: ONE user_id shuffle
+    shared by the window and pre-aggregation; the final groupBy is over
+    |event_types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _eps_round(F.sum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )

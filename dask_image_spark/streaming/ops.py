@@ -557,3 +557,38 @@ def session_state_walk(spark: SparkSession, sf_dir: str, **stream_opts) -> DataF
             "s.duration_us",
         )
     )
+
+
+def ohlc_stream(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
+    """Streaming daily OHLC bars per event_type — the batch ``ohlc_bars``
+    aggregate run as a watermarked tumbling-window streaming aggregation.
+    ``min_by``/``max_by`` over the decimal-packed (epoch_us, event_id)
+    key are declarative aggregates with a fixed-width buffer, so they
+    merge incrementally across micro-batches exactly like sum/count —
+    the state store holds one (double, decimal) candidate pair per bar,
+    not the events. Complete-mode memory sink under availableNow is
+    batch-equivalent (the oracle story shared by every streaming op
+    here)."""
+    ev = events_stream(spark, sf_dir, **stream_opts)
+    ordk = (
+        F.unix_micros("ts").cast("decimal(28,0)") * F.lit(10_000_000_000)
+        + F.col("event_id")
+    )
+    agg = (
+        ev.withColumn("ord", ordk)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            _eps_round(F.min_by("value", "ord"), 4).alias("open"),
+            _eps_round(F.max("value"), 4).alias("high"),
+            _eps_round(F.min("value"), 4).alias("low"),
+            _eps_round(F.max_by("value", "ord"), 4).alias("close"),
+            _eps_round(F.sum("value"), 4).alias("volume"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        .select(
+            F.col("w.start").alias("day"), "event_type",
+            "open", "high", "low", "close", "volume", "n_trades",
+        )
+    )
+    return run_to_memory(agg, "complete")

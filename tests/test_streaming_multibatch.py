@@ -72,6 +72,11 @@ def _rows(df):
         ops.stateful_user_stats,
         ops.session_state_walk,
         ops.foreach_batch_sink,
+        # order-sensitive min_by/max_by state merge: a "first seen per
+        # batch" shortcut diverges exactly here, because the 4-way
+        # time-ranged split puts each bar's open and close in DIFFERENT
+        # micro-batches
+        ops.ohlc_stream,
     ],
     ids=lambda f: f.__name__,
 )
