@@ -3127,3 +3127,331 @@ def chisq_independence(spark, sf_dir):
         .crossJoin(F.broadcast(ndof))
         .select("chi2", "dof", F.col("n").cast("long").alias("n"))
     )
+
+
+@register(
+    "moments_per_type",
+    """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(value) AS s1,
+             SUM(value * value) AS s2,
+             SUM(value * value * value) AS s3,
+             SUM(value * value * value * value) AS s4
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT event_type, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS var
+      FROM s)
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           ROUND(1.2345e-8 + m.mu, 4) AS mean,
+           ROUND(1.2345e-8 + m.var, 4) AS variance,
+           ROUND(1.2345e-8 +
+             (s.s3 / m.n - 3 * m.mu * s.s2 / m.n + 2 * m.mu * m.mu * m.mu)
+             / POW(m.var, 1.5), 4) AS skewness,
+           ROUND(1.2345e-8 +
+             (s.s4 / m.n - 4 * m.mu * s.s3 / m.n
+              + 6 * m.mu * m.mu * s.s2 / m.n
+              - 3 * m.mu * m.mu * m.mu * m.mu)
+             / (m.var * m.var) - 3, 4) AS kurtosis_excess
+    FROM m JOIN s USING (event_type) ORDER BY m.event_type
+    """,
+    tags=("relational", "stats", "moments"),
+)
+def moments_per_type(spark, sf_dir):
+    """Higher distribution moments per group — skewness and excess
+    kurtosis from RAW POWER SUMS (Σx, Σx², Σx³, Σx⁴), the
+    distribution-profiling step feature pipelines run to pick transforms
+    (log-scale a skewed column, clip a heavy tail). Spark's built-in
+    ``skewness``/``kurtosis`` are NOT used deliberately: their
+    definitional variants (sample-vs-population corrections) differ
+    between engines, while explicit central-moment algebra written once
+    and mirrored verbatim is engine-proof. Scale shape: ONE map-side
+    partial aggregate (power sums are commutative-associative — this is
+    also exactly why they re-aggregate in an incremental refresh); the
+    moment algebra runs on |types| rows. Numerics: raw power sums are
+    the textbook catastrophic-cancellation risk when σ ≪ μ — fine for
+    this profiling contract at value ∈ [0, 490], and the 4-decimal
+    policy absorbs the benign last-ulp noise; a production single-pass
+    alternative is Welford/Chan merging, which `trend_per_user`'s
+    centered-axis trick approximates for regression."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    skew = (
+        F.col("s3") / F.col("n") - 3 * mu * F.col("s2") / F.col("n")
+        + 2 * mu * mu * mu
+    ) / F.pow(var, 1.5)
+    kurt = (
+        F.col("s4") / F.col("n") - 4 * mu * F.col("s3") / F.col("n")
+        + 6 * mu * mu * F.col("s2") / F.col("n") - 3 * mu * mu * mu * mu
+    ) / (var * var) - 3
+    return (
+        s.select(
+            "event_type", F.col("n").cast("long").alias("n"),
+            _eps_round(mu, 4).alias("mean"),
+            _eps_round(var, 4).alias("variance"),
+            _eps_round(skew, 4).alias("skewness"),
+            _eps_round(kurt, 4).alias("kurtosis_excess"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "mutual_information",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, CAST(hour(ts) AS INT) AS y, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT SUM(c) AS n FROM cells),
+    px AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+    py AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+    mi AS (
+      SELECT SUM((CAST(c AS DOUBLE) / n)
+                 * LN(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)))
+               AS mi_nats
+      FROM cells JOIN px USING (x) JOIN py USING (y) CROSS JOIN tot),
+    hx AS (SELECT -SUM((CAST(cx AS DOUBLE) / n)
+                       * LN(CAST(cx AS DOUBLE) / n)) AS h
+           FROM px CROSS JOIN tot),
+    hy AS (SELECT -SUM((CAST(cy AS DOUBLE) / n)
+                       * LN(CAST(cy AS DOUBLE) / n)) AS h
+           FROM py CROSS JOIN tot)
+    SELECT ROUND(1.2345e-8 + mi.mi_nats, 4) AS mi_nats,
+           ROUND(1.2345e-8 + hx.h, 4) AS h_type,
+           ROUND(1.2345e-8 + hy.h, 4) AS h_hour,
+           ROUND(1.2345e-8 + mi.mi_nats / SQRT(hx.h * hy.h), 4) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+    tags=("relational", "stats", "information"),
+)
+def mutual_information(spark, sf_dir):
+    """Mutual information (nats) between event_type and hour-of-day, plus
+    both marginal entropies and the normalized MI — the information-
+    theoretic feature-relevance screen (catches NON-LINEAR dependence the
+    chi-square/correlation pair can miss, and is the criterion MI-based
+    feature selection and decision-tree splits actually use). All
+    probabilities derive from ONE fact-scale contingency aggregate
+    (persisted, single parquet scan — same posture as
+    ``chisq_independence``); the MI/entropy sums run over the
+    |types| x 24 cell frame. Counts are exact integers in both engines,
+    so every ratio is the identical IEEE division and only the final
+    small-frame sums need the EPS-rounding policy."""
+    from dask_image_spark.queries.base import persist_tracked
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = persist_tracked(
+        ev.select(
+            F.col("event_type").alias("x"),
+            F.hour("ts").cast("int").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.agg(F.sum("c").alias("n"))
+    px = cells.groupBy("x").agg(F.sum("c").alias("cx"))
+    py = cells.groupBy("y").agg(F.sum("c").alias("cy"))
+    joined = (
+        cells.join(F.broadcast(px), "x")
+        .join(F.broadcast(py), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = joined.agg(
+        F.sum(
+            (F.col("c").cast("double") / F.col("n"))
+            * F.log(
+                F.col("c").cast("double") * F.col("n")
+                / (F.col("cx").cast("double") * F.col("cy"))
+            )
+        ).alias("mi_nats")
+    )
+    hx = px.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("cx").cast("double") / F.col("n"))
+            * F.log(F.col("cx").cast("double") / F.col("n"))
+        )).alias("h")
+    )
+    hy = py.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("cy").cast("double") / F.col("n"))
+            * F.log(F.col("cy").cast("double") / F.col("n"))
+        )).alias("h")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx.withColumnRenamed("h", "h_type")))
+        .crossJoin(F.broadcast(hy.withColumnRenamed("h", "h_hour")))
+        .select(
+            _eps_round("mi_nats", 4).alias("mi_nats"),
+            _eps_round("h_type", 4).alias("h_type"),
+            _eps_round("h_hour", 4).alias("h_hour"),
+            _eps_round(
+                F.col("mi_nats") / F.sqrt(F.col("h_type") * F.col("h_hour")), 4
+            ).alias("nmi"),
+        )
+    )
+
+
+_MV_CUTOFF = "2024-01-20 00:00:00"
+
+
+@register(
+    "mv_incremental_refresh",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total,
+           ROUND(1.2345e-8 + MIN(value), 4) AS mn,
+           ROUND(1.2345e-8 + MAX(value), 4) AS mx,
+           ROUND(1.2345e-8 + SUM(value) / COUNT(*), 4) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "incremental", "materialized-view"),
+)
+def mv_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view refresh: a pre-computed BASE
+    aggregate state (events before the cutoff) merged with a DELTA batch
+    (events after) must equal the full recompute — the core of every
+    warehouse's incremental MV / streaming-state story, and the reason
+    aggregate STATE must be kept as re-aggregatable partials (count/sum/
+    min/max; avg derived at read time — storing avg itself would make
+    the merge wrong). The registered oracle IS the full direct GROUP BY,
+    so the merge law — not just the arithmetic — is what the grade
+    certifies. Scale shape: the nightly refresh touches only the delta
+    partition (filter pushed to the scan) plus the |types|-row state
+    table; the 100 TB history is never rescanned. ``hll_sketch_merge``
+    extends the same law to distincts, ``dedup_incremental_batch`` to
+    membership."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_MV_CUTOFF).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"),
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < cut))
+    delta = partial(ev.filter(F.col("ts") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"), F.sum("s").alias("s"),
+            F.min("mn").alias("mn"), F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        _eps_round("s", 4).alias("total"),
+        _eps_round("mn", 4).alias("mn"),
+        _eps_round("mx", 4).alias("mx"),
+        _eps_round(F.col("s") / F.col("n"), 4).alias("avg_value"),
+    ).orderBy("event_type")
+
+
+# Point-in-time dimension fixture: customer discount tiers that change on
+# fixed effective dates. Derived deterministically from customer keys so
+# both engines build the identical version history:
+#   v0 (1995-01-01, all customers):        disc = 5
+#   v1 (1997-01-01, custkey % 3 == 0):     disc = 7
+#   v2 (1999-01-01, custkey % 5 == 0):     disc = 9
+_PIT_DIM_SQL = """
+      SELECT c_custkey, TIMESTAMP '1995-01-01 00:00:00' AS eff, 5 AS disc
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, TIMESTAMP '1997-01-01 00:00:00', 7
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, TIMESTAMP '1999-01-01 00:00:00', 9
+      FROM customer WHERE c_custkey % 5 = 0
+"""
+
+
+@register(
+    "pit_join_scd2",
+    f"""
+    WITH dim AS ({_PIT_DIM_SQL}),
+    iv AS (
+      SELECT c_custkey, eff, disc,
+             LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff)
+               AS eff_end
+      FROM dim)
+    SELECT o.o_orderkey, o.o_custkey, CAST(iv.disc AS INT) AS disc,
+           ROUND(1.2345e-8 + o.o_totalprice * (100 - iv.disc) / 100.0, 4)
+             AS net_price
+    FROM orders o
+    JOIN iv ON iv.c_custkey = o.o_custkey
+           AND o.o_orderdate >= iv.eff
+           AND (iv.eff_end IS NULL OR o.o_orderdate < iv.eff_end)
+    WHERE o.o_orderkey % 7 = 0
+    ORDER BY o.o_orderkey
+    """,
+    tags=("relational", "scd2", "pit-join", "asof"),
+)
+def pit_join_scd2(spark, sf_dir):
+    """POINT-IN-TIME correct dimension join: each order priced with the
+    discount tier in effect AT ITS ORDER DATE — the feature-store /
+    SCD2-lookup correctness contract (joining today's dimension row onto
+    historical facts is the classic leakage bug; ``scd2_history`` builds
+    the versioned dimension, this consumes it). The engine does NOT run
+    the oracle's interval range-join: it unions version-change rows and
+    orders into one stream per customer and carries the latest tier
+    forward with ``last(..., ignorenulls)`` over the (date, kind) sort —
+    kind orders the dimension change BEFORE same-instant orders, so an
+    effective-dated change applies to that day's orders. ONE shuffle on
+    custkey, linear per partition, no interval explosion — the same
+    union-scan-carry reformulation as ``asof_join``, which is how a PIT
+    join stays cheap when the dimension has millions of versions. The
+    oracle replays the definitional LEAD-interval containment join."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+    def ver(pred, date, disc):
+        base = cust.filter(pred) if pred is not None else cust
+        return base.select(
+            F.col("c_custkey").alias("k"),
+            F.lit(date).cast("timestamp").alias("t"),
+            F.lit(disc).alias("disc"),
+        )
+
+    dim = (
+        ver(None, "1995-01-01 00:00:00", 5)
+        .unionByName(ver(F.col("c_custkey") % 3 == 0, "1997-01-01 00:00:00", 7))
+        .unionByName(ver(F.col("c_custkey") % 5 == 0, "1999-01-01 00:00:00", 9))
+        .select("k", "t", F.lit(0).alias("kind"), "disc",
+                F.lit(None).cast("long").alias("o_orderkey"),
+                F.lit(None).cast("double").alias("o_totalprice"))
+    )
+    facts = o.select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("kind"), F.lit(None).cast("int").alias("disc"),
+        "o_orderkey", "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = dim.unionByName(facts).withColumn(
+        "cur_disc", F.last("disc", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & (F.col("o_orderkey") % 7 == 0))
+        .select(
+            "o_orderkey", F.col("k").alias("o_custkey"),
+            F.col("cur_disc").cast("int").alias("disc"),
+            _eps_round(
+                F.col("o_totalprice") * (100 - F.col("cur_disc")) / 100.0, 4
+            ).alias("net_price"),
+        )
+        .orderBy("o_orderkey")
+    )
