@@ -563,3 +563,50 @@ def test_bfs_frontier_joins_are_equi(spark, sf_dir):
     assert len(bnlj) <= 1, tree
     assert "InMemoryTableScan" in tree, tree
     assert "LeftAnti" in plan
+
+
+def test_attribution_is_single_window_no_join(spark, sf_dir):
+    """Last-touch attribution must be the carry-forward window over one
+    (user_id, ts) sort — never a purchases-to-touches self-join (the
+    quadratic NOT-EXISTS formulation)."""
+    plan = _plan(spark, sf_dir, "attribution_last_touch")
+    tree = plan.split("\n\n")[0]
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in tree, f"attribution grew a {bad}:\n{tree[:2000]}"
+    assert tree.count("Window") == 1, tree
+
+
+def test_pit_join_is_union_carry_not_range_join(spark, sf_dir):
+    """The point-in-time join must run as union + last-value carry over
+    ONE custkey sort — the oracle's interval-containment range join
+    (which explodes as versions multiply) must NOT appear in the engine
+    plan."""
+    plan = _plan(spark, sf_dir, "pit_join_scd2")
+    tree = plan.split("\n\n")[0]
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in tree, f"PIT join grew a {bad}:\n{tree[:2000]}"
+    assert "Union" in tree and tree.count("Window") == 1, tree
+
+
+def test_mv_refresh_pushes_cutoff_filters(spark, sf_dir):
+    """Base and delta partials must each push their ts-range predicate
+    toward the scan (two filtered scans), and the merge must stay a
+    plain re-aggregation — no join, no window."""
+    plan = _plan(spark, sf_dir, "mv_incremental_refresh")
+    tree = plan.split("\n\n")[0]
+    scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scans) == 2, tree
+    for bad in ("SortMergeJoin", "Window", "CartesianProduct"):
+        assert bad not in tree, f"MV refresh grew a {bad}:\n{tree[:2000]}"
+
+
+def test_mutual_information_single_fact_scan(spark, sf_dir):
+    """Like chisq: ONE event-scale aggregate feeds every derivation via
+    the persisted cell frame — a single unique parquet scan."""
+    plan = _plan(spark, sf_dir, "mutual_information")
+    tree = plan.split("\n\n")[0]
+    scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scans) <= 1, tree
+    assert "InMemoryTableScan" in tree, tree
