@@ -51,6 +51,11 @@ HEADLINE = [
     # pixels (4096x4096 = 16M px, 256-px tiles) — two points on the size
     # axis prove the halo-exchange path's scaling SLOPE, not just a point
     ("gauss_r2_4096", "__gauss_r2_4096__"),
+    # round-7 addition: the point-in-time SCD2 join — the engine's
+    # union+carry window reformulation vs the stock interval range-join
+    # (scripts/baseline_stock.py::pit_join), the plan-divergence story
+    # for versioned-dimension lookups
+    ("pit_join", "pit_join_scd2"),
 ]
 
 BASELINE_K = [

@@ -3455,3 +3455,59 @@ def pit_join_scd2(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "window_distribution_ranks",
+    """
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             percent_rank() OVER o AS pct_rank,
+             cume_dist() OVER o AS cume,
+             ntile(4) OVER o AS quartile,
+             nth_value(value, 3) OVER (PARTITION BY event_type
+               ORDER BY value, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_low
+      FROM events
+      WINDOW o AS (PARTITION BY event_type ORDER BY value, event_id))
+    SELECT event_id, event_type,
+           ROUND(1.2345e-8 + pct_rank, 4) AS pct_rank,
+           ROUND(1.2345e-8 + cume, 4) AS cume,
+           CAST(quartile AS INT) AS quartile,
+           ROUND(1.2345e-8 + third_low, 4) AS third_low
+    FROM w WHERE event_id % 11 = 0 ORDER BY event_id
+    """,
+    tags=("relational", "window", "distribution"),
+)
+def window_distribution_ranks(spark, sf_dir):
+    """The distribution-flavored window functions the ranking suite
+    didn't yet grade: ``percent_rank`` / ``cume_dist`` (relative
+    standing — the SQL-surface form of an ECDF transform),
+    ``ntile(4)`` (quartile bucketing — note this GLOBAL-sorts each
+    partition, which is exactly why ``equidepth_bins`` exists as the
+    scale path for corpus-wide binning), and ``nth_value`` over an
+    explicit running frame. Ordering includes event_id so ranks are
+    tie-free and deterministic cross-engine; all four share ONE
+    (event_type, value) sort. The ``%% 11`` sample keeps the graded
+    frame small without losing partition-boundary rows."""
+    ev = load_table(spark, sf_dir, "events")
+    o = Window.partitionBy("event_type").orderBy("value", "event_id")
+    run = o.rowsBetween(Window.unboundedPreceding, 0)
+    w = ev.select(
+        "event_id", "event_type",
+        F.percent_rank().over(o).alias("pct_rank"),
+        F.cume_dist().over(o).alias("cume"),
+        F.ntile(4).over(o).alias("quartile"),
+        F.nth_value("value", 3).over(run).alias("third_low"),
+    )
+    return (
+        w.filter(F.col("event_id") % 11 == 0)
+        .select(
+            "event_id", "event_type",
+            _eps_round("pct_rank", 4).alias("pct_rank"),
+            _eps_round("cume", 4).alias("cume"),
+            F.col("quartile").cast("int").alias("quartile"),
+            _eps_round("third_low", 4).alias("third_low"),
+        )
+        .orderBy("event_id")
+    )

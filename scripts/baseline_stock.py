@@ -357,6 +357,38 @@ def gauss_r2_4096(spark):
     return _gauss_r2(spark, 4096)
 
 
+def pit_join(spark):
+    # stock point-in-time join: the natural SQL formulation — LEAD builds
+    # validity intervals, then an interval-containment join (equi custkey
+    # + date range predicate). The engine's twin reformulates this as
+    # union + last-value carry over one sort (queries/relational.py
+    # pit_join_scd2); same fixture, same output contract.
+    return spark.sql(
+        """
+        WITH dim AS (
+          SELECT c_custkey, TIMESTAMP '1995-01-01 00:00:00' AS eff, 5 AS disc
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, TIMESTAMP '1997-01-01 00:00:00', 7
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey, TIMESTAMP '1999-01-01 00:00:00', 9
+          FROM customer WHERE c_custkey % 5 = 0),
+        iv AS (
+          SELECT c_custkey, eff, disc,
+                 LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff) AS eff_end
+          FROM dim)
+        SELECT o.o_orderkey, o.o_custkey, CAST(iv.disc AS INT) AS disc,
+               ROUND(o.o_totalprice * (100 - iv.disc) / 100.0, 4) AS net_price
+        FROM orders o
+        JOIN iv ON iv.c_custkey = o.o_custkey
+               AND o.o_orderdate >= iv.eff
+               AND (iv.eff_end IS NULL OR o.o_orderdate < iv.eff_end)
+        WHERE o.o_orderkey % 7 = 0
+        """
+    )
+
+
 SUITE = [
     ("q1", q1),
     ("q3", q3),
@@ -372,6 +404,7 @@ SUITE = [
     ("tfidf_pairs", tfidf_pairs),
     ("gauss_r2_1024", gauss_r2_1024),
     ("gauss_r2_4096", gauss_r2_4096),
+    ("pit_join", pit_join),
 ]
 
 
