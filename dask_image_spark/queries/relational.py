@@ -3511,3 +3511,151 @@ def window_distribution_ranks(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "weighted_median",
+    """
+    WITH w AS (
+      SELECT event_type, value, event_id,
+             1 + event_id % 3 AS wt,
+             SUM(1 + event_id % 3) OVER (PARTITION BY event_type
+               ORDER BY value, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(1 + event_id % 3) OVER (PARTITION BY event_type) AS total
+      FROM events)
+    SELECT event_type,
+           ROUND(1.2345e-8 + value, 4) AS weighted_median,
+           CAST(total AS BIGINT) AS total_weight
+    FROM w
+    WHERE 2 * cw >= total AND 2 * (cw - wt) < total
+    ORDER BY event_type
+    """,
+    tags=("relational", "stats", "weighted"),
+)
+def weighted_median(spark, sf_dir):
+    """Weighted (lower) median per group — the importance-weighted order
+    statistic (survey reweighting, duplicate-collapsed corpora where each
+    row carries a multiplicity). The half-mass row is found by pure
+    integer bracketing on the cumulative weight — ``2*cw >= W`` and
+    ``2*(cw - wt) < W`` pins exactly ONE row per group (cw is strictly
+    increasing since weights >= 1), so no argmin pass and no float
+    comparison can flip cross-engine. Scale shape: one (event_type)
+    shuffle shared by the running and total windows (same partition
+    spec, one sort); the deterministic fixture weight 1 + event_id % 3
+    stands in for a real multiplicity column."""
+    ev = load_table(spark, sf_dir, "events")
+    wt = (F.lit(1) + F.col("event_id") % 3).alias("wt")
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("event_type")
+    w = ev.select(
+        "event_type", "value", "event_id", wt,
+        F.sum(F.lit(1) + F.col("event_id") % 3).over(run).alias("cw"),
+        F.sum(F.lit(1) + F.col("event_id") % 3).over(wp).alias("total"),
+    )
+    return (
+        w.filter(
+            (2 * F.col("cw") >= F.col("total"))
+            & (2 * (F.col("cw") - F.col("wt")) < F.col("total"))
+        )
+        .select(
+            "event_type",
+            _eps_round("value", 4).alias("weighted_median"),
+            F.col("total").cast("long").alias("total_weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ordered_string_agg",
+    """
+    WITH o AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           array_to_string(seq[1:5], '>') AS first5_path,
+           CAST(len(seq) AS INT) AS n_events
+    FROM o WHERE user_id % 10 = 0 ORDER BY user_id
+    """,
+    tags=("relational", "agg", "ordered-collect"),
+)
+def ordered_string_agg(spark, sf_dir):
+    """Deterministic ordered collect: each user's first five event types
+    as a '>'-joined path string — the clickstream-path feature. Spark's
+    ``collect_list`` is explicitly NONDETERMINISTIC under shuffle (the
+    classic silent-corruption pitfall for path features); the correct
+    pattern graded here is collect structs of (sort keys, value), then
+    ``sort_array`` + ``transform`` to strip the keys — the ordering
+    travels WITH the data instead of relying on partition arrival order,
+    so any merge order yields the same array. DuckDB's native
+    ``list(x ORDER BY ...)`` replays it declaratively. One groupBy
+    shuffle; the sort is per-group in-memory (bounded by per-user event
+    counts — for power users you'd cap with a slice pushed into the
+    aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .filter(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            F.array_join(
+                F.slice(F.expr("transform(s, x -> x.event_type)"), 1, 5), ">"
+            ).alias("first5_path"),
+            F.size("s").cast("int").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "bitmask_rollup",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                  ELSE 16 END AS flag
+      FROM events)
+    SELECT user_id,
+           CAST(bit_or(flag) AS BIGINT) AS types_mask,
+           CAST(bit_count(CAST(bit_or(flag) AS BIGINT)) AS INT)
+             AS n_distinct_types,
+           CAST(bit_xor(flag) AS BIGINT) AS parity_mask
+    FROM f GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("relational", "agg", "bitwise"),
+)
+def bitmask_rollup(spark, sf_dir):
+    """Bitwise aggregate surface: per-user event-type presence as a bit
+    mask (``bit_or``), distinct-type count via ``bit_count`` on the
+    mask, and ``bit_xor`` parity — the compact-flag encoding used for
+    feature bitmaps and segment membership at scale (a 64-bit mask
+    replaces a count-distinct or a collect_set when the domain is
+    enumerable: O(1) state, trivially re-aggregatable — the same merge
+    law as ``mv_incremental_refresh``, which is why roll-up cubes store
+    masks). One map-side-combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    g = ev.select("user_id", flag.alias("flag")).groupBy("user_id").agg(
+        F.expr("bit_or(flag)").cast("long").alias("types_mask"),
+        F.expr("bit_xor(flag)").cast("long").alias("parity_mask"),
+    )
+    return g.select(
+        "user_id", "types_mask",
+        F.bit_count("types_mask").cast("int").alias("n_distinct_types"),
+        "parity_mask",
+    ).orderBy("user_id")

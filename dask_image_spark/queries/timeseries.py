@@ -1291,3 +1291,71 @@ def attribution_last_touch(spark, sf_dir):
         )
         .orderBy("touch_type")
     )
+
+
+@register(
+    "conversion_latency",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_view
+      FROM events),
+    p AS (
+      SELECT CASE WHEN last_view IS NULL THEN -1
+                  ELSE CAST((epoch_us(ts) - epoch_us(last_view))
+                            // 1800000000 AS BIGINT) END AS bucket_30m,
+             CASE WHEN last_view IS NULL THEN NULL
+                  ELSE (epoch_us(ts) - epoch_us(last_view)) / 60000000.0
+             END AS latency_min
+      FROM t WHERE event_type = 'purchase')
+    SELECT bucket_30m, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(1.2345e-8 + AVG(latency_min), 4) AS avg_latency_min
+    FROM p GROUP BY bucket_30m ORDER BY bucket_30m
+    """,
+    tags=("timeseries", "funnel", "latency"),
+)
+def conversion_latency(spark, sf_dir):
+    """View-to-purchase conversion latency distribution: each purchase
+    measures the gap to the user's most recent preceding view, bucketed
+    into 30-minute bins (bucket −1 = purchases with no prior view) — the
+    latency histogram behind funnel SLAs and attribution-window tuning
+    (it answers "is a 1-day attribution window long enough?" with data;
+    ``attribution_last_touch`` decides WHERE credit goes, this decides
+    the window WIDTH). Same carry-forward window shape: ONE user_id
+    sort, integer-µs arithmetic so both engines bucket identically, and
+    the output is bin-bounded regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    gap_us = F.unix_micros("ts") - F.unix_micros("last_view")
+    p = (
+        ev.withColumn("last_view", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(F.col("last_view").isNull(), F.lit(-1))
+            .otherwise(F.floor(gap_us / F.lit(1_800_000_000)))
+            .cast("long")
+            .alias("bucket_30m"),
+            F.when(
+                F.col("last_view").isNotNull(), gap_us / F.lit(60_000_000.0)
+            ).alias("latency_min"),
+        )
+    )
+    return (
+        p.groupBy("bucket_30m")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _eps_round(F.avg("latency_min"), 4).alias("avg_latency_min"),
+        )
+        .orderBy("bucket_30m")
+    )
