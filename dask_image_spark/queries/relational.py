@@ -3659,3 +3659,187 @@ def bitmask_rollup(spark, sf_dir):
         F.bit_count("types_mask").cast("int").alias("n_distinct_types"),
         "parity_mask",
     ).orderBy("user_id")
+
+
+# Continuity-audit fixture: event_ids are contiguous in the driver data,
+# so the audit would be vacuously empty — every 97th id is deleted as part
+# of the query contract (the dedup/fuzzy/levenshtein injection pattern in
+# reverse), so the gap report provably has material.
+_GAP_STRIDE = 97
+
+
+@register(
+    "id_gap_audit",
+    f"""
+    WITH kept AS (
+      SELECT event_id FROM events WHERE event_id % {_GAP_STRIDE} <> 0),
+    g AS (
+      SELECT event_id,
+             LEAD(event_id) OVER (ORDER BY event_id) AS nxt
+      FROM kept)
+    SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - event_id - 1 AS BIGINT) AS n_missing
+    FROM g WHERE nxt > event_id + 1 ORDER BY gap_start
+    """,
+    tags=("relational", "audit", "gaps"),
+)
+def id_gap_audit(spark, sf_dir):
+    """Sequence-continuity audit: report every hole in the event_id
+    sequence as (gap_start, gap_end, n_missing) — the ingestion
+    completeness check that catches dropped Kafka offsets / lost files,
+    complementing ``dq_expectations`` (which audits values, not
+    continuity). LEAD over the id order turns gap detection into a
+    single linear window — no anti-join against a generated full
+    sequence (the naive formulation materializes the entire id domain).
+    Runs over the deterministically gap-injected id stream (every 97th
+    id deleted by contract) so the graded report is provably nonzero.
+    Scale note: the single unpartitioned LEAD is the fixture shape; at
+    100 TB you run the same window partitioned by the natural shard key
+    (file, hour, Kafka partition) — gaps can only hide at shard
+    boundaries, which the per-shard min/max audit closes."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = ev.filter(F.col("event_id") % _GAP_STRIDE != 0).select("event_id")
+    w = Window.orderBy("event_id")
+    g = kept.withColumn("nxt", F.lead("event_id").over(w))
+    return (
+        g.filter(F.col("nxt") > F.col("event_id") + 1)
+        .select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("event_id") - 1).cast("long").alias("n_missing"),
+        )
+        .orderBy("gap_start")
+    )
+
+
+@register(
+    "psi_drift",
+    """
+    WITH ref AS (
+      SELECT value FROM events WHERE event_type = 'view'),
+    cuts AS (
+      SELECT list_transform(
+               quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+               x -> ROUND(1.2345e-8 + x, 4)) AS q
+      FROM ref),
+    binned AS (
+      SELECT e.event_type,
+             1 + CAST(len(list_filter(c.q, x -> x < e.value)) AS INT) AS bin
+      FROM events e CROSS JOIN cuts c),
+    p AS (
+      SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    tot AS (SELECT event_type, SUM(c) AS n FROM p GROUP BY 1),
+    refp AS (
+      SELECT bin, CAST(c AS DOUBLE) / n AS q
+      FROM p JOIN tot USING (event_type) WHERE event_type = 'view'),
+    actp AS (
+      SELECT event_type, bin, CAST(c AS DOUBLE) / n AS pr
+      FROM p JOIN tot USING (event_type) WHERE event_type <> 'view')
+    SELECT a.event_type,
+           ROUND(1.2345e-8 + SUM((a.pr - r.q) * LN(a.pr / r.q)), 4) AS psi
+    FROM actp a JOIN refp r USING (bin)
+    GROUP BY a.event_type ORDER BY a.event_type
+    """,
+    tags=("relational", "drift", "psi"),
+)
+def psi_drift(spark, sf_dir):
+    """Population Stability Index of each event_type's value distribution
+    against the 'view' reference — THE production ML drift metric
+    (scorecard monitoring convention: PSI < 0.1 stable, > 0.25 shifted),
+    completing the drift triple: KL (`kl_source_drift`) is
+    information-theoretic, EMD (`emd_source_drift`) is metric-aware, PSI
+    is the binned industry standard whose BINS COME FROM THE REFERENCE
+    DECILES — so the binning itself is part of the contract. Scale
+    shape: the reference deciles are ONE grouped aggregate broadcast as
+    cut points (the `equidepth_bins` posture — never a global NTILE);
+    bin assignment is map-side arithmetic; everything after runs on the
+    |types| x 10 frame. Decile cuts are exact order statistics
+    (quantile_disc / exact percentile) so both engines draw identical
+    bin edges; every value then falls in the same bin by identical
+    comparisons, and only the final 10-term PSI sums need rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "view")
+    cuts = ref.agg(
+        F.expr(
+            "transform(percentile(value,"
+            " array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
+            " x -> round(x + 1.2345e-8d, 4))"
+        ).alias("q")
+    )
+    binned = ev.crossJoin(F.broadcast(cuts)).select(
+        "event_type",
+        (
+            F.lit(1)
+            + F.size(F.expr("filter(q, x -> x < value)"))
+        ).cast("int").alias("bin"),
+    )
+    p = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = p.groupBy("event_type").agg(F.sum("c").alias("n"))
+    withp = p.join(tot, "event_type").select(
+        "event_type", "bin", (F.col("c").cast("double") / F.col("n")).alias("pr")
+    )
+    refp = withp.filter(F.col("event_type") == "view").select(
+        "bin", F.col("pr").alias("q")
+    )
+    actp = withp.filter(F.col("event_type") != "view")
+    return (
+        actp.join(F.broadcast(refp), "bin")
+        .groupBy("event_type")
+        .agg(
+            _eps_round(
+                F.sum((F.col("pr") - F.col("q")) * F.log(F.col("pr") / F.col("q"))),
+                4,
+            ).alias("psi")
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "pandas_api_groupby",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + AVG(value), 4) AS mean_value,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "pandas-api", "surface"),
+)
+def pandas_api_groupby(spark, sf_dir):
+    """The pandas-on-Spark API surface (``DataFrame.pandas_api()``):
+    the same grouped aggregate expressed in pandas idiom —
+    ``groupby()["value"].agg(...)`` — compiled by the pandas-API layer
+    down to the identical Catalyst plan and graded against the plain
+    SQL oracle. This is the migration on-ramp for pandas/dask users of
+    the reference's ecosystem: the idiom carries over, the execution is
+    still distributed Spark (no driver-side pandas materialization —
+    ``to_spark()`` hands back the lazy frame). Kept to API constructs
+    that compile to pure relational plans; anything index-order
+    dependent (iloc, shift without sort) is exactly what NOT to port
+    this way."""
+    psdf = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type", "value",
+            F.col("value").alias("v2"), F.lit(1).alias("one"),
+        )
+        .pandas_api()
+    )
+    # SeriesGroupBy.agg(list) is not implemented in the pandas-API layer;
+    # the dict form over aliased columns is — and compiles to the same
+    # single HashAggregate
+    g = (
+        psdf.groupby("event_type")
+        .agg({"one": "count", "value": "mean", "v2": "sum"})
+        .reset_index()
+    )
+    out = g.to_spark()
+    return (
+        out.select(
+            "event_type",
+            F.col("one").cast("long").alias("n"),
+            _eps_round("value", 4).alias("mean_value"),
+            _eps_round("v2", 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
