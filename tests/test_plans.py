@@ -610,3 +610,26 @@ def test_mutual_information_single_fact_scan(spark, sf_dir):
     scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
     assert len(scans) <= 1, tree
     assert "InMemoryTableScan" in tree, tree
+
+
+def test_weighted_median_one_sort_two_windows(spark, sf_dir):
+    """Running and total weight windows must share one (event_type)
+    partitioning — a single shuffle, no join, no global sort."""
+    plan = _plan(spark, sf_dir, "weighted_median")
+    tree = plan.split("\n\n")[0]
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in tree, tree[:2000]
+    # one Exchange for the window partitioning + one for the final
+    # presentation sort at most
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_psi_reference_cuts_are_broadcast(spark, sf_dir):
+    """PSI's decile cuts must reach the bin assignment as a 1-row
+    broadcast (the equidepth_bins posture) — never a global NTILE sort
+    over the fact table."""
+    plan = _plan(spark, sf_dir, "psi_drift")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
+    # no window at all: binning is map-side arithmetic
+    assert "Window" not in tree, tree
