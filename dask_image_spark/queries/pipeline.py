@@ -3036,3 +3036,188 @@ def dedup_levenshtein(spark, sf_dir):
         .filter(F.col("dist") <= 2)
         .orderBy("keep_id", "dup_id")
     )
+
+
+# Incremental-MinHash fixture: the NEW snapshot contains (a) exact clones
+# of every 41st indexed doc (id + 30M — these MUST collide with the index
+# on every band) and (b) synthetic novel docs for every 67th id (id + 31M,
+# text embeds the id so its shingles exist nowhere else — these MUST miss).
+# Both outcomes are therefore graded non-vacuously.
+_INC_MH_CLONE_STRIDE = 41
+_INC_MH_FRESH_STRIDE = 67
+_INC_MH_CLONE_OFFSET = 30_000_000
+_INC_MH_FRESH_OFFSET = 31_000_000
+
+
+def _inc_minhash_oracle(n_hashes: int = 8, rows_per_band: int = 2, k: int = 3) -> str:
+    mins = textops.minhash_mins_sql(n_hashes)
+    n_bands = n_hashes // rows_per_band
+    def bands(src):
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            + " || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f" AS sig FROM {src}"
+            for b in range(n_bands)
+        )
+    return f"""
+    WITH old_toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {k}),
+    old_sh AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - {k - 1}),
+               i -> array_to_string(t[i:i + {k - 1}], ' '))) AS sh
+      FROM old_toks),
+    old_mh AS (SELECT doc_id, {mins} FROM old_sh GROUP BY doc_id),
+    old_bands AS ({bands("old_mh")}),
+    new_docs AS (
+      SELECT doc_id + {_INC_MH_CLONE_OFFSET} AS doc_id, text FROM documents
+      WHERE doc_id % {_INC_MH_CLONE_STRIDE} = 0 AND text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + {_INC_MH_FRESH_OFFSET} AS doc_id,
+             'novel doc ' || CAST(doc_id AS VARCHAR)
+               || ' token alpha beta gamma delta' AS text
+      FROM documents WHERE doc_id % {_INC_MH_FRESH_STRIDE} = 0),
+    new_toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM new_docs
+      WHERE len(string_split(text, ' ')) >= {k}),
+    new_sh AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - {k - 1}),
+               i -> array_to_string(t[i:i + {k - 1}], ' '))) AS sh
+      FROM new_toks),
+    new_mh AS (SELECT doc_id, {mins} FROM new_sh GROUP BY doc_id),
+    new_bands AS ({bands("new_mh")}),
+    hits AS (
+      SELECT n.doc_id AS new_id, MIN(o.doc_id) AS match_id
+      FROM new_bands n JOIN old_bands o USING (band_id, sig)
+      GROUP BY n.doc_id)
+    SELECT d.doc_id AS new_id,
+           CAST(COALESCE(h.match_id, -1) AS BIGINT) AS matched_old_id,
+           h.match_id IS NOT NULL AS is_dup
+    FROM new_docs d LEFT JOIN hits h ON h.new_id = d.doc_id
+    ORDER BY new_id
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    _inc_minhash_oracle(),
+    tags=("pipeline", "dedup", "lsh", "incremental"),
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Snapshot-over-snapshot MinHash dedup: a NEW crawl batch is checked
+    against the EXISTING corpus's standing LSH band index — new bands
+    join old bands, so per-snapshot work is O(new x bucket), and the
+    indexed corpus is NEVER re-paired against itself (old x old is the
+    cost the incremental form deletes; exact-hash twin:
+    ``dedup_incremental_batch``). This is how CommonCrawl-scale dedup
+    actually operates: each monthly snapshot dedups against the
+    accumulated index, then its survivors' bands are appended to the
+    index. Every new doc is emitted with its matched canonical (or −1),
+    so the clone hits AND the novel misses are both graded. At 100 TB
+    the old band table is a bucketed standing table on (band_id, sig) —
+    the join is then exchange-free on the index side."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old_sigs = textops.minhash_signatures(d, n_hashes=8, k=3)
+    old_bands = textops.band_rows(old_sigs, n_hashes=8, rows_per_band=2)
+    clones = d.filter(
+        (F.col("doc_id") % _INC_MH_CLONE_STRIDE == 0) & F.col("text").isNotNull()
+    ).select((F.col("doc_id") + _INC_MH_CLONE_OFFSET).alias("doc_id"), "text")
+    fresh = d.filter(F.col("doc_id") % _INC_MH_FRESH_STRIDE == 0).select(
+        (F.col("doc_id") + _INC_MH_FRESH_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit("novel doc "), F.col("doc_id").cast("string"),
+            F.lit(" token alpha beta gamma delta"),
+        ).alias("text"),
+    )
+    new_docs = clones.unionByName(fresh)
+    new_bands = textops.band_rows(
+        textops.minhash_signatures(new_docs, n_hashes=8, k=3),
+        n_hashes=8, rows_per_band=2,
+    )
+    hits = (
+        new_bands.select(F.col("doc_id").alias("new_id"), "band_id", "sig")
+        .join(
+            old_bands.select(F.col("doc_id").alias("old_id"), "band_id", "sig"),
+            ["band_id", "sig"],
+        )
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("match_id"))
+    )
+    return (
+        new_docs.select(F.col("doc_id").alias("new_id"))
+        .join(hits, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("match_id", F.lit(-1)).cast("long").alias("matched_old_id"),
+            F.col("match_id").isNotNull().alias("is_dup"),
+        )
+        .orderBy("new_id")
+    )
+
+
+@register(
+    "ngram_diversity",
+    """
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL),
+    uni AS (
+      SELECT source, unnest(t) AS g FROM toks),
+    bi AS (
+      SELECT source, unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks WHERE len(t) >= 2),
+    u AS (SELECT source, COUNT(*) AS n1,
+                 COUNT(DISTINCT g) AS d1 FROM uni GROUP BY source),
+    b AS (SELECT source, COUNT(*) AS n2,
+                 COUNT(DISTINCT g) AS d2 FROM bi GROUP BY source)
+    SELECT u.source,
+           ROUND(1.2345e-8 + CAST(d1 AS DOUBLE) / n1, 4) AS distinct1,
+           ROUND(1.2345e-8 + CAST(d2 AS DOUBLE) / n2, 4) AS distinct2,
+           CAST(n1 AS BIGINT) AS n_tokens
+    FROM u JOIN b USING (source) ORDER BY u.source
+    """,
+    tags=("pipeline", "text-analysis", "diversity"),
+)
+def ngram_diversity(spark, sf_dir):
+    """Distinct-1 / distinct-2 n-gram diversity per source — the standard
+    corpus diversity metric (Li et al.'s distinct-n): the fraction of
+    unique unigrams/bigrams, low when a source is templated or
+    repetition-heavy (the self-BLEU story at O(n) instead of O(n²)
+    pairwise — the reason distinct-n is what production corpus audits
+    actually compute; per-doc repetition is `quality_repetition`'s job).
+    Scale shape: explode + two COUNT DISTINCT aggregates per source —
+    each a two-stage partial-distinct shuffle on (source, gram); at
+    trillion-token scale the exact distinct swaps for the mergeable HLL
+    sketch (`hll_sketch_merge`) with the same query shape."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("source", F.split("text", " ").alias("t"))
+    uni = toks.select("source", F.explode("t").alias("g"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, size(t) - 1),"
+                " (x, i) -> x || ' ' || t[i + 1])"
+            )
+        ).alias("g"),
+    )
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n1"), F.countDistinct("g").alias("d1")
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n2"), F.countDistinct("g").alias("d2")
+    )
+    return (
+        u.join(b, "source")
+        .select(
+            "source",
+            _eps_round(F.col("d1").cast("double") / F.col("n1"), 4).alias("distinct1"),
+            _eps_round(F.col("d2").cast("double") / F.col("n2"), 4).alias("distinct2"),
+            F.col("n1").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )

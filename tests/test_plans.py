@@ -633,3 +633,13 @@ def test_psi_reference_cuts_are_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
     # no window at all: binning is map-side arithmetic
     assert "Window" not in tree, tree
+
+
+def test_incremental_minhash_joins_new_to_index(spark, sf_dir):
+    """The snapshot-dedup join must be an equi-join on (band_id, sig) —
+    hash-partitionable against a standing index — with no cartesian or
+    nested-loop pair enumeration anywhere."""
+    plan = _plan(spark, sf_dir, "dedup_incremental_minhash")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, plan[:2000]
+    assert "band_id" in plan and "sig" in plan
