@@ -1170,3 +1170,61 @@ def measure_perimeter(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@register(
+    "distance_transform_l1_3d",
+    f"""
+    WITH {_PX3},
+    mask3 AS (
+      SELECT z, y, x, value > (SELECT AVG(value) FROM px3) AS m FROM px3)
+    SELECT p.z, p.y, p.x,
+           CAST(MIN(ABS(p.z - q.z) + ABS(p.y - q.y) + ABS(p.x - q.x))
+                AS INT) AS dist
+    FROM px3 p CROSS JOIN (SELECT z, y, x FROM mask3 WHERE m) q
+    GROUP BY p.z, p.y, p.x
+    """,
+    tags=("imaging", "distance-transform", "3d", "window"),
+)
+def distance_transform_l1_3d(spark, sf_dir):
+    """EXACT L1 distance transform at RANK 3 (16³ volume) — the
+    N-dimensional generalization of `distance_transform_l1`, proving the
+    separable prefix-minima rewrite composes per axis at any rank
+    exactly as scipy's chamfer pass does: one pair of running-min
+    frames per axis (x within (z,y), y within (z,x), z within (y,x)),
+    so a rank-d exact transform is d sorts / d shuffles total — for a
+    microscopy volume that's 3 shuffles against the oracle's
+    O(voxels × mask) brute-force nearest search. Same dense-grid and
+    integer-sentinel conventions as the 2-D form."""
+    INF = 1 << 20
+    ev = load_table(spark, sf_dir, "events")
+    px3 = ev.groupBy(
+        F.expr(f"CAST(event_id % {_VOL} AS INT)").alias("z"),
+        F.expr(f"CAST((event_id div {_VOL}) % {_VOL} AS INT)").alias("y"),
+        F.expr(f"CAST((event_id div {_VOL * _VOL}) % {_VOL} AS INT)").alias("x"),
+    ).agg(F.sum("value").alias("value"))
+    mean = px3.agg(F.avg("value").alias("mu"))
+    g = px3.crossJoin(F.broadcast(mean)).select(
+        "z", "y", "x",
+        F.when(F.col("value") > F.col("mu"), 0).otherwise(F.lit(INF)).alias("g"),
+    )
+
+    def axis_pass(df, col, part, src):
+        fwd = Window.partitionBy(*part).orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        bwd = Window.partitionBy(*part).orderBy(col).rowsBetween(
+            0, Window.unboundedFollowing
+        )
+        return df.select(
+            "z", "y", "x",
+            F.least(
+                F.min(F.col(src) - F.col(col)).over(fwd) + F.col(col),
+                F.min(F.col(src) + F.col(col)).over(bwd) - F.col(col),
+            ).alias("d"),
+        )
+
+    dx = axis_pass(g, "x", ("z", "y"), "g")
+    dy = axis_pass(dx, "y", ("z", "x"), "d")
+    dz = axis_pass(dy, "z", ("y", "x"), "d")
+    return dz.select("z", "y", "x", F.col("d").cast("int").alias("dist"))

@@ -254,3 +254,51 @@ def test_pit_carry_equals_interval_join(changes, fact_ts):
         elif cur is not None:
             got[t] = cur
     assert got == expected
+
+
+# ---- 3-D L1 DT: separable prefix minima == brute force ---------------------
+
+def _dt3_separable(vol):
+    import numpy as np
+
+    INF = 1 << 20
+    g = np.where(vol, 0, INF).astype(np.int64)
+    for ax in (2, 1, 0):
+        idx = np.arange(g.shape[ax])
+        shape = [1, 1, 1]
+        shape[ax] = -1
+        c = idx.reshape(shape)
+        fwd = np.minimum.accumulate(g - c, axis=ax) + c
+        bwd = np.flip(
+            np.minimum.accumulate(np.flip(g + c, axis=ax), axis=ax), axis=ax
+        ) - c
+        g = np.minimum(fwd, bwd)
+    return g
+
+
+def _dt3_bruteforce(vol):
+    import numpy as np
+
+    pts = np.argwhere(vol)
+    out = np.full(vol.shape, 1 << 20, dtype=np.int64)
+    if len(pts) == 0:
+        return out
+    for z in range(vol.shape[0]):
+        for y in range(vol.shape[1]):
+            for x in range(vol.shape[2]):
+                out[z, y, x] = int(
+                    np.abs(pts - [z, y, x]).sum(axis=1).min()
+                )
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**30 - 1))
+def test_dt3_separable_equals_bruteforce(seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vol = rng.random((4, 5, 3)) < 0.25
+    if not vol.any():
+        vol[0, 0, 0] = True
+    assert (_dt3_separable(vol) == _dt3_bruteforce(vol)).all()
