@@ -278,3 +278,23 @@ def streaming_ohlc(spark, sf_dir):
     certifies (a naive "first value seen per batch" implementation
     would diverge the moment the source splits into >1 trigger)."""
     return ops.ohlc_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_static_antijoin",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(1.2345e-8 + SUM(value), 4) AS kept_value
+    FROM events
+    WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                          WHERE c_custkey % 7 = 0)
+    GROUP BY event_type
+    """,
+    tags=("streaming", "join", "anti", "blocklist"),
+)
+def streaming_static_antijoin(spark, sf_dir):
+    """Streaming denylist filtering — the LEFT ANTI member of the
+    stream-static join family (`streaming_static_join` grades the inner
+    enrichment form); the batch NOT IN oracle is exact because no
+    watermark state is involved."""
+    return ops.stream_static_antijoin(spark, sf_dir)

@@ -592,3 +592,32 @@ def ohlc_stream(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
         )
     )
     return run_to_memory(agg, "complete")
+
+
+def stream_static_antijoin(
+    spark: SparkSession, sf_dir: str, **stream_opts
+) -> DataFrame:
+    """Stream-static LEFT ANTI join: the streaming events are filtered
+    against a static BLOCKLIST (every 7th customer key) before the
+    rollup — the standing-denylist topology (abuse filtering, GDPR
+    delete lists, dedup against a published index). The static side is
+    broadcast into every micro-batch; no state store is involved, so
+    availableNow output is batch-equivalent and strong-oracle-checkable.
+    At 100 TB the denylist graduates from a broadcast to a Bloom filter
+    pre-filter plus an exact anti-join on the survivors
+    (``bloom_membership`` is the graded sketch half of that design)."""
+    from dask_image_spark.sources.tables import load_table
+
+    ev = events_stream(spark, sf_dir, **stream_opts)
+    block = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    ).select(F.col("c_custkey").alias("user_id"))
+    agg = (
+        ev.join(F.broadcast(block), on="user_id", how="left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            _eps_round(F.sum("value"), 4).alias("kept_value"),
+        )
+    )
+    return run_to_memory(agg, "complete")

@@ -77,6 +77,7 @@ def _rows(df):
         # time-ranged split puts each bar's open and close in DIFFERENT
         # micro-batches
         ops.ohlc_stream,
+        ops.stream_static_antijoin,
     ],
     ids=lambda f: f.__name__,
 )
