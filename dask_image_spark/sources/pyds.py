@@ -1,0 +1,61 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API) —
+the from-scratch CONNECTOR surface: a deterministic partitioned table
+generator registered as ``spark.read.format("rangegen")``.
+
+This is the template every bespoke connector follows: ``partitions()``
+declares the split plan (so Spark schedules one task per partition —
+the connector, not the engine, owns parallelism), and ``read(part)``
+yields that partition's rows executor-side. Partition i generates the
+ids congruent to i (mod parts), so the split is a pure function of the
+options and the full table is their disjoint union — no driver-side
+data, no shared state, arbitrary scale-out. The value column is a
+deterministic quadratic-modular formula, which is what lets DuckDB
+replay the whole source with generate_series (the oracle for the graded
+query): a connector whose content is reproducible from its options is
+also a connector whose reads are testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+VALUE_MOD = 1000
+
+
+def gen_value(i: int) -> float:
+    """The shared row formula: mirrored verbatim in the DuckDB oracle."""
+    return ((i * i * 31 + 7) % VALUE_MOD) / 10.0
+
+
+class RangeGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition):
+        p = partition.value
+        for i in range(p, self.n, self.parts):
+            yield (i, p, gen_value(i))
+
+
+class RangeGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rangegen"
+
+    def schema(self) -> str:
+        return "id BIGINT, part INT, value DOUBLE"
+
+    def reader(self, schema):
+        return RangeGenReader(self.options)
+
+
+def register_rangegen(spark) -> None:
+    """Idempotent per-session registration."""
+    try:
+        spark.dataSource.register(RangeGenDataSource)
+    except Exception:  # already registered in this session
+        pass

@@ -1,0 +1,19 @@
+
+
+def test_rangegen_partition_plan_honored(spark):
+    """The connector's declared split plan IS the task layout: 8 declared
+    InputPartitions -> 8 scan partitions, and each holds exactly its
+    residue class."""
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.sources.pyds import register_rangegen
+
+    register_rangegen(spark)
+    df = (
+        spark.read.format("rangegen")
+        .option("n", 1000).option("parts", 8).load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    bad = df.filter((F.col("id") % 8) != F.col("part")).count()
+    assert bad == 0
+    assert df.count() == 1000
