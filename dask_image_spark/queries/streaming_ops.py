@@ -298,3 +298,25 @@ def streaming_static_antijoin(spark, sf_dir):
     enrichment form); the batch NOT IN oracle is exact because no
     watermark state is involved."""
     return ops.stream_static_antijoin(spark, sf_dir)
+
+
+@register(
+    "streaming_custom_source",
+    """
+    WITH src AS (
+      SELECT i AS id, ((i * i * 31 + 7) % 1000) / 10.0 AS value
+      FROM generate_series(0, 4999) t(i))
+    SELECT CAST(id % 4 AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM src GROUP BY grp
+    """,
+    tags=("streaming", "source", "python-datasource"),
+)
+def streaming_custom_source(spark, sf_dir):
+    """The custom-connector STREAMING surface: 8 offset-tracked
+    micro-batches (5000 ids, chunk 700) from the from-scratch Python
+    stream reader, aggregated complete-mode — grades the offset
+    contract end-to-end (a reader that lost or double-read a chunk
+    between offsets would break the exact totals)."""
+    return ops.custom_stream_source_rollup(spark, sf_dir)

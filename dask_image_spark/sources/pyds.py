@@ -17,7 +17,12 @@ also a connector whose reads are testable.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 VALUE_MOD = 1000
 
@@ -58,4 +63,47 @@ def register_rangegen(spark) -> None:
     try:
         spark.dataSource.register(RangeGenDataSource)
     except Exception:  # already registered in this session
+        pass
+
+
+class RangeGenStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming read of the same deterministic generator:
+    each micro-batch advances the offset by ``chunk`` ids until ``n`` is
+    exhausted, then reports caught-up (empty batch, unchanged offset) —
+    which is what lets ``processAllAvailable()`` terminate. Exactly-once
+    comes from the offset contract alone: ``readBetweenOffsets`` can
+    regenerate any committed range deterministically on replay."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.chunk = int(options.get("chunk", 250))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = min(lo + self.chunk, self.n)
+        return (iter([(i, gen_value(i)) for i in range(lo, hi)]), {"pos": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([(i, gen_value(i)) for i in range(start["pos"], end["pos"])])
+
+
+class RangeGenStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rangegen_stream"
+
+    def schema(self) -> str:
+        return "id BIGINT, value DOUBLE"
+
+    def simpleStreamReader(self, schema):
+        return RangeGenStreamReader(self.options)
+
+
+def register_rangegen_stream(spark) -> None:
+    try:
+        spark.dataSource.register(RangeGenStreamDataSource)
+    except Exception:
         pass

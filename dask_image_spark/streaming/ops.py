@@ -621,3 +621,42 @@ def stream_static_antijoin(
         )
     )
     return run_to_memory(agg, "complete")
+
+
+def custom_stream_source_rollup(
+    spark: SparkSession, sf_dir: str, n: int = 5000, chunk: int = 700
+) -> DataFrame:
+    """Rollup over the from-scratch Python STREAMING data source
+    (``sources/pyds.py::RangeGenStreamDataSource``): the offset contract
+    (initialOffset / read(start) -> (rows, next) / readBetweenOffsets
+    replay) drives ceil(n/chunk) genuine micro-batches through a
+    complete-mode aggregate; the run terminates via
+    ``processAllAvailable()`` once the source reports caught-up (empty
+    batch, unchanged offset) — the custom-connector analogue of the
+    availableNow file-source pattern used by every other streaming op
+    here. Content is the deterministic generator formula, so the batch
+    oracle replays it exactly."""
+    import uuid as _uuid
+
+    from dask_image_spark.sources.pyds import register_rangegen_stream
+
+    register_rangegen_stream(spark)
+    sdf = (
+        spark.readStream.format("rangegen_stream")
+        .option("n", n).option("chunk", chunk).load()
+    )
+    agg = sdf.groupBy((F.col("id") % 4).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _eps_round(F.sum("value"), 4).alias("total"),
+    )
+    name = f"mem_{_uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
