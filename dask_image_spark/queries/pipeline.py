@@ -3221,3 +3221,65 @@ def ngram_diversity(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "udtf_table_arg_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events)
+    SELECT user_id, CAST(COUNT(*) AS INT) AS n,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("pipeline", "udtf", "table-arg"),
+)
+def udtf_table_arg_gaps(spark, sf_dir):
+    """Spark 4 TABLE-ARGUMENT UDTF with ``PARTITION BY ... ORDER BY``:
+    a stateful per-partition Python class receives each user's events in
+    time order and emits (count, max inter-event gap) at
+    ``terminate()`` — the polymorphic-UDTF surface (the engine handles
+    the partitioning/sorting, the UDTF holds only ONE partition's
+    running state, so the pattern scales like applyInPandas but with
+    the SQL-native ``FROM udtf(TABLE(...) PARTITION BY ...)`` call
+    syntax a SQL-first user writes). The scalar-arg member of the
+    family is `udtf_ngrams`; the oracle replays the gap logic with a
+    LAG window. Max gap is trivially window-expressible — the UDTF
+    form earns its keep when per-partition state is NOT (regex DFAs,
+    session machines); this grades the plumbing with an
+    oracle-checkable statistic."""
+    from pyspark.sql.functions import udtf, unix_micros
+
+    @udtf(returnType="user_id bigint, n int, max_gap_us bigint")
+    class GapStats:
+        def __init__(self):
+            self.uid = None
+            self.prev = None
+            self.mx = 0
+            self.n = 0
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            t = row["us"]
+            if self.prev is not None and t - self.prev > self.mx:
+                self.mx = t - self.prev
+            self.prev = t
+
+        def terminate(self):
+            if self.uid is not None:
+                yield self.uid, self.n, self.mx
+
+    spark.udtf.register("gap_stats_udtf", GapStats)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", unix_micros("ts").alias("us")
+    )
+    view = "evv_udtf_gaps"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT * FROM gap_stats_udtf(TABLE({view})"
+        " PARTITION BY user_id ORDER BY (us, event_id)) ORDER BY user_id"
+    )
