@@ -1228,3 +1228,80 @@ def distance_transform_l1_3d(spark, sf_dir):
     dy = axis_pass(dx, "y", ("z", "x"), "d")
     dz = axis_pass(dy, "z", ("y", "x"), "d")
     return dz.select("z", "y", "x", F.col("d").cast("int").alias("dist"))
+
+
+def _quickstart_oracle() -> str:
+    from dask_image_spark.functions.pixelgrid import fixture_ctes
+
+    ctes: list[str] = []
+    cur = _chain(ctes, "qs", "pixels", _gauss_passes(0, 0))
+    extra = ctes + [
+        f"smr AS (SELECT y, x, ROUND(1.2345e-8 + value, 6) AS v FROM {cur})",
+        "qmu AS (SELECT ROUND(1.2345e-8 + AVG(v), 6) AS m FROM smr)",
+        "qfg AS (SELECT CAST(y * 64 + x AS BIGINT) AS id, y, x, v "
+        "FROM smr, qmu WHERE v > qmu.m)",
+        "qe1 AS (SELECT a.id AS src, b.id AS dst FROM qfg a JOIN qfg b "
+        "ON (b.y = a.y + 1 AND b.x = a.x) OR (b.y = a.y AND b.x = a.x + 1))",
+        "qedges AS (SELECT src, dst FROM qe1 "
+        "UNION ALL SELECT dst, src FROM qe1)",
+        "qreach(src, dst) AS (SELECT id, id FROM qfg UNION "
+        "SELECT r.src, e.dst FROM qreach r JOIN qedges e ON e.src = r.dst)",
+        "qcomp AS (SELECT src AS id, MIN(dst) AS label "
+        "FROM qreach GROUP BY src)",
+    ]
+    body = """
+    SELECT c.label, CAST(COUNT(*) AS BIGINT) AS area,
+           ROUND(1.2345e-8 + AVG(CAST(f.y AS DOUBLE)), 4) AS cy,
+           ROUND(1.2345e-8 + AVG(CAST(f.x AS DOUBLE)), 4) AS cx,
+           ROUND(1.2345e-8 + AVG(f.v), 4) AS mean_v
+    FROM qfg f JOIN qcomp c ON c.id = f.id
+    GROUP BY c.label ORDER BY c.label
+    """
+    return (
+        "WITH RECURSIVE " + ", ".join(fixture_ctes() + extra) + " " + body
+    )
+
+
+@register(
+    "quickstart_pipeline",
+    _quickstart_oracle(),
+    tags=("imaging", "pipeline", "flagship"),
+)
+def quickstart_pipeline(spark, sf_dir):
+    """THE REFERENCE'S QUICKSTART, DISTRIBUTED, AS ONE GRADED QUERY —
+    dask-image's canonical workflow (docs front page: smooth → threshold
+    → label → measure) composed end-to-end from this engine's operators:
+    ``gaussian_filter`` (separable two-pass stencil), mean threshold,
+    ``label`` (block/merge distributed CC), then per-object area /
+    centroid / mean intensity (the ``ndmeasure`` trio) — every stage the
+    same code path its standalone graded query uses, so this grades the
+    COMPOSITION: schema hand-off, threshold determinism on smoothed
+    floats (rounded to 6 decimals on BOTH engines before comparing to
+    the rounded mean, so a last-ulp difference can never flip a mask
+    pixel), and label alignment between the CC output and the intensity
+    image. Scale shape is the union of its parts: one stencil shuffle
+    pair, the CC block/merge stages, one measurement groupBy — at a
+    16k² microscopy slab every stage has already been sized standalone
+    (gauss_r2_4096 bench, label_cc scale notes)."""
+    from dask_image_spark.operators import label_cc
+
+    px = pixel_grid(spark, sf_dir)
+    sm = ndfilters.gaussian_filter(px, 1.0, shape=SHAPE).select(
+        "y", "x", _eps_round("v", 6).alias("v")
+    )
+    mu = sm.agg(_eps_round(F.avg("v"), 6).alias("m"))
+    masked = sm.crossJoin(F.broadcast(mu)).select(
+        "y", "x", "v", (F.col("v") > F.col("m")).alias("m")
+    )
+    lab = label_cc.label(masked.select("y", "x", "m"), SHAPE)
+    joined = lab.join(masked.select("y", "x", "v"), ["y", "x"])
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("area"),
+            _eps_round(F.avg(F.col("y").cast("double")), 4).alias("cy"),
+            _eps_round(F.avg(F.col("x").cast("double")), 4).alias("cx"),
+            _eps_round(F.avg("v"), 4).alias("mean_v"),
+        )
+        .orderBy("label")
+    )
