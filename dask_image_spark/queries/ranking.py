@@ -867,3 +867,47 @@ def bfs_3hop(spark, sf_dir):
     return visited.select(
         "doc_id", F.col("dist").cast("int").alias("dist")
     ).orderBy("doc_id")
+
+
+# ONE SQL text, executed verbatim by BOTH engines (Spark 4's recursive
+# CTE support makes the oracle literally the query): {tbl} is the only
+# dialect seam (temp-view name vs registered table).
+_RECURSIVE_BFS_SQL = """
+    WITH RECURSIVE
+    nodes AS (SELECT doc_id FROM {tbl}),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             (doc_id * doc_id * 31 + 7919 * j) % n.c AS dst
+      FROM nodes CROSS JOIN n
+      CROSS JOIN (VALUES (1), (2), (3)) AS t(j)),
+    reach(doc_id, dist) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, r.dist + 1
+      FROM reach r JOIN edges e ON e.src = r.doc_id
+      WHERE r.dist < 3)
+    SELECT doc_id, CAST(MIN(dist) AS INT) AS dist
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "recursive_cte_reachability",
+    _RECURSIVE_BFS_SQL.format(tbl="documents"),
+    tags=("ranking", "graph", "sql-surface", "recursive-cte"),
+)
+def recursive_cte_reachability(spark, sf_dir):
+    """Spark 4 RECURSIVE CTE surface: the bounded-hop reachability query
+    as LITERAL ``WITH RECURSIVE`` SQL — the exact same text DuckDB runs
+    as the oracle (one string, one dialect seam: the table name). This
+    is the migration path for warehouse SQL using recursion
+    (hierarchies, BOMs, graph closures): it now runs unchanged. The
+    DataFrame twin `bfs_3hop` remains the SCALE path — the recursive
+    CTE re-derives every path per iteration (UNION ALL breadth
+    expansion, exponential in the hop bound on dense graphs), while the
+    delta-iteration form joins only the new frontier; same answer,
+    plan-pinned difference — which is exactly why both are graded."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs.createOrReplaceTempView("documents_rec_bfs")
+    return spark.sql(_RECURSIVE_BFS_SQL.format(tbl="documents_rec_bfs"))
