@@ -1408,6 +1408,8 @@ def quality_entropy(spark, sf_dir):
     ctot AS (SELECT SUM(cc) AS cn FROM corpus),
     cdf AS (
       SELECT p.source, p.nt,
+             COALESCE(LEAD(p.nt) OVER (PARTITION BY p.source ORDER BY p.nt)
+                      - p.nt, 0) AS gap,
              SUM(p.c) OVER (PARTITION BY p.source ORDER BY p.nt
                             ROWS UNBOUNDED PRECEDING)
                / CAST(tot.n AS DOUBLE) AS f_src,
@@ -1419,7 +1421,7 @@ def quality_entropy(spark, sf_dir):
       JOIN corpus ON corpus.nt = p.nt
       CROSS JOIN ctot)
     SELECT source,
-           ROUND(1.2345e-8 + SUM(ABS(f_src - f_corpus)), 4) AS emd
+           ROUND(1.2345e-8 + SUM(ABS(f_src - f_corpus) * gap), 4) AS emd
     FROM cdf GROUP BY source ORDER BY source
     """,
     tags=("curation", "drift", "emd"),
@@ -1429,8 +1431,11 @@ def emd_source_drift(spark, sf_dir):
     distribution-shift metric that, unlike KL (`kl_source_drift`), is
     finite on disjoint supports and respects the metric structure of the
     domain (shifting mass by 1 token costs 1): for 1-D distributions,
-    EMD = Σ|CDF_src − CDF_corpus| over the value domain (the closed form
-    of optimal transport on the line). Each source's histogram is
+    EMD = Σ|CDF_src − CDF_corpus|·Δ over the value domain, where Δ is
+    each support point's gap to the next (the closed form of optimal
+    transport on the line — the gap weight is what makes a discrepancy
+    spanning 10 absent token-counts cost 10×, not 1×; the round-7
+    review caught the unweighted form). Each source's histogram is
     aligned onto the SHARED token-count domain (dense grid via the
     domain×source cross of two tiny distinct sets, zero-filled), then
     one cumulative-sum window per source and a 1-row-per-source rollup.
@@ -1460,6 +1465,11 @@ def emd_source_drift(spark, sf_dir):
         .crossJoin(F.broadcast(ctot))
         .select(
             "source", "nt",
+            F.coalesce(
+                F.lead("nt").over(Window.partitionBy("source").orderBy("nt"))
+                - F.col("nt"),
+                F.lit(0),
+            ).alias("gap"),
             (F.sum("c").over(w) / F.col("n").cast("double")).alias("f_src"),
             (F.sum("cc").over(w) / F.col("cn").cast("double")).alias(
                 "f_corpus"
@@ -1468,7 +1478,12 @@ def emd_source_drift(spark, sf_dir):
     )
     return (
         cdf.groupBy("source")
-        .agg(_eps_round(F.sum(F.abs(F.col("f_src") - F.col("f_corpus"))), 4).alias("emd"))
+        .agg(
+            _eps_round(
+                F.sum(F.abs(F.col("f_src") - F.col("f_corpus")) * F.col("gap")),
+                4,
+            ).alias("emd")
+        )
         .orderBy("source")
     )
 

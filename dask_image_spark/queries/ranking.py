@@ -771,10 +771,14 @@ def tree_depth_doubling(spark, sf_dir):
         F.when(v > 0, ((v - 1) / 2).cast("long")).otherwise(F.lit(0)).alias("a"),
         F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).alias("d"),
     )
-    # 4 doublings: 2^4 = 16 > max depth; the root's self-loop (a=0, d=0)
-    # makes extra rounds idempotent, so the cap only needs to be an upper
-    # bound on log2(depth)
-    for _ in range(4):
+    # 6 doublings resolve ancestor chains up to 2^6 = 64 deep — an upper
+    # bound on log2(N) for any N < 2^64, so the unroll is scale-safe for
+    # any conceivable corpus (depth of the implicit doc_id heap is
+    # floor(log2(N)); the round-7 review caught the previous constant 4,
+    # which silently under-counted past 65k docs). The root's self-loop
+    # (a=0, d=0) makes extra rounds idempotent, so over-provisioning
+    # costs two more bounded self-joins, never correctness.
+    for _ in range(6):
         right = j.select(
             F.col("v").alias("rv"), F.col("a").alias("ra"),
             F.col("d").alias("rd"),

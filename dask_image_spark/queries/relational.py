@@ -2394,7 +2394,7 @@ def join_salted_skew(spark, sf_dir):
              c_mktsegment AS seg
       FROM customer WHERE c_custkey % 13 <> 0
       UNION ALL
-      SELECT c_custkey + 5000 AS k, 500.0 AS bal, 'NEW' AS seg
+      SELECT c_custkey + 10000000 AS k, 500.0 AS bal, 'NEW' AS seg
       FROM customer WHERE c_custkey % 11 = 0)
     SELECT COALESCE(a.k, b.k) AS k,
            CASE WHEN a.k IS NULL THEN 'I'
@@ -2415,7 +2415,9 @@ def cdc_snapshot_diff(spark, sf_dir):
     consumer would apply (the nightly-snapshot CDC pattern for sources
     with no changelog). Snapshot B is a deterministic mutation of A by
     contract (every 7th balance bumped, every 13th key deleted, every
-    11th re-keyed as an insert), so the graded feed provably contains
+    11th re-keyed as an insert ABOVE the real id range — offset 10M, the
+    fixture-injection convention, so the synthetic keys can never
+    collide with genuine customers at any SF), so the graded feed provably contains
     all three op kinds. Scale shape: ONE full-outer equi-join on the
     business key (both sides hash-partitioned, map-side change filter)
     — never a row-by-row lookup; the unchanged majority is filtered
@@ -2438,7 +2440,7 @@ def cdc_snapshot_diff(spark, sf_dir):
         )
         .unionByName(
             c.filter(F.pmod(F.col("c_custkey"), F.lit(11)) == 0).select(
-                (F.col("c_custkey") + 5000).alias("k"),
+                (F.col("c_custkey") + 10000000).alias("k"),
                 F.lit(500.0).alias("bal_b"),
                 F.lit("NEW").alias("seg_b"),
             )
@@ -2844,7 +2846,6 @@ def hll_sketch_merge(spark, sf_dir):
         "event_type",
         "exact_n",
         F.hll_sketch_estimate("sk").alias("est"),
-        F.col("sk"),
     )
     merged = sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")

@@ -948,9 +948,8 @@ def ohlc_bars(spark, sf_dir):
     """Daily OHLC (open/high/low/close) resampling bars per event_type —
     the canonical order-sensitive downsample (candlesticks, telemetry
     first/last-reading rollups). Open/close are the FIRST/LAST value in
-    (ts, event_id) order via ``min_by``/``max_by`` over a fixed-width
-    zero-padded "epoch_us || event_id" string key: order-isomorphic to
-    the (ts, event_id) tuple, packed as epoch_us * 1e10 + event_id in a
+    (ts, event_id) order via ``min_by``/``max_by`` over an
+    order-isomorphic packed key: epoch_us * 1e10 + event_id in a
     DECIMAL(28,0) (HUGEINT on the oracle side). The packing is the plan
     lever: a fixed-width mutable buffer keeps the whole bar a
     HashAggregate with map-side partial merge, while a STRUCT (or
@@ -1119,7 +1118,8 @@ def survival_km(spark, sf_dir):
       SELECT event_type, ts, k,
              ABS(s_k) / (sd * SQRT(n)) AS stat,
              ROW_NUMBER() OVER (PARTITION BY event_type
-                                ORDER BY ABS(s_k) DESC, k ASC) AS rn
+                                ORDER BY ROUND(1.2345e-8 + ABS(s_k), 6) DESC,
+                                         k ASC) AS rn
       FROM c)
     SELECT event_type, CAST(k AS BIGINT) AS cp_index, ts AS cp_ts,
            ROUND(1.2345e-8 + stat, 4) AS stat
@@ -1133,11 +1133,14 @@ def cusum_changepoint(spark, sf_dir):
     changepoint is argmax_k |S_k| and the statistic is
     max|S_k| / (sigma * sqrt(n)) — the drift-monitoring primitive a
     training-data pipeline runs over ingest metrics before a source flips
-    quality. Determinism across engines: the partition mean is rounded to
-    6 decimals FIRST (both engines), so every prefix sum is the same
-    left-to-right IEEE addition chain bitwise and the argmax tie-break
-    (smallest k) can never flip on a last-ulp difference; sigma only
-    scales the (4-decimal-rounded) statistic. Scale shape: one shuffle on
+    quality. Determinism across engines is belt-and-braces: the partition
+    mean is rounded to 6 decimals FIRST (both engines) so the summed
+    TERMS are identical, and — because an engine is free to associate a
+    windowed SUM any way it likes (DuckDB's segment tree vs Spark's
+    sequential running frame), leaving last-ulp noise in S_k — the
+    argmax ORDERS BY THE 6-DECIMAL-ROUNDED |S_k|, so ulp noise can
+    never reorder candidates and the k-ascending tie-break is decisive;
+    sigma only scales the (4-decimal-rounded) statistic. Scale shape: one shuffle on
     event_type shared by all four windows (same partition spec), one
     in-partition sort; no self-join, no collect."""
     ev = load_table(spark, sf_dir, "events")
@@ -1157,7 +1160,7 @@ def cusum_changepoint(spark, sf_dir):
         .alias("s_k"),
     )
     wa = Window.partitionBy("event_type").orderBy(
-        F.abs("s_k").desc(), F.col("k").asc()
+        _eps_round(F.abs("s_k"), 6).desc(), F.col("k").asc()
     )
     m = c.select(
         "event_type", "ts", "k",
