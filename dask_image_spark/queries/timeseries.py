@@ -1362,3 +1362,53 @@ def conversion_latency(spark, sf_dir):
         )
         .orderBy("bucket_30m")
     )
+
+
+@register(
+    "attribution_first_touch",
+    """
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS touch
+      FROM events)
+    SELECT COALESCE(touch, 'none') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(1.2345e-8 + SUM(value), 4) AS attributed_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("timeseries", "attribution", "window"),
+)
+def attribution_first_touch(spark, sf_dir):
+    """FIRST-touch attribution — the acquisition-credit counterpart of
+    `attribution_last_touch` (same carry-forward window shape, FIRST
+    instead of LAST over the running frame): each purchase's value is
+    credited to the EARLIEST preceding non-purchase touch in the user's
+    history. Comparing the two graded tables is the standard
+    attribution-model sensitivity check. Identical scale posture: one
+    user_id sort shared with the aggregation, revenue-conserving 'none'
+    bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            _eps_round(F.sum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
