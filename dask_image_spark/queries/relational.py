@@ -3928,3 +3928,45 @@ def sql_pipe_syntax(spark, sf_dir):
         """,
         args={"thr": 50},
     )
+
+
+@register(
+    "filtered_aggregates",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE value >= 100) AS BIGINT) AS n_big,
+           ROUND(1.2345e-8 + COALESCE(
+             SUM(value) FILTER (WHERE value >= 100), 0.0), 4) AS big_total,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT user_id) FILTER (WHERE value >= 100)
+                AS BIGINT) AS n_big_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "agg", "filter-clause"),
+)
+def filtered_aggregates(spark, sf_dir):
+    """The ANSI FILTER-clause aggregate surface (conditional aggregation
+    without CASE-WHEN scaffolding) mixed with DISTINCT aggregates in the
+    same GROUP BY — the shape Catalyst expands with a double-aggregate
+    rewrite (Expand + two HashAggregates) so plain and distinct measures
+    coexist in one pass; run through the LITERAL SQL entry (the q6
+    precedent) since FILTER is a SQL-text feature a migrating warehouse
+    user writes verbatim. COALESCE pins the empty-filter-group result to
+    0.0 on both engines (SUM over an empty filtered set is NULL)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "evv_filtered_agg"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE value >= 100) AS BIGINT) AS n_big,
+               ROUND(COALESCE(SUM(value) FILTER (WHERE value >= 100), 0.0)
+                     + 1.2345e-8, 4) AS big_total,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT user_id) FILTER (WHERE value >= 100)
+                    AS BIGINT) AS n_big_users
+        FROM evv_filtered_agg GROUP BY event_type ORDER BY event_type
+        """
+    )
