@@ -302,3 +302,54 @@ def test_dt3_separable_equals_bruteforce(seed):
     if not vol.any():
         vol[0, 0, 0] = True
     assert (_dt3_separable(vol) == _dt3_bruteforce(vol)).all()
+
+
+# ---- weighted median: integer bracket == definitional weighted median ------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(0, 100, allow_nan=False), st.integers(1, 5)),
+        min_size=1, max_size=50,
+    )
+)
+def test_weighted_median_bracket(rows):
+    """Exactly ONE row satisfies 2*cw >= W and 2*(cw-wt) < W, and its
+    value is the definitional lower weighted median (first value whose
+    cumulative weight reaches half the total mass)."""
+    rows = sorted((v, i, w) for i, (v, w) in enumerate(rows))
+    total = sum(w for _, _, w in rows)
+    cw = 0
+    hits = []
+    for v, _, w in rows:
+        cw += w
+        if 2 * cw >= total and 2 * (cw - w) < total:
+            hits.append(v)
+    assert len(hits) == 1
+    # definitional: first value where running mass >= W/2
+    acc = 0
+    for v, _, w in rows:
+        acc += w
+        if acc * 2 >= total:
+            assert hits[0] == v
+            break
+
+
+# ---- OHLC packed key: order-isomorphic to the (ts, id) tuple ---------------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**53), st.integers(0, 9_999_999_999)),
+        min_size=2, max_size=30,
+    )
+)
+def test_ohlc_packed_key_order_isomorphic(pairs):
+    """epoch_us * 1e10 + event_id orders exactly like the (epoch_us,
+    event_id) tuple whenever event_id < 1e10 — the invariant the
+    min_by/max_by open/close depend on (integer arithmetic, so no
+    float-precision caveat at any epoch)."""
+    packed = [t * 10_000_000_000 + e for t, e in pairs]
+    order_a = sorted(range(len(pairs)), key=lambda i: pairs[i])
+    order_b = sorted(range(len(pairs)), key=lambda i: packed[i])
+    assert order_a == order_b
