@@ -3970,3 +3970,50 @@ def filtered_aggregates(spark, sf_dir):
         FROM evv_filtered_agg GROUP BY event_type ORDER BY event_type
         """
     )
+
+
+@register(
+    "array_hof_surface",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg,
+           len(list_filter(embedding, x -> abs(x) > 10)) = 0 AS all_small,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           ROUND(1.2345e-8 + list_sum(
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4)
+             AS l1_norm
+    FROM embeddings WHERE vec_id % 50 = 0 ORDER BY vec_id
+    """,
+    tags=("relational", "array", "higher-order"),
+)
+def array_hof_surface(spark, sf_dir):
+    """The remaining array HIGHER-ORDER functions as a graded surface:
+    ``exists`` / ``forall`` (quantifiers over the lambda — the
+    constraint-checking idiom for array columns), ``filter`` + ``size``,
+    and ``aggregate`` as a left fold (L1 norm) — all JVM-side
+    whole-stage-codegen lambdas, zero Python (the embedding-math
+    fast-path rule: similarity/quantization queries already lean on
+    transform/zip_with; this pins the quantifier pair). Fold order is
+    the list order on both engines, so the float chain is
+    deterministic; floats are widened to double INSIDE the lambda so
+    both engines accumulate at the same precision."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            "vec_id",
+            F.exists(v, lambda x: x < 0).alias("has_neg"),
+            F.forall(v, lambda x: F.abs(x) <= 10).alias("all_small"),
+            F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_pos"),
+            _eps_round(
+                F.aggregate(
+                    v,
+                    F.lit(0.0),
+                    lambda acc, x: acc + F.abs(x.cast("double")),
+                ),
+                4,
+            ).alias("l1_norm"),
+        )
+        .orderBy("vec_id")
+    )
