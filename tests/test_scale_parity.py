@@ -1,0 +1,43 @@
+"""Scale-stability parity: a cross-family query sample re-graded against
+DuckDB at sf0.1 — 10× the driver's grading SF — with the same
+row/schema/value-hash compare. Catches fixtures whose determinism
+contracts silently assume the graded scale point (duplicate-injection
+strides, rounding margins, id-range offsets: the round-7 review's
+cdc_snapshot_diff +5000 collision is exactly the class this pins).
+The full 44-query sweep ran in round 7 (44/44, COVERAGE.md); this
+standing subset keeps the axis green without doubling suite time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dask_image_spark import queries as q
+from tests.parity import compare
+
+q.load_all()
+
+SF01 = "/root/testdata/sf0.1"
+
+SAMPLE = [
+    "q1_pricing_summary",        # TPC-H agg
+    "q21_suppliers_kept_waiting",  # anti-join chain
+    "dedup_exact_groups",        # injection-stride fixture
+    "dedup_incremental_minhash",  # offset-injection fixture
+    "cdc_snapshot_diff",         # the re-key-offset regression class
+    "pit_join_scd2",             # temporal carry-forward
+    "ohlc_bars",                 # decimal-packed min_by
+    "cusum_changepoint",         # rounded-argmax determinism
+    "survival_km",               # calendar-domain windows
+    "mg_heavy_hitters",          # sketch + exact rescan
+    "quickstart_pipeline",       # imaging composition (fixed 64x64 grid)
+    "map_hof_surface",           # complex-type round-trip
+]
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_sf01_parity(spark, name):
+    problems = compare(
+        q.all_queries()[name](spark, SF01), q.all_oracles()[name], SF01
+    )
+    assert not problems, f"{name} @ sf0.1: " + "; ".join(problems)
