@@ -4073,3 +4073,48 @@ def map_hof_surface(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "grouping_id_surface",
+    """
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END, '(all)')
+             AS bucket,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END)
+                AS INT) AS g_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END)
+    ORDER BY g_type, g_bucket, event_type, bucket
+    """,
+    tags=("relational", "rollup", "grouping-id"),
+)
+def grouping_id_surface(spark, sf_dir):
+    """``GROUPING()`` indicator columns over a two-level ROLLUP — the
+    piece a consumer of subtotal frames actually needs: COALESCE alone
+    cannot distinguish a genuine NULL group from a subtotal row, so
+    every BI layer reading rollups keys on the grouping indicators (the
+    graded rollup/cube/grouping-sets queries emit the aggregates; this
+    grades the metadata). One Expand + one aggregate, the standard
+    rollup plan."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(F.col("value") >= 50, "hi").otherwise("lo")
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .rollup("event_type", "bucket")
+        # grouping() must be projected INSIDE the rollup's own agg —
+        # Catalyst rejects it once the Aggregate node is finalized
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("bucket").cast("int").alias("g_bucket"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("bucket", F.lit("(all)")).alias("bucket"),
+            "g_type", "g_bucket", "n",
+        )
+        .orderBy("g_type", "g_bucket", "event_type", "bucket")
+    )
