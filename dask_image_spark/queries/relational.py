@@ -4069,7 +4069,7 @@ def map_hof_surface(spark, sf_dir):
             F.size("mk").cast("int").alias("n_kept"),
             F.aggregate(
                 F.map_values("mk"), F.lit(0).cast("long"), lambda a, x: a + x
-            ).cast("long").alias("total_kept"),
+            ).alias("total_kept"),
         )
         .orderBy("user_id")
     )

@@ -1243,12 +1243,17 @@ def fir_smooth_8tap(spark, sf_dir):
     ).orderBy("event_id")
 
 
-@register(
-    "attribution_last_touch",
-    """
+def _attribution_query(picker: str):
+    """Shared first/last-touch attribution builder: ``picker`` selects the
+    window picker (``first`` = acquisition credit, ``last`` = conversion
+    credit) in BOTH the oracle SQL and the Spark aggregate, so the two
+    registered models can never drift in anything but the picker — the
+    point of comparing their tables is the attribution-model sensitivity
+    check, which is only meaningful if everything else is identical."""
+    sql = f"""
     WITH t AS (
       SELECT user_id, ts, event_id, event_type, value,
-             last_value(CASE WHEN event_type <> 'purchase'
+             {picker}_value(CASE WHEN event_type <> 'purchase'
                              THEN event_type END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1259,41 +1264,55 @@ def fir_smooth_8tap(spark, sf_dir):
            ROUND(1.2345e-8 + SUM(value), 4) AS attributed_value
     FROM t WHERE event_type = 'purchase'
     GROUP BY 1 ORDER BY 1
-    """,
+    """
+
+    def q(spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = F.first if picker == "first" else F.last
+        touch = pick(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w)
+        return (
+            ev.withColumn("touch", touch)
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                _eps_round(F.sum("value"), 4).alias("attributed_value"),
+            )
+            .orderBy("touch_type")
+        )
+
+    return sql, q
+
+
+_LT_SQL, _lt_q = _attribution_query("last")
+_FT_SQL, _ft_q = _attribution_query("first")
+
+
+@register(
+    "attribution_last_touch", _LT_SQL,
     tags=("timeseries", "attribution", "window"),
 )
 def attribution_last_touch(spark, sf_dir):
     """Last-touch revenue attribution: each purchase's value is credited
     to the user's most recent PRECEDING non-purchase event type — the
-    marketing-attribution primitive (the first-touch variant flips the
-    frame direction). One pass: ``last(..., ignorenulls=True)`` over the
-    (user_id, ts) sort carries the latest touch forward, purchases read
-    it in place — no purchases-to-touches self-join, no per-purchase
-    subquery (the NOT-EXISTS formulation is quadratic). 'none' buckets
-    purchases with no preceding touch, so credited value totals
-    exactly the purchase revenue. Scale shape: ONE user_id shuffle
-    shared by the window and pre-aggregation; the final groupBy is over
-    |event_types| rows."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    touch = F.last(
-        F.when(F.col("event_type") != "purchase", F.col("event_type")),
-        ignorenulls=True,
-    ).over(w)
-    return (
-        ev.withColumn("touch", touch)
-        .filter(F.col("event_type") == "purchase")
-        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            _eps_round(F.sum("value"), 4).alias("attributed_value"),
-        )
-        .orderBy("touch_type")
-    )
+    marketing-attribution primitive. One pass: ``last(...,
+    ignorenulls=True)`` over the (user_id, ts) sort carries the latest
+    touch forward, purchases read it in place — no purchases-to-touches
+    self-join, no per-purchase subquery (the NOT-EXISTS formulation is
+    quadratic). 'none' buckets purchases with no preceding touch, so
+    credited value totals exactly the purchase revenue. Scale shape: ONE
+    user_id shuffle shared by the window and pre-aggregation; the final
+    groupBy is over |event_types| rows. Built by ``_attribution_query``
+    so the first-touch twin differs ONLY in the picker."""
+    return _lt_q(spark, sf_dir)
 
 
 @register(
@@ -1365,50 +1384,15 @@ def conversion_latency(spark, sf_dir):
 
 
 @register(
-    "attribution_first_touch",
-    """
-    WITH t AS (
-      SELECT user_id, ts, event_id, event_type, value,
-             first_value(CASE WHEN event_type <> 'purchase'
-                              THEN event_type END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS touch
-      FROM events)
-    SELECT COALESCE(touch, 'none') AS touch_type,
-           CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           ROUND(1.2345e-8 + SUM(value), 4) AS attributed_value
-    FROM t WHERE event_type = 'purchase'
-    GROUP BY 1 ORDER BY 1
-    """,
+    "attribution_first_touch", _FT_SQL,
     tags=("timeseries", "attribution", "window"),
 )
 def attribution_first_touch(spark, sf_dir):
     """FIRST-touch attribution — the acquisition-credit counterpart of
-    `attribution_last_touch` (same carry-forward window shape, FIRST
-    instead of LAST over the running frame): each purchase's value is
-    credited to the EARLIEST preceding non-purchase touch in the user's
-    history. Comparing the two graded tables is the standard
-    attribution-model sensitivity check. Identical scale posture: one
-    user_id sort shared with the aggregation, revenue-conserving 'none'
-    bucket."""
-    ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    touch = F.first(
-        F.when(F.col("event_type") != "purchase", F.col("event_type")),
-        ignorenulls=True,
-    ).over(w)
-    return (
-        ev.withColumn("touch", touch)
-        .filter(F.col("event_type") == "purchase")
-        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            _eps_round(F.sum("value"), 4).alias("attributed_value"),
-        )
-        .orderBy("touch_type")
-    )
+    `attribution_last_touch` (same shared builder, FIRST picker): each
+    purchase's value is credited to the EARLIEST preceding non-purchase
+    touch in the user's history. Comparing the two graded tables is the
+    standard attribution-model sensitivity check — meaningful precisely
+    because ``_attribution_query`` guarantees everything but the picker
+    is identical."""
+    return _ft_q(spark, sf_dir)
