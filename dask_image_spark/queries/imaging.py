@@ -534,6 +534,100 @@ def morph_dilation_square(spark, sf_dir):
     ).select("y", "x", F.col("m").alias("v"))
 
 
+
+def _grey_morph_oracle(kind: str) -> str:
+    """Greyscale morphology oracles composed from the SAME per-pass SQL
+    generator as the filters: grey erosion/dilation over a flat 3x3
+    structuring element ARE minimum/maximum_filter (scipy defines them
+    so), and the derived operators are pixelwise arithmetic on chained
+    passes — scipy.ndimage.morphological_gradient / white_tophat /
+    black_tophat semantics."""
+    ctes: list[str] = []
+    if kind == "gradient":
+        d = _chain(ctes, "gd", "pixels", [(_BOX3, "MAX({v})", REFL, 0.0)])
+        e = _chain(ctes, "ge", "pixels", [(_BOX3, "MIN({v})", REFL, 0.0)])
+        body = (
+            f"SELECT d.y, d.x, ROUND(1.2345e-8 + d.value - e.value, 4) AS v "
+            f"FROM {d} d JOIN {e} e ON e.y = d.y AND e.x = d.x"
+        )
+    elif kind == "white":
+        o = _chain(ctes, "go", "pixels",
+                   [(_BOX3, "MIN({v})", REFL, 0.0),
+                    (_BOX3, "MAX({v})", REFL, 0.0)])
+        body = (
+            f"SELECT p.y, p.x, ROUND(1.2345e-8 + p.value - o.value, 4) AS v "
+            f"FROM pixels p JOIN {o} o ON o.y = p.y AND o.x = p.x"
+        )
+    else:  # black
+        c = _chain(ctes, "gc", "pixels",
+                   [(_BOX3, "MAX({v})", REFL, 0.0),
+                    (_BOX3, "MIN({v})", REFL, 0.0)])
+        body = (
+            f"SELECT p.y, p.x, ROUND(1.2345e-8 + c.value - p.value, 4) AS v "
+            f"FROM pixels p JOIN {c} c ON c.y = p.y AND c.x = p.x"
+        )
+    return with_pixel_ctes(body, extra=ctes)
+
+
+def _as_value(df):
+    return df.select("y", "x", F.col("v").alias("value"))
+
+
+@register("morph_grey_gradient", _grey_morph_oracle("gradient"),
+          tags=("imaging", "ndmorph", "greyscale"))
+def morph_grey_gradient(spark, sf_dir):
+    """Morphological GRADIENT (scipy ``morphological_gradient``, flat 3x3):
+    dilation minus erosion — the classic cheap edge detector. Grey
+    dilation/erosion over a flat structure are exactly
+    ``maximum_filter``/``minimum_filter`` (the upstream ndmorph binary ops
+    are their boolean specialization), so the plan is two independent
+    one-shuffle stencils joined on their shared (y, x) grouping keys. At
+    the fixture size AQE broadcasts one stencil output into the other; at
+    a real image scale the join keys EQUAL both aggregates' grouping
+    keys, so the sort-merge form reuses their hash partitioning without a
+    third data exchange."""
+    px = pixel_grid(spark, sf_dir)
+    d = ndfilters.maximum_filter(px, 3, SHAPE)
+    e = ndfilters.minimum_filter(px, 3, SHAPE).select(
+        "y", "x", F.col("v").alias("ve")
+    )
+    return d.join(e, ["y", "x"]).select(
+        "y", "x", _eps_round(F.col("v") - F.col("ve"), 4).alias("v")
+    )
+
+
+@register("morph_tophat_white", _grey_morph_oracle("white"),
+          tags=("imaging", "ndmorph", "greyscale"))
+def morph_tophat_white(spark, sf_dir):
+    """WHITE TOPHAT (scipy ``white_tophat``, flat 3x3): input minus grey
+    opening (erosion then dilation) — isolates bright features smaller
+    than the structuring element, the background-removal primitive of
+    microscopy pipelines. Three chained stencil shuffles total (two for
+    the opening, one join back to the input on the grouped keys)."""
+    px = pixel_grid(spark, sf_dir)
+    opened = ndfilters.maximum_filter(
+        _as_value(ndfilters.minimum_filter(px, 3, SHAPE)), 3, SHAPE
+    ).select("y", "x", F.col("v").alias("vo"))
+    return px.join(opened, ["y", "x"]).select(
+        "y", "x", _eps_round(F.col("value") - F.col("vo"), 4).alias("v")
+    )
+
+
+@register("morph_tophat_black", _grey_morph_oracle("black"),
+          tags=("imaging", "ndmorph", "greyscale"))
+def morph_tophat_black(spark, sf_dir):
+    """BLACK TOPHAT (scipy ``black_tophat``, flat 3x3): grey closing
+    (dilation then erosion) minus input — the dual of the white tophat,
+    isolating dark features below structuring-element scale."""
+    px = pixel_grid(spark, sf_dir)
+    closed = ndfilters.minimum_filter(
+        _as_value(ndfilters.maximum_filter(px, 3, SHAPE)), 3, SHAPE
+    ).select("y", "x", F.col("v").alias("vc"))
+    return px.join(closed, ["y", "x"]).select(
+        "y", "x", _eps_round(F.col("vc") - F.col("value"), 4).alias("v")
+    )
+
+
 @register("morph_erosion_iter2", _morph_oracle([_BAND, _BAND]),
           tags=("imaging", "ndmorph"))
 def morph_erosion_iter2(spark, sf_dir):

@@ -1838,6 +1838,78 @@ def agg_stats(spark, sf_dir):
 
 
 @register(
+    "corr_matrix",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             corr(l_quantity, l_extendedprice) AS c0,
+             corr(l_quantity, l_discount) AS c1,
+             corr(l_quantity, l_tax) AS c2,
+             corr(l_extendedprice, l_discount) AS c3,
+             corr(l_extendedprice, l_tax) AS c4,
+             corr(l_discount, l_tax) AS c5
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'quantity' AS col_a, 'extendedprice' AS col_b,
+           ROUND(1.2345e-8 + c0, 4) AS corr_v FROM m
+    UNION ALL
+    SELECT l_returnflag, 'quantity', 'discount', ROUND(1.2345e-8 + c1, 4) FROM m
+    UNION ALL
+    SELECT l_returnflag, 'quantity', 'tax', ROUND(1.2345e-8 + c2, 4) FROM m
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice', 'discount', ROUND(1.2345e-8 + c3, 4) FROM m
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice', 'tax', ROUND(1.2345e-8 + c4, 4) FROM m
+    UNION ALL
+    SELECT l_returnflag, 'discount', 'tax', ROUND(1.2345e-8 + c5, 4) FROM m
+    """,
+    tags=("relational", "agg", "statistics"),
+)
+def corr_matrix(spark, sf_dir):
+    """Grouped Pearson CORRELATION MATRIX (upper triangle, unpivoted):
+    the feature-correlation screen every tabular-ML pipeline runs before
+    training. All 6 pairwise correlations of the lineitem measures
+    compute in ONE partial+final aggregate over co-moment sums (corr
+    reduces to sums of x, y, xy, x2, y2 — fully map-side combinable,
+    one shuffle on the group key), then ``stack`` unpivots the 6 cells
+    map-side: no second shuffle, no per-pair pass over the fact table.
+    The naive form — one groupBy per pair — scans the 100 TB fact 6x;
+    this scans it once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        *[
+            F.corr(f"l_{a}", f"l_{b}").alias(f"c{i}")
+            for i, (a, b) in enumerate(
+                [
+                    ("quantity", "extendedprice"),
+                    ("quantity", "discount"),
+                    ("quantity", "tax"),
+                    ("extendedprice", "discount"),
+                    ("extendedprice", "tax"),
+                    ("discount", "tax"),
+                ]
+            )
+        ]
+    )
+    cells = ", ".join(
+        f"'{a}', '{b}', round(c{i} + 1.2345e-8, 4)"
+        for i, (a, b) in enumerate(
+            [
+                ("quantity", "extendedprice"),
+                ("quantity", "discount"),
+                ("quantity", "tax"),
+                ("extendedprice", "discount"),
+                ("extendedprice", "tax"),
+                ("discount", "tax"),
+            ]
+        )
+    )
+    return m.select(
+        "l_returnflag",
+        F.expr(f"stack(6, {cells}) AS (col_a, col_b, corr_v)"),
+    ).select("l_returnflag", "col_a", "col_b", "corr_v")
+
+
+@register(
     "agg_rollup",
     """
     SELECT r_name, n_name, COUNT(*) AS n, ROUND(1.2345e-8 + SUM(c_acctbal), 4) AS bal
