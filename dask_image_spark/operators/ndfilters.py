@@ -405,6 +405,27 @@ def maximum_filter(
     return _agg_stencil(px, fp, F.max("v"), shape, mode, cval, keys)
 
 
+def grey_erosion(px, structure, shape=None, mode="reflect", cval=0.0, keys=()):
+    """Non-flat grey erosion (scipy ``grey_erosion(structure=s)``):
+    E(p) = min over k of (v(p + k) − s(k)). ``structure`` is an offset
+    list [(dy, dx, weight)]; the flat all-zero-weight case degenerates to
+    ``minimum_filter``. Same single-shuffle pad-then-scatter plan."""
+    return _agg_stencil(
+        px, structure, F.min(F.col("v") - F.col("w")), shape, mode, cval, keys
+    )
+
+
+def grey_dilation(px, structure, shape=None, mode="reflect", cval=0.0, keys=()):
+    """Non-flat grey dilation (scipy ``grey_dilation(structure=s)``):
+    D(p) = max over k of (v(p − k) + s(k)) — reads REFLECTED offsets
+    (erosion reads p + k), realized by point-flipping the offset list
+    with each weight kept attached, exactly convolve-vs-correlate."""
+    return _agg_stencil(
+        px, K.flip(structure), F.max(F.col("v") + F.col("w")),
+        shape, mode, cval, keys,
+    )
+
+
 def median_filter(px, size=3, shape=None, mode="reflect", cval=0.0, keys=(), footprint=None):
     fp = footprint or K.box_footprint(size)
     return _agg_stencil(px, fp, F.median("v"), shape, mode, cval, keys)

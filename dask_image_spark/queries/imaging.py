@@ -573,6 +573,78 @@ def _as_value(df):
     return df.select("y", "x", F.col("v").alias("value"))
 
 
+# Asymmetric WEIGHTED structuring element (non-flat grey morphology): the
+# reflection in scipy's dilation definition only shows up when the structure
+# is asymmetric, so a symmetric fixture would grade a reflection bug green.
+_GREY_S = [(-1, 0, 0.2), (0, -1, 0.1), (0, 0, 0.0), (0, 1, 0.3), (1, 1, 0.4)]
+
+
+@register("morph_grey_erosion_weighted",
+          _linear_oracle([(_GREY_S, "MIN({v} - g.w)", REFL, 0.0)]),
+          tags=("imaging", "ndmorph", "greyscale", "weighted"))
+def morph_grey_erosion_weighted(spark, sf_dir):
+    """NON-FLAT grey erosion (scipy ``grey_erosion(structure=s)``):
+    E(p) = min over k of (v(p + k) - s(k)) — the structure weights
+    subtract inside the order statistic, the full grey-morphology
+    semantics beyond the flat min-filter specialization. Same
+    pad-then-scatter single-shuffle plan; the aggregate is
+    MIN(v - w) over the gathered (value, weight) rows."""
+    px = pixel_grid(spark, sf_dir)
+    return _round_v(ndfilters.grey_erosion(px, _GREY_S, SHAPE))
+
+
+@register("morph_grey_dilation_weighted",
+          _linear_oracle([(K.flip(_GREY_S), "MAX({v} + g.w)", REFL, 0.0)]),
+          tags=("imaging", "ndmorph", "greyscale", "weighted"))
+def morph_grey_dilation_weighted(spark, sf_dir):
+    """NON-FLAT grey dilation (scipy ``grey_dilation(structure=s)``):
+    D(p) = max over k of (v(p - k) + s(k)) — note the REFLECTION (p - k,
+    where erosion reads p + k); realized by point-flipping the offset
+    list while keeping each weight attached, exactly like convolve vs
+    correlate. The asymmetric fixture structure is what makes this
+    distinction gradeable."""
+    px = pixel_grid(spark, sf_dir)
+    return _round_v(ndfilters.grey_dilation(px, _GREY_S, SHAPE))
+
+
+def _morph_laplace_oracle() -> str:
+    ctes: list[str] = []
+    d = _chain(ctes, "ld", "pixels", [(_BOX3, "MAX({v})", REFL, 0.0)])
+    e = _chain(ctes, "le", "pixels", [(_BOX3, "MIN({v})", REFL, 0.0)])
+    body = (
+        f"SELECT p.y, p.x, "
+        f"ROUND(1.2345e-8 + d.value + e.value - 2 * p.value, 4) AS v "
+        f"FROM pixels p JOIN {d} d ON d.y = p.y AND d.x = p.x "
+        f"JOIN {e} e ON e.y = p.y AND e.x = p.x"
+    )
+    return with_pixel_ctes(body, extra=ctes)
+
+
+@register("morph_laplace", _morph_laplace_oracle(),
+          tags=("imaging", "ndmorph", "greyscale"))
+def morph_laplace(spark, sf_dir):
+    """Morphological LAPLACE (scipy ``morphological_laplace``, flat 3x3):
+    dilation + erosion - 2*input — the second-derivative analogue of the
+    morphological gradient, completing the scipy grey-morphology derived
+    family (gradient, tophats, laplace)."""
+    px = pixel_grid(spark, sf_dir)
+    d = ndfilters.maximum_filter(px, 3, SHAPE).select(
+        "y", "x", F.col("v").alias("vd")
+    )
+    e = ndfilters.minimum_filter(px, 3, SHAPE).select(
+        "y", "x", F.col("v").alias("ve")
+    )
+    return (
+        px.join(d, ["y", "x"]).join(e, ["y", "x"])
+        .select(
+            "y", "x",
+            _eps_round(
+                F.col("vd") + F.col("ve") - 2 * F.col("value"), 4
+            ).alias("v"),
+        )
+    )
+
+
 @register("morph_grey_gradient", _grey_morph_oracle("gradient"),
           tags=("imaging", "ndmorph", "greyscale"))
 def morph_grey_gradient(spark, sf_dir):

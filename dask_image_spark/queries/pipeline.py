@@ -334,6 +334,76 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_ngram_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i + 2], ' '))) AS sh
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(1.2345e-8 + CAST(i AS DOUBLE) / sa.n, 4) AS containment,
+           ROUND(1.2345e-8 + CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / sa.n >= 0.9
+    """,
+    tags=("pipeline", "dedup", "containment"),
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """ASYMMETRIC near-dup: shingle CONTAINMENT C(A->B) = |A∩B| / |A| —
+    the measure that catches a short document wholly quoted inside a much
+    longer one, which Jaccard misses (the union in its denominator is
+    dominated by the long side; Broder's containment vs resemblance
+    distinction). Ordered pairs, so an inclusion is flagged in the
+    direction of the contained document; jaccard is emitted alongside so
+    the asymmetry is visible in the graded result. Same
+    pairs-via-shared-shingle blocking as the Jaccard query — at corpus
+    scale MinHash-LSH generates the candidates and this exact pass runs
+    only on them."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = textops.exploded_shingles(d, k=3).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("i").cast("double") / F.col("na")
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= 0.9)
+        .select(
+            "doc_a",
+            "doc_b",
+            _eps_round(cont, 4).alias("containment"),
+            _eps_round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
 _NGRAM_TRUTH_SQL = """
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents

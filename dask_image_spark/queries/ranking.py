@@ -915,3 +915,93 @@ def recursive_cte_reachability(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     docs.createOrReplaceTempView("documents_rec_bfs")
     return spark.sql(_RECURSIVE_BFS_SQL.format(tbl="documents_rec_bfs"))
+
+
+@register(
+    "lpa_communities_2iter",
+    f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    dir_edges AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    edges AS (
+      SELECT src, dst FROM dir_edges WHERE src <> dst
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM dir_edges WHERE src <> dst),
+    lab0 AS (SELECT doc_id AS v, doc_id AS lab FROM nodes),
+    vote1 AS (
+      SELECT e.dst AS v, l.lab, COUNT(*) AS c
+      FROM edges e JOIN lab0 l ON l.v = e.src GROUP BY e.dst, l.lab),
+    pick1 AS (
+      SELECT v, lab FROM (
+        SELECT v, lab, ROW_NUMBER() OVER (
+          PARTITION BY v ORDER BY c DESC, lab ASC) AS rn FROM vote1)
+      WHERE rn = 1),
+    lab1 AS (SELECT nd.doc_id AS v, COALESCE(p.lab, nd.doc_id) AS lab
+             FROM nodes nd LEFT JOIN pick1 p ON p.v = nd.doc_id),
+    vote2 AS (
+      SELECT e.dst AS v, l.lab, COUNT(*) AS c
+      FROM edges e JOIN lab1 l ON l.v = e.src GROUP BY e.dst, l.lab),
+    pick2 AS (
+      SELECT v, lab FROM (
+        SELECT v, lab, ROW_NUMBER() OVER (
+          PARTITION BY v ORDER BY c DESC, lab ASC) AS rn FROM vote2)
+      WHERE rn = 1)
+    SELECT nd.doc_id, COALESCE(p.lab, nd.doc_id) AS community
+    FROM nodes nd LEFT JOIN pick2 p ON p.v = nd.doc_id
+    """,
+    tags=("ranking", "graph", "community"),
+)
+def lpa_communities_2iter(spark, sf_dir):
+    """LABEL PROPAGATION community detection (Raghavan et al. 2007), two
+    SYNCHRONOUS iterations over the symmetrized PageRank fixture graph:
+    every node adopts its neighbors' plurality label, ties broken by the
+    smallest label — the deterministic variant, so the whole computation
+    is SQL-replayable (same fixed-iteration contract as
+    ``pagerank_2iter`` / ``kmeans_lloyd_2iter``). The plurality argmax is
+    ONE aggregate per iteration: groupBy(node, label) count, then
+    ``max(struct(count, -label))`` per node — no per-node window sort,
+    and both aggregates are partial+final (map-side combinable). At
+    graph scale each iteration is the same join-on-src /
+    aggregate-on-dst shape as PageRank, reusing one edge partitioning;
+    asynchronous LPA converges faster but is order-dependent — the
+    synchronous form is what a distributed engine can grade."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    nodes = docs.crossJoin(F.broadcast(cnt))
+    dir_edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "src",
+        F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    edges = dir_edges.union(
+        dir_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    def step(lab):
+        votes = (
+            edges.join(lab.select(F.col("v").alias("src"), "lab"), "src")
+            .groupBy(F.col("dst").alias("v"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            votes.groupBy("v")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lab")).alias("neg"))).alias("s"))
+            .select("v", (-F.col("s.neg")).alias("lab"))
+        )
+        return docs.join(
+            picked, docs.doc_id == picked.v, "left"
+        ).select(
+            F.col("doc_id").alias("v"),
+            F.coalesce("lab", "doc_id").alias("lab"),
+        )
+
+    lab = docs.select(F.col("doc_id").alias("v"), F.col("doc_id").alias("lab"))
+    for _ in range(2):
+        lab = step(lab)
+    return lab.select(F.col("v").alias("doc_id"), F.col("lab").alias("community"))
