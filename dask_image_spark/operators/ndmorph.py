@@ -75,3 +75,33 @@ def binary_opening(mask, structure=None, shape=None, iterations=1, keys=()):
 def binary_closing(mask, structure=None, shape=None, iterations=1, keys=()):
     out = binary_dilation(mask, structure, shape, iterations, keys=keys)
     return binary_erosion(out, structure, shape, iterations, keys=keys)
+
+
+def binary_hit_or_miss(
+    mask, structure1=None, structure2=None, shape=None, keys=()
+):
+    """Hit-or-miss transform (``scipy.ndimage.binary_hit_or_miss``): the
+    exact-pattern detector — HMT(X; S1, S2) = erosion(X, S1) AND
+    erosion(X^c, S2). S1 must hit foreground, S2 must hit background;
+    scipy's defaults are S1 = the 4-connected cross and S2 = its logical
+    complement within the 3x3 box (the corners), and the complement
+    erosion pads with TRUE (scipy's inverted pass flips border_value, so
+    out-of-image counts as background). Two independent single-shuffle
+    erosion passes joined on the shared grouping keys."""
+    s1 = list(structure1 or CROSS)
+    if structure2 is None:
+        cells1 = {(dy, dx) for dy, dx, _ in s1}
+        structure2 = [
+            (dy, dx, 1.0)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if (dy, dx) not in cells1
+        ]
+    e1 = binary_erosion(mask, s1, shape, keys=keys)
+    comp = mask.withColumn("m", ~F.col("m").cast("boolean"))
+    e2 = binary_erosion(
+        comp, structure2, shape, border_value=True, keys=keys
+    ).select(*keys, "y", "x", F.col("m").alias("m2"))
+    return e1.join(e2, [*keys, "y", "x"]).select(
+        *keys, "y", "x", (F.col("m") & F.col("m2")).alias("m")
+    )

@@ -573,6 +573,39 @@ def _as_value(df):
     return df.select("y", "x", F.col("v").alias("value"))
 
 
+_CORNERS = [(dy, dx, 1.0) for dy in (-1, 1) for dx in (-1, 1)]
+
+
+def _hit_or_miss_oracle() -> str:
+    ctes = [
+        _MASKD,
+        "maskc AS (SELECT y, x, 1.0 - CAST(m AS DOUBLE) AS value FROM mask)",
+    ]
+    e1 = _chain(ctes, "h1", "maskd", [(ndmorph.CROSS, _BAND, "constant", 0.0)])
+    e2 = _chain(ctes, "h2", "maskc", [(_CORNERS, _BAND, "constant", 1.0)])
+    body = (
+        f"SELECT a.y, a.x, (a.value > 0.5 AND b.value > 0.5) AS v "
+        f"FROM {e1} a JOIN {e2} b ON b.y = a.y AND b.x = a.x"
+    )
+    return with_pixel_ctes(body, extra=ctes)
+
+
+@register("morph_hit_or_miss", _hit_or_miss_oracle(),
+          tags=("imaging", "ndmorph", "pattern"))
+def morph_hit_or_miss(spark, sf_dir):
+    """HIT-OR-MISS transform (scipy ``binary_hit_or_miss``, default
+    structures): isolated-point detection — foreground must fill the
+    4-connected cross AND background must fill the corners. Composed as
+    erosion(X, cross) ∧ erosion(X^c, corners) with the complement pass
+    padding TRUE (scipy's inverted border), two single-shuffle erosions
+    joined on the grouped keys. The mask fixture contains both hits and
+    misses, so the boolean result carries real signal."""
+    m = mask_grid(spark, sf_dir)
+    return ndmorph.binary_hit_or_miss(m, shape=SHAPE).select(
+        "y", "x", F.col("m").alias("v")
+    )
+
+
 # Asymmetric WEIGHTED structuring element (non-flat grey morphology): the
 # reflection in scipy's dilation definition only shows up when the structure
 # is asymmetric, so a symmetric fixture would grade a reflection bug green.
