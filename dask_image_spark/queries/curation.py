@@ -1527,3 +1527,108 @@ def k_anonymity_violations(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+# Poisson(1) inverse CDF, cumulative probabilities P(X <= k) for k = 0..5
+# (exp(-1) * sum 1/i!); draws past 5 clamp to 6 (P ~ 6e-5 — the truncation
+# bias is orders below the CI resolution). SINGLE SOURCE OF TRUTH: the same
+# list renders the CASE text for both the Spark expression and the DuckDB
+# oracle, so the resample weights are bit-identical across engines.
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+_BOOT_B = 32
+
+
+def _pois1_case(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {p!r} THEN {k}" for k, p in enumerate(_POIS1_CDF)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+@register(
+    "bootstrap_ci_mean",
+    f"""
+    WITH bs AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+    w AS (
+      SELECT e.event_type, e.value, bs.b,
+             {_pois1_case(
+                 "((('0x' || substr(md5('boot7:' || CAST(e.event_id AS VARCHAR)"
+                 " || ':' || CAST(bs.b AS VARCHAR)), 1, 8))::BIGINT + 0.5)"
+                 " / 4294967296.0)"
+             )} AS w
+      FROM events e CROSS JOIN bs),
+    m AS (
+      SELECT event_type, b, SUM(w * value) / SUM(w) AS mb
+      FROM w GROUP BY event_type, b),
+    ci AS (
+      SELECT event_type,
+             quantile_cont(mb, 0.025) AS lo,
+             quantile_cont(mb, 0.975) AS hi
+      FROM m GROUP BY event_type),
+    pt AS (
+      SELECT event_type, AVG(value) AS mean_value,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type)
+    SELECT p.event_type, ROUND(1.2345e-8 + p.mean_value, 4) AS mean_value,
+           ROUND(1.2345e-8 + c.lo, 4) AS ci_lo,
+           ROUND(1.2345e-8 + c.hi, 4) AS ci_hi, p.n
+    FROM pt p JOIN ci c ON c.event_type = p.event_type
+    """,
+    tags=("curation", "statistics", "bootstrap"),
+)
+def bootstrap_ci_mean(spark, sf_dir):
+    """POISSON BOOTSTRAP confidence interval for the per-type mean
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012): instead of materializing B resamples of the data (the
+    classical bootstrap's n x B blowup, impossible at 100 TB), every row
+    draws an independent Poisson(1) replication WEIGHT per resample —
+    B weighted means in ONE pass over the fact table. The weights come
+    from a seeded md5 inverse-CDF draw, so both engines materialize the
+    IDENTICAL resamples and the 2.5/97.5 percentile bracket of the 32
+    resample means is hash-checkable, not just statistically plausible.
+
+    Scale shape: the explode is map-side (B rows per input row feeding a
+    partial aggregate — the combine collapses them before the shuffle),
+    one shuffle on (event_type, b), then a 160-row percentile frame. At
+    a trillion rows you fold the B weighted sums into a single
+    fixed-width accumulator array per partition instead of exploding;
+    the statistic is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    wdf = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        "((conv(substr(md5(concat('boot7:', CAST(event_id AS STRING), ':', "
+        "CAST(b AS STRING))), 1, 8), 16, 10) + 0.5) / 4294967296.0)"
+    )
+    means = (
+        wdf.withColumn("w", F.expr(_pois1_case(u)))
+        .groupBy("event_type", "b")
+        .agg((F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("mb"))
+    )
+    ci = means.groupBy("event_type").agg(
+        F.percentile("mb", F.lit(0.025)).alias("lo"),
+        F.percentile("mb", F.lit(0.975)).alias("hi"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mean_value"), F.count(F.lit(1)).alias("n")
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type",
+        _eps_round("mean_value", 4).alias("mean_value"),
+        _eps_round("lo", 4).alias("ci_lo"),
+        _eps_round("hi", 4).alias("ci_hi"),
+        "n",
+    )

@@ -4190,3 +4190,101 @@ def grouping_id_surface(spark, sf_dir):
         )
         .orderBy("g_type", "g_bucket", "event_type", "bucket")
     )
+
+
+@register(
+    "table_checksum_audit",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem),
+    dst AS (
+      -- the "replica": one sparse stripe modified, another dropped
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (l_orderkey * 31 + l_linenumber) % 997 = 0
+                  THEN l_quantity + 1 ELSE l_quantity END AS l_quantity
+      FROM lineitem
+      WHERE (l_orderkey * 7 + l_linenumber) % 1009 <> 0),
+    fs AS (
+      SELECT l_orderkey % 64 AS bucket, COUNT(*) AS n,
+             SUM(('0x' || substr(md5('ck:' || CAST(l_orderkey AS VARCHAR)
+                   || ':' || CAST(l_linenumber AS VARCHAR) || ':'
+                   || CAST(l_quantity AS VARCHAR)), 1, 8))::BIGINT) AS digest
+      FROM src GROUP BY 1),
+    fd AS (
+      SELECT l_orderkey % 64 AS bucket, COUNT(*) AS n,
+             SUM(('0x' || substr(md5('ck:' || CAST(l_orderkey AS VARCHAR)
+                   || ':' || CAST(l_linenumber AS VARCHAR) || ':'
+                   || CAST(l_quantity AS VARCHAR)), 1, 8))::BIGINT) AS digest
+      FROM dst GROUP BY 1)
+    SELECT s.bucket, s.n AS n_src, d.n AS n_dst,
+           (s.n = d.n AND s.digest = d.digest) AS match
+    FROM fs s JOIN fd d ON d.bucket = s.bucket
+    """,
+    tags=("relational", "audit", "checksum"),
+)
+def table_checksum_audit(spark, sf_dir):
+    """ANTI-ENTROPY replica audit via bucket digests (the Merkle-repair
+    pattern of Cassandra / DynamoDB, flattened to one level): each copy
+    of the table folds every row into a per-bucket (count, SUM of
+    portable row-hash) digest — order-independent and mergeable, so each
+    side is ONE partial+final aggregate over its own scan, and comparing
+    replicas costs a 64-row join instead of a row-level diff. The
+    "replica" here derives from the same table with two deterministic
+    corruption stripes (a modified value every ~997th row-key, a dropped
+    row every ~1009th), so the audit provably catches BOTH corruption
+    classes: buckets hit by either stripe mismatch, clean buckets match
+    (the fixture yields a mix of true and false rows). The row hash is
+    seeded md5 (engine-portable), and summing 32-bit hash prefixes into
+    a BIGINT cannot overflow below ~2^31 rows per bucket — at 100 TB you
+    shard buckets finer (the bucket count is the audit's resolution
+    knob) and push each side's aggregate to where that replica lives."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    dst = base.filter(
+        (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 1009 != 0
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 997 == 0,
+            F.col("l_quantity") + 1,
+        )
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+    )
+
+    def digest(df, n_col, d_col):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ck:"),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                        F.lit(":"),
+                        F.col("l_quantity").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.groupBy((F.col("l_orderkey") % 64).alias("bucket")).agg(
+            F.count(F.lit(1)).alias(n_col), F.sum(h).alias(d_col)
+        )
+
+    fs = digest(base, "n_src", "digest_src")
+    fd = digest(dst, "n_dst", "digest_dst")
+    return fs.join(fd, "bucket").select(
+        "bucket",
+        "n_src",
+        "n_dst",
+        (
+            (F.col("n_src") == F.col("n_dst"))
+            & (F.col("digest_src") == F.col("digest_dst"))
+        ).alias("match"),
+    )

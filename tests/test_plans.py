@@ -643,3 +643,35 @@ def test_incremental_minhash_joins_new_to_index(spark, sf_dir):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, plan[:2000]
     assert "band_id" in plan and "sig" in plan
+
+
+def test_corr_matrix_single_aggregate_map_side_unpivot(spark, sf_dir):
+    """All six correlations must come out of ONE partial+final co-moment
+    aggregate over a single fact scan, with the unpivot as a map-side
+    Generate — no second shuffle, no per-pair scans."""
+    plan = _plan(spark, sf_dir, "corr_matrix")
+    tree = plan.split("\n\n")[0]
+    scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scans) == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Generate" in tree, tree
+
+
+def test_lpa_votes_are_equi_joins_no_window(spark, sf_dir):
+    """Each LPA iteration must be an equi-join on src plus two
+    partial+final aggregates — the plurality argmax via max(struct), so
+    NO per-node window sort and no nested-loop pair enumeration."""
+    plan = _plan(spark, sf_dir, "lpa_communities_2iter")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree[:2000]
+    for bad in ("CartesianProduct",):
+        assert bad not in tree, tree[:2000]
+
+
+def test_grey_morphology_single_shuffle_per_pass(spark, sf_dir):
+    """The weighted grey erosion is one pad-then-scatter pass: exactly
+    one data Exchange (the stencil groupBy), everything else map-side."""
+    plan = _plan(spark, sf_dir, "morph_grey_erosion_weighted")
+    tree = plan.split("\n\n")[0]
+    assert tree.count(" Exchange") - tree.count("BroadcastExchange") <= 2, tree
+    assert "SortMergeJoin" not in tree, tree[:2000]
