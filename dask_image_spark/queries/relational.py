@@ -4288,3 +4288,99 @@ def table_checksum_audit(spark, sf_dir):
             & (F.col("digest_src") == F.col("digest_dst"))
         ).alias("match"),
     )
+
+
+@register(
+    "merge_three_way",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus,
+             ROUND(o_totalprice * 1.1, 2) AS o_totalprice, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' AS op
+      FROM orders WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus,
+             ROUND(o_totalprice + 5, 2), 'I' AS op
+      FROM orders WHERE o_orderkey % 10 = 1),
+    merged AS (
+      SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS k,
+             CASE WHEN s.op IN ('U', 'I') THEN s.o_orderstatus
+                  ELSE t.o_orderstatus END AS st,
+             CASE WHEN s.op IN ('U', 'I') THEN s.o_totalprice
+                  ELSE t.o_totalprice END AS price,
+             s.op
+      FROM orders t FULL OUTER JOIN src s ON s.o_orderkey = t.o_orderkey)
+    SELECT st AS o_orderstatus, COUNT(*) AS n,
+           ROUND(1.2345e-8 + SUM(price), 4) AS total,
+           CAST(COUNT(*) FILTER (op = 'U') AS BIGINT) AS n_updated,
+           CAST(COUNT(*) FILTER (op = 'I') AS BIGINT) AS n_inserted
+    FROM merged WHERE op IS NULL OR op <> 'D'
+    GROUP BY st
+    """,
+    tags=("relational", "merge", "cdc"),
+)
+def merge_three_way(spark, sf_dir):
+    """Three-branch MERGE semantics without a table format — the
+    lakehouse apply primitive in pure DataFrame algebra: WHEN MATCHED
+    AND op = 'D' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT
+    MATCHED THEN INSERT, realized as ONE full-outer join on the merge
+    key plus a CASE projection and a delete filter. The change batch
+    carries all three op classes from disjoint deterministic stripes
+    (updates reprice, deletes drop, inserts land above the key range),
+    and the result aggregates per status WITH per-branch counters, so a
+    wrong branch cannot cancel out in the totals. Scale shape: one
+    key-partitioned shuffle join (Delta/Iceberg MERGE lowers to exactly
+    this plus file rewrite bookkeeping); with the target bucketed on the
+    key the exchange on the big side disappears — ``upsert_latest_wins``
+    grades the window-based SCD1 special case, this grades the general
+    three-way form."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 7).select(
+                "o_orderkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.lit("D").alias("op"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 1).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderstatus",
+                F.round(F.col("o_totalprice") + 5, 2).alias("o_totalprice"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    t = o.alias("t")
+    s = src.alias("s")
+    merged = t.join(
+        s, F.col("s.o_orderkey") == F.col("t.o_orderkey"), "full_outer"
+    ).select(
+        F.when(
+            F.col("s.op").isin("U", "I"), F.col("s.o_orderstatus")
+        ).otherwise(F.col("t.o_orderstatus")).alias("st"),
+        F.when(
+            F.col("s.op").isin("U", "I"), F.col("s.o_totalprice")
+        ).otherwise(F.col("t.o_totalprice")).alias("price"),
+        F.col("s.op").alias("op"),
+    )
+    kept = merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+    return kept.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.sum("price")).alias("total"),
+        F.count_if(F.col("op") == "U").alias("n_updated"),
+        F.count_if(F.col("op") == "I").alias("n_inserted"),
+    )

@@ -1,0 +1,151 @@
+"""Property tests for the continuation-session operators: pure-Python
+mirrors of the exact SQL logic on arbitrary inputs (ties, empties, key
+collisions) that the graded fixtures can't cover. No Spark."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dask_image_spark.queries.curation import _POIS1_CDF
+
+
+# ---- Poisson bootstrap: the CDF table IS Poisson(1) ------------------------
+
+
+def test_pois1_cdf_table_is_exact():
+    """The hard-coded thresholds must equal exp(-1) * sum(1/i!) — a typo
+    in any digit silently biases every resample weight on BOTH engines
+    (the shared-table design makes parity blind to it, so this test is
+    the only guard)."""
+    acc = 0.0
+    for k, expected in enumerate(_POIS1_CDF):
+        acc += 1.0 / math.factorial(k)
+        assert abs(expected - acc * math.exp(-1)) < 1e-15, k
+    # truncation point: P(X > 5) is far below any CI resolution
+    assert 1.0 - _POIS1_CDF[-1] < 1e-3
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, exclude_max=True))
+def test_pois1_case_is_monotone_inverse_cdf(u):
+    """The CASE rendering maps u to the smallest k with u < CDF[k] —
+    the textbook inverse-CDF draw (monotone, total)."""
+    k = next((i for i, p in enumerate(_POIS1_CDF) if u < p), 6)
+    if k < 6:
+        assert u < _POIS1_CDF[k]
+        assert k == 0 or u >= _POIS1_CDF[k - 1]
+
+
+# ---- LPA: struct-max pick == (count DESC, label ASC) pick ------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 200)),
+        min_size=1, max_size=40,
+    )
+)
+def test_lpa_structmax_equals_ordered_pick(votes):
+    """The engine picks the plurality label via max(struct(count, -label));
+    the oracle via ROW_NUMBER() ORDER BY count DESC, label ASC. Equal for
+    every vote multiset, including full ties."""
+    counts: dict[int, int] = {}
+    for lab, _ in votes:
+        counts[lab] = counts.get(lab, 0) + 1
+    oracle = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    engine = max((c, -lab) for lab, c in counts.items())
+    assert -engine[1] == oracle
+
+
+# ---- Containment vs Jaccard ------------------------------------------------
+
+
+@given(
+    st.sets(st.integers(0, 30), min_size=1, max_size=20),
+    st.sets(st.integers(0, 30), min_size=1, max_size=20),
+)
+def test_containment_dominates_jaccard(a, b):
+    """C(A->B) = |A∩B|/|A| >= J(A,B) always (the union contains A), with
+    equality iff A ⊇ B — the asymmetry the query exists to expose."""
+    i = len(a & b)
+    c = i / len(a)
+    j = i / (len(a) + len(b) - i)
+    assert c >= j - 1e-12
+    if b - a:
+        assert c > j or i == 0
+
+
+# ---- three-way MERGE: relational form == imperative apply ------------------
+
+
+@given(
+    st.dictionaries(st.integers(0, 30), st.integers(0, 100), max_size=15),
+    st.dictionaries(
+        st.integers(0, 40),
+        st.tuples(st.sampled_from(["U", "D", "I"]), st.integers(0, 100)),
+        max_size=15,
+    ),
+)
+def test_merge_full_outer_equals_imperative_apply(target, batch):
+    """The full-outer-join + CASE + delete-filter formulation must equal
+    the imperative MERGE semantics for every (target, change-batch) pair:
+    matched U rewrites, matched D drops, unmatched I/U inserts (MERGE
+    upserts), unmatched D is a no-op delete."""
+    # relational form (mirrors the query exactly)
+    rel = {}
+    for k in set(target) | set(batch):
+        t, s = target.get(k), batch.get(k)
+        if s is not None and s[0] == "D":
+            if t is None:
+                continue  # delete of a missing key: emits nothing
+            continue  # matched delete: filtered out
+        if s is not None:
+            rel[k] = s[1]  # U or I takes the source value
+        elif t is not None:
+            rel[k] = t
+    # imperative apply
+    imp = dict(target)
+    for k, (op, v) in batch.items():
+        if op == "D":
+            imp.pop(k, None)
+        else:
+            imp[k] = v
+    assert rel == imp
+
+
+# ---- checksum audit: flags exactly the corrupted buckets -------------------
+
+
+def test_checksum_audit_flags_exactly_the_corrupted_buckets():
+    """Independent of the hash arithmetic: a bucket must mismatch IFF it
+    contains at least one row hit by the modified stripe or the dropped
+    stripe (computed here WITHOUT hashes). Ties the audit's detection to
+    ground truth; parity then ties the engine to this oracle."""
+    import duckdb
+
+    from dask_image_spark import queries as q
+
+    q.load_all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    )
+    flagged = {
+        b for b, m in con.execute(
+            f"SELECT bucket, match FROM ({q.all_oracles()['table_checksum_audit']})"
+        ).fetchall() if not m
+    }
+    expected = {
+        b for (b,) in con.execute(
+            """
+            SELECT DISTINCT l_orderkey % 64 FROM lineitem
+            WHERE (l_orderkey * 31 + l_linenumber) % 997 = 0
+               OR (l_orderkey * 7 + l_linenumber) % 1009 = 0
+            """
+        ).fetchall()
+    }
+    assert flagged == expected
+    assert flagged and len(flagged) < 64  # both outcome classes nonempty
