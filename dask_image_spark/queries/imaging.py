@@ -799,6 +799,69 @@ def filter_laplace_3d(spark, sf_dir):
     return out.select("z", "y", "x", _eps_round("v", 4).alias("v"))
 
 
+_HV = 8  # 8^4 = 4096 hypervoxels, dense from event_id folding at sf >= 0.01
+
+_PX4 = (
+    f"px4 AS (SELECT CAST(event_id % {_HV} AS INT) AS t, "
+    f"CAST((event_id // {_HV}) % {_HV} AS INT) AS z, "
+    f"CAST((event_id // {_HV ** 2}) % {_HV} AS INT) AS y, "
+    f"CAST((event_id // {_HV ** 3}) % {_HV} AS INT) AS x, "
+    "SUM(value) AS value FROM events GROUP BY 1, 2, 3, 4)"
+)
+
+# 4-D 8-neighbor Laplacian-style kernel
+_K4D = (
+    [(0, 0, 0, 0, -8.0)]
+    + [tuple(1 if i == ax else 0 for i in range(4)) + (1.0,)
+       for ax in range(4)]
+    + [tuple(-1 if i == ax else 0 for i in range(4)) + (1.0,)
+       for ax in range(4)]
+)
+
+
+def _filter4d_oracle() -> str:
+    rm = {c: remap_sql(f"o.{c} + k.d{c}", _HV, "reflect")
+          for c in ("t", "z", "y", "x")}
+    kv = ", ".join(
+        f"({dt}, {dz}, {dy}, {dx}, {w!r})" for dt, dz, dy, dx, w in _K4D
+    )
+    return (
+        f"WITH {_PX4} "
+        f"SELECT g.t, g.z, g.y, g.x, "
+        f"ROUND(1.2345e-8 + SUM(p.value * g.w), 4) AS v "
+        f"FROM (SELECT o.t, o.z, o.y, o.x, k.w, {rm['t']} AS st, "
+        f"{rm['z']} AS sz, {rm['y']} AS sy, {rm['x']} AS sx "
+        f"FROM px4 o CROSS JOIN (VALUES {kv}) k(dt, dz, dy, dx, w)) g "
+        f"JOIN px4 p ON p.t = g.st AND p.z = g.sz AND p.y = g.sy "
+        f"AND p.x = g.sx "
+        f"GROUP BY g.t, g.z, g.y, g.x"
+    )
+
+
+@register("filter_laplace_4d", _filter4d_oracle(),
+          tags=("imaging", "ndfilters", "4d"))
+def filter_laplace_4d(spark, sf_dir):
+    """RANK 4 — the any-rank claim made concrete past volumes: an
+    8-neighbor Laplacian over an 8^4 (t, z, y, x) hypervolume, the shape
+    of a (time, depth, height, width) microscopy sequence, through the
+    SAME generic ``correlate_nd`` pad-scatter plan as the 3-D query
+    (boundary branches are the 2^N - 1 axis subsets; N only changes how
+    many broadcast pad-map joins feed the one shuffle). Upstream accepts
+    any-rank dask arrays; this grades ours at the rank where hand-rolled
+    2-D/3-D specializations would have run out."""
+    ev = load_table(spark, sf_dir, "events")
+    px4 = ev.groupBy(
+        F.expr(f"CAST(event_id % {_HV} AS INT)").alias("t"),
+        F.expr(f"CAST((event_id div {_HV}) % {_HV} AS INT)").alias("z"),
+        F.expr(f"CAST((event_id div {_HV ** 2}) % {_HV} AS INT)").alias("y"),
+        F.expr(f"CAST((event_id div {_HV ** 3}) % {_HV} AS INT)").alias("x"),
+    ).agg(F.sum("value").alias("value"))
+    out = ndfilters.correlate_nd(
+        px4, _K4D, (_HV,) * 4, mode="reflect", coords=("t", "z", "y", "x")
+    )
+    return out.select("t", "z", "y", "x", _eps_round("v", 4).alias("v"))
+
+
 _ST3D = [(0, 0, 0, 1.0)] + [
     (dz, dy, dx, 1.0)
     for dz, dy, dx in [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
