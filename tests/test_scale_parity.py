@@ -32,6 +32,13 @@ SAMPLE = [
     "mg_heavy_hitters",          # sketch + exact rescan
     "quickstart_pipeline",       # imaging composition (fixed 64x64 grid)
     "map_hof_surface",           # complex-type round-trip
+    # continuation-session operators
+    "merge_three_way",           # full-outer MERGE with stripe fixtures
+    "corr_matrix",               # co-moment precision at 10x rows
+    "bootstrap_ci_mean",         # resample-weight determinism at scale
+    "table_checksum_audit",      # digest-sum magnitudes at 10x rows
+    "lpa_communities_2iter",     # plurality ties at a 10x graph
+    "streaming_left_outer_join", # watermark flush with a 10x timeline
 ]
 
 
