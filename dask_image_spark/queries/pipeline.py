@@ -479,6 +479,91 @@ def lsh_dedup_recall(spark, sf_dir):
     )
 
 
+_SWEEP_RPB = (1, 2, 4)
+
+
+def _band_sweep_oracle() -> str:
+    blocks = ",\n    ".join(
+        f"cand{r} AS ({_minhash_oracle(8, r)}), "
+        f"hit{r} AS (SELECT * FROM truth INTERSECT SELECT * FROM cand{r})"
+        for r in _SWEEP_RPB
+    )
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT {r} AS rows_per_band, {8 // r} AS n_bands,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand{r}) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM hit{r}) AS BIGINT) AS n_hit,
+           ROUND(1.2345e-8 + CAST((SELECT COUNT(*) FROM hit{r}) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) AS recall,
+           ROUND(1.2345e-8 + CAST((SELECT COUNT(*) FROM hit{r}) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM cand{r}), 0), 4) AS precision"""
+        for r in _SWEEP_RPB
+    )
+    return f"""
+    WITH truth AS ({_NGRAM_TRUTH_SQL}),
+    {blocks}
+    {rows}
+    """
+
+
+@register(
+    "lsh_band_sweep",
+    _band_sweep_oracle(),
+    tags=("pipeline", "dedup", "eval", "tuning"),
+)
+def lsh_band_sweep(spark, sf_dir):
+    """The LSH TUNING CURVE: recall/precision of the banded MinHash
+    candidate set at three (bands x rows) settings of the SAME 8-hash
+    signature — 8x1 (catch-everything, low precision), 4x2 (the deployed
+    default ``lsh_dedup_recall`` grades), 2x4 (high precision, recall
+    falls off the S-curve) — against one exact-Jaccard ground truth.
+    This is the experiment that picks b and r before a 100 TB dedup run:
+    the S-curve P(candidate) = 1 - (1 - j^r)^b moves its threshold with
+    r, and the sweep shows the measured tradeoff, not the formula's.
+    Signatures are computed ONCE and persisted; each setting re-bands
+    the 8 columns (map-side explode) and re-joins its own buckets, so
+    the sweep costs three bucket joins, never three corpus scans."""
+    from dask_image_spark.queries.base import persist_tracked
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = persist_tracked(
+        dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    sigs = persist_tracked(textops.minhash_signatures(d, n_hashes=8, k=3))
+    out = None
+    for r in _SWEEP_RPB:
+        cand = textops.lsh_band_pairs(sigs, n_hashes=8, rows_per_band=r)
+        hit = truth.join(cand, ["doc_a", "doc_b"])
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(
+                F.broadcast(
+                    cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+                )
+            )
+            .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+            .select(
+                F.lit(r).alias("rows_per_band"),
+                F.lit(8 // r).alias("n_bands"),
+                "n_truth",
+                "n_candidates",
+                "n_hit",
+                _eps_round(
+                    F.col("n_hit").cast("double")
+                    / F.nullif(F.col("n_truth"), F.lit(0)),
+                    4,
+                ).alias("recall"),
+                _eps_round(
+                    F.col("n_hit").cast("double")
+                    / F.nullif(F.col("n_candidates"), F.lit(0)),
+                    4,
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # --- similarity search ------------------------------------------------------
 
 
