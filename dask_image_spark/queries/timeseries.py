@@ -1396,3 +1396,117 @@ def attribution_first_touch(spark, sf_dir):
     because ``_attribution_query`` guarantees everything but the picker
     is identical."""
     return _ft_q(spark, sf_dir)
+
+@register(
+    "asof_join_tolerance",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                THEN c.click_id END AS click_id
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("timeseries", "join", "asof", "tolerance"),
+)
+def asof_join_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=)``): the
+    most recent click at or before each purchase counts only if it is
+    within the past hour — a stale match is worse than no match for
+    attribution/feature freshness. Same union + last(ignorenulls) window
+    as ``asof_join`` but carrying (ts, click_id) as a struct so the
+    staleness test runs on the matched row's own timestamp; one
+    user_id shuffle, no range explosion. DuckDB oracles it as native
+    ASOF LEFT JOIN with a post-match CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id", "ts",
+            F.struct(F.col("ts").alias("cts"),
+                     F.col("click_id").alias("cid")).alias("c"),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts",
+            F.lit(None).cast("struct<cts:timestamp,cid:long>").alias("c"),
+            F.lit(1).alias("kind"), "event_id",
+        )
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn(
+        "lc", F.last("c", ignorenulls=True).over(w)
+    )
+    fresh = F.col("lc.cts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return matched.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("lc.cid")).alias("click_id"),
+    )
+
+
+@register(
+    "twap_daily",
+    """
+    WITH e AS (
+      SELECT event_type, ts, value,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             event_id
+      FROM events),
+    d AS (
+      SELECT event_type, day, value,
+             (epoch_us(COALESCE(
+                LEAD(ts) OVER (PARTITION BY event_type, day
+                               ORDER BY ts, event_id),
+                day + INTERVAL 1 DAY)) - epoch_us(ts)) / 1e6 AS dt
+      FROM e)
+    SELECT event_type, day,
+           ROUND(1.2345e-8 + SUM(value * dt) / SUM(dt), 4) AS twap,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM d GROUP BY event_type, day
+    """,
+    tags=("timeseries", "twap", "window"),
+)
+def twap_daily(spark, sf_dir):
+    """TIME-WEIGHTED average price/value (TWAP) per (type, day): each
+    observation is weighted by how long it remained current — the
+    interval to the next same-day observation, with the day's last value
+    carrying to midnight. The arithmetic-mean bars (``ohlc_bars``)
+    over-weight bursts; TWAP is the sampling-rate-independent average an
+    exchange or IoT historian reports. One LEAD window and one aggregate
+    sharing the (event_type, day) partitioning — a single shuffle, and
+    day boundaries make the window state per-partition-bounded at any
+    history length."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "ts", "value", "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    nxt = F.coalesce(
+        F.lead("ts").over(w), F.col("day") + F.expr("INTERVAL 1 DAY")
+    )
+    d = e.withColumn(
+        "dt", (F.unix_micros(nxt) - F.unix_micros(F.col("ts"))) / 1e6
+    )
+    return d.groupBy("event_type", "day").agg(
+        _eps_round(
+            F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
