@@ -1510,3 +1510,104 @@ def twap_daily(spark, sf_dir):
         ).alias("twap"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "rolling_corr_24h",
+    """
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             AVG(value) FILTER (event_type = 'click') AS v_click,
+             AVG(value) FILTER (event_type = 'purchase') AS v_purchase
+      FROM events GROUP BY 1)
+    SELECT hour,
+           ROUND(1.2345e-8 + corr(v_click, v_purchase) OVER w, 4)
+             AS corr_24h,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_hours
+    FROM h
+    WINDOW w AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "window", "statistics"),
+)
+def rolling_corr_24h(spark, sf_dir):
+    """ROLLING cross-series correlation: the trailing-24-hour Pearson
+    correlation between the hourly click and purchase value series —
+    the co-movement monitor (regime changes, broken instrumentation,
+    leading-indicator checks) that static ``corr_matrix`` cannot see.
+    Two stages, two bounded shuffles: an hourly conditional aggregate
+    (map-side combinable; FILTER-style pivot, no join between the two
+    series), then corr as a WINDOW aggregate over a 24-ROWS frame —
+    co-moment state per frame, linear in the hour count, and the frame
+    domain is calendar-bounded so the window side stays tiny at any
+    corpus size. Hours missing either series yield NULL pairs that both
+    engines' corr skip identically."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.avg(F.when(F.col("event_type") == "click", F.col("value"))).alias(
+            "v_click"
+        ),
+        F.avg(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).alias("v_purchase"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-23, 0)
+    return h.select(
+        "hour",
+        _eps_round(F.corr("v_click", "v_purchase").over(w), 4).alias(
+            "corr_24h"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_hours"),
+    )
+
+
+@register(
+    "running_balance_floor",
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_id, value - 50.0 AS delta
+      FROM events),
+    p AS (
+      SELECT user_id, ts, event_id,
+             SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS pfx
+      FROM d),
+    q AS (
+      SELECT user_id, event_id, pfx,
+             LEAST(0.0, MIN(pfx) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)) AS low
+      FROM p)
+    SELECT user_id, event_id,
+           ROUND(1.2345e-8 + pfx - low, 4) AS balance
+    FROM q
+    """,
+    tags=("timeseries", "window", "identity"),
+)
+def running_balance_floor(spark, sf_dir):
+    """FLOOR-CLAMPED running balance — b_t = max(0, b_{t-1} + delta_t),
+    the wallet/inventory/token-bucket recurrence that LOOKS like it
+    needs a per-row sequential scan (each value depends on the clamped
+    previous one). It has a closed form: b_t = prefix_t − min(0,
+    running_min(prefix)) — the clamp only ever "absorbs" the deepest
+    drawdown so far — so the whole computation is two stacked window
+    aggregates sharing ONE user_id partitioning: a single shuffle where
+    the naive formulation is an unparallelizable loop. Property-tested
+    against the recursive definition on arbitrary sequences
+    (tests/test_round7c_properties.py); deltas derive as value − 50 so
+    both signs occur and the clamp genuinely engages."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", "ts", "event_id", (F.col("value") - 50.0).alias("delta")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = d.withColumn("pfx", F.sum("delta").over(w)).withColumn(
+        "low", F.least(F.lit(0.0), F.min("pfx").over(w))
+    )
+    return p.select(
+        "user_id", "event_id",
+        _eps_round(F.col("pfx") - F.col("low"), 4).alias("balance"),
+    )

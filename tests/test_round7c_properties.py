@@ -149,3 +149,22 @@ def test_checksum_audit_flags_exactly_the_corrupted_buckets():
     }
     assert flagged == expected
     assert flagged and len(flagged) < 64  # both outcome classes nonempty
+
+
+# ---- floor-clamped balance: window identity == recursion -------------------
+
+
+@given(st.lists(st.integers(-20, 20), min_size=1, max_size=50))
+def test_balance_floor_identity_equals_recursion(deltas):
+    """b_t = max(0, b_{t-1} + d_t) must equal
+    prefix_t - min(0, running_min(prefix)) for every sequence — the
+    identity that turns the sequential recurrence into two stacked
+    window aggregates."""
+    b = 0.0
+    pfx = 0.0
+    low = 0.0
+    for d in deltas:
+        b = max(0.0, b + d)
+        pfx += d
+        low = min(low, pfx)
+        assert abs(b - (pfx - min(0.0, low))) < 1e-9, (deltas, b, pfx, low)
