@@ -568,6 +568,65 @@ def lsh_band_sweep(spark, sf_dir):
 
 
 @register(
+    "similarity_hamming_topk",
+    """
+    WITH packed AS (
+      SELECT vec_id,
+        list_sum(list_transform(generate_series(1, 32),
+          i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1))
+               ELSE 0 END))::BIGINT AS p1,
+        list_sum(list_transform(generate_series(33, 64),
+          i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 33))
+               ELSE 0 END))::BIGINT AS p2
+      FROM embeddings),
+    q AS (SELECT p1 AS q1, p2 AS q2 FROM packed WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(bit_count(xor(p1::BIT, q1::BIT))
+                + bit_count(xor(p2::BIT, q2::BIT)) AS INT) AS hamming
+    FROM packed CROSS JOIN q WHERE vec_id <> 0
+    ORDER BY hamming, vec_id LIMIT 10
+    """,
+    tags=("pipeline", "similarity", "quantization", "hamming"),
+)
+def similarity_hamming_topk(spark, sf_dir):
+    """BINARY-QUANTIZED similarity — the memory-bound ANN trick past
+    int8 (``embedding_quantize_int8``): each 64-dim vector collapses to
+    its SIGN BITS, packed into two 32-bit halves of BIGINTs (32 bits per
+    word sidesteps the signed bit-63 edge), and similarity becomes
+    Hamming distance = bit_count(xor) — a 2-instruction kernel on 16
+    bytes/vector, a 16x memory cut vs float32 that turns a 100 TB
+    embedding store into a 6 TB RAM-resident filter. The standard
+    deployment reranks Hamming top-c candidates with exact cosine; this
+    grades the quantize -> pack -> popcount-scan -> top-k stage. Packing
+    is one higher-order-function projection (no shuffle); the scan is a
+    broadcast-1-row compare into a TakeOrderedAndProject heap — same
+    plan family as ``similarity_top10``, 16x less traffic."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def pack(lo: int):
+        return F.expr(
+            f"aggregate(sequence({lo}, {lo + 31}), 0L, (acc, i) -> acc + "
+            f"CASE WHEN element_at(embedding, CAST(i AS INT) + 1) >= 0 "
+            f"THEN shiftleft(1L, CAST(i AS INT) - {lo}) ELSE 0L END)"
+        )
+
+    packed = e.select(
+        "vec_id", pack(0).alias("p1"), pack(32).alias("p2")
+    )
+    qv = packed.filter(F.col("vec_id") == 0).select(
+        F.col("p1").alias("q1"), F.col("p2").alias("q2")
+    )
+    ham = F.expr("bit_count(p1 ^ q1) + bit_count(p2 ^ q2)").cast("int")
+    return (
+        packed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
     "similarity_top10",
     """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
