@@ -567,10 +567,9 @@ def lsh_band_sweep(spark, sf_dir):
 # --- similarity search ------------------------------------------------------
 
 
-@register(
-    "similarity_hamming_topk",
-    """
-    WITH packed AS (
+# Sign-bit packing CTE, shared by every Hamming-path oracle (single source
+# of truth so the packing and its consumers cannot drift).
+_PACK_CTE = """packed AS (
       SELECT vec_id,
         list_sum(list_transform(generate_series(1, 32),
           i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 1))
@@ -578,11 +577,19 @@ def lsh_band_sweep(spark, sf_dir):
         list_sum(list_transform(generate_series(33, 64),
           i -> CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 33))
                ELSE 0 END))::BIGINT AS p2
-      FROM embeddings),
+      FROM embeddings)"""
+
+_HAM = ("CAST(bit_count(xor({a}1::BIT, {b}1::BIT)) "
+        "+ bit_count(xor({a}2::BIT, {b}2::BIT)) AS INT)")
+
+
+@register(
+    "similarity_hamming_topk",
+    f"""
+    WITH {_PACK_CTE},
     q AS (SELECT p1 AS q1, p2 AS q2 FROM packed WHERE vec_id = 0)
     SELECT vec_id,
-           CAST(bit_count(xor(p1::BIT, q1::BIT))
-                + bit_count(xor(p2::BIT, q2::BIT)) AS INT) AS hamming
+           {_HAM.format(a="p", b="q")} AS hamming
     FROM packed CROSS JOIN q WHERE vec_id <> 0
     ORDER BY hamming, vec_id LIMIT 10
     """,
@@ -2492,6 +2499,131 @@ def ann_recall_ivf(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_hits"),
             _eps_round(F.coalesce(F.col("n"), F.lit(0)) / F.lit(10.0), 4).alias("recall"),
         )
+    )
+
+
+@register(
+    "ann_recall_hamming_rerank",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_ANN_NQ}),
+    {_PACK_CTE},
+    qp AS (SELECT vec_id AS query_id, p1 AS q1, p2 AS q2 FROM packed
+           WHERE vec_id < {_ANN_NQ}),
+    hd AS (
+      SELECT qp.query_id, p.vec_id, {_HAM.format(a="p.p", b="qp.q")} AS h
+      FROM packed p CROSS JOIN qp WHERE p.vec_id <> qp.query_id),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY h, vec_id) AS rn
+        FROM hd) WHERE rn <= 50),
+    rr AS (
+      SELECT c.query_id, c.vec_id,
+             ROUND(1.2345e-8 + {_COS_Q.format(a="e.embedding", b="q.qv")}, 4)
+               AS cs
+      FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN q ON q.query_id = c.query_id),
+    rerank AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id) AS rn
+        FROM rr) WHERE rn <= 10),
+    bp AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(1.2345e-8 + {_COS_Q.format(a="e.embedding", b="q.qv")}, 4) AS c
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM bp) WHERE rn <= 10),
+    hits AS (
+      SELECT b.query_id, COUNT(*) AS n
+      FROM brute b JOIN rerank USING (query_id, vec_id) GROUP BY 1)
+    SELECT q.query_id, CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+           ROUND(1.2345e-8 + COALESCE(h.n, 0) / 10.0, 4) AS recall
+    FROM q LEFT JOIN hits h USING (query_id)
+    """,
+    tags=("pipeline", "similarity", "ann", "quantization", "eval"),
+)
+def ann_recall_hamming_rerank(spark, sf_dir):
+    """The DEPLOYED two-stage binary-ANN pipeline, recall-graded:
+    Hamming top-50 on the sign-bit packing (the RAM-speed filter) ->
+    exact-cosine RERANK of only those 50 -> top-10, measured as
+    recall@10 against full brute force over {_ANN_NQ} queries — the
+    companion eval to ``ann_recall_ivf`` for the quantization scale
+    path, and the number that tells a deployment how much candidate
+    depth (50 here) buys back the quantization loss that
+    ``similarity_hamming_topk`` alone would eat. All ranks tie-break on
+    vec_id over identically-rounded scores, so the sets are
+    cross-engine deterministic. Scale: the brute pass exists only to
+    grade; production runs pack-once (16 bytes/vector), popcount-scan,
+    then touches float vectors for 50 rows per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pk = [
+        F.expr(
+            f"aggregate(sequence({lo}, {lo + 31}), 0L, (acc, i) -> acc + "
+            f"CASE WHEN element_at(embedding, CAST(i AS INT) + 1) >= 0 "
+            f"THEN shiftleft(1L, CAST(i AS INT) - {lo}) ELSE 0L END)"
+        ).alias(n)
+        for lo, n in ((0, "p1"), (32, "p2"))
+    ]
+    packed = e.select("vec_id", *pk)
+    qp = packed.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("p1").alias("q1"),
+        F.col("p2").alias("q2"),
+    )
+    ham = F.expr(
+        "bit_count(p1 ^ q1) + bit_count(p2 ^ q2)"
+    ).cast("int")
+    hw = Window.partitionBy("query_id").orderBy("h", "vec_id")
+    cand = (
+        packed.crossJoin(F.broadcast(qp))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("h"))
+        .withColumn("rn", F.row_number().over(hw))
+        .filter(F.col("rn") <= 50)
+        .select("query_id", "vec_id")
+    )
+    q = e.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos_r = _eps_round(similarity.cosine(F.col("embedding"), F.col("qv")), 4)
+    cw = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("vec_id")
+    )
+    rerank = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", cos_r.alias("cs"))
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    bw = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("vec_id")
+    )
+    brute = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos_r.alias("c"))
+        .withColumn("rn", F.row_number().over(bw))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = brute.join(rerank, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return q.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n", F.lit(0)).cast("int").alias("n_hits"),
+        _eps_round(F.coalesce("n", F.lit(0)) / 10.0, 4).alias("recall"),
     )
 
 
