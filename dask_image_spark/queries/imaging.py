@@ -799,6 +799,113 @@ def filter_laplace_3d(spark, sf_dir):
     return out.select("z", "y", "x", _eps_round("v", 4).alias("v"))
 
 
+@register(
+    "pyramid_coarsen_2x",
+    with_pixel_ctes("""
+    SELECT 1 AS level, y, x, ROUND(1.2345e-8 + value, 4) AS v FROM lvl1
+    UNION ALL
+    SELECT 2 AS level, y, x, ROUND(1.2345e-8 + value, 4) AS v FROM lvl2
+    """, extra=[
+        "lvl1 AS (SELECT CAST(y // 2 AS INT) AS y, CAST(x // 2 AS INT) AS x, "
+        "AVG(value) AS value FROM pixels GROUP BY 1, 2)",
+        "lvl2 AS (SELECT CAST(y // 2 AS INT) AS y, CAST(x // 2 AS INT) AS x, "
+        "AVG(value) AS value FROM lvl1 GROUP BY 1, 2)",
+    ]),
+    tags=("imaging", "pyramid", "coarsen"),
+)
+def pyramid_coarsen_2x(spark, sf_dir):
+    """``dask.array.coarsen(np.mean, x, {0: 2, 1: 2})`` — the multiscale
+    pyramid primitive the dask imaging ecosystem builds OME-Zarr levels
+    with: non-overlapping 2x2 block means, applied twice (64² → 32² →
+    16²), both levels emitted with a level key. Each level is ONE
+    map-side-combinable groupBy on the halved coordinates — no halo, no
+    window, and level N+1 consumes level N's already-shuffled output, so
+    a full pyramid costs one aggregate per level over geometrically
+    shrinking data (the 100 TB microscopy-store write path)."""
+    px = pixel_grid(spark, sf_dir)
+
+    def coarsen(df):
+        return df.groupBy(
+            (F.col("y") / 2).cast("int").alias("y"),
+            (F.col("x") / 2).cast("int").alias("x"),
+        ).agg(F.avg("value").alias("value"))
+
+    l1 = coarsen(px)
+    l2 = coarsen(l1)
+    out1 = l1.select(
+        F.lit(1).alias("level"), "y", "x", _eps_round("value", 4).alias("v")
+    )
+    out2 = l2.select(
+        F.lit(2).alias("level"), "y", "x", _eps_round("value", 4).alias("v")
+    )
+    return out1.unionByName(out2)
+
+
+@register(
+    "glcm_texture",
+    with_pixel_ctes("""
+    SELECT ga, gb, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(1.2345e-8 + cnt / n.c, 4) AS p,
+           ROUND(1.2345e-8 + (ga - gb) * (ga - gb) * cnt / n.c, 4)
+             AS contrast_term,
+           ROUND(1.2345e-8 + cnt / n.c / (1.0 + ABS(ga - gb)), 4)
+             AS homogeneity_term
+    FROM cells CROSS JOIN n
+    """, extra=[
+        "ql AS (SELECT y, x, LEAST(3, GREATEST(0, "
+        "CAST(FLOOR(value / 25.0) AS INT))) AS g FROM pixels)",
+        "gpairs AS (SELECT a.g AS ga, b.g AS gb FROM ql a "
+        "JOIN ql b ON b.y = a.y AND b.x = a.x + 1)",
+        "n AS (SELECT COUNT(*) AS c FROM gpairs)",
+        "cells AS (SELECT ga, gb, COUNT(*) AS cnt FROM gpairs "
+        "GROUP BY ga, gb)",
+    ]),
+    tags=("imaging", "texture", "glcm"),
+)
+def glcm_texture(spark, sf_dir):
+    """GREY-LEVEL CO-OCCURRENCE MATRIX (Haralick texture features, the
+    (dy, dx) = (0, 1) offset): quantize to 4 grey levels, count ordered
+    level pairs of horizontal neighbors, and emit each cell with its
+    normalized probability plus its contrast and homogeneity terms (the
+    per-cell addends of the Haralick statistics — summing the graded
+    columns yields the features, so every term is hash-checked, not
+    just the final scalars). The neighbor pairing is an equi-join on
+    the shifted coordinate — at tile scale this is the same one-shuffle
+    stencil shape as every filter; the co-occurrence matrix itself is
+    levels², domain-bounded, so the groupBy output is tiny at any image
+    size."""
+    px = pixel_grid(spark, sf_dir)
+    g = F.least(
+        F.lit(3),
+        F.greatest(F.lit(0), F.floor(F.col("value") / 25.0).cast("int")),
+    )
+    q = px.select("y", "x", g.alias("g"))
+    a, b = q.alias("a"), q.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.y") == F.col("a.y")) & (F.col("b.x") == F.col("a.x") + 1),
+    ).select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+    n = pairs.agg(F.count(F.lit(1)).alias("c"))
+    cells = pairs.groupBy("ga", "gb").agg(F.count(F.lit(1)).alias("cnt"))
+    return cells.crossJoin(F.broadcast(n)).select(
+        "ga",
+        "gb",
+        F.col("cnt").cast("long").alias("cnt"),
+        _eps_round(F.col("cnt") / F.col("c"), 4).alias("p"),
+        _eps_round(
+            (F.col("ga") - F.col("gb"))
+            * (F.col("ga") - F.col("gb"))
+            * F.col("cnt")
+            / F.col("c"),
+            4,
+        ).alias("contrast_term"),
+        _eps_round(
+            F.col("cnt") / F.col("c") / (1.0 + F.abs(F.col("ga") - F.col("gb"))),
+            4,
+        ).alias("homogeneity_term"),
+    )
+
+
 _HV = 8  # 8^4 = 4096 hypervoxels, dense from event_id folding at sf >= 0.01
 
 _PX4 = (
