@@ -1611,3 +1611,111 @@ def running_balance_floor(spark, sf_dir):
         "user_id", "event_id",
         _eps_round(F.col("pfx") - F.col("low"), 4).alias("balance"),
     )
+
+
+@register(
+    "stable_global_index",
+    """
+    WITH s AS (SELECT event_id, ts FROM events WHERE event_id < 5000)
+    SELECT event_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+             AS idx
+    FROM s
+    """,
+    tags=("timeseries", "index", "scale-pattern"),
+)
+def stable_global_index(spark, sf_dir):
+    """GLOBAL ordinal assignment WITHOUT a single-partition sort — the
+    scale pattern behind sequence packing, sharded tokenization, and
+    resumable exports. The naive ``ROW_NUMBER() OVER (ORDER BY ...)``
+    (the oracle's form, fine at oracle scale) funnels 100 TB through ONE
+    partition; this plan instead (1) range-partitions on the order key
+    — global order ACROSS partitions by construction, (2) sorts and
+    numbers WITHIN each partition (parallel, bounded memory), (3)
+    collects only the per-partition COUNTS (bounded by the partition
+    count, not the data), prefix-sums them into offsets, and (4) adds
+    the broadcast offset map-side. Exactly Dask/Spark's zipWithIndex
+    two-phase design, expressed in DataFrame ops; the result is
+    identical whatever boundaries the range sampler picks, which is
+    what the hash check proves."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    s = ev.select("event_id", "ts").repartitionByRange(8, "ts", "event_id")
+    pid = s.withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy("ts", "event_id")
+    local = pid.withColumn("rn", F.row_number().over(wp))
+    counts = (
+        local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    )
+    wo = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0))
+    ).select("pid", "off")
+    return local.join(F.broadcast(offsets), "pid").select(
+        "event_id",
+        (F.col("off") + F.col("rn") - 1).cast("long").alias("idx"),
+    )
+
+
+@register(
+    "seasonal_residual_anomaly",
+    """
+    WITH prof AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             AVG(value) AS mu
+      FROM events GROUP BY 1, 2),
+    res AS (
+      SELECT e.event_id, e.event_type, e.value - p.mu AS r
+      FROM events e
+      JOIN prof p ON p.event_type = e.event_type
+                 AND p.hod = EXTRACT(hour FROM e.ts)),
+    sd AS (
+      SELECT event_type, STDDEV_SAMP(r) AS s FROM res GROUP BY 1)
+    SELECT r.event_id,
+           ROUND(1.2345e-8 + r.r, 4) AS residual,
+           CAST(ABS(r.r) > 2.5 * sd.s AS INT) AS is_anomaly
+    FROM res r JOIN sd ON sd.event_type = r.event_type
+    WHERE ABS(r.r) > 2.0 * sd.s
+    """,
+    tags=("timeseries", "anomaly", "seasonal"),
+)
+def seasonal_residual_anomaly(spark, sf_dir):
+    """SEASONAL-baseline anomaly detection — STL reduced to its
+    deployable core: the (event_type, hour-of-day) mean profile is the
+    seasonal component, residual = value − profile, and a residual
+    beyond 2.5 per-type standard deviations flags. Unlike the global
+    ``anomaly_mad_zscore``, a value that is normal at peak hour but
+    aberrant at 4 am is caught HERE — that is the entire point of
+    deseasonalizing before thresholding. The profile is a 24×|types|
+    broadcast; residuals are map-side; the only fact-scale shuffles are
+    the two map-side-combinable aggregates (profile, per-type stddev).
+    Emitting the 2.0σ–2.5σ band too keeps both flag outcomes nonzero
+    in the graded result."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.hour("ts").alias("hod")
+    )
+    prof = ev.groupBy(
+        F.col("event_type").alias("ptype"), F.col("hod").alias("phod")
+    ).agg(F.avg("value").alias("mu"))
+    res = ev.join(
+        F.broadcast(prof),
+        (F.col("event_type") == F.col("ptype"))
+        & (F.col("hod") == F.col("phod")),
+    ).select(
+        "event_id",
+        F.col("event_type").alias("etype"),
+        (F.col("value") - F.col("mu")).alias("r"),
+    )
+    sd = res.groupBy("etype").agg(F.stddev_samp("r").alias("s"))
+    return (
+        res.join(F.broadcast(sd), "etype")
+        .filter(F.abs(F.col("r")) > 2.0 * F.col("s"))
+        .select(
+            "event_id",
+            _eps_round("r", 4).alias("residual"),
+            (F.abs(F.col("r")) > 2.5 * F.col("s")).cast("int").alias(
+                "is_anomaly"
+            ),
+        )
+    )
