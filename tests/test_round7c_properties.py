@@ -168,3 +168,30 @@ def test_balance_floor_identity_equals_recursion(deltas):
         pfx += d
         low = min(low, pfx)
         assert abs(b - (pfx - min(0.0, low))) < 1e-9, (deltas, b, pfx, low)
+
+
+# ---- spatial blocking: 3x3 neighborhood covers the radius ------------------
+
+
+@given(
+    st.floats(min_value=40.0, max_value=49.9999),
+    st.floats(min_value=0.0, max_value=9.9999),
+    st.floats(min_value=40.0, max_value=49.9999),
+    st.floats(min_value=0.0, max_value=9.9999),
+)
+def test_spatial_cells_cover_radius(la, loa, lb, lob):
+    """Blocking completeness: any pair within 20 km must land in cells
+    differing by at most 1 per axis at 0.3-degree cells — otherwise the
+    equi-join on the 3x3 neighborhood silently DROPS true pairs (the
+    failure mode a radius-join can't detect from its own output)."""
+    km = 2 * 6371.0 * math.asin(
+        math.sqrt(
+            math.sin(math.radians(lb - la) / 2) ** 2
+            + math.cos(math.radians(la))
+            * math.cos(math.radians(lb))
+            * math.sin(math.radians(lob - loa) / 2) ** 2
+        )
+    )
+    if km <= 20.0:
+        assert abs(math.floor(la / 0.3) - math.floor(lb / 0.3)) <= 1
+        assert abs(math.floor(loa / 0.3) - math.floor(lob / 0.3)) <= 1
