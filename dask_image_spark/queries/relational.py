@@ -4565,3 +4565,63 @@ def spatial_radius_join(spark, sf_dir):
         .filter(F.col("km") <= 20.0)
         .select("id_a", "id_b", _r(F.col("km"), 3).alias("dist_km"))
     )
+
+
+@register(
+    "nested_schema_pruning",
+    """
+    WITH li AS (
+      SELECT l_orderkey, COUNT(*) AS n_items,
+             ROUND(1.2345e-8 + SUM(l_quantity), 4) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey AS o_orderkey, CAST(n_items AS INT) AS n_items,
+           sum_qty
+    FROM li
+    """,
+    tags=("relational", "nested", "io-write"),
+    schema="o_orderkey bigint, n_items int, sum_qty double",
+)
+def nested_schema_pruning(spark, sf_dir):
+    """NESTED-COLUMN schema pruning, round-tripped: orders nest their
+    lineitems as an ``array<struct>`` (the document/denormalized layout
+    an event-log or API-export table ships in), land as parquet, and the
+    read-back touches ONLY ``items.l_quantity`` — Catalyst's
+    ``nestedSchemaPruning`` rewrites the scan's ReadSchema to the one
+    leaf (plan-pinned in tests/test_plans.py), so the 100 TB nested blob
+    column is never deserialized for a one-field aggregate. The
+    aggregate itself is a higher-order ``aggregate()`` over the array
+    plus ``size()`` — no explode, no shuffle after the scan; the oracle
+    replays the same numbers from the flat lineitem table, proving the
+    nest -> write -> prune -> fold pipeline loses nothing."""
+    import os
+
+    from dask_image_spark.queries.pipeline import _fresh_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = f"/tmp/dask_image_spark_io/nested_{tag}"
+    _fresh_dir(out)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_partkey", "l_quantity", "l_extendedprice")
+        ).alias("items"),
+        F.first("l_returnflag").alias("flag"),
+    )
+    nested.write.mode("overwrite").parquet(out)
+
+    # Extract the ONE leaf as array<double> FIRST (ExtractValue is what
+    # the nested-pruning rule rewrites into the scan schema); folding a
+    # lambda over the raw array<struct> defeats pruning — found by the
+    # plan test: the ReadSchema kept all three leaves.
+    qty = F.col("items").getField("l_quantity")
+    back = spark.read.parquet(out).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.size(qty).alias("n_items"),
+        _r(
+            F.aggregate(
+                qty, F.lit(0.0), lambda acc, x: acc + x
+            )
+        ).alias("sum_qty"),
+    )
+    return back

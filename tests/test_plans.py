@@ -681,3 +681,15 @@ def test_grey_morphology_single_shuffle_per_pass(spark, sf_dir):
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert bad not in tree, tree[:2000]
     assert "HashAggregate" in tree, tree[:2000]
+
+
+def test_nested_schema_pruning_reads_one_leaf(spark, sf_dir):
+    """The read-back scan's ReadSchema must contain items.l_quantity but
+    NOT the sibling leaves — Catalyst's nested pruning is the entire
+    point of the nested round-trip query; regressing to a full-struct
+    read silently deserializes the whole blob column at scale."""
+    plan = _plan(spark, sf_dir, "nested_schema_pruning")
+    read = plan.split("ReadSchema")[-1][:500]
+    assert "l_quantity" in read, read
+    assert "l_extendedprice" not in read, read
+    assert "l_partkey" not in read, read
