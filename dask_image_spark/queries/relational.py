@@ -4625,3 +4625,79 @@ def nested_schema_pruning(spark, sf_dir):
         ).alias("sum_qty"),
     )
     return back
+
+
+@register(
+    "json_corrupt_records",
+    """
+    WITH s AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id >= 10000 AND event_id < 15000),
+    cls AS (
+      SELECT *, (event_id % 13 = 0) AS corrupt FROM s)
+    SELECT CASE WHEN corrupt THEN '_corrupt' ELSE event_type END
+             AS record_class,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + SUM(CASE WHEN corrupt THEN 0.0
+                                      ELSE value END), 4) AS total
+    FROM cls GROUP BY 1
+    """,
+    tags=("relational", "scan", "error-handling", "io-write"),
+    schema="record_class string, n bigint, total double",
+)
+def json_corrupt_records(spark, sf_dir):
+    """MALFORMED-RECORD handling — the dead-letter-queue pattern every
+    real ingest needs: an NDJSON landing zone where every 13th line is
+    deliberately TRUNCATED mid-object, read back in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` so bad lines surface as rows (raw text
+    captured in the corrupt column) instead of failing the job or being
+    silently dropped. The graded result buckets corrupt lines under
+    '_corrupt' alongside the per-type rollup of the cleanly parsed rows
+    — a lost OR double-counted bad line breaks the count, a parser that
+    salvaged partial fields breaks the totals. At scale the corrupt
+    class routes to a quarantine sink for replay (FAILFAST/DROPMALFORMED
+    are the other two modes; PERMISSIVE + DLQ is the production
+    default)."""
+    import os
+
+    from dask_image_spark.queries.pipeline import _fresh_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    land = f"/tmp/dask_image_spark_io/corrupt_land_{tag}"
+    _fresh_dir(land)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") >= 10000) & (F.col("event_id") < 15000)
+    )
+    line = F.to_json(F.struct("event_id", "event_type", "value"))
+    # truncate every 13th line mid-object -> unparseable JSON
+    out_line = F.when(
+        F.col("event_id") % 13 == 0, F.substring(line, 1, 15)
+    ).otherwise(line)
+    ev.select(out_line.alias("value")).coalesce(2).write.mode(
+        "overwrite"
+    ).text(land)
+
+    back = (
+        spark.read.schema(
+            "event_id LONG, event_type STRING, value DOUBLE, _bad STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(land)
+    )
+    return (
+        back.select(
+            F.when(F.col("_bad").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("event_type"))
+            .alias("record_class"),
+            F.coalesce(
+                F.when(F.col("_bad").isNull(), F.col("value")), F.lit(0.0)
+            ).alias("v"),
+        )
+        .groupBy("record_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("v")).alias("total"),
+        )
+    )
