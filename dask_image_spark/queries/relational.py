@@ -4631,8 +4631,7 @@ def nested_schema_pruning(spark, sf_dir):
     "json_corrupt_records",
     """
     WITH s AS (
-      SELECT event_id, event_type, value FROM events
-      WHERE event_id >= 10000 AND event_id < 15000),
+      SELECT event_id, event_type, value FROM events),
     cls AS (
       SELECT *, (event_id % 13 = 0) AS corrupt FROM s)
     SELECT CASE WHEN corrupt THEN '_corrupt' ELSE event_type END
@@ -4666,9 +4665,7 @@ def json_corrupt_records(spark, sf_dir):
     land = f"/tmp/dask_image_spark_io/corrupt_land_{tag}"
     _fresh_dir(land)
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        (F.col("event_id") >= 10000) & (F.col("event_id") < 15000)
-    )
+    ev = load_table(spark, sf_dir, "events")
     line = F.to_json(F.struct("event_id", "event_type", "value"))
     # truncate every 13th line mid-object -> unparseable JSON
     out_line = F.when(
