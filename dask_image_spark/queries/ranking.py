@@ -1005,3 +1005,117 @@ def lpa_communities_2iter(spark, sf_dir):
     for _ in range(2):
         lab = step(lab)
     return lab.select(F.col("v").alias("doc_id"), F.col("lab").alias("community"))
+
+
+_BF_W_SQL = "1 + ({src} * 7 + {dst} * 13) % 5"
+
+
+def _bf_oracle(rounds: int = 3) -> str:
+    ctes = [
+        "nodes AS (SELECT doc_id FROM documents)",
+        "n AS (SELECT COUNT(*) AS c FROM nodes)",
+        f"""edges AS (
+      SELECT src, dst, {_BF_W_SQL.format(src="src", dst="dst")} AS w
+      FROM (SELECT doc_id AS src,
+                   {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+            FROM nodes CROSS JOIN n
+            CROSS JOIN (VALUES (1), (2), (3)) t(j))
+      WHERE src <> dst)""",
+        "d0 AS (SELECT doc_id AS v, CASE WHEN doc_id = 0 THEN 0 END AS d "
+        "FROM nodes)",
+    ]
+    prev = "d0"
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""d{k} AS (
+      SELECT p.v,
+             LEAST(COALESCE(p.d, 999999999),
+                   COALESCE(MIN(q.d + e.w), 999999999)) AS raw
+      FROM {prev} p
+      LEFT JOIN edges e ON e.dst = p.v
+      LEFT JOIN {prev} q ON q.v = e.src AND q.d IS NOT NULL
+      GROUP BY p.v, p.d)""",
+        )
+        ctes.append(
+            f"d{k}c AS (SELECT v, CASE WHEN raw < 999999999 THEN raw END "
+            f"AS d FROM d{k})"
+        )
+        prev = f"d{k}c"
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f" SELECT v AS doc_id, CAST(d AS BIGINT) AS dist FROM {prev} "
+        "WHERE d IS NOT NULL"
+    )
+
+
+@register(
+    "bellman_ford_3round",
+    _bf_oracle(3),
+    tags=("ranking", "graph", "shortest-path"),
+)
+def bellman_ford_3round(spark, sf_dir):
+    """WEIGHTED single-source shortest paths, 3 synchronous Bellman-Ford
+    relaxation rounds from node 0 over the fixture graph with
+    deterministic edge weights 1-5 — the weighted companion to
+    ``bfs_3hop`` (hop counts) and the fixed-iteration SQL-replayable
+    contract of ``pagerank_2iter``. Each round is ONE equi-join of the
+    frontier distances to the edge list on src and ONE min-aggregate on
+    dst, merged with the previous distances — the delta-relaxation
+    shape; converged SSSP is this block looped until no distance
+    improves. Distances are exact for all nodes whose shortest path
+    uses <= 3 edges (the emitted set), and the min-merge makes rounds
+    monotone, so a relaxation bug shows up as a wrong value, not just a
+    missing row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("src"),
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            "src",
+            F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst",
+            F.expr(_BF_W_SQL.format(src="src", dst="dst")).alias("w"),
+        )
+    )
+    dist = docs.select(
+        F.col("doc_id").alias("v"),
+        F.when(F.col("doc_id") == 0, F.lit(0)).cast("long").alias("d"),
+    )
+    for _ in range(3):
+        relax = (
+            edges.join(
+                dist.filter(F.col("d").isNotNull()).select(
+                    F.col("v").alias("src"), F.col("d").alias("ds")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min(F.col("ds") + F.col("w")).alias("dr"))
+        )
+        dist = (
+            dist.join(relax, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.coalesce("d", F.lit(999999999)),
+                    F.coalesce("dr", F.lit(999999999)),
+                ).alias("raw"),
+            )
+            .select(
+                "v",
+                F.when(F.col("raw") < 999999999, F.col("raw"))
+                .cast("long")
+                .alias("d"),
+            )
+        )
+    return dist.filter(F.col("d").isNotNull()).select(
+        F.col("v").alias("doc_id"), F.col("d").alias("dist")
+    )

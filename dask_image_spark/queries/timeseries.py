@@ -1719,3 +1719,111 @@ def seasonal_residual_anomaly(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d0
+      FROM events GROUP BY user_id),
+    days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    adds AS (SELECT d0 AS day, COUNT(*) AS n_new FROM fs GROUP BY d0)
+    SELECT d.day, CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new,
+           CAST(SUM(COALESCE(a.n_new, 0)) OVER (ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM days d LEFT JOIN adds a ON a.day = d.day
+    """,
+    tags=("timeseries", "window", "identity", "distinct"),
+)
+def cumulative_distinct_users(spark, sf_dir):
+    """CUMULATIVE DISTINCT users per day — the growth-curve metric that
+    looks like it needs COUNT(DISTINCT) over an expanding window (which
+    Spark windows refuse, and which at scale would re-deduplicate the
+    whole history per day). The identity: a user contributes exactly
+    once, on their FIRST-SEEN day — so min(day) per user, count the
+    first-appearances per day, and a running sum over the
+    calendar-bounded day frame IS the cumulative distinct count. One
+    user-keyed aggregate + one day-keyed aggregate, both
+    map-side-combinable; the window runs over |days| rows. Emitted with
+    per-day n_new so a double-counted returning user breaks the hash."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    fs = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    adds = fs.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(adds, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select(
+            "day",
+            F.col("n_new").cast("long").alias("n_new"),
+            F.sum("n_new").over(w).cast("long").alias("cum_users"),
+        )
+    )
+
+
+@register(
+    "rfm_scores",
+    """
+    WITH p AS (
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+             ROUND(1.2345e-8 + SUM(value), 4) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    mx AS (SELECT MAX(ts) AS now_ts FROM events),
+    rfm AS (
+      SELECT p.user_id,
+             CAST((epoch_us(mx.now_ts) - epoch_us(p.last_ts))
+                  // 86400000000 AS BIGINT) AS recency_days,
+             CAST(p.freq AS BIGINT) AS freq, p.monetary
+      FROM p CROSS JOIN mx)
+    SELECT user_id, recency_days, freq, monetary,
+           CAST(6 - NTILE(5) OVER (ORDER BY recency_days, user_id) AS INT)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY freq, user_id) AS INT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INT) AS m_score
+    FROM rfm
+    """,
+    tags=("timeseries", "scoring", "rfm"),
+)
+def rfm_scores(spark, sf_dir):
+    """RFM (recency/frequency/monetary) customer scoring — the classic
+    segmentation feature triple: per purchasing user, days since last
+    purchase, purchase count, and spend, each quintiled 1-5 (recency
+    inverted: recent = high). NTILE runs over the USER-level frame — one
+    row per purchaser, already 4-5 orders smaller than the event table
+    and bounded by the entity population, which is what makes the
+    unpartitioned ranking window acceptable here (the fact-scale work is
+    the one groupBy). Ties break on user_id so the quintile boundaries
+    are cross-engine deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        _eps_round(F.sum("value"), 4).alias("monetary"),
+    )
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    rfm = p.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (
+            (F.unix_micros("now_ts") - F.unix_micros("last_ts"))
+            / F.lit(86400000000)
+        ).cast("long").alias("recency_days"),
+        F.col("freq").cast("long").alias("freq"),
+        "monetary",
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy("freq", "user_id")
+    wm = Window.orderBy("monetary", "user_id")
+    return rfm.select(
+        "user_id", "recency_days", "freq", "monetary",
+        (6 - F.ntile(5).over(wr)).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )
