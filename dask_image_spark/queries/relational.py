@@ -4698,3 +4698,49 @@ def json_corrupt_records(spark, sf_dir):
             _r(F.sum("v")).alias("total"),
         )
     )
+
+
+@register(
+    "trimmed_mean",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             QUANTILE_CONT(value, 0.1) AS p10,
+             QUANTILE_CONT(value, 0.9) AS p90
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(1.2345e-8 + AVG(e.value), 4) AS mean_raw,
+           ROUND(1.2345e-8 + AVG(e.value) FILTER (
+             e.value >= c.p10 AND e.value <= c.p90), 4) AS mean_trimmed,
+           CAST(COUNT(*) FILTER (
+             e.value >= c.p10 AND e.value <= c.p90) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM events e JOIN cuts c ON c.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("relational", "agg", "robust"),
+)
+def trimmed_mean(spark, sf_dir):
+    """10% TRIMMED mean per type — the robust location estimate next to
+    the raw mean, with kept/total counts so the trim fraction itself is
+    graded. Two passes, both map-side-combinable: exact per-type
+    [p10, p90] cuts (a types-bounded frame, broadcast back), then a
+    filtered re-aggregate — the same broadcast-cuts posture as
+    ``equidepth_bins``/``psi_drift``, never a global sort. The
+    winsorize query clamps; this trims — both robustness flavors are
+    graded."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy(F.col("event_type").alias("ctype")).agg(
+        F.percentile("value", F.lit(0.1)).alias("p10"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+    )
+    j = ev.join(
+        F.broadcast(cuts), F.col("event_type") == F.col("ctype")
+    )
+    inb = (F.col("value") >= F.col("p10")) & (F.col("value") <= F.col("p90"))
+    return j.groupBy("event_type").agg(
+        _r(F.avg("value")).alias("mean_raw"),
+        _r(F.avg(F.when(inb, F.col("value")))).alias("mean_trimmed"),
+        F.count(F.when(inb, 1)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_total"),
+    )

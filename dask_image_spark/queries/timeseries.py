@@ -1827,3 +1827,62 @@ def rfm_scores(spark, sf_dir):
         F.ntile(5).over(wf).cast("int").alias("f_score"),
         F.ntile(5).over(wm).cast("int").alias("m_score"),
     )
+
+
+@register(
+    "theilsen_slope_per_user",
+    """
+    WITH p AS (
+      SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'purchase'),
+    u AS (SELECT user_id FROM p GROUP BY user_id HAVING COUNT(*) >= 5),
+    pr AS (SELECT p.* FROM p JOIN u USING (user_id)),
+    slopes AS (
+      SELECT a.user_id,
+             (b.value - a.value)
+             / ((epoch_us(b.ts) - epoch_us(a.ts)) / 86400000000.0) AS s
+      FROM pr a JOIN pr b
+        ON b.user_id = a.user_id AND a.ts < b.ts)
+    SELECT user_id,
+           ROUND(1.2345e-8 + MEDIAN(s), 4) AS slope_per_day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM slopes GROUP BY user_id
+    """,
+    tags=("timeseries", "robust", "regression"),
+)
+def theilsen_slope_per_user(spark, sf_dir):
+    """THEIL-SEN robust trend — the median of all pairwise slopes per
+    user (>= 5 purchases), the estimator that shrugs off the outliers
+    that wreck the OLS slope (``trend_per_user`` is the L2 companion;
+    comparing the two per entity is the standard outlier screen). The
+    pairwise blow-up is quadratic ONLY within a user partition — the
+    self-join is an equi-join on user_id and per-entity event counts are
+    bounded (max 24 here, and a production guard caps or samples heavy
+    entities), so the pair space is O(n x per-key-density): the same
+    blocked-pairwise contract as the levenshtein and spatial joins.
+    Strictly-increasing ts pairs only, so no zero-gap division; median
+    over doubles interpolates identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    u = p.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 5
+    ).select("user_id")
+    pr = p.join(F.broadcast(u), "user_id")
+    a, b = pr.alias("a"), pr.alias("b")
+    dt_days = (
+        F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    ) / 86400000000.0
+    slopes = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("a.ts") < F.col("b.ts")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        ((F.col("b.value") - F.col("a.value")) / dt_days).alias("s"),
+    )
+    return slopes.groupBy("user_id").agg(
+        _eps_round(F.median("s"), 4).alias("slope_per_day"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
