@@ -1681,3 +1681,45 @@ def l_diversity_audit(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "quantile_normalize_sources",
+    """
+    WITH b AS (
+      SELECT doc_id, source, n_chars,
+             NTILE(10) OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id) AS q
+      FROM documents),
+    pool AS (
+      SELECT q, AVG(n_chars) AS mu FROM b GROUP BY q)
+    SELECT b.doc_id, b.source, CAST(b.n_chars AS BIGINT) AS n_chars,
+           CAST(b.q AS INT) AS q,
+           ROUND(1.2345e-8 + p.mu, 4) AS normalized
+    FROM b JOIN pool p ON p.q = b.q
+    """,
+    tags=("curation", "statistics", "harmonization"),
+)
+def quantile_normalize_sources(spark, sf_dir):
+    """QUANTILE NORMALIZATION across sources — the batch-effect
+    harmonization trick (microarray lineage, reused for mixing corpora
+    with incompatible length/quality distributions): rank each document
+    WITHIN its source into deciles, replace the value with the POOLED
+    cross-source decile mean — after which every source has the same
+    marginal distribution and downstream length/quality gates treat
+    them fairly. Per-source NTILE windows are entity-bounded partitions
+    (never a global sort); the pooled profile is 10 rows, broadcast
+    back. Raw value, decile, and normalized value are all emitted, so
+    both the ranking and the pooling are hash-checked."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    b = d.withColumn("q", F.ntile(10).over(w))
+    pool = b.groupBy("q").agg(F.avg("n_chars").alias("mu"))
+    return b.join(F.broadcast(pool), "q").select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("q").cast("int").alias("q"),
+        _eps_round("mu", 4).alias("normalized"),
+    )
