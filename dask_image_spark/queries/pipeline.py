@@ -3629,3 +3629,51 @@ def udtf_table_arg_gaps(spark, sf_dir):
         f"SELECT * FROM gap_stats_udtf(TABLE({view})"
         " PARTITION BY user_id ORDER BY (us, event_id)) ORDER BY user_id"
     )
+
+
+@register(
+    "dedup_keep_best",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars, md5(text) AS h FROM documents
+      WHERE text IS NOT NULL),
+    ranked AS (
+      SELECT doc_id, h, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS group_size
+      FROM d)
+    SELECT doc_id AS keeper_id, CAST(group_size AS BIGINT) AS group_size,
+           CAST(n_chars AS BIGINT) AS keeper_chars
+    FROM ranked WHERE rn = 1 AND group_size > 1
+    """,
+    tags=("pipeline", "dedup", "survivor"),
+)
+def dedup_keep_best(spark, sf_dir):
+    """KEEP-BEST survivor selection — dedup where the canonical copy is
+    the HIGHEST-QUALITY member (longest here; a real pipeline plugs in
+    its quality score), not the arbitrary first: the policy that
+    matters when near-identical pages differ in truncation or
+    boilerplate stripping. One hash-partitioned window per duplicate
+    group (``max_by`` semantics via a deterministic
+    (quality DESC, id) rank); emits only multi-member groups with the
+    winner and group size, so both the grouping and the preference
+    order are hash-checked. Same linear scale shape as
+    ``dedup_exact_groups`` — the groupBy/window key is the content
+    hash."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "n_chars", F.md5("text").alias("h"))
+    w = Window.partitionBy("h").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "group_size", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("group_size") > 1)
+    ).select(
+        F.col("doc_id").alias("keeper_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("n_chars").cast("long").alias("keeper_chars"),
+    )

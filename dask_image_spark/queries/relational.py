@@ -4744,3 +4744,51 @@ def trimmed_mean(spark, sf_dir):
         F.count(F.when(inb, 1)).alias("n_kept"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+@register(
+    "ratio_to_parent",
+    """
+    WITH base AS (
+      SELECT r.r_name, n.n_name,
+             SUM(c.c_acctbal) AS bal
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT r_name, n_name,
+           ROUND(1.2345e-8 + bal, 4) AS bal,
+           ROUND(1.2345e-8 + bal / SUM(bal) OVER (PARTITION BY r_name), 4)
+             AS share_of_region,
+           ROUND(1.2345e-8 + bal / SUM(bal) OVER (), 4) AS share_of_total
+    FROM base
+    """,
+    tags=("relational", "window", "olap", "hierarchy"),
+)
+def ratio_to_parent(spark, sf_dir):
+    """RATIO-TO-PARENT contribution analysis — each nation's share of
+    its region and of the world total, the hierarchical drill-down
+    every BI layer renders: one fact-scale aggregate collapses to the
+    |nations| frame, then two window sums OVER the collapsed frame
+    (the region partition and the global one both run over <= 25 rows —
+    the unpartitioned window is domain-bounded by the dimension, not
+    the data, which is what makes it admissible; the same shape at
+    customer grain would partition by the parent key instead).
+    Dimensions broadcast into the fact join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("c_acctbal").alias("bal"))
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    return base.select(
+        "r_name", "n_name",
+        _r(F.col("bal")).alias("bal"),
+        _r(F.col("bal") / F.sum("bal").over(wr)).alias("share_of_region"),
+        _r(F.col("bal") / F.sum("bal").over(wt)).alias("share_of_total"),
+    )
