@@ -3633,39 +3633,60 @@ def udtf_table_arg_gaps(spark, sf_dir):
 
 @register(
     "dedup_keep_best",
-    """
-    WITH d AS (
-      SELECT doc_id, n_chars, md5(text) AS h FROM documents
-      WHERE text IS NOT NULL),
+    f"""
+    WITH aug AS ({_DUP_AUG_SQL}),
+    d AS (
+      SELECT doc_id, md5(text) AS h,
+             ('0x' || substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 6))
+               ::BIGINT % 1000 AS quality
+      FROM aug WHERE text IS NOT NULL),
     ranked AS (
-      SELECT doc_id, h, n_chars,
+      SELECT doc_id, h, quality,
              ROW_NUMBER() OVER (PARTITION BY h
-                                ORDER BY n_chars DESC, doc_id) AS rn,
+                                ORDER BY quality DESC, doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY h) AS group_size
       FROM d)
     SELECT doc_id AS keeper_id, CAST(group_size AS BIGINT) AS group_size,
-           CAST(n_chars AS BIGINT) AS keeper_chars
+           CAST(quality AS BIGINT) AS keeper_quality
     FROM ranked WHERE rn = 1 AND group_size > 1
     """,
     tags=("pipeline", "dedup", "survivor"),
 )
 def dedup_keep_best(spark, sf_dir):
     """KEEP-BEST survivor selection — dedup where the canonical copy is
-    the HIGHEST-QUALITY member (longest here; a real pipeline plugs in
-    its quality score), not the arbitrary first: the policy that
-    matters when near-identical pages differ in truncation or
-    boilerplate stripping. One hash-partitioned window per duplicate
-    group (``max_by`` semantics via a deterministic
-    (quality DESC, id) rank); emits only multi-member groups with the
-    winner and group size, so both the grouping and the preference
-    order are hash-checked. Same linear scale shape as
-    ``dedup_exact_groups`` — the groupBy/window key is the content
-    hash."""
-    d = load_table(spark, sf_dir, "documents").filter(
+    the HIGHEST-QUALITY group member, not the arbitrary first: the
+    policy that matters when near-identical pages differ in truncation
+    or boilerplate stripping. Runs over the duplicate-augmented corpus
+    (the ``dedup_exact_groups`` fixture — the raw table has no exact
+    dups, which would make this vacuously green) with a deterministic
+    per-member quality stand-in that VARIES inside each clone group
+    (md5-derived per doc_id — a real pipeline plugs its scorer in here;
+    a modular formula would collide on the clone offset and degenerate
+    to keep-first, which the clone-keeper count below caught),
+    so the keeper genuinely differs from keep-first for most groups.
+    One hash-partitioned window per duplicate group; winners, group
+    sizes, and winning quality are all hash-checked. Same linear scale
+    shape as ``dedup_exact_groups``."""
+    d = _dup_augmented(spark, sf_dir).filter(
         F.col("text").isNotNull()
-    ).select("doc_id", "n_chars", F.md5("text").alias("h"))
+    ).select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("q:"), F.col("doc_id").cast("string"))
+                    ),
+                    1, 6,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(1000),
+        ).alias("quality"),
+    )
     w = Window.partitionBy("h").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
+        F.col("quality").desc(), F.col("doc_id")
     )
     ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
         "group_size", F.count(F.lit(1)).over(Window.partitionBy("h"))
@@ -3675,5 +3696,5 @@ def dedup_keep_best(spark, sf_dir):
     ).select(
         F.col("doc_id").alias("keeper_id"),
         F.col("group_size").cast("long").alias("group_size"),
-        F.col("n_chars").cast("long").alias("keeper_chars"),
+        F.col("quality").cast("long").alias("keeper_quality"),
     )
