@@ -1886,3 +1886,89 @@ def theilsen_slope_per_user(spark, sf_dir):
         _eps_round(F.median("s"), 4).alias("slope_per_day"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
+
+
+@register(
+    "fifo_allocation",
+    """
+    WITH supply AS (
+      SELECT user_id, event_id AS lot_id, ts,
+             CAST(ROUND(value) AS BIGINT) + 1 AS qty
+      FROM events WHERE event_type = 'purchase'),
+    demand AS (
+      SELECT user_id, event_id AS demand_id, ts,
+             CAST(ROUND(value / 2) AS BIGINT) + 1 AS qty
+      FROM events WHERE event_type = 'click'),
+    s AS (
+      SELECT *,
+        SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, lot_id) - qty AS lo,
+        SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, lot_id) AS hi
+      FROM supply),
+    d AS (
+      SELECT *,
+        SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, demand_id) - qty
+          AS lo,
+        SUM(qty) OVER (PARTITION BY user_id ORDER BY ts, demand_id) AS hi
+      FROM demand)
+    SELECT s.user_id, d.demand_id, s.lot_id,
+           CAST(LEAST(s.hi, d.hi) - GREATEST(s.lo, d.lo) AS BIGINT)
+             AS qty_allocated
+    FROM s JOIN d ON d.user_id = s.user_id
+                 AND s.lo < d.hi AND d.lo < s.hi
+    """,
+    tags=("timeseries", "allocation", "interval-join"),
+)
+def fifo_allocation(spark, sf_dir):
+    """FIFO LOT ALLOCATION — the warehouse/cost-accounting matcher
+    (which purchase lot does each consumed unit come from?) that looks
+    inherently sequential: demand drains supply lots strictly in
+    arrival order. The reformulation: place lots and demands on each
+    user's CUMULATIVE-quantity axis (running-sum windows give each row
+    its [lo, hi) interval), and a FIFO allocation IS the interval
+    intersection — qty = min(hi_s, hi_d) − max(lo_s, lo_d) wherever the
+    intervals overlap. Two windows sharing the user partitioning, then
+    one per-user interval-overlap join (bounded by per-entity event
+    counts, the `theilsen`/`spatial` blocked-pairwise contract). Every
+    (demand, lot, qty) triple is hash-checked, so an off-by-one at any
+    lot boundary — the classic FIFO bug — breaks the grade. Unmatched
+    tails (demand beyond supply, supply never drawn) drop out via the
+    overlap predicate, exactly the open-position remainder."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def axis(df, id_alias, qty_expr):
+        t = df.select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            "ts",
+            qty_expr.alias("qty"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", id_alias)
+        run = F.sum("qty").over(w)
+        return t.select(
+            "user_id", id_alias,
+            (run - F.col("qty")).alias("lo"), run.alias("hi"),
+        )
+
+    s = axis(
+        ev.filter(F.col("event_type") == "purchase"), "lot_id",
+        F.round("value").cast("long") + 1,
+    )
+    d = axis(
+        ev.filter(F.col("event_type") == "click"), "demand_id",
+        F.round(F.col("value") / 2).cast("long") + 1,
+    )
+    sa, da = s.alias("sa"), d.alias("da")
+    return sa.join(
+        da,
+        (F.col("da.user_id") == F.col("sa.user_id"))
+        & (F.col("sa.lo") < F.col("da.hi"))
+        & (F.col("da.lo") < F.col("sa.hi")),
+    ).select(
+        F.col("sa.user_id").alias("user_id"),
+        "demand_id",
+        "lot_id",
+        (
+            F.least(F.col("sa.hi"), F.col("da.hi"))
+            - F.greatest(F.col("sa.lo"), F.col("da.lo"))
+        ).cast("long").alias("qty_allocated"),
+    )

@@ -195,3 +195,45 @@ def test_spatial_cells_cover_radius(la, loa, lb, lob):
     if km <= 20.0:
         assert abs(math.floor(la / 0.3) - math.floor(lb / 0.3)) <= 1
         assert abs(math.floor(loa / 0.3) - math.floor(lob / 0.3)) <= 1
+
+
+# ---- FIFO allocation: interval intersection == queue draining --------------
+
+
+@given(
+    st.lists(st.integers(1, 9), min_size=0, max_size=12),
+    st.lists(st.integers(1, 9), min_size=0, max_size=12),
+)
+def test_fifo_intervals_equal_queue_drain(lots, demands):
+    """The cumulative-axis interval intersection must equal the
+    imperative FIFO drain (pop units off the oldest lot) for every
+    (lots, demands) sequence — including exhausted supply, oversupply,
+    and exact-boundary lots, the off-by-one hotspots."""
+    # relational form
+    rel = {}
+    slo = 0
+    for li, lq in enumerate(lots):
+        shi = slo + lq
+        dlo = 0
+        for di, dq in enumerate(demands):
+            dhi = dlo + dq
+            ov = min(shi, dhi) - max(slo, dlo)
+            if ov > 0:
+                rel[(di, li)] = ov
+            dlo = dhi
+        slo = shi
+    # imperative drain
+    imp = {}
+    queue = [[i, q] for i, q in enumerate(lots)]
+    for di, dq in enumerate(demands):
+        need = dq
+        while need > 0 and queue:
+            li, avail = queue[0]
+            take = min(need, avail)
+            imp[(di, li)] = imp.get((di, li), 0) + take
+            need -= take
+            if take == avail:
+                queue.pop(0)
+            else:
+                queue[0][1] -= take
+    assert rel == imp, (lots, demands, rel, imp)
