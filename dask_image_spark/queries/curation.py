@@ -1723,3 +1723,132 @@ def quantile_normalize_sources(spark, sf_dir):
         F.col("q").cast("int").alias("q"),
         _eps_round("mu", 4).alias("normalized"),
     )
+
+
+@register(
+    "wilson_ctr_rank",
+    """
+    WITH s AS (
+      SELECT user_id,
+             COUNT(*) FILTER (event_type = 'click') AS clicks,
+             COUNT(*) FILTER (event_type IN ('click', 'view')) AS n
+      FROM events GROUP BY user_id),
+    f AS (SELECT * FROM s WHERE n >= 10),
+    w AS (
+      SELECT user_id, clicks, n,
+             CAST(clicks AS DOUBLE) / n AS p,
+             ((CAST(clicks AS DOUBLE) / n) + 1.9208 / n
+              - 1.96 * SQRT(((CAST(clicks AS DOUBLE) / n)
+                * (1 - CAST(clicks AS DOUBLE) / n) + 0.9604 / n) / n))
+             / (1 + 3.8416 / n) AS lb
+      FROM f)
+    SELECT user_id, CAST(clicks AS BIGINT) AS clicks, CAST(n AS BIGINT) AS n,
+           ROUND(1.2345e-8 + p, 4) AS ctr,
+           ROUND(1.2345e-8 + lb, 4) AS wilson_lb
+    FROM w ORDER BY lb DESC, user_id LIMIT 25
+    """,
+    tags=("curation", "statistics", "ranking"),
+)
+def wilson_ctr_rank(spark, sf_dir):
+    """RANKING UNDER UNCERTAINTY — the Wilson score lower bound on each
+    user's click-through rate (z = 1.96), the estimator that stops a
+    2-for-2 item outranking a 180-for-200 one (raw-rate ranking's
+    classic failure; the Reddit/How-Not-To-Sort-By-Average-Rating fix).
+    Closed form, so it is ONE map-side expression after the per-user
+    conditional aggregate, then a TakeOrderedAndProject top-25 — no
+    per-item posterior sampling. Both the raw rate and the bound are
+    emitted: the graded ordering differs from the raw-CTR ordering
+    exactly where small n deflates confidence, which is the behavior
+    under test."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(
+            F.when(F.col("event_type").isin("click", "view"), 1)
+        ).alias("n"),
+    ).filter(F.col("n") >= 10)
+    p = F.col("clicks").cast("double") / F.col("n")
+    z2 = 1.96 * 1.96
+    lb = (
+        p + F.lit(z2 / 2) / F.col("n")
+        - 1.96 * F.sqrt((p * (1 - p) + F.lit(z2 / 4) / F.col("n")) / F.col("n"))
+    ) / (1 + F.lit(z2) / F.col("n"))
+    return (
+        s.select(
+            "user_id",
+            F.col("clicks").cast("long").alias("clicks"),
+            F.col("n").cast("long").alias("n"),
+            _eps_round(p, 4).alias("ctr"),
+            _eps_round(lb, 4).alias("wilson_lb"),
+            lb.alias("_lb"),
+        )
+        .orderBy(F.col("_lb").desc(), "user_id")
+        .limit(25)
+        .drop("_lb")
+    )
+
+
+@register(
+    "ks_two_sample",
+    """
+    WITH a AS (SELECT n_chars AS v FROM documents WHERE source = 'src0'),
+    b AS (SELECT n_chars AS v FROM documents WHERE source = 'src1'),
+    na AS (SELECT COUNT(*) AS c FROM a),
+    nb AS (SELECT COUNT(*) AS c FROM b),
+    u AS (
+      SELECT v, 1 AS ia, 0 AS ib FROM a
+      UNION ALL SELECT v, 0, 1 FROM b),
+    c AS (
+      SELECT v,
+             SUM(SUM(ia)) OVER (ORDER BY v) AS ca,
+             SUM(SUM(ib)) OVER (ORDER BY v) AS cb
+      FROM u GROUP BY v)
+    SELECT CAST(na.c AS BIGINT) AS n_a, CAST(nb.c AS BIGINT) AS n_b,
+           ROUND(1.2345e-8 + MAX(ABS(CAST(ca AS DOUBLE) / na.c
+                                     - CAST(cb AS DOUBLE) / nb.c)), 4)
+             AS ks_d
+    FROM c CROSS JOIN na CROSS JOIN nb GROUP BY na.c, nb.c
+    """,
+    tags=("curation", "statistics", "distribution-test"),
+)
+def ks_two_sample(spark, sf_dir):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV statistic — D = max |F_a − F_b|
+    between two sources' length distributions, the distribution-shift
+    test that needs no binning choice (PSI and the chi-square screens
+    bin first; KS is their bin-free companion, sensitive anywhere on
+    the CDF). Exact, not sampled: group duplicate values first (the
+    per-VALUE grouped counts make evaluation points unique, which is
+    also what makes the cumulative windows deterministic), then one
+    running sum per sample over the shared value ordering and a max of
+    the gap. The window frame is |distinct values| — data-bounded but
+    collapsible (values quantize to ints here); at a truly continuous
+    100 TB column you evaluate D on a quantile-sketch grid instead,
+    trading exactness for a bounded frame."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "src0").select(F.col("n_chars").alias("v"))
+    b = d.filter(F.col("source") == "src1").select(F.col("n_chars").alias("v"))
+    na = a.count()
+    nb = b.count()
+    u = a.select("v", F.lit(1).alias("ia"), F.lit(0).alias("ib")).unionByName(
+        b.select("v", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    )
+    g = u.groupBy("v").agg(
+        F.sum("ia").alias("sa"), F.sum("ib").alias("sb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        F.sum("sa").over(w).alias("ca"), F.sum("sb").over(w).alias("cb")
+    )
+    return c.agg(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        _eps_round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / na
+                    - F.col("cb").cast("double") / nb
+                )
+            ),
+            4,
+        ).alias("ks_d"),
+    )
