@@ -3698,3 +3698,129 @@ def dedup_keep_best(spark, sf_dir):
         F.col("group_size").cast("long").alias("group_size"),
         F.col("quality").cast("long").alias("keeper_quality"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH d AS (
+      SELECT u.i AS dim, CAST(u.x AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS i) u)
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(1.2345e-8 + AVG(x), 4) AS mu,
+           ROUND(1.2345e-8 + STDDEV_SAMP(x), 4) AS sigma,
+           ROUND(1.2345e-8 + MIN(x), 4) AS mn,
+           ROUND(1.2345e-8 + MAX(x), 4) AS mx
+    FROM d GROUP BY dim
+    """,
+    tags=("pipeline", "embedding", "monitoring"),
+)
+def embedding_dim_stats(spark, sf_dir):
+    """PER-DIMENSION embedding health — mean/std/min/max for each of
+    the 64 coordinates: the drift monitor that catches a dead dimension
+    (σ ≈ 0 after a bad re-export), a scale regression (one dim 100×
+    the rest poisons cosine), or train/serve skew per coordinate,
+    none of which corpus-level norms can see. ``posexplode`` fans each
+    vector to (dim, value) rows feeding ONE map-side-combinable
+    aggregate on a 64-value key — at 100 TB this is a single pass with
+    tiny combine state, and the emitted frame is dimension-bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.posexplode("embedding").alias("dim0", "x")
+    ).select((F.col("dim0") + 1).alias("dim"), F.col("x").cast("double").alias("x"))
+    return d.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        _eps_round(F.avg("x"), 4).alias("mu"),
+        _eps_round(F.stddev_samp("x"), 4).alias("sigma"),
+        _eps_round(F.min("x"), 4).alias("mn"),
+        _eps_round(F.max("x"), 4).alias("mx"),
+    )
+
+
+@register(
+    "cohens_kappa",
+    """
+    WITH lab AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('r1:' || CAST(doc_id AS VARCHAR)), 1, 4))
+               ::BIGINT % 3 AS l1,
+             CASE WHEN ('0x' || substr(md5('agree:'
+                        || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10 < 7
+                  THEN ('0x' || substr(md5('r1:'
+                        || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 3
+                  ELSE ('0x' || substr(md5('r2:'
+                        || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 3
+             END AS l2
+      FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM lab),
+    po AS (SELECT CAST(SUM(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / n.c AS v FROM lab CROSS JOIN n GROUP BY n.c),
+    m1 AS (SELECT l1 AS k, COUNT(*) AS c1 FROM lab GROUP BY l1),
+    m2 AS (SELECT l2 AS k, COUNT(*) AS c2 FROM lab GROUP BY l2),
+    pe AS (SELECT SUM(CAST(m1.c1 AS DOUBLE) * m2.c2 / (n.c * n.c)) AS v
+           FROM m1 JOIN m2 USING (k) CROSS JOIN n GROUP BY n.c)
+    SELECT CAST(n.c AS BIGINT) AS n_items,
+           ROUND(1.2345e-8 + po.v, 4) AS p_observed,
+           ROUND(1.2345e-8 + pe.v, 4) AS p_expected,
+           ROUND(1.2345e-8 + (po.v - pe.v) / (1 - pe.v), 4) AS kappa
+    FROM po CROSS JOIN pe CROSS JOIN n
+    """,
+    tags=("pipeline", "statistics", "annotation"),
+)
+def cohens_kappa(spark, sf_dir):
+    """COHEN'S KAPPA inter-annotator agreement — the labeling-ops gate
+    before trusting human (or LLM-judge) annotations: observed
+    agreement corrected by the agreement two independent raters would
+    reach by chance (the marginal product). Two deterministic
+    pseudo-raters over the corpus, engineered to agree on ~70% of items
+    and rate independently otherwise, so kappa lands strictly between 0
+    and 1 and every term (p_o, p_e, the marginals behind it) is
+    hash-checked. One pass for the confusion marginals, k-bounded
+    frames after — the same collapse-then-compute shape as the
+    chi-square and MI screens."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def h(seed, mod):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(seed), F.col("doc_id").cast("string"))
+                    ),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(mod),
+        )
+
+    lab = d.select(
+        h("r1:", 3).alias("l1"),
+        F.when(h("agree:", 10) < 7, h("r1:", 3))
+        .otherwise(h("r2:", 3))
+        .alias("l2"),
+    )
+    n = lab.count()
+    po = lab.agg(
+        (F.sum(F.when(F.col("l1") == F.col("l2"), 1).otherwise(0))
+         .cast("double") / n).alias("v")
+    )
+    m1 = lab.groupBy(F.col("l1").alias("k")).agg(F.count(F.lit(1)).alias("c1"))
+    m2 = lab.groupBy(F.col("l2").alias("k")).agg(F.count(F.lit(1)).alias("c2"))
+    pe = m1.join(m2, "k").agg(
+        F.sum(
+            F.col("c1").cast("double") * F.col("c2") / F.lit(float(n * n))
+        ).alias("v")
+    )
+    return (
+        po.crossJoin(F.broadcast(pe.select(F.col("v").alias("pe_v"))))
+        .select(
+            F.lit(n).cast("long").alias("n_items"),
+            _eps_round("v", 4).alias("p_observed"),
+            _eps_round("pe_v", 4).alias("p_expected"),
+            _eps_round(
+                (F.col("v") - F.col("pe_v")) / (1 - F.col("pe_v")), 4
+            ).alias("kappa"),
+        )
+    )
