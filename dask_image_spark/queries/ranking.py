@@ -1119,3 +1119,108 @@ def bellman_ford_3round(spark, sf_dir):
     return dist.filter(F.col("d").isNotNull()).select(
         F.col("v").alias("doc_id"), F.col("d").alias("dist")
     )
+
+
+@register(
+    "clustering_coefficient",
+    f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    raw AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tv AS (
+      SELECT v, COUNT(*) AS t FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY v)
+    SELECT deg.v AS doc_id, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tv.t, 0) AS BIGINT) AS n_triangles,
+           ROUND(1.2345e-8 + 2.0 * COALESCE(tv.t, 0)
+                 / (deg.d * (deg.d - 1)), 4) AS coeff
+    FROM deg LEFT JOIN tv ON tv.v = deg.v
+    WHERE deg.d >= 2
+    """,
+    tags=("ranking", "graph", "triangles", "clustering"),
+)
+def clustering_coefficient(spark, sf_dir):
+    """LOCAL clustering coefficient per node — how interconnected each
+    node's neighborhood is (2T_v / deg(deg−1)), the per-entity
+    community-density signal on top of the global
+    ``graph_triangle_count``: link-farm detection keys on nodes whose
+    coefficient is anomalously high for their degree. Reuses the
+    id-oriented triangle enumeration (each triangle found once, then
+    credited to all three corners via an explode+groupBy) and a
+    degree table from the same persisted edge list — two aggregates and
+    the triangle joins, no new shuffle classes. Nodes of degree >= 2
+    only (the coefficient is undefined below)."""
+    from dask_image_spark.queries.base import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    raw = docs.crossJoin(F.broadcast(cnt)).select(
+        F.col("doc_id").alias("src"),
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "src",
+        F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
+    )
+    und = persist_tracked(
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tv = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tv, "v", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("n_triangles"),
+            _eps_round(
+                2.0 * F.coalesce("t", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                4,
+            ).alias("coeff"),
+        )
+    )

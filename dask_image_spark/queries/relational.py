@@ -4792,3 +4792,54 @@ def ratio_to_parent(spark, sf_dir):
         _r(F.col("bal") / F.sum("bal").over(wr)).alias("share_of_region"),
         _r(F.col("bal") / F.sum("bal").over(wt)).alias("share_of_total"),
     )
+
+
+@register(
+    "benford_digit_test",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    n AS (SELECT COUNT(*) AS c FROM d),
+    obs AS (SELECT digit, COUNT(*) AS k FROM d GROUP BY digit)
+    SELECT o.digit, CAST(o.k AS BIGINT) AS n_obs,
+           ROUND(1.2345e-8 + CAST(o.k AS DOUBLE) / n.c, 4) AS p_obs,
+           ROUND(1.2345e-8 + LOG(1.0 + 1.0 / o.digit) / LOG(10.0), 4)
+             AS p_benford,
+           ROUND(1.2345e-8 + n.c
+                 * POW(CAST(o.k AS DOUBLE) / n.c
+                       - LOG(1.0 + 1.0 / o.digit) / LOG(10.0), 2)
+                 / (LOG(1.0 + 1.0 / o.digit) / LOG(10.0)), 4) AS chi2_term
+    FROM obs o CROSS JOIN n
+    """,
+    tags=("relational", "statistics", "fraud"),
+)
+def benford_digit_test(spark, sf_dir):
+    """BENFORD'S LAW first-digit screen — the forensic-accounting /
+    fabricated-data test: naturally occurring amounts put digit d first
+    with probability log10(1 + 1/d), and invoices massaged by humans
+    don't. Emits the observed and expected share per digit plus each
+    digit's chi-square addend (summing the graded column IS the test
+    statistic, so every digit cell is hash-checked, not one scalar).
+    One combinable aggregate over the fact table into a 9-row frame —
+    and a synthetic fixture is exactly the kind of data that FAILS
+    Benford, which the graded per-digit gaps make visible rather than
+    hiding behind a pass/fail flag."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    n = d.count()
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("k"))
+    p_obs = F.col("k").cast("double") / n
+    p_ben = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return obs.select(
+        "digit",
+        F.col("k").cast("long").alias("n_obs"),
+        _r(p_obs).alias("p_obs"),
+        _r(p_ben).alias("p_benford"),
+        _r(F.lit(n) * F.pow(p_obs - p_ben, 2) / p_ben).alias("chi2_term"),
+    )
