@@ -3824,3 +3824,126 @@ def cohens_kappa(spark, sf_dir):
             ).alias("kappa"),
         )
     )
+
+
+def _bpe_iter_sql(i: int, src: str, out: str) -> str:
+    """One BPE merge iteration as pure ANSI CTEs (shared verbatim by both
+    engines): weighted pair counts -> argmax pair -> greedy-left merge.
+    Greedy overlap handling is gaps-and-islands PARITY: occurrences at
+    consecutive positions (only possible for a self-pair inside an
+    equal-symbol run) form an island, and merge starts are the
+    even-offset members — for a non-self pair every occurrence is its
+    own island, so the same rule degenerates to merge-all."""
+    return f"""
+    pairs{i} AS (
+      SELECT a.sym AS sa, b.sym AS sb, SUM(a.c) AS pc
+      FROM {src} a JOIN {src} b ON b.word = a.word AND b.pos = a.pos + 1
+      GROUP BY a.sym, b.sym),
+    best{i} AS (
+      SELECT sa, sb, pc FROM pairs{i} ORDER BY pc DESC, sa, sb LIMIT 1),
+    occ{i} AS (
+      SELECT a.word, a.pos
+      FROM {src} a JOIN {src} b ON b.word = a.word AND b.pos = a.pos + 1
+      CROSS JOIN best{i} bs
+      WHERE a.sym = bs.sa AND b.sym = bs.sb),
+    isl{i} AS (
+      SELECT word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos)
+               AS isle
+      FROM occ{i}),
+    st{i} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               pos - MIN(pos) OVER (PARTITION BY word, isle) AS off
+        FROM isl{i}) z WHERE off % 2 = 0),
+    mg{i} AS (
+      SELECT s.word, s.c, s.pos AS opos,
+             CASE WHEN st.pos IS NOT NULL THEN s.sym || nx.sym
+                  ELSE s.sym END AS sym,
+             CASE WHEN pv.pos IS NOT NULL THEN 1 ELSE 0 END AS consumed
+      FROM {src} s
+      LEFT JOIN st{i} st ON st.word = s.word AND st.pos = s.pos
+      LEFT JOIN st{i} pv ON pv.word = s.word AND pv.pos = s.pos - 1
+      LEFT JOIN {src} nx ON nx.word = s.word AND nx.pos = s.pos + 1),
+    {out} AS (
+      SELECT word, c,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY opos) AS pos,
+             sym
+      FROM mg{i} WHERE consumed = 0)"""
+
+
+_BPE_FINAL_SQL = """
+    SELECT 1 AS step, sa AS sym_a, sb AS sym_b,
+           CAST(pc AS BIGINT) AS pair_count FROM best1
+    UNION ALL
+    SELECT 2, sa, sb, CAST(pc AS BIGINT) FROM best2
+    UNION ALL
+    SELECT 3, sa, sb, CAST(pc AS BIGINT) FROM best3
+"""
+
+
+@register(
+    "bpe_merge_steps",
+    f"""
+    WITH wtok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents WHERE text IS NOT NULL),
+    wc AS (
+      SELECT word, COUNT(*) AS c FROM wtok
+      WHERE length(word) >= 2 GROUP BY word HAVING COUNT(*) >= 5),
+    syms0 AS (
+      SELECT word, c, u.i AS pos, u.s AS sym
+      FROM wc, LATERAL (
+        SELECT unnest(string_split(word, '')) AS s,
+               generate_subscripts(string_split(word, ''), 1) AS i) u),
+    {_bpe_iter_sql(1, "syms0", "syms1")},
+    {_bpe_iter_sql(2, "syms1", "syms2")},
+    {_bpe_iter_sql(3, "syms2", "syms3")}
+    {_BPE_FINAL_SQL}
+    """,
+    tags=("pipeline", "text", "tokenizer", "bpe"),
+)
+def bpe_merge_steps(spark, sf_dir):
+    """BPE TOKENIZER TRAINING, three merge steps, fully relational —
+    the Sennrich et al. algorithm a trillion-token pipeline must run
+    distributed: count frequency-weighted adjacent symbol pairs over
+    the word-frequency table, merge the argmax pair corpus-wide,
+    repeat. The sequential-looking greedy-left merge application is
+    the one hard part: overlapping occurrences arise exactly for a
+    SELF-pair inside an equal-symbol run, and the gaps-and-islands
+    parity rule (merge the even offsets of each consecutive-occurrence
+    island) reproduces greedy-left exactly — proven against the
+    imperative merge by hypothesis test
+    (tests/test_round7c_properties.py). The ITERATION SQL is one shared
+    template executed verbatim by BOTH engines (Spark over temp views,
+    DuckDB as CTEs — only the char-split dialect differs), so the merge
+    rules and their weighted counts hash-match step for step. Scale:
+    everything keys on (word, pos) or the symbol pair — the
+    word-frequency table is corpus-sublinear, each iteration is two
+    equi-joins + one bounded window, and the argmax is a 1-row
+    TakeOrdered."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    wc = (
+        d.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    syms0 = wc.select(
+        "word", "c", F.posexplode(F.split("word", "")).alias("pos0", "sym")
+    ).select("word", "c", (F.col("pos0") + 1).alias("pos"), "sym")
+    syms0.createOrReplaceTempView("bpe_syms0_v")
+    return spark.sql(
+        "WITH "
+        + _bpe_iter_sql(1, "bpe_syms0_v", "syms1").lstrip()
+        + ","
+        + _bpe_iter_sql(2, "syms1", "syms2")
+        + ","
+        + _bpe_iter_sql(3, "syms2", "syms3")
+        + _BPE_FINAL_SQL
+    )

@@ -237,3 +237,50 @@ def test_fifo_intervals_equal_queue_drain(lots, demands):
             else:
                 queue[0][1] -= take
     assert rel == imp, (lots, demands, rel, imp)
+
+
+# ---- BPE merge: island parity == imperative greedy-left --------------------
+
+
+@given(
+    st.lists(st.sampled_from("ab"), min_size=2, max_size=14),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("b", "b")]),
+)
+def test_bpe_island_parity_equals_greedy_merge(syms, pair):
+    """The gaps-and-islands parity rule (merge even offsets of each
+    consecutive-occurrence island) must reproduce the imperative
+    greedy-left BPE merge for every symbol sequence and pair — including
+    self-pairs inside odd- and even-length runs, the overlap cases."""
+    a, b = pair
+    # imperative greedy-left
+    imp = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            imp.append(a + b)
+            i += 2
+        else:
+            imp.append(syms[i])
+            i += 1
+    # relational form: occurrences -> islands -> even offsets
+    occ = [
+        p for p in range(len(syms) - 1)
+        if syms[p] == a and syms[p + 1] == b
+    ]
+    islands: list[list[int]] = []
+    for p in occ:
+        if islands and p == islands[-1][-1] + 1:
+            islands[-1].append(p)
+        else:
+            islands.append([p])
+    starts = {p for isl in islands for k, p in enumerate(isl) if k % 2 == 0}
+    rel = []
+    p = 0
+    for p in range(len(syms)):
+        if p in starts:
+            rel.append(a + b)
+        elif (p - 1) in starts:
+            continue
+        else:
+            rel.append(syms[p])
+    assert rel == imp, (syms, pair, rel, imp)
