@@ -1972,3 +1972,157 @@ def fifo_allocation(spark, sf_dir):
             - F.greatest(F.col("sa.lo"), F.col("da.lo"))
         ).cast("long").alias("qty_allocated"),
     )
+
+
+@register(
+    "attribution_linear",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value FROM events),
+    p AS (
+      SELECT * FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               COUNT(CASE WHEN event_type <> 'purchase' THEN 1 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS n_touch
+        FROM e) z
+      WHERE event_type = 'purchase'),
+    credits AS (
+      SELECT t.event_type AS touch_type, pp.value / pp.n_touch AS credit
+      FROM p pp JOIN e t
+        ON t.user_id = pp.user_id AND t.event_type <> 'purchase'
+       AND (t.ts < pp.ts OR (t.ts = pp.ts AND t.event_id < pp.event_id))
+      WHERE pp.n_touch > 0
+      UNION ALL
+      SELECT 'none', value FROM p
+      WHERE n_touch = 0 OR n_touch IS NULL)
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           ROUND(1.2345e-8 + SUM(credit), 4) AS attributed_value
+    FROM credits GROUP BY touch_type
+    """,
+    tags=("timeseries", "attribution"),
+)
+def attribution_linear(spark, sf_dir):
+    """LINEAR multi-touch attribution — every touchpoint in the journey
+    shares the purchase credit equally (value / n_prior_touches),
+    completing the attribution family next to first-touch (acquisition)
+    and last-touch (conversion): comparing the three tables is the
+    model-sensitivity analysis marketing runs. The per-purchase touch
+    count is a running window over the SAME (user, ts, id) ordering the
+    other two models use; the credit fan-out is a per-user bounded join
+    (the blocked-pairwise contract), and conservation holds by
+    construction — total attributed value equals total purchase value,
+    so a double-credited touch breaks the hash. Zero-touch purchases
+    land in the 'none' bucket at full value, exactly as in the other
+    two models."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = (
+        ev.withColumn(
+            "n_touch",
+            F.count(
+                F.when(F.col("event_type") != "purchase", 1)
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value", "n_touch")
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    credited = p.filter(F.col("n_touch") > 0).join(
+        t,
+        (F.col("t_user") == F.col("user_id"))
+        & (
+            (F.col("t_ts") < F.col("ts"))
+            | ((F.col("t_ts") == F.col("ts")) & (F.col("t_id") < F.col("event_id")))
+        ),
+    ).select(
+        "touch_type", (F.col("value") / F.col("n_touch")).alias("credit")
+    )
+    none = p.filter(
+        F.col("n_touch").isNull() | (F.col("n_touch") == 0)
+    ).select(F.lit("none").alias("touch_type"), F.col("value").alias("credit"))
+    return credited.unionByName(none).groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        _eps_round(F.sum("credit"), 4).alias("attributed_value"),
+    )
+
+
+@register(
+    "association_rules",
+    """
+    WITH items AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS c FROM events),
+    supp AS (SELECT event_type, COUNT(*) AS s FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             COUNT(*) AS ab
+      FROM items a JOIN items b
+        ON b.user_id = a.user_id AND b.event_type <> a.event_type
+      GROUP BY 1, 2)
+    SELECT p.antecedent, p.consequent, CAST(p.ab AS BIGINT) AS n_both,
+           ROUND(1.2345e-8 + CAST(p.ab AS DOUBLE) / n.c, 4) AS support,
+           ROUND(1.2345e-8 + CAST(p.ab AS DOUBLE) / sa.s, 4) AS confidence,
+           ROUND(1.2345e-8 + (CAST(p.ab AS DOUBLE) / sa.s)
+                 / (CAST(sb.s AS DOUBLE) / n.c), 4) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.event_type = p.antecedent
+    JOIN supp sb ON sb.event_type = p.consequent
+    CROSS JOIN n
+    """,
+    tags=("timeseries", "association", "mining"),
+)
+def association_rules(spark, sf_dir):
+    """ASSOCIATION RULE mining (support / confidence / lift) over the
+    per-user event-type baskets — the market-basket staple: which
+    behaviors co-occur beyond what their popularity predicts (lift > 1).
+    The basket table is DISTINCT (user, type) — one combinable
+    dedup-aggregate over the fact scan — and the pair join is
+    domain-bounded (types² rules), so the rule table never scales with
+    events. Each rule row grades all three measures; lift is the one
+    that catches a popularity confound the other two hide. At a real
+    item catalog the pair join blocks on co-occurrence (only items
+    sharing a basket pair up) — the `dedup_ngram_jaccard` shape with
+    baskets as documents."""
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select("user_id", "event_type").distinct()
+    n = ev.select("user_id").distinct().count()
+    supp = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.event_type") != F.col("a.event_type")),
+    ).groupBy(
+        F.col("a.event_type").alias("antecedent"),
+        F.col("b.event_type").alias("consequent"),
+    ).agg(F.count(F.lit(1)).alias("ab"))
+    sa = supp.select(
+        F.col("event_type").alias("antecedent"), F.col("s").alias("s_a")
+    )
+    sb = supp.select(
+        F.col("event_type").alias("consequent"), F.col("s").alias("s_b")
+    )
+    conf = F.col("ab").cast("double") / F.col("s_a")
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .select(
+            "antecedent", "consequent",
+            F.col("ab").cast("long").alias("n_both"),
+            _eps_round(F.col("ab").cast("double") / n, 4).alias("support"),
+            _eps_round(conf, 4).alias("confidence"),
+            _eps_round(
+                conf / (F.col("s_b").cast("double") / n), 4
+            ).alias("lift"),
+        )
+    )
