@@ -3709,7 +3709,7 @@ def dedup_keep_best(spark, sf_dir):
            LATERAL (SELECT unnest(embedding) AS x,
                            generate_subscripts(embedding, 1) AS i) u)
     SELECT CAST(dim AS INT) AS dim,
-           ROUND(1.2345e-8 + AVG(x), 4) AS mu,
+           ROUND(1.2345e-8 + AVG(x), 4) + 0.0 AS mu,
            ROUND(1.2345e-8 + STDDEV_SAMP(x), 4) AS sigma,
            ROUND(1.2345e-8 + MIN(x), 4) AS mn,
            ROUND(1.2345e-8 + MAX(x), 4) AS mx
@@ -3730,8 +3730,11 @@ def embedding_dim_stats(spark, sf_dir):
     d = e.select(
         F.posexplode("embedding").alias("dim0", "x")
     ).select((F.col("dim0") + 1).alias("dim"), F.col("x").cast("double").alias("x"))
+    # per-dim means sit within EPS of zero at larger SFs, where the
+    # rounding shift can still leave a signed -0.0 on one engine only;
+    # "+ 0.0" canonicalizes it (IEEE: -0.0 + 0.0 = +0.0)
     return d.groupBy(F.col("dim").cast("int").alias("dim")).agg(
-        _eps_round(F.avg("x"), 4).alias("mu"),
+        (_eps_round(F.avg("x"), 4) + F.lit(0.0)).alias("mu"),
         _eps_round(F.stddev_samp("x"), 4).alias("sigma"),
         _eps_round(F.min("x"), 4).alias("mn"),
         _eps_round(F.max("x"), 4).alias("mx"),
