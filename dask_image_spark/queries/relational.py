@@ -4843,3 +4843,108 @@ def benford_digit_test(spark, sf_dir):
         _r(p_ben).alias("p_benford"),
         _r(F.lit(n) * F.pow(p_obs - p_ben, 2) / p_ben).alias("chi2_term"),
     )
+
+
+@register(
+    "set_ops_all",
+    """
+    WITH a AS (SELECT event_type FROM events WHERE user_id % 4 = 0),
+    b AS (SELECT event_type FROM events WHERE user_id % 2 = 0
+          AND event_id % 3 = 0)
+    SELECT 'intersect_all' AS op, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b)
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'except_all', event_type, CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+    GROUP BY event_type
+    """,
+    tags=("relational", "setops", "multiset"),
+)
+def set_ops_all(spark, sf_dir):
+    """MULTISET set operations — INTERSECT ALL / EXCEPT ALL, the
+    bag-semantics forms (`set_ops` grades the DISTINCT forms): per
+    value, intersect-all keeps min(count_a, count_b) copies and
+    except-all max(0, count_a − count_b), which is what dedup ledgers
+    and reconciliation diffs actually need (a value present 5 times in
+    A and 2 in B has 3 EXCESS copies — the distinct form reports
+    nothing). Grading the per-type COUNTS after each op pins exactly
+    the multiplicity arithmetic. Both lower to a counted anti/semi
+    aggregate — no row pairing, one shuffle per side."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 4 == 0).select("event_type")
+    b = ev.filter(
+        (F.col("user_id") % 2 == 0) & (F.col("event_id") % 3 == 0)
+    ).select("event_type")
+    ia = a.intersectAll(b).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("intersect_all").alias("op"), "event_type", "n")
+    ea = a.exceptAll(b).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("except_all").alias("op"), "event_type", "n")
+    return ia.unionByName(ea)
+
+
+@register(
+    "not_in_null_semantics",
+    """
+    WITH probe AS (
+      SELECT o_custkey FROM orders WHERE o_orderkey % 50 = 0),
+    probe_null AS (
+      SELECT o_custkey FROM probe
+      UNION ALL SELECT NULL),
+    base AS (SELECT c_custkey FROM customer)
+    SELECT 'not_in_clean' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+    FROM base WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)
+    UNION ALL
+    SELECT 'not_in_with_null', CAST(COUNT(*) AS BIGINT)
+    FROM base WHERE c_custkey NOT IN (SELECT o_custkey FROM probe_null)
+    UNION ALL
+    SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+    FROM base b WHERE NOT EXISTS (
+      SELECT 1 FROM probe_null p WHERE p.o_custkey = b.c_custkey)
+    """,
+    tags=("relational", "semantics", "null-logic"),
+)
+def not_in_null_semantics(spark, sf_dir):
+    """THE NOT IN NULL TRAP, graded — three-valued logic's most common
+    production incident: one NULL in the subquery makes every
+    ``NOT IN`` predicate UNKNOWN, so the result silently collapses to
+    ZERO rows, while ``NOT EXISTS`` (whose equality predicate never
+    matches NULL) keeps returning the true anti-set. The graded table
+    states all three counts side by side — clean NOT IN and NOT EXISTS
+    agree, NULL-poisoned NOT IN is 0 — so the engine's three-valued
+    semantics are pinned against the same ANSI behavior in DuckDB, and
+    a migrating user sees exactly why the anti-join rewrite
+    (`join_anti`, Q21's chain) is the safe form. Plan note: Spark
+    compiles the NOT IN variants to NullAwareAntiJoin — strictly more
+    expensive than the plain LeftAnti NOT EXISTS gets, a second reason
+    the rewrite matters at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    probe = o.filter(F.col("o_orderkey") % 50 == 0).select("o_custkey")
+    probe_null = probe.unionByName(
+        probe.sparkSession.range(1).select(
+            F.lit(None).cast("long").alias("o_custkey")
+        )
+    )
+    base = c.select("c_custkey")
+    base.createOrReplaceTempView("nin_base_v")
+    probe.createOrReplaceTempView("nin_probe_v")
+    probe_null.createOrReplaceTempView("nin_probe_null_v")
+    return base.sparkSession.sql(
+        """
+        SELECT 'not_in_clean' AS variant, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nin_base_v
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM nin_probe_v)
+        UNION ALL
+        SELECT 'not_in_with_null', CAST(COUNT(*) AS BIGINT)
+        FROM nin_base_v
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM nin_probe_null_v)
+        UNION ALL
+        SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+        FROM nin_base_v b WHERE NOT EXISTS (
+          SELECT 1 FROM nin_probe_null_v p WHERE p.o_custkey = b.c_custkey)
+        """
+    )
