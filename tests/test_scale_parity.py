@@ -39,6 +39,11 @@ SAMPLE = [
     "table_checksum_audit",      # digest-sum magnitudes at 10x rows
     "lpa_communities_2iter",     # plurality ties at a 10x graph
     "streaming_left_outer_join", # watermark flush with a 10x timeline
+    # second continuation batch
+    "bpe_merge_steps",           # argmax stability at a 10x corpus
+    "fifo_allocation",           # cumulative-axis boundaries at 10x
+    "logreg_gd_2step",           # gradient-sum precision at 10x rows
+    "embedding_dim_stats",       # the signed-zero regression class
 ]
 
 
