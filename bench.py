@@ -133,6 +133,43 @@ def gauss_r2_1024(spark, sf_dir):
     return _gauss_r2(spark, sf_dir, side=1024, block=128)
 
 
+def global_index_full(spark, sf_dir):
+    """The ``stable_global_index`` two-phase plan at 10M synthetic rows.
+    NOT a headline suite row: the committed warm best-of-3 protocol
+    reuses materialized shuffle stages, which hides exactly the
+    single-partition exchange this pattern removes (warm re-runs:
+    stock 0.2 s vs engine 0.8 s — residual stages only). The honest
+    comparison is COLD, where the checksums match and the shapes
+    separate: stock single-partition window 14.75 s, this plan 7.53 s
+    on local[32] (recorded in SCALE.md §7d; on a real cluster the
+    stock form additionally caps at one executor's memory). Kept as a
+    reproducible harness for that measurement."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.range(10_000_000).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 2654435761) % 2147483647).alias("ts"),
+    )
+    s = ev.repartitionByRange(32, "ts", "event_id")
+    pid = s.withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy("ts", "event_id")
+    local = pid.withColumn("rn", F.row_number().over(wp))
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0))
+    ).select("pid", "off")
+    idx = local.join(F.broadcast(offsets), "pid").select(
+        "event_id", (F.col("off") + F.col("rn") - 1).alias("idx")
+    )
+    # checksum aggregate: count() alone lets Catalyst PRUNE an unused
+    # window entirely (the stock twin measured 0.06 s for a "10M-row
+    # sort" before this — the window never ran); folding idx into a sum
+    # forces both twins to actually compute every ordinal
+    return idx.agg(F.sum(F.col("idx") * (F.col("event_id") % 3)).alias("chk"))
+
+
 def gauss_r2_4096(spark, sf_dir):
     # 16M px in 256-px tiles: 256 tiles + 4-px halos, the shape a 16k^2
     # microscopy slab would run with proportionally larger tiles

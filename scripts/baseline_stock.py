@@ -389,6 +389,30 @@ def pit_join(spark):
     )
 
 
+def global_index(spark):
+    # stock global ordinal: ROW_NUMBER over an unpartitioned ORDER BY —
+    # every one of the 10M rows funnels through ONE partition's sort.
+    # The engine's twin (bench.py::global_index_full) range-partitions
+    # and prefix-sums per-partition counts instead. Same synthetic data.
+    from pyspark.sql import functions as F
+
+    ev = spark.range(10_000_000).select(
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 2654435761) % 2147483647).alias("ts"),
+    )
+    ev.createOrReplaceTempView("gidx_ev")
+    # same checksum aggregate as the engine twin: without it, count()
+    # lets Catalyst prune the window and the sort never runs
+    return spark.sql(
+        """
+        SELECT SUM(idx * (event_id % 3)) AS chk FROM (
+          SELECT event_id,
+                 ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS idx
+          FROM gidx_ev)
+        """
+    )
+
+
 SUITE = [
     ("q1", q1),
     ("q3", q3),
@@ -405,6 +429,10 @@ SUITE = [
     ("gauss_r2_1024", gauss_r2_1024),
     ("gauss_r2_4096", gauss_r2_4096),
     ("pit_join", pit_join),
+    # global_index deliberately NOT in the suite: the warm best-of-3
+    # protocol reuses the materialized single-partition exchange, hiding
+    # the bottleneck the comparison exists to show (see bench.py
+    # global_index_full docstring; cold-run A/B recorded in SCALE.md)
 ]
 
 
