@@ -3950,3 +3950,56 @@ def bpe_merge_steps(spark, sf_dir):
         + _bpe_iter_sql(3, "syms2", "syms3")
         + _BPE_FINAL_SQL
     )
+
+
+@register(
+    "arrow_batch_clip",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + SUM(LEAST(90.0, GREATEST(10.0, value))), 4)
+             AS clipped_total,
+           CAST(SUM(CASE WHEN value < 10.0 OR value > 90.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events GROUP BY event_type
+    """,
+    tags=("pipeline", "udf", "arrow"),
+)
+def arrow_batch_clip(spark, sf_dir):
+    """``mapInArrow`` — the LOWEST-overhead Python boundary: the UDF
+    receives raw ``pyarrow.RecordBatch``es (no pandas conversion at
+    all, the layer below ``mapInPandas``) and returns batches, here
+    clipping values to [10, 90] with ``pyarrow.compute`` kernels (C++
+    vectorized) and counting clipped rows per batch. The per-type
+    aggregate downstream is JVM-side; the oracle recomputes the clip
+    relationally, so the Arrow kernel's semantics — boundary
+    inclusivity included — are hash-checked. This is the surface a
+    tight custom kernel (tokenizers, codecs) should target when even
+    the pandas materialization tax matters; the repo's codec operators
+    use mapInPandas because they need per-row Python anyway."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def clip_batches(batches):
+        for batch in batches:
+            v = batch.column("value")
+            clipped = pc.min_element_wise(
+                pc.max_element_wise(v, pa.scalar(10.0)), pa.scalar(90.0)
+            )
+            was_clipped = pc.cast(
+                pc.or_(pc.less(v, 10.0), pc.greater(v, 90.0)), pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_type"), clipped, was_clipped],
+                ["event_type", "clipped", "was_clipped"],
+            )
+
+    out = ev.mapInArrow(
+        clip_batches, "event_type string, clipped double, was_clipped long"
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _eps_round(F.sum("clipped"), 4).alias("clipped_total"),
+        F.sum("was_clipped").alias("n_clipped"),
+    )
