@@ -1949,3 +1949,89 @@ def logreg_gd_2step(spark, sf_dir):
         _eps_round(F.lit(losses[0]), 4).alias("loss_step1"),
         _eps_round(F.lit(losses[1]), 4).alias("loss_step2"),
     )
+
+
+@register(
+    "golden_record_survivorship",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END
+               AS maybe_type
+      FROM events),
+    recency AS (
+      SELECT user_id, maybe_type AS last_type FROM (
+        SELECT user_id, maybe_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e WHERE maybe_type IS NOT NULL) z WHERE rn = 1),
+    freq AS (
+      SELECT user_id, event_type AS mode_type FROM (
+        SELECT user_id, event_type, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM e GROUP BY user_id, event_type) z WHERE rn = 1),
+    mx AS (
+      SELECT user_id, ROUND(1.2345e-8 + MAX(value), 4) AS max_value,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM e GROUP BY user_id)
+    SELECT m.user_id, r.last_type, f.mode_type, m.max_value, m.n_records
+    FROM mx m
+    LEFT JOIN recency r ON r.user_id = m.user_id
+    JOIN freq f ON f.user_id = m.user_id
+    """,
+    tags=("curation", "mdm", "survivorship"),
+)
+def golden_record_survivorship(spark, sf_dir):
+    """GOLDEN RECORD construction — MDM survivorship with a DIFFERENT
+    rule per attribute, which is what distinguishes it from any single
+    dedup policy: most-recent-non-null for the status field (a third of
+    the observations carry NULL there, so recency must skip holes),
+    plurality-with-tiebreak for the categorical, max for the numeric,
+    plus the record count for lineage. Three aggregates sharing one
+    user partitioning (the recency pick is max_by over (ts, id) after a
+    null filter; the mode is the LPA argmax shape); at entity scale
+    this is one shuffle and k-bounded frames per entity. Each rule's
+    column is graded independently, so a survivorship rule silently
+    falling back to another (the classic MDM config bug) breaks the
+    hash."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.when(
+            F.col("event_id") % 3 == 0, F.lit(None)
+        ).otherwise(F.col("event_type")).alias("maybe_type"),
+    )
+    recency = (
+        ev.filter(F.col("maybe_type").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", F.col("maybe_type").alias("t"))
+            ).alias("s")
+        )
+        .select("user_id", F.col("s.t").alias("last_type"))
+    )
+    # plurality with LEXICOGRAPHIC-ASC tiebreak needs the ordered pick,
+    # not a struct-max over strings (struct-max would break ties by MAX
+    # type name) — the window form the oracle states
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("c").desc(), F.col("event_type")
+    )
+    freq = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"))
+    )
+    mx = ev.groupBy("user_id").agg(
+        _eps_round(F.max("value"), 4).alias("max_value"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    return (
+        mx.join(recency, "user_id", "left")
+        .join(freq, "user_id")
+        .select(
+            "user_id", "last_type", "mode_type", "max_value", "n_records"
+        )
+    )
