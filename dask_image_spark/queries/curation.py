@@ -2035,3 +2035,89 @@ def golden_record_survivorship(spark, sf_dir):
             "user_id", "last_type", "mode_type", "max_value", "n_records"
         )
     )
+
+
+_ALS_LAMBDA = 0.1
+# fixed 2-d item factors for the 5 event types (deterministic "item side"
+# of the alternating step; a real run would have produced these in the
+# previous half-step)
+_ALS_ITEMS = [
+    ("click", 1.0, 0.2),
+    ("view", 0.8, -0.3),
+    ("purchase", -0.5, 1.0),
+    ("signup", 0.3, 0.7),
+    ("error", -0.2, -0.6),
+]
+
+
+def _als_oracle() -> str:
+    vals = ", ".join(f"('{t}', {a!r}, {b!r})" for t, a, b in _ALS_ITEMS)
+    return f"""
+    WITH items(event_type, v1, v2) AS (VALUES {vals}),
+    r AS (
+      SELECT user_id, event_type, AVG(value) / 100.0 AS rating
+      FROM events GROUP BY user_id, event_type),
+    acc AS (
+      SELECT r.user_id,
+             SUM(i.v1 * i.v1) + {_ALS_LAMBDA} AS a11,
+             SUM(i.v1 * i.v2) AS a12,
+             SUM(i.v2 * i.v2) + {_ALS_LAMBDA} AS a22,
+             SUM(r.rating * i.v1) AS b1,
+             SUM(r.rating * i.v2) AS b2
+      FROM r JOIN items i USING (event_type) GROUP BY r.user_id)
+    SELECT user_id,
+           ROUND(1.2345e-8 + (b1 * a22 - b2 * a12)
+                 / (a11 * a22 - a12 * a12), 4) AS u1,
+           ROUND(1.2345e-8 + (a11 * b2 - a12 * b1)
+                 / (a11 * a22 - a12 * a12), 4) AS u2
+    FROM acc
+    """
+
+
+@register(
+    "als_half_step",
+    _als_oracle(),
+    tags=("curation", "ml", "recommender"),
+)
+def als_half_step(spark, sf_dir):
+    """ALTERNATING LEAST SQUARES, one user half-step — the distributed
+    recommender update (Koren/Hu-Koren-Volinsky lineage) in the same
+    fixed-iteration relational contract as ``kmeans_lloyd_2iter`` and
+    ``logreg_gd_2step``: with item factors held fixed (broadcast,
+    rank 2), each user's new vector solves the ridge normal equations
+    (V'V + λI) u = V'r — accumulated as ONE map-side-combinable
+    aggregate per user (the A-matrix and b-vector entries are sums over
+    that user's ratings) and solved in closed form by Cramer's rule,
+    so no per-user matrix library and no driver loop. The λ ridge term
+    keeps every 2x2 system invertible whatever the rating support. At
+    catalog scale the item side is the broadcast and users partition
+    freely — exactly MLlib ALS's data layout, graded hash-exact at
+    rank 2."""
+    from dask_image_spark.functions.localrel import values_df
+
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.groupBy("user_id", "event_type").agg(
+        (F.avg("value") / 100.0).alias("rating")
+    )
+    items = values_df(
+        spark, "event_type, v1, v2",
+        [(t, a, b) for t, a, b in _ALS_ITEMS],
+    )
+    j = r.join(F.broadcast(items), "event_type")
+    acc = j.groupBy("user_id").agg(
+        (F.sum(F.col("v1") * F.col("v1")) + _ALS_LAMBDA).alias("a11"),
+        F.sum(F.col("v1") * F.col("v2")).alias("a12"),
+        (F.sum(F.col("v2") * F.col("v2")) + _ALS_LAMBDA).alias("a22"),
+        F.sum(F.col("rating") * F.col("v1")).alias("b1"),
+        F.sum(F.col("rating") * F.col("v2")).alias("b2"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    return acc.select(
+        "user_id",
+        _eps_round(
+            (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det, 4
+        ).alias("u1"),
+        _eps_round(
+            (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det, 4
+        ).alias("u2"),
+    )
