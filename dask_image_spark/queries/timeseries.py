@@ -2126,3 +2126,64 @@ def association_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "session_top_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    tri AS (
+      SELECT a.event_type || '>' || b.event_type || '>' || c.event_type
+               AS path
+      FROM o a
+      JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY path ORDER BY n DESC, path LIMIT 15
+    """,
+    tags=("timeseries", "path-mining", "sequence"),
+)
+def session_top_paths(spark, sf_dir):
+    """TOP USER PATHS — the most common 3-step event sequences, the
+    path-mining report product analytics ships next to the
+    transition MATRIX (``event_transition_matrix`` gives per-step
+    probabilities; this gives whole multi-step journeys, which the
+    matrix's first-order Markov assumption cannot reconstruct). One
+    ordering window per user, two self-equi-joins on the (user,
+    position) key — per-user bounded, the blocked-pairwise contract —
+    then a count into a TakeOrdered top-15. The 125-path domain keeps
+    the result frame tiny at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn("rn", F.row_number().over(w)).select(
+        "user_id", "event_type", "rn"
+    )
+    a, b, c = o.alias("a"), o.alias("b"), o.alias("c")
+    tri = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .join(
+            c,
+            (F.col("c.user_id") == F.col("a.user_id"))
+            & (F.col("c.rn") == F.col("a.rn") + 2),
+        )
+        .select(
+            F.concat_ws(
+                ">", F.col("a.event_type"), F.col("b.event_type"),
+                F.col("c.event_type"),
+            ).alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(15)
+    )
