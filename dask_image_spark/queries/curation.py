@@ -2121,3 +2121,61 @@ def als_half_step(spark, sf_dir):
             (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")) / det, 4
         ).alias("u2"),
     )
+
+
+@register(
+    "target_encode_loo",
+    """
+    WITH f AS (
+      SELECT event_id, event_type,
+             CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS y
+      FROM events),
+    g AS (
+      SELECT event_type, SUM(y) AS sy, COUNT(*) AS n
+      FROM f GROUP BY event_type),
+    enc AS (
+      SELECT f.event_id, f.event_type,
+             (g.sy - f.y) / (g.n - 1) AS loo
+      FROM f JOIN g USING (event_type))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + AVG(loo), 4) AS mean_loo,
+           ROUND(1.2345e-8 + MIN(loo), 4) AS min_loo,
+           ROUND(1.2345e-8 + MAX(loo), 4) AS max_loo,
+           CAST(COUNT(DISTINCT ROUND(loo, 8)) AS BIGINT) AS n_distinct
+    FROM enc GROUP BY event_type
+    """,
+    tags=("curation", "feature-engineering", "encoding"),
+)
+def target_encode_loo(spark, sf_dir):
+    """LEAVE-ONE-OUT target encoding — the leakage-corrected categorical
+    encoder: a category's mean target computed EXCLUDING the row being
+    encoded ((Σy − y_i)/(n − 1)), so a rare category cannot memorize
+    its own label into its feature (naive mean encoding's overfit
+    mechanism, the thing CatBoost's ordered variant also exists to
+    prevent). One group aggregate broadcast back + map-side arithmetic
+    — no per-row window. The graded per-category frame pins the
+    mechanics: n_distinct = 2 per category (rows with y=0 get one LOO
+    value, y=1 the other — a naive same-for-all mean would grade
+    n_distinct = 1), and min < max by exactly 1/(n−1)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        "event_id", "event_type",
+        F.when(F.col("value") > 50.0, 1.0).otherwise(0.0).alias("y"),
+    )
+    g = f.groupBy(F.col("event_type").alias("gtype")).agg(
+        F.sum("y").alias("sy"), F.count(F.lit(1)).alias("n")
+    )
+    enc = f.join(
+        F.broadcast(g), F.col("event_type") == F.col("gtype")
+    ).select(
+        "event_type",
+        ((F.col("sy") - F.col("y")) / (F.col("n") - 1)).alias("loo"),
+    )
+    return enc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _eps_round(F.avg("loo"), 4).alias("mean_loo"),
+        _eps_round(F.min("loo"), 4).alias("min_loo"),
+        _eps_round(F.max("loo"), 4).alias("max_loo"),
+        F.countDistinct(F.round("loo", 8)).alias("n_distinct"),
+    )
