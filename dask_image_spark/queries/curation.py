@@ -2179,3 +2179,83 @@ def target_encode_loo(spark, sf_dir):
         _eps_round(F.max("loo"), 4).alias("max_loo"),
         F.countDistinct(F.round("loo", 8)).alias("n_distinct"),
     )
+
+
+@register(
+    "brier_calibration",
+    """
+    WITH s AS (
+      SELECT CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS y,
+             1.0 / (1.0 + EXP(-((value - 50.0) / 20.0
+               + ((('0x' || substr(md5('ns:' || CAST(event_id AS VARCHAR)),
+                    1, 8))::BIGINT % 2000) - 1000) / 1000.0))) AS p
+      FROM events),
+    b AS (
+      SELECT LEAST(9, CAST(FLOOR(p * 10) AS INT)) AS bin, y, p FROM s),
+    base AS (SELECT COUNT(*) AS n, AVG(y) AS ybar FROM b),
+    binstat AS (
+      SELECT bin, COUNT(*) AS nk, AVG(p) AS pbar, AVG(y) AS obar
+      FROM b GROUP BY bin)
+    SELECT bs.bin, CAST(bs.nk AS BIGINT) AS n,
+           ROUND(1.2345e-8 + bs.pbar, 4) AS mean_pred,
+           ROUND(1.2345e-8 + bs.obar, 4) AS obs_rate,
+           ROUND(1.2345e-8 + bs.nk * POW(bs.pbar - bs.obar, 2)
+                 / base.n, 6) AS reliability_term,
+           ROUND(1.2345e-8 + bs.nk * POW(bs.obar - base.ybar, 2)
+                 / base.n, 6) AS resolution_term
+    FROM binstat bs CROSS JOIN base
+    """,
+    tags=("curation", "ml", "calibration"),
+)
+def brier_calibration(spark, sf_dir):
+    """CALIBRATION reliability diagram + Murphy decomposition terms —
+    the model-quality split every scoring deployment monitors: a
+    deterministic noisy-sigmoid "model" predicts y = (value > 50), and
+    per probability-decile the graded frame carries mean prediction vs
+    observed rate (their gap IS miscalibration) plus each bin's
+    reliability and resolution addends — summing the graded columns
+    (with the label-base-rate uncertainty) reconstructs the Brier score
+    exactly (Murphy 1973), so the decomposition arithmetic is
+    hash-checked bin by bin, not as one opaque scalar. Two combinable
+    aggregates (global base rate, per-bin stats), bin frame of 10."""
+    ev = load_table(spark, sf_dir, "events")
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ns:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 2000 - 1000
+    ) / 1000.0
+    p = 1.0 / (1.0 + F.exp(-((F.col("value") - 50.0) / 20.0 + noise)))
+    s = ev.select(
+        F.when(F.col("value") > 50.0, 1.0).otherwise(0.0).alias("y"),
+        p.alias("p"),
+    )
+    b = s.select(
+        F.least(F.lit(9), F.floor(F.col("p") * 10).cast("int")).alias("bin"),
+        "y", "p",
+    )
+    base = b.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("y").alias("ybar")
+    )
+    binstat = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.avg("p").alias("pbar"),
+        F.avg("y").alias("obar"),
+    )
+    return binstat.crossJoin(F.broadcast(base)).select(
+        "bin",
+        F.col("nk").cast("long").alias("n"),
+        _eps_round("pbar", 4).alias("mean_pred"),
+        _eps_round("obar", 4).alias("obs_rate"),
+        _eps_round(
+            F.col("nk") * F.pow(F.col("pbar") - F.col("obar"), 2) / F.col("n"),
+            6,
+        ).alias("reliability_term"),
+        _eps_round(
+            F.col("nk") * F.pow(F.col("obar") - F.col("ybar"), 2) / F.col("n"),
+            6,
+        ).alias("resolution_term"),
+    )
