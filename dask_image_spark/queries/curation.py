@@ -2259,3 +2259,81 @@ def brier_calibration(spark, sf_dir):
             6,
         ).alias("resolution_term"),
     )
+
+
+@register(
+    "roc_auc_exact",
+    """
+    WITH s AS (
+      SELECT CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS y,
+             ROUND(1.0 / (1.0 + EXP(-((value - 50.0) / 20.0
+               + ((('0x' || substr(md5('ns:' || CAST(event_id AS VARCHAR)),
+                    1, 8))::BIGINT % 2000) - 1000) / 1000.0))), 4) AS p
+      FROM events),
+    g AS (
+      SELECT p, SUM(y) AS np, COUNT(*) AS nt FROM s GROUP BY p),
+    r AS (
+      SELECT p, np, nt,
+             COALESCE(SUM(nt) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (nt + 1) / 2.0 AS midrank
+      FROM g),
+    tot AS (
+      SELECT SUM(np) AS pos, SUM(nt) - SUM(np) AS neg,
+             SUM(np * midrank) AS rs
+      FROM r)
+    SELECT CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+           ROUND(1.2345e-8 + (rs - pos * (pos + 1) / 2.0) / (pos * neg), 4)
+             AS auc
+    FROM tot
+    """,
+    tags=("curation", "ml", "evaluation"),
+)
+def roc_auc_exact(spark, sf_dir):
+    """EXACT ROC AUC via the Mann-Whitney rank-sum with MIDRANKS — the
+    classifier-quality scalar, computed without materializing any ROC
+    curve: AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg), where tied
+    scores take their average rank (scores are rounded to 4 decimals
+    precisely so ties EXIST and the midrank arithmetic is exercised —
+    an implementation that assigns ordinal ranks to ties grades wrong).
+    Scale shape: group by distinct score first (one combinable
+    aggregate), so the ranking window runs over the SCORE DOMAIN, not
+    the rows — the same collapse-then-rank posture as `ks_two_sample`,
+    with a quantile-sketch grid as the documented continuous-column
+    fallback. Same deterministic noisy-sigmoid model as
+    `brier_calibration`, so the two evals describe one model."""
+    ev = load_table(spark, sf_dir, "events")
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ns:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 2000 - 1000
+    ) / 1000.0
+    p = F.round(
+        1.0 / (1.0 + F.exp(-((F.col("value") - 50.0) / 20.0 + noise))), 4
+    )
+    s = ev.select(
+        F.when(F.col("value") > 50.0, 1.0).otherwise(0.0).alias("y"),
+        p.alias("p"),
+    )
+    g = s.groupBy("p").agg(
+        F.sum("y").alias("np"), F.count(F.lit(1)).alias("nt")
+    )
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn(
+        "midrank",
+        F.coalesce(F.sum("nt").over(w), F.lit(0)) + (F.col("nt") + 1) / 2.0,
+    )
+    return r.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        (F.sum("nt") - F.sum("np")).cast("long").alias("n_neg"),
+        _eps_round(
+            (F.sum(F.col("np") * F.col("midrank"))
+             - F.sum("np") * (F.sum("np") + 1) / 2.0)
+            / (F.sum("np") * (F.sum("nt") - F.sum("np"))),
+            4,
+        ).alias("auc"),
+    )
