@@ -2337,3 +2337,93 @@ def roc_auc_exact(spark, sf_dir):
             4,
         ).alias("auc"),
     )
+
+
+@register(
+    "threshold_sweep_f1",
+    """
+    WITH s AS (
+      SELECT CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS y,
+             1.0 / (1.0 + EXP(-((value - 50.0) / 20.0
+               + ((('0x' || substr(md5('ns:' || CAST(event_id AS VARCHAR)),
+                    1, 8))::BIGINT % 2000) - 1000) / 1000.0))) AS p
+      FROM events),
+    th AS (SELECT unnest(generate_series(1, 9)) / 10.0 AS thr),
+    conf AS (
+      SELECT th.thr,
+             SUM(CASE WHEN s.p >= th.thr AND s.y = 1 THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN s.p >= th.thr AND s.y = 0 THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN s.p < th.thr AND s.y = 1 THEN 1 ELSE 0 END) AS fn
+      FROM s CROSS JOIN th GROUP BY th.thr)
+    SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND(1.2345e-8 + tp / NULLIF(CAST(tp + fp AS DOUBLE), 0), 4)
+             AS precision,
+           ROUND(1.2345e-8 + tp / NULLIF(CAST(tp + fn AS DOUBLE), 0), 4)
+             AS recall,
+           ROUND(1.2345e-8 + 2.0 * tp
+                 / NULLIF(CAST(2 * tp + fp + fn AS DOUBLE), 0), 4) AS f1
+    FROM conf
+    """,
+    tags=("curation", "ml", "evaluation", "tuning"),
+)
+def threshold_sweep_f1(spark, sf_dir):
+    """OPERATING-POINT tuning table — precision/recall/F1 at nine
+    decision thresholds over the shared noisy-sigmoid model: the table
+    a deployment reads to pick its cut (the F1 row-maximum, or the
+    recall floor compliance requires). One pass over the scores with
+    the 9-threshold frame exploded map-side into a combinable
+    conditional aggregate — never nine scans; the same
+    tuning-curve-as-graded-result pattern as `lsh_band_sweep`, applied
+    to classification. F1's harmonic form is computed as 2tp/(2tp+fp+fn)
+    so zero-division degenerates are NULL-safe identically on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ns:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 2000 - 1000
+    ) / 1000.0
+    p = 1.0 / (1.0 + F.exp(-((F.col("value") - 50.0) / 20.0 + noise)))
+    s = ev.select(
+        F.when(F.col("value") > 50.0, 1.0).otherwise(0.0).alias("y"),
+        p.alias("p"),
+        F.explode(
+            F.array(*[F.lit(t / 10.0) for t in range(1, 10)])
+        ).alias("thr"),
+    )
+    conf = s.groupBy("thr").agg(
+        F.sum(
+            F.when((F.col("p") >= F.col("thr")) & (F.col("y") == 1), 1)
+            .otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when((F.col("p") >= F.col("thr")) & (F.col("y") == 0), 1)
+            .otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when((F.col("p") < F.col("thr")) & (F.col("y") == 1), 1)
+            .otherwise(0)
+        ).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return conf.select(
+        "thr",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        _eps_round(
+            tp / F.nullif((tp + fp).cast("double"), F.lit(0.0)), 4
+        ).alias("precision"),
+        _eps_round(
+            tp / F.nullif((tp + fn).cast("double"), F.lit(0.0)), 4
+        ).alias("recall"),
+        _eps_round(
+            2.0 * tp / F.nullif((2 * tp + fp + fn).cast("double"), F.lit(0.0)),
+            4,
+        ).alias("f1"),
+    )
