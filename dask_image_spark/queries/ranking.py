@@ -1224,3 +1224,101 @@ def clustering_coefficient(spark, sf_dir):
             ).alias("coeff"),
         )
     )
+
+
+@register(
+    "ndcg_at_10",
+    """
+    WITH q AS (SELECT unnest(generate_series(0, 9)) AS qid),
+    cand AS (
+      SELECT q.qid, d.doc_id,
+             ('0x' || substr(md5('sc:' || CAST(q.qid AS VARCHAR) || ':'
+                || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT AS score,
+             ('0x' || substr(md5('rel:' || CAST(q.qid AS VARCHAR) || ':'
+                || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 4 AS rel
+      FROM documents d JOIN q ON d.doc_id % 25 = q.qid),
+    ranked AS (
+      SELECT qid, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rel DESC, doc_id) AS irnk
+      FROM cand),
+    dcg AS (
+      SELECT qid,
+             SUM(CASE WHEN rnk <= 10 THEN
+                 (POW(2, rel) - 1) / LOG(2, rnk + 1.0) ELSE 0 END) AS dcg,
+             SUM(CASE WHEN irnk <= 10 THEN
+                 (POW(2, rel) - 1) / LOG(2, irnk + 1.0) ELSE 0 END) AS idcg
+      FROM ranked GROUP BY qid)
+    SELECT qid, ROUND(1.2345e-8 + dcg, 4) AS dcg,
+           ROUND(1.2345e-8 + idcg, 4) AS idcg,
+           ROUND(1.2345e-8 + dcg / NULLIF(idcg, 0), 4) AS ndcg
+    FROM dcg
+    """,
+    tags=("ranking", "ir", "evaluation"),
+)
+def ndcg_at_10(spark, sf_dir):
+    """NDCG@10 — the graded-relevance ranking metric search evals run
+    (completing the IR family: `bm25_search` scores, `rrf_hybrid_search`
+    fuses, this MEASURES): per query, the exponential-gain DCG of the
+    score-ranked top 10 normalized by the ideal ordering's DCG. Ten
+    deterministic queries over hash-derived scores and 0-3 relevance
+    grades (so scored order ≠ ideal order and NDCG lands strictly
+    inside (0, 1) — a metric pinned at 1.0 would grade nothing); both
+    rankings are per-query windows over candidate sets bounded by the
+    blocking key, and both DCG sums are combinable aggregates. The
+    log2-position discount and the 2^rel − 1 gain are the standard
+    (Burges) formulation."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    qids = d.sparkSession.range(10).select(F.col("id").alias("qid"))
+    cand = d.join(
+        F.broadcast(qids), F.col("doc_id") % 25 == F.col("qid")
+    )
+
+    def h(seed, mod=None, width=6):
+        x = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed),
+                        F.col("qid").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1, width,
+            ),
+            16, 10,
+        ).cast("bigint")
+        return x if mod is None else F.pmod(x, F.lit(mod))
+
+    scored = cand.select(
+        "qid", "doc_id", h("sc:").alias("score"), h("rel:", 4).alias("rel")
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    wi = Window.partitionBy("qid").orderBy(F.col("rel").desc(), "doc_id")
+    ranked = scored.select(
+        "qid", "rel",
+        F.row_number().over(wr).alias("rnk"),
+        F.row_number().over(wi).alias("irnk"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    dcg = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("rnk") <= 10, gain / F.log2(F.col("rnk") + 1.0))
+            .otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("irnk") <= 10, gain / F.log2(F.col("irnk") + 1.0))
+            .otherwise(0.0)
+        ).alias("idcg"),
+    )
+    return dcg.select(
+        "qid",
+        _eps_round("dcg", 4).alias("dcg"),
+        _eps_round("idcg", 4).alias("idcg"),
+        _eps_round(
+            F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 4
+        ).alias("ndcg"),
+    )
