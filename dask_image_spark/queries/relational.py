@@ -4948,3 +4948,55 @@ def not_in_null_semantics(spark, sf_dir):
           SELECT 1 FROM nin_probe_null_v p WHERE p.o_custkey = b.c_custkey)
         """
     )
+
+
+@register(
+    "scan_ignore_corrupt_files",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM events WHERE event_id < 4000 GROUP BY event_type
+    """,
+    tags=("relational", "scan", "error-handling", "io-write"),
+    schema="event_type string, n bigint, total double",
+)
+def scan_ignore_corrupt_files(spark, sf_dir):
+    """FILE-level fault tolerance — the layer above the row-level
+    `json_corrupt_records`: a landing directory holds three healthy
+    parquet shards plus one file of garbage bytes with a .parquet name
+    (the half-uploaded/truncated object every long-lived bucket
+    accumulates), and the scan reads with ``ignoreCorruptFiles`` so the
+    job completes on the healthy shards instead of dying on the first
+    bad footer. The oracle is the clean slice's rollup — if the option
+    silently dropped a HEALTHY file (the failure mode that makes this
+    flag dangerous to leave on globally, which is why it is a per-read
+    option here, not a session conf) the counts break. Together the two
+    queries grade the ingest fault matrix: bad rows routed, bad files
+    skipped, both hash-checked."""
+    import os
+
+    from dask_image_spark.queries.pipeline import _fresh_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    land = f"/tmp/dask_image_spark_io/corrupt_files_{tag}"
+    _fresh_dir(land)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    (
+        ev.select("event_id", "event_type", "value")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(land)
+    )
+    with open(f"{land}/part-zz-truncated-upload.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file, just a dead upload")
+
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .parquet(land)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.sum("value")).alias("total"),
+    )
