@@ -2187,3 +2187,95 @@ def session_top_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(15)
     )
+
+
+_FC_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@register(
+    "forecast_eval_mase",
+    f"""
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             EXTRACT(hour FROM ts) AS hod, AVG(value) AS v
+      FROM events GROUP BY 1, 2, 3),
+    prof AS (
+      SELECT event_type, hod, AVG(v) AS fc
+      FROM h WHERE hour < {_FC_SPLIT} GROUP BY event_type, hod),
+    test AS (
+      SELECT t.event_type, t.hour, t.v, p.fc,
+             LAG(t.v, 24) OVER (PARTITION BY t.event_type
+                                ORDER BY t.hour) AS naive
+      FROM h t JOIN prof p
+        ON p.event_type = t.event_type AND p.hod = t.hod
+      WHERE t.hour >= {_FC_SPLIT}),
+    scored AS (SELECT * FROM test WHERE naive IS NOT NULL)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(1.2345e-8 + AVG(ABS(v - fc)), 4) AS mae_forecast,
+           ROUND(1.2345e-8 + AVG(ABS(v - naive)), 4) AS mae_naive,
+           ROUND(1.2345e-8 + AVG(ABS(v - fc)) / AVG(ABS(v - naive)), 4)
+             AS mase
+    FROM scored GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast", "evaluation"),
+)
+def forecast_eval_mase(spark, sf_dir):
+    """FORECAST evaluation with MASE — the scale-free accuracy metric
+    (Hyndman & Koehler) that makes models comparable across series:
+    MAE of the forecast divided by MAE of the naive same-hour-yesterday
+    baseline, per series, on a strict TIME SPLIT (the seasonal-profile
+    forecast trains only on the first half of the timeline — the
+    leakage discipline `split_group_hash` applies to entities, applied
+    here to time). MASE < 1 means the model beats persistence, the
+    go/no-go every forecasting deployment checks first. The hourly
+    frame and the 24-lag window are calendar-bounded; the only
+    fact-scale pass is the hourly aggregate. The LAG(24) naive is only
+    defined a day into the test window — those hours are excluded on
+    both engines identically."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.avg("value").alias("v"))
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    prof = (
+        h.filter(F.col("hour") < split)
+        .groupBy(F.col("event_type").alias("ptype"), F.col("hod").alias("phod"))
+        .agg(F.avg("v").alias("fc"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    test = (
+        h.filter(F.col("hour") >= split)
+        .join(
+            F.broadcast(prof),
+            (F.col("event_type") == F.col("ptype"))
+            & (F.col("hod") == F.col("phod")),
+        )
+        .select("event_type", "hour", "v", "fc")
+    )
+    # SQL evaluates WHERE before window functions, so the oracle's
+    # LAG(24) runs WITHIN the test window (the first test day has no
+    # naive and drops) — mirror that order exactly: filter, then lag
+    naive_test = (
+        h.filter(F.col("hour") >= split)
+        .withColumn("naive", F.lag("v", 24).over(w))
+        .select("event_type", "hour", "naive")
+    )
+    scored = test.join(naive_test, ["event_type", "hour"]).filter(
+        F.col("naive").isNotNull()
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        _eps_round(F.avg(F.abs(F.col("v") - F.col("fc"))), 4).alias(
+            "mae_forecast"
+        ),
+        _eps_round(F.avg(F.abs(F.col("v") - F.col("naive"))), 4).alias(
+            "mae_naive"
+        ),
+        _eps_round(
+            F.avg(F.abs(F.col("v") - F.col("fc")))
+            / F.avg(F.abs(F.col("v") - F.col("naive"))),
+            4,
+        ).alias("mase"),
+    )
