@@ -1226,17 +1226,23 @@ def clustering_coefficient(spark, sf_dir):
     )
 
 
-@register(
-    "ndcg_at_10",
-    """
-    WITH q AS (SELECT unnest(generate_series(0, 9)) AS qid),
+# Shared IR-eval fixture: 10 queries, blocked candidates, hash-derived
+# scores and 0-3 relevance grades — one SQL text for every IR metric's
+# oracle so the fixtures cannot drift apart.
+_IR_CAND_SQL = """q AS (SELECT unnest(generate_series(0, 9)) AS qid),
     cand AS (
       SELECT q.qid, d.doc_id,
              ('0x' || substr(md5('sc:' || CAST(q.qid AS VARCHAR) || ':'
                 || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT AS score,
              ('0x' || substr(md5('rel:' || CAST(q.qid AS VARCHAR) || ':'
                 || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 4 AS rel
-      FROM documents d JOIN q ON d.doc_id % 25 = q.qid),
+      FROM documents d JOIN q ON d.doc_id % 25 = q.qid)"""
+
+
+@register(
+    "ndcg_at_10",
+    f"""
+    WITH {_IR_CAND_SQL},
     ranked AS (
       SELECT qid, rel,
              ROW_NUMBER() OVER (PARTITION BY qid
@@ -1321,4 +1327,85 @@ def ndcg_at_10(spark, sf_dir):
         _eps_round(
             F.col("dcg") / F.nullif(F.col("idcg"), F.lit(0.0)), 4
         ).alias("ndcg"),
+    )
+
+
+@register(
+    "retrieval_mrr_hit",
+    f"""
+    WITH {_IR_CAND_SQL},
+    ranked AS (
+      SELECT qid, rel,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM cand),
+    firsts AS (
+      SELECT qid, MIN(rnk) AS first_rel
+      FROM ranked WHERE rel >= 2 GROUP BY qid)
+    SELECT r.qid,
+           CAST(f.first_rel AS BIGINT) AS first_rel_rank,
+           ROUND(1.2345e-8 + 1.0 / f.first_rel, 4) AS rr,
+           CAST(MAX(CASE WHEN r.rnk <= 5 AND r.rel >= 2
+                    THEN 1 ELSE 0 END) AS INT) AS hit_at_5
+    FROM ranked r JOIN firsts f ON f.qid = r.qid
+    GROUP BY r.qid, f.first_rel
+    """,
+    tags=("ranking", "ir", "evaluation"),
+)
+def retrieval_mrr_hit(spark, sf_dir):
+    """MRR and HIT@5 — the navigational-search metrics next to NDCG's
+    graded view (same shared fixture, single SQL source, so the three
+    IR evals describe one ranking): per query, the reciprocal rank of
+    the first RELEVANT result (grade >= 2) and whether any relevant
+    result lands in the top 5. One ranking window over the blocked
+    candidates, then a per-query min — averaging rr over queries IS
+    the MRR, and the per-query rows grade the tail (a query whose
+    first hit sits at rank 7 contributes 0.14, invisible in any
+    averaged scalar)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    qids = d.sparkSession.range(10).select(F.col("id").alias("qid"))
+    cand = d.join(F.broadcast(qids), F.col("doc_id") % 25 == F.col("qid"))
+
+    def h(seed, mod=None):
+        x = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed), F.col("qid").cast("string"),
+                        F.lit(":"), F.col("doc_id").cast("string"),
+                    )
+                ),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("bigint")
+        return x if mod is None else F.pmod(x, F.lit(mod))
+
+    scored = cand.select(
+        "qid", "doc_id", h("sc:").alias("score"), h("rel:", 4).alias("rel")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    ranked = scored.select(
+        "qid", "rel", F.row_number().over(w).alias("rnk")
+    )
+    firsts = (
+        ranked.filter(F.col("rel") >= 2)
+        .groupBy("qid")
+        .agg(F.min("rnk").alias("first_rel"))
+    )
+    return (
+        ranked.join(firsts, "qid")
+        .groupBy("qid", "first_rel")
+        .agg(
+            F.max(
+                F.when((F.col("rnk") <= 5) & (F.col("rel") >= 2), 1)
+                .otherwise(0)
+            ).cast("int").alias("hit_at_5")
+        )
+        .select(
+            "qid",
+            F.col("first_rel").cast("long").alias("first_rel_rank"),
+            _eps_round(1.0 / F.col("first_rel"), 4).alias("rr"),
+            "hit_at_5",
+        )
     )
