@@ -69,72 +69,69 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 7 window (VERDICT_r06 "Next round" item 1, extended): every slot
-# goes to a FIRST driver grade — the 17 late round-6 queries that have
-# never been driver-graded (the only evidence gap the round-6 verdict
-# found), then all 33 round-7 additions (the completed 22/22 TPC-H suite,
-# the last two affine boundary modes, the CSV streaming source, and the
-# round-7 operator families: sketches, weighted sampling, incremental
-# dedup, skew join, UDAF, CDC/schema-evolution/compaction sinks, video
-# DSP, graph, Markov). The round-2-evidence families (minhash/simhash/
-# similarity/token) stay next in line for the round-8 backfill — they are
-# re-proven by the local parity suite every round, while a never-graded
-# query has no driver evidence at all.
+# Round 8 window (VERDICT_r07 "Next round" item 1 — the staging COVERAGE.md
+# queued at the end of round 7): every slot goes to a FIRST driver grade,
+# drawn from the 117 registered queries that have never been driver-graded
+# (all parity-green locally every round; the driver's 50-slot window simply
+# hadn't reached them). Ordering follows the COVERAGE.md round-8 queue —
+# modern-SQL surfaces first (unpivot/VARIANT/recursive-CTE-adjacent),
+# then the stats/eval, imaging-extension, graph, warehouse, time-series,
+# and streaming families. Round-8 additions (compressed-TIFF tiers, dense
+# label) are spliced at the head as new contracts, per the round-6
+# precedent. The 22 round-2-evidence re-grades stay queued for round 9.
 WINDOW: list[str] = [
-    # --- never driver-graded (late round-6 additions) ---
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "zorder_layout",
-    "shuffle_shards",
-    "lsh_dedup_recall",
-    "time_decay_score",
-    "equidepth_bins",
-    "rolling_1h_median",
-    "streaming_json_source",
-    "filter_threshold_local_gaussian",
-    "filter_threshold_local_median",
-    "filter_uniform_origin",
-    "filter_minimum_origin",
-    # --- round-7: TPC-H suite completion (22/22) ---
-    "q4_order_priority",
-    "q21_suppliers_kept_waiting",
-    "q13_customer_distribution",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    # --- round-7: remaining affine modes + third streaming format ---
-    "affine_order0_nearest",
-    "affine_order1_reflect",
-    "streaming_csv_source",
-    # --- round-7: new operator families ---
-    "sample_weighted_gumbel",
-    "quality_entropy",
-    "dedup_incremental_batch",
-    "join_salted_skew",
-    "udaf_geomean",
-    "cdc_snapshot_diff",
-    "scan_merge_schema",
-    "compact_small_files",
-    "cms_frequency_estimate",
-    "bloom_membership",
-    "trend_per_user",
-    "dq_expectations",
-    "sink_dynamic_partition_overwrite",
-    "video_scene_cuts",
-    "graph_triangle_count",
-    "event_transition_matrix",
+    # --- round-8 additions: new contracts graded first ---
+    "imread_tiff_deflate",
+    "imread_tiff_lzw",
+    "imread_tiff_packbits",
+    "label_cc_dense",
+    # --- never driver-graded round-7 continuation additions ---
+    "unpivot_events",
+    "hll_sketch_merge",
+    "variant_json_extract",
+    "pagerank_converged",
+    "cohort_retention",
+    "abtest_conversion_z",
+    "ansi_try_functions",
+    "pareto_skyline_brand",
+    "tree_depth_doubling",
+    "max_concurrent_sessions",
+    "longest_streak",
+    "image_hist_equalize",
+    "distance_transform_l1",
+    "emd_source_drift",
+    "measure_perimeter",
+    "ohlc_bars",
+    "survival_km",
+    "cusum_changepoint",
+    "bfs_3hop",
+    "dedup_levenshtein",
+    "chisq_independence",
+    "remove_small_objects",
+    "fir_smooth_8tap",
+    "attribution_last_touch",
+    "k_anonymity_violations",
+    "streaming_ohlc",
+    "moments_per_type",
+    "mutual_information",
+    "mv_incremental_refresh",
+    "pit_join_scd2",
+    "window_distribution_ranks",
+    "conversion_latency",
+    "weighted_median",
+    "ordered_string_agg",
+    "bitmask_rollup",
+    "id_gap_audit",
+    "psi_drift",
+    "pandas_api_groupby",
+    "dedup_incremental_minhash",
+    "ngram_diversity",
+    "distance_transform_l1_3d",
+    "streaming_static_antijoin",
+    "custom_python_datasource",
+    "streaming_custom_source",
+    "udtf_table_arg_gaps",
+    "quickstart_pipeline",
 ]
 
 

@@ -804,6 +804,52 @@ def remove_small_objects_q(spark, sf_dir):
     ).orderBy("y", "x")
 
 
+_DENSE_MASK = "((CAST(y AS BIGINT) * 2654435761 + x * 40503) % 97) < 43"
+
+_LABEL_CC_DENSE_ORACLE = f"""
+WITH RECURSIVE
+pixels AS (SELECT CAST(event_id % 64 AS INT) AS y,
+                  CAST((event_id // 64) % 64 AS INT) AS x,
+                  SUM(value) AS value FROM events GROUP BY 1, 2),
+fg AS (SELECT CAST(y * 64 + x AS BIGINT) AS id, y, x FROM pixels
+       WHERE {_DENSE_MASK}),
+e1 AS (
+  SELECT a.id AS src, b.id AS dst FROM fg a JOIN fg b
+    ON (b.y = a.y + 1 AND b.x = a.x) OR (b.y = a.y AND b.x = a.x + 1)
+),
+edges AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+reach(src, dst) AS (
+  SELECT id, id FROM fg
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src)
+SELECT f.y, f.x, c.label FROM fg f JOIN comp c ON c.id = f.id
+"""
+
+
+@register(
+    "label_cc_dense", _LABEL_CC_DENSE_ORACLE,
+    tags=("imaging", "ndmeasure", "label"),
+)
+def label_cc_dense_q(spark, sf_dir):
+    """Connected components at ADVERSARIAL component density (VERDICT r7
+    item 6): a hash-noise mask (~44% fill, ~530 components of max size 4
+    on the 64x64 grid — one component per ~3.5 foreground pixels, the
+    worst case for any design that assumes 'few large objects'). The
+    mean-threshold fixture grades the few-big-components regime; this
+    grades the opposite end, where the canonical-label table is nearly
+    as large as the pixel table, so the final canon join CANNOT be a
+    cheap broadcast of a handful of rows — exactly the regime where
+    label() leaves the strategy to AQE (label_cc.py:264). Same
+    recursive-CTE transitive-closure oracle, per-pixel hash-checked;
+    its cost stays bounded because sum(|c|^2) is tiny when components
+    are tiny."""
+    px = pixel_grid(spark, sf_dir)
+    m = px.select("y", "x", F.expr(_DENSE_MASK).alias("m"))
+    return label_cc.label(m, SHAPE)
+
+
 from dask_image_spark.queries.imaging import _BOX3, _linear_oracle  # noqa: E402
 
 
