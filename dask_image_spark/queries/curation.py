@@ -1530,8 +1530,9 @@ def k_anonymity_violations(spark, sf_dir):
 
 
 # Poisson(1) inverse CDF, cumulative probabilities P(X <= k) for k = 0..5
-# (exp(-1) * sum 1/i!); draws past 5 clamp to 6 (P ~ 6e-5 — the truncation
-# bias is orders below the CI resolution). SINGLE SOURCE OF TRUTH: the same
+# (exp(-1) * sum 1/i!); draws past 5 clamp to 6 (P(X > 5) ~ 5.9e-4 — the
+# truncation bias is well below the CI resolution, and the property test
+# asserts the tail < 1e-3). SINGLE SOURCE OF TRUTH: the same
 # list renders the CASE text for both the Spark expression and the DuckDB
 # oracle, so the resample weights are bit-identical across engines.
 _POIS1_CDF = [

@@ -2202,12 +2202,21 @@ _FC_SPLIT = "TIMESTAMP '2024-01-16 00:00:00'"
     prof AS (
       SELECT event_type, hod, AVG(v) AS fc
       FROM h WHERE hour < {_FC_SPLIT} GROUP BY event_type, hod),
+    -- the naive lag runs over the UNJOINED post-split hours, exactly
+    -- like the Spark side's naive_test frame: if a (event_type, hod)
+    -- were ever absent from the training profile, the prof join below
+    -- would drop those test rows AFTER the lag, never shifting the
+    -- 24-row offsets on one engine only (ADVICE r7)
+    nv AS (
+      SELECT event_type, hour,
+             LAG(v, 24) OVER (PARTITION BY event_type
+                              ORDER BY hour) AS naive
+      FROM h WHERE hour >= {_FC_SPLIT}),
     test AS (
-      SELECT t.event_type, t.hour, t.v, p.fc,
-             LAG(t.v, 24) OVER (PARTITION BY t.event_type
-                                ORDER BY t.hour) AS naive
-      FROM h t JOIN prof p
-        ON p.event_type = t.event_type AND p.hod = t.hod
+      SELECT t.event_type, t.hour, t.v, p.fc, n.naive
+      FROM h t
+      JOIN prof p ON p.event_type = t.event_type AND p.hod = t.hod
+      JOIN nv n ON n.event_type = t.event_type AND n.hour = t.hour
       WHERE t.hour >= {_FC_SPLIT}),
     scored AS (SELECT * FROM test WHERE naive IS NOT NULL)
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
@@ -2254,9 +2263,10 @@ def forecast_eval_mase(spark, sf_dir):
         )
         .select("event_type", "hour", "v", "fc")
     )
-    # SQL evaluates WHERE before window functions, so the oracle's
-    # LAG(24) runs WITHIN the test window (the first test day has no
-    # naive and drops) — mirror that order exactly: filter, then lag
+    # The LAG(24) runs WITHIN the test window (the first test day has
+    # no naive and drops), over the UNJOINED post-split hours — the
+    # oracle's nv CTE is this exact frame, so a profile gap can only
+    # ever drop rows after the lag, identically on both engines
     naive_test = (
         h.filter(F.col("hour") >= split)
         .withColumn("naive", F.lag("v", 24).over(w))

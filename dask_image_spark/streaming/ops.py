@@ -682,10 +682,13 @@ def stream_left_outer_join(
     still at epoch, so nothing is dropped as late), batch 2 runs with
     the batch-1 watermark (max real ts − delay) and flushes the older
     unmatched purchases, and batch 3 runs with the sentinel-advanced
-    watermark — past every real purchase — flushing the rest. The
-    sentinels themselves can never appear in the output: they are
-    right-side (click) rows, and a left-outer join emits right rows only
-    through a match. The memory sink accumulates appends across batches,
+    watermark — past every real purchase — flushing the rest. Each
+    sentinel file carries BOTH a click and a purchase row, so the
+    sentinel purchases ARE eventually flushed by the watermark as
+    unmatched null-click rows like any other left row — they are
+    removed from the result by the final ``user_id >= 0`` filter on the
+    materialized table (the multibatch test asserts no sentinel leaks
+    through). The memory sink accumulates appends across batches,
     so the final table equals the batch LEFT JOIN row for row — the
     strong-oracle story, and the state store provably evicts (bounded
     state at 100 TB: each side buffers only rows inside watermark ± the

@@ -50,3 +50,54 @@ def test_coverage_doc_header_count_matches_registry():
     assert int(m.group(1)) == len(REGISTRY), (
         f"COVERAGE.md says {m.group(1)} queries, registry has {len(REGISTRY)}"
     )
+
+
+def _driver_grades():
+    """name -> newest round in which the driver graded it, from the
+    committed CORRECTNESS_r*.json files; plus the latest round seen."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    newest: dict[str, int] = {}
+    latest = 0
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        for name in json.loads(f.read_text()):
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest, latest
+
+
+def test_driver_evidence_freshness_floor():
+    """Rotation policy as a checked invariant (VERDICT r7 item 7): no
+    query that HAS driver evidence may fall more than 6 rounds behind
+    the newest CORRECTNESS file — the 50-slot window must keep cycling
+    the oldest evidence back in (the round-2 minhash/simhash families
+    are the current floor, staged for the round-9 backfill)."""
+    newest, latest = _driver_grades()
+    stale = [
+        (n, r) for n, r in newest.items()
+        if n in REGISTRY and latest - r > 6
+    ]
+    assert not stale, (
+        f"driver evidence older than {latest - 6} for: {sorted(stale)} — "
+        "stage these at the head of the next WINDOW"
+    )
+
+
+def test_window_restaged_every_round():
+    """A WINDOW slot spent on a query the driver graded in the MOST
+    RECENT round is a wasted grade (it has the freshest evidence
+    possible) and means the staging went stale — every round must
+    restage toward never-graded or oldest-evidence queries."""
+    newest, latest = _driver_grades()
+    fresh = [n for n in WINDOW if newest.get(n, 0) == latest and latest > 0]
+    assert not fresh, (
+        f"WINDOW still lists queries graded in round {latest}: {fresh} — "
+        "restage the window for the new round"
+    )

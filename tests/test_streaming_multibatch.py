@@ -262,3 +262,69 @@ def test_left_outer_join_flushes_both_row_classes(spark):
     assert nulls > 0, "watermark flush emitted no unmatched purchases"
     assert matched > 0, "no inner matches — fixture contract broken"
     assert out.filter("user_id < 0").count() == 0, "sentinel leaked"
+
+
+def test_custom_source_crash_resume_exactly_once(spark, tmp_path):
+    """CRASH-RESUME for the from-scratch Python streaming source
+    (VERDICT r7 item 8): run the offset-tracked rangegen stream into a
+    file sink with a checkpoint, STOP the query mid-stream (a simulated
+    crash between micro-batches), restart from the same checkpoint, and
+    run to exhaustion. The manifest-committed sink must hold EVERY id
+    exactly once — a reader that re-served committed offsets after
+    restart (double-read) or skipped the in-flight chunk (loss) breaks
+    the distinct-count identity; readBetweenOffsets is what replays the
+    possibly-uncommitted tail."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.sources.pyds import register_rangegen_stream
+
+    register_rangegen_stream(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n, chunk = 4000, 100  # 40 micro-batches
+
+    def start(trigger_kw):
+        sdf = (
+            spark.readStream.format("rangegen_stream")
+            .option("n", n).option("chunk", chunk).load()
+        )
+        return (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kw)
+            .start()
+        )
+
+    # phase 1: slow trigger spaces the batches so the stop lands
+    # mid-stream deterministically
+    q = start({"processingTime": "1 second"})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()  # simulated crash: no graceful drain of pending chunks
+
+    mid = spark.read.parquet(out).count()
+    assert 0 < mid < n, f"stop was not mid-stream (rows={mid})"
+
+    # phase 2: restart from the checkpoint, run to caught-up
+    q2 = start({"processingTime": "0 seconds"})
+    q2.processAllAvailable()
+    q2.stop()
+
+    df = spark.read.parquet(out)
+    assert df.count() == n  # nothing lost...
+    assert df.select("id").distinct().count() == n  # ...nothing doubled
+    # and every row still satisfies the generator contract
+    bad = df.filter(
+        F.abs(
+            F.col("value")
+            - ((F.col("id") * F.col("id") * 31 + 7) % 1000) / 10.0
+        ) > 1e-9
+    ).count()
+    assert bad == 0
