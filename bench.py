@@ -56,6 +56,13 @@ HEADLINE = [
     # (scripts/baseline_stock.py::pit_join), the plan-divergence story
     # for versioned-dimension lookups
     ("pit_join", "pit_join_scd2"),
+    # round-8 additions (VERDICT_r07 item 4): 4x-document slope points for
+    # the two shuffle-heaviest text ops, so the band join and the postings
+    # self-join get measured scaling slopes like the tile path got in r7.
+    # The corpus is vowel-rotation augmented (queries/pipeline.py::docs_x4)
+    # so shingles/tokens replicate i.i.d. instead of colliding 4-way.
+    ("minhash_lsh_4x", "__minhash_lsh_4x__"),
+    ("tfidf_pairs_4x", "__tfidf_pairs_4x__"),
 ]
 
 BASELINE_K = [
@@ -176,6 +183,26 @@ def gauss_r2_4096(spark, sf_dir):
     return _gauss_r2(spark, sf_dir, side=4096, block=256)
 
 
+def minhash_lsh_4x(spark, sf_dir):
+    """dedup_minhash_lsh's exact plan over the 4x vowel-rotated corpus
+    (queries/pipeline.py::docs_x4): the band self-join's slope point.
+    Same engine operators — the only change is the input frame."""
+    from dask_image_spark.operators import textops
+    from dask_image_spark.queries.pipeline import docs_x4
+
+    sigs = textops.minhash_signatures(docs_x4(spark, sf_dir), n_hashes=8, k=3)
+    return textops.lsh_band_pairs(sigs, n_hashes=8, rows_per_band=2)
+
+
+def tfidf_pairs_4x(spark, sf_dir):
+    """tfidf_cosine_pairs' exact plan over the 4x corpus: the df-pruned
+    postings self-join's slope point."""
+    from dask_image_spark.queries.curation import tfidf_pairs_impl
+    from dask_image_spark.queries.pipeline import docs_x4
+
+    return tfidf_pairs_impl(docs_x4(spark, sf_dir))
+
+
 def main() -> None:
     from dask_image_spark import queries as q
     from dask_image_spark.session import get_spark
@@ -197,6 +224,8 @@ def main() -> None:
                 "__conv3x3_fullscale__": conv3x3_fullscale,
                 "__gauss_r2_1024__": gauss_r2_1024,
                 "__gauss_r2_4096__": gauss_r2_4096,
+                "__minhash_lsh_4x__": minhash_lsh_4x,
+                "__tfidf_pairs_4x__": tfidf_pairs_4x,
             }
             # registry[name]: a KeyError names the missing query, instead
             # of the opaque NoneType-not-callable a .get fallback produced

@@ -360,8 +360,49 @@ def _decompress_strip(data: bytes, expected: int, compression: int) -> bytes:
     )
 
 
-def encode_tiff_multipage(frames, compression: int = 1) -> bytes:
-    """Encode a STACK of 8-bit grayscale frames as one multi-page baseline
+def _predict_rows(data: bytes, width: int, bits: int, undo: bool) -> bytes:
+    """TIFF Predictor=2 (horizontal differencing, TIFF 6.0 §14): each
+    sample after a row's first is replaced by its delta to the left
+    neighbor (mod 2^bits) before compression; ``undo=True`` integrates
+    the deltas back. Applied per row — rows never leak into each other.
+    ``data`` is native-endian-free: 8-bit bytes or little-endian 16-bit
+    samples as produced by the encoder (the decoder converts big-endian
+    strips to little-endian samples before calling this)."""
+    import struct
+
+    step = bits // 8
+    mod = 1 << bits
+    out = bytearray()
+    row_bytes = width * step
+    for r0 in range(0, len(data), row_bytes):
+        row = data[r0 : r0 + row_bytes]
+        if step == 1:
+            vals = list(row)
+        else:
+            vals = list(struct.unpack(f"<{len(row) // 2}H", row))
+        if undo:
+            acc = []
+            run = 0
+            for i, v in enumerate(vals):
+                run = v if i == 0 else (run + v) % mod
+                acc.append(run)
+            vals = acc
+        else:
+            vals = [
+                v if i == 0 else (v - vals[i - 1]) % mod
+                for i, v in enumerate(vals)
+            ]
+        if step == 1:
+            out.extend(bytes(vals))
+        else:
+            out.extend(struct.pack(f"<{len(vals)}H", *vals))
+    return bytes(out)
+
+
+def encode_tiff_multipage(
+    frames, compression: int = 1, predictor: int = 1, bits: int = 8
+) -> bytes:
+    """Encode a STACK of grayscale frames as one multi-page baseline
     TIFF — the container form upstream's ``imread(fname, nframes=…)``
     slabs frames *within* (``dask_image/imread/__init__.py`` via
     pims/tifffile). Written from scratch per the TIFF 6.0 spec: one IFD
@@ -375,34 +416,39 @@ def encode_tiff_multipage(frames, compression: int = 1) -> bytes:
     1 = none (default), 5 = LZW, 8 = DEFLATE, 32773 = PackBits — the
     three compressed tiers tifffile reads routinely, so a user's
     compressed microscopy stack round-trips too (VERDICT r7 missing #2).
+    ``predictor=2`` applies per-row horizontal differencing before
+    compression (the pairing real LZW microscopy TIFFs ship with), and
+    ``bits=16`` writes little-endian 16-bit samples — microscopy's
+    native depth.
     """
     import struct
 
+    if bits not in (8, 16):
+        raise NotImplementedError("bits must be 8 or 16")
+    step = bits // 8
     pages = []
     for pixels, width, height in frames:
-        data = bytes(bytearray(pixels))
+        if step == 1:
+            data = bytes(bytearray(pixels))
+        else:
+            data = struct.pack(f"<{len(pixels)}H", *pixels)
         rows_per_strip = (height + 1) // 2
-        pages.append(
-            (
-                width,
-                height,
-                rows_per_strip,
-                _compress_strip(
-                    data[: rows_per_strip * width], width, compression
-                ),
-                _compress_strip(
-                    data[rows_per_strip * width :], width, compression
-                ),
-            )
-        )
+        cut = rows_per_strip * width * step
+        strips = []
+        for raw in (data[:cut], data[cut:]):
+            if predictor == 2:
+                raw = _predict_rows(raw, width, bits, undo=False)
+            strips.append(_compress_strip(raw, width * step, compression))
+        pages.append((width, height, rows_per_strip, strips[0], strips[1]))
     # layout: 8-byte header | all pages' strips | per-page IFD (+ strip
     # offset/bytecount arrays when the page has more than one strip)
+    n_entries = 9 + (1 if predictor != 1 else 0)
     off = 8
     strip_offs = []
     for _, _, _, s0, s1 in pages:
         strip_offs.append((off, off + len(s0)))
         off += len(s0) + len(s1)
-    ifd_size = 2 + 12 * 9 + 4
+    ifd_size = 2 + 12 * n_entries + 4
     ifd_offs = []
     for _, _, _, s0, s1 in pages:
         ifd_offs.append(off)
@@ -423,7 +469,7 @@ def encode_tiff_multipage(frames, compression: int = 1) -> bytes:
         entries = [
             entry(256, 4, 1, width),            # ImageWidth LONG
             entry(257, 4, 1, height),           # ImageLength LONG
-            entry(258, 3, 1, 8),                # BitsPerSample SHORT
+            entry(258, 3, 1, bits),             # BitsPerSample SHORT
             entry(259, 3, 1, compression),      # Compression tag
             entry(262, 3, 1, 1),                # Photometric: BlackIsZero
             entry(273, 4, n_strips, post if n_strips > 1 else off0),
@@ -432,6 +478,10 @@ def encode_tiff_multipage(frames, compression: int = 1) -> bytes:
             entry(279, 4, n_strips,
                   post + 4 * n_strips if n_strips > 1 else len(s0)),
         ]
+        if predictor != 1:
+            entries.append(entry(317, 3, 1, predictor))  # Predictor
+        # IFD entries must be sorted by tag per the spec; 317 > 279 so
+        # the append order already is
         next_ifd = ifd_offs[i + 1] if i + 1 < len(pages) else 0
         out.append(
             struct.pack("<H", len(entries))
@@ -447,10 +497,13 @@ def encode_tiff_multipage(frames, compression: int = 1) -> bytes:
 
 
 def encode_tiff(
-    pixels, width: int, height: int, compression: int = 1
+    pixels, width: int, height: int, compression: int = 1,
+    predictor: int = 1, bits: int = 8,
 ) -> bytes:
     """Single-page baseline TIFF (see :func:`encode_tiff_multipage`)."""
-    return encode_tiff_multipage([(pixels, width, height)], compression)
+    return encode_tiff_multipage(
+        [(pixels, width, height)], compression, predictor, bits
+    )
 
 
 def decode_tiff_pages(payload: bytes) -> list[tuple[int, int, list[int]]]:
@@ -503,22 +556,36 @@ def decode_tiff_pages(payload: bytes) -> list[tuple[int, int, list[int]]]:
                 raw = payload[base + 8 : base + 12]
             tags[tag] = values(typ, count, raw)
         width, height = tags[256][0], tags[257][0]
-        if tags.get(258, [8])[0] != 8:
-            raise NotImplementedError("only 8-bit grayscale TIFF supported")
+        bits = tags.get(258, [8])[0]
+        if bits not in (8, 16):
+            raise NotImplementedError(
+                "only 8- or 16-bit grayscale TIFF supported"
+            )
+        step = bits // 8
         compression = tags.get(259, [1])[0]
+        predictor = tags.get(317, [1])[0]
+        if predictor not in (1, 2):
+            raise NotImplementedError(f"TIFF predictor {predictor}")
         rps = tags.get(278, [height])[0]
-        strips = []
+        px: list[int] = []
         for i, (o, n) in enumerate(zip(tags[273], tags[279])):
             rows = min(rps, height - i * rps)
-            strips.append(
-                _decompress_strip(
-                    payload[o : o + n], rows * width, compression
-                )
+            raw = _decompress_strip(
+                payload[o : o + n], rows * width * step, compression
             )
-        data = b"".join(strips)
-        if len(data) < width * height:
+            if step == 1:
+                vals = list(raw)
+            else:
+                vals = list(struct.unpack(e + f"{len(raw) // 2}H", raw))
+            if predictor == 2:  # undo per-row horizontal differencing
+                mod = 1 << bits
+                for r0 in range(0, len(vals), width):
+                    for j in range(r0 + 1, min(r0 + width, len(vals))):
+                        vals[j] = (vals[j] + vals[j - 1]) % mod
+            px.extend(vals)
+        if len(px) < width * height:
             raise ValueError("truncated TIFF strip data")
-        pages.append((width, height, list(data[: width * height])))
+        pages.append((width, height, px[: width * height]))
         next_base = ifd_off + 2 + 12 * n_entries
         (ifd_off,) = struct.unpack(e + "I", payload[next_base : next_base + 4])
     return pages

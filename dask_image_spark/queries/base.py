@@ -84,6 +84,7 @@ WINDOW: list[str] = [
     "imread_tiff_deflate",
     "imread_tiff_lzw",
     "imread_tiff_packbits",
+    "imread_tiff_16bit",
     "label_cc_dense",
     # --- never driver-graded round-7 continuation additions ---
     "unpivot_events",
@@ -130,7 +131,6 @@ WINDOW: list[str] = [
     "streaming_static_antijoin",
     "custom_python_datasource",
     "streaming_custom_source",
-    "udtf_table_arg_gaps",
     "quickstart_pipeline",
 ]
 

@@ -888,7 +888,12 @@ def tfidf_cosine_pairs(spark, sf_dir):
 
     Threshold compares the EPS-rounded value on both engines so a 1-ulp
     dot difference can't flip membership."""
-    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_pairs_impl(load_table(spark, sf_dir, "documents"))
+
+
+def tfidf_pairs_impl(docs):
+    """The tfidf_cosine_pairs plan over an arbitrary (doc_id, text) frame
+    — shared with the bench 4x slope point (bench.py::tfidf_pairs_4x)."""
     n = (
         docs.filter(F.col("text").isNotNull())
         .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))

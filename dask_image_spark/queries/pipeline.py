@@ -59,6 +59,49 @@ def _dup_augmented(spark, sf_dir):
     return d.unionAll(clones)
 
 
+def assert_contiguous_positions(pdf, what: str) -> int:
+    """The order-sensitive encode fixtures' contiguity contract: a group's
+    ``pos`` column must cover 0..max(pos) with no interior gaps, because
+    their features (zero-crossings, per-page rasters) are ORDER- and
+    COUNT-sensitive — a silently zero-filled hole would diverge from the
+    LAG-ordered oracles, which replay only PRESENT rows. Returns the
+    position count; raises on a gapped regeneration so the grade fails
+    loudly instead of plausibly-wrong (ADVICE r6 / VERDICT r7 item 2)."""
+    n = int(pdf["pos"].max()) + 1
+    if len(pdf) != n:
+        raise ValueError(
+            f"{what}: {len(pdf)} rows for positions up to {n - 1} — "
+            "interior event_id gap below the fixture cutoff"
+        )
+    return n
+
+
+# 4x scale augmentation for the BENCH slope twins (VERDICT r7 item 4):
+# four re-keyed copies of the corpus, each with a different vowel rotation
+# applied to the text. translate() is a cheap map-side codegen expression,
+# and rotating vowels dissociates almost every shingle/token across copies
+# — so vocabulary, shingle sets, and LSH buckets replicate i.i.d. (same
+# per-copy df and bucket-size distributions, 4x the keys) instead of
+# producing pathological 4-way identical-text collisions. Both the engine
+# bench special and the stock twin interpolate THESE constants, so the A/B
+# can never de-pair (the _DUP_STRIDE precedent).
+X4_OFFSET = 20_000_000
+X4_ROTS = ("aeiou", "eioua", "iouae", "ouaei")
+
+
+def docs_x4(spark, sf_dir):
+    """The 4x-augmented documents frame used by the bench slope points."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = None
+    for c, rot in enumerate(X4_ROTS):
+        cp = d.select(
+            (F.col("doc_id") + c * X4_OFFSET).alias("doc_id"),
+            F.translate("text", "aeiou", rot).alias("text"),
+        )
+        out = cp if out is None else out.unionAll(cp)
+    return out
+
+
 @register(
     "dedup_exact_groups",
     f"""
@@ -1765,6 +1808,89 @@ def imread_tiff_packbits(spark, sf_dir):
 
 
 @register(
+    "imread_tiff_16bit",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS img,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(4096 AS INT) AS n_px,  -- padded raster, full 64x64 grid
+           CAST(MAX((event_id * 131 + 17) % 65536) AS INT) AS peak,
+           CAST(SUM((event_id * 131 + 17) % 65536) % 1000003 AS INT)
+             AS checksum
+    FROM events WHERE event_id < 8192
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema="img int, width int, height int, n_px int, peak int, checksum int",
+)
+def imread_tiff_16bit(spark, sf_dir):
+    """16-BIT TIFF ingest with LZW + Predictor 2 — the exact tag
+    combination real microscopy writers emit (16-bit samples, LZW
+    strips, per-row horizontal differencing): encode two 64x64 16-bit
+    frames (values spanning the full 0..65535 range, so an 8-bit
+    truncation anywhere cannot hide), land, re-ingest via binaryFile,
+    decode through the same IFD walk — which must widen strips to
+    little-endian SHORTs, undo the differencing per row, and only then
+    checksum. peak > 255 in every graded row proves the deep samples
+    survived; the modulus 1000003 (prime > 2^16 * grid) keeps full
+    16-bit information in the checksum."""
+    import os
+
+    from dask_image_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/tiff16_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("img"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 131 + 17, F.lit(65536)).cast("int").alias("px"),
+    )
+
+    def write_image(pdf):
+        import numpy as np
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        ordered = np.zeros(4096, dtype=np.uint16)
+        ordered[pdf["pos"].to_numpy()] = pdf["px"].to_numpy().astype(np.uint16)
+        payload = encode_tiff(
+            ordered.tolist(), 64, 64, compression=5, predictor=2, bits=16
+        )
+        with open(f"{out_dir}/img_{img}.tif", "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.tif")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "img": [], "width": [], "height": [], "n_px": [],
+                "peak": [], "checksum": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_tiff(bytes(content))
+                rows["img"].append(int(path.rsplit("img_", 1)[1].split(".")[0]))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(pixels))
+                rows["peak"].append(max(pixels))
+                rows["checksum"].append(sum(pixels) % 1000003)
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode,
+        "img int, width int, height int, n_px int, peak int, checksum int",
+    )
+
+
+@register(
     "audio_wav_stats",
     """
     SELECT CAST(event_id // 4096 AS INT) AS clip,
@@ -1908,18 +2034,9 @@ def audio_zcr_rms(spark, sf_dir):
         import pandas as pd
 
         clip = int(pdf["clip"].iloc[0])
-        n = int(pdf["pos"].max()) + 1  # no zero-tail: ZC is order-sensitive
-        # This query's features are order- AND count-sensitive (LAG-based
-        # zero-crossing oracle, averages over n): a zero-filled gap would
-        # silently diverge from the oracle, which replays only PRESENT
-        # rows. Contiguous event_ids below the cutoff are part of the
-        # fixture contract — fail loudly if a data regeneration breaks it
-        # instead of grading a wrong-but-plausible number (ADVICE r6).
-        if len(pdf) != n:
-            raise ValueError(
-                f"clip {clip}: {len(pdf)} samples for {n} positions — "
-                "event_id gap below the 8192 cutoff"
-            )
+        # no zero-tail: ZC is order- and count-sensitive, so a gapped
+        # regeneration must fail loudly (assert_contiguous_positions)
+        n = assert_contiguous_positions(pdf, f"clip {clip}")
         u = np.zeros(n, dtype=np.uint16)
         u[pdf["pos"].to_numpy()] = pdf["u"].to_numpy().astype(np.uint16)
         payload = encode_wav(u.astype(np.int16).tolist(), 8000)
@@ -2205,11 +2322,7 @@ def imread_tiff_multipage(spark, sf_dir):
             # zero px leave the checksum invariant and n_px counts full
             # pages on both sides) but fail loudly on INTERIOR event_id
             # gaps, which the fixture contract forbids (ADVICE r6).
-            if len(sub) != int(sub["pos"].max()) + 1:
-                raise ValueError(
-                    f"page {frame}: {len(sub)} px for positions up to "
-                    f"{int(sub['pos'].max())} — interior event_id gap"
-                )
+            assert_contiguous_positions(sub, f"page {frame}")
             ordered = np.zeros(256, dtype="uint8")
             ordered[sub["pos"].to_numpy()] = sub["px"].to_numpy().astype("uint8")
             frames.append((ordered, 16, 16))

@@ -389,6 +389,79 @@ def pit_join(spark):
     )
 
 
+def _register_docs4x(spark):
+    # the ENGINE's augmentation constants (queries/pipeline.py::docs_x4),
+    # interpolated so the 4x slope A/B can never silently de-pair
+    from dask_image_spark.queries.pipeline import X4_OFFSET, X4_ROTS
+
+    union = " UNION ALL ".join(
+        f"SELECT doc_id + {c * X4_OFFSET} AS doc_id, "
+        f"translate(text, 'aeiou', '{rot}') AS text FROM documents"
+        for c, rot in enumerate(X4_ROTS)
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW documents4 AS {union}"
+    )
+
+
+def minhash_lsh_4x(spark):
+    # the stock minhash query text over the 4x vowel-rotated corpus —
+    # the slope twin of bench.py::minhash_lsh_4x
+    _register_docs4x(spark)
+    hs = ", ".join(
+        f"min(md5(concat('{s}:', sh))) h{s}" for s in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} band_id, concat(h{2 * b}, h{2 * b + 1}) sig FROM mh"
+        for b in range(4)
+    )
+    return spark.sql(
+        f"""
+        WITH toks AS (SELECT doc_id, split(text, ' ') t FROM documents4
+                      WHERE size(split(text, ' ')) >= 3),
+        sh AS (SELECT doc_id, explode(transform(sequence(0, size(t)-3),
+                   i -> concat_ws(' ', slice(t, i+1, 3)))) sh FROM toks),
+        mh AS (SELECT doc_id, {hs} FROM sh GROUP BY doc_id),
+        bands AS ({bands})
+        SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+        """
+    )
+
+
+def tfidf_pairs_4x(spark):
+    # the stock tfidf-pairs query text over the 4x corpus (df prune kept
+    # at the same absolute 50: the rotation replicates vocabulary i.i.d.,
+    # so per-term df distributions are unchanged)
+    _register_docs4x(spark)
+    return spark.sql(
+        """
+        WITH tok AS (
+          SELECT doc_id, explode(split(text, ' ')) AS tok
+          FROM documents4 WHERE text IS NOT NULL),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs
+              FROM documents4 WHERE text IS NOT NULL),
+        w AS (
+          SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n_docs / df.df) AS w
+          FROM tf JOIN df USING (tok) CROSS JOIN n WHERE df.df <= 50),
+        nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY doc_id),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, p.dot / (x.nm * y.nm) AS cos
+        FROM p JOIN nrm x ON x.doc_id = p.doc_a
+               JOIN nrm y ON y.doc_id = p.doc_b
+        WHERE p.dot / (x.nm * y.nm) >= 0.3
+        """
+    )
+
+
 def global_index(spark):
     # stock global ordinal: ROW_NUMBER over an unpartitioned ORDER BY —
     # every one of the 10M rows funnels through ONE partition's sort.
@@ -429,6 +502,8 @@ SUITE = [
     ("gauss_r2_1024", gauss_r2_1024),
     ("gauss_r2_4096", gauss_r2_4096),
     ("pit_join", pit_join),
+    ("minhash_lsh_4x", minhash_lsh_4x),
+    ("tfidf_pairs_4x", tfidf_pairs_4x),
     # global_index deliberately NOT in the suite: the warm best-of-3
     # protocol reuses the materialized single-partition exchange, hiding
     # the bottleneck the comparison exists to show (see bench.py

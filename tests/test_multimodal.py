@@ -456,3 +456,86 @@ def test_lzw_packbits_property_roundtrip():
         assert _packbits_decode(_packbits_encode(data), len(data)) == data
 
     check()
+
+
+def test_contiguity_guard_rejects_gapped_slice():
+    """VERDICT r7 item 2: the order-sensitive encode fixtures must REFUSE
+    an id-gapped data regeneration instead of silently zero-filling the
+    hole and grading a plausible-but-wrong number. The shared guard
+    accepts a contiguous slice and raises on one with an interior gap."""
+    import pandas as pd
+    import pytest
+
+    from dask_image_spark.queries.pipeline import assert_contiguous_positions
+
+    ok = pd.DataFrame({"pos": [0, 1, 2, 3], "u": [5, 6, 7, 8]})
+    assert assert_contiguous_positions(ok, "clip 0") == 4
+    gapped = pd.DataFrame({"pos": [0, 1, 3], "u": [5, 6, 8]})  # 2 missing
+    with pytest.raises(ValueError, match="interior event_id gap"):
+        assert_contiguous_positions(gapped, "clip 0")
+
+
+def test_tiff_predictor_and_16bit_roundtrip():
+    """Predictor=2 (per-row horizontal differencing) and BitsPerSample=16
+    round-trip through every compression tier, and the predictor
+    genuinely helps: smooth 16-bit data under LZW must compress strictly
+    smaller with differencing than without (the reason real microscopy
+    writers pair them)."""
+    from dask_image_spark.operators.multimodal import (
+        decode_tiff,
+        decode_tiff_pages,
+        encode_tiff,
+        encode_tiff_multipage,
+    )
+
+    big = [(i * 257 + 12345) % 65536 for i in range(64 * 64)]
+    smooth = [(i // 8) * 16 % 65536 for i in range(64 * 64)]
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for px in (big, smooth):
+                p = encode_tiff(
+                    px, 64, 64, compression=comp, predictor=pred, bits=16
+                )
+                assert decode_tiff(p) == (64, 64, px), (comp, pred)
+    mixed8 = [(i * 7 + 13) % 256 for i in range(64 * 64)]
+    for comp in (5, 8, 32773):
+        p = encode_tiff(mixed8, 64, 64, compression=comp, predictor=2)
+        assert decode_tiff(p) == (64, 64, mixed8), comp
+    no_pred = len(encode_tiff(smooth, 64, 64, compression=5, bits=16))
+    pred = len(
+        encode_tiff(smooth, 64, 64, compression=5, predictor=2, bits=16)
+    )
+    assert pred < no_pred
+    multi = encode_tiff_multipage(
+        [(big[:256], 16, 16), (smooth[:256], 16, 16)],
+        compression=8, predictor=2, bits=16,
+    )
+    assert decode_tiff_pages(multi) == [
+        (16, 16, big[:256]), (16, 16, smooth[:256])
+    ]
+
+
+def test_tiff_16bit_big_endian():
+    """Big-endian (MM) 16-bit samples — the decoder must honor the byte
+    order when widening strips to sample values."""
+    import struct
+
+    from dask_image_spark.operators.multimodal import decode_tiff
+
+    px = [256, 513, 65535, 0]
+    data = struct.pack(">4H", *px)
+    hdr = struct.pack(">2sHI", b"MM", 42, 8 + len(data))
+
+    def entry(tag, typ, count, val):
+        return struct.pack(">HHII", tag, typ, count, val)
+
+    def short(tag, val):
+        return struct.pack(">HHIHH", tag, 3, 1, val, 0)
+
+    entries = [
+        entry(256, 4, 1, 2), entry(257, 4, 1, 2), short(258, 16),
+        short(259, 1), short(262, 1), entry(273, 4, 1, 8),
+        short(277, 1), entry(278, 4, 1, 2), entry(279, 4, 1, len(data)),
+    ]
+    ifd = struct.pack(">H", len(entries)) + b"".join(entries) + struct.pack(">I", 0)
+    assert decode_tiff(hdr + data + ifd) == (2, 2, px)
