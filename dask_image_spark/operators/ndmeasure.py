@@ -98,6 +98,41 @@ def center_of_mass(lbl: DataFrame) -> DataFrame:
     )
 
 
+def central_moments(lbl: DataFrame) -> DataFrame:
+    """Per-label value-weighted central moments (mu20/mu02/mu11) and the
+    principal-axis orientation — skimage ``regionprops``'s shape
+    descriptors (inertia tensor, orientation) over the distributed label
+    table, the natural extension of :func:`center_of_mass`.
+
+    ONE map-side-combinable aggregate via the raw-moment identities
+    (mu20 = m20 − m10²/m00, etc.) — never a mean-subtract second pass,
+    so the plan is a single partial+final HashAggregate at any scale.
+    The explicit algebra (not built-in var/cov) keeps both engines'
+    arithmetic identical, the ``moments_per_type`` precedent."""
+    v, y, x = F.col("value"), F.col("y").cast("double"), F.col("x").cast("double")
+    agg = lbl.groupBy("label").agg(
+        F.sum(v).alias("m00"),
+        F.sum(v * y).alias("m10"),
+        F.sum(v * x).alias("m01"),
+        F.sum(v * y * y).alias("m20"),
+        F.sum(v * x * x).alias("m02"),
+        F.sum(v * y * x).alias("m11"),
+    )
+    mu20 = F.col("m20") - F.col("m10") * F.col("m10") / F.col("m00")
+    mu02 = F.col("m02") - F.col("m01") * F.col("m01") / F.col("m00")
+    mu11 = F.col("m11") - F.col("m10") * F.col("m01") / F.col("m00")
+    return agg.select(
+        "label",
+        F.col("m00").alias("mass"),
+        (F.col("m10") / F.col("m00")).alias("com_y"),
+        (F.col("m01") / F.col("m00")).alias("com_x"),
+        mu20.alias("mu20"),
+        mu02.alias("mu02"),
+        mu11.alias("mu11"),
+        (F.atan2(2.0 * mu11, mu20 - mu02) / 2.0).alias("orientation"),
+    )
+
+
 def histogram(lbl: DataFrame, vmin: float, vmax: float, bins: int) -> DataFrame:
     """Long-form per-label histogram: (label, bucket, cnt).
 

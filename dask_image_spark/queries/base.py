@@ -81,11 +81,14 @@ REGISTRY: dict[str, Query] = {}
 # precedent. The 22 round-2-evidence re-grades stay queued for round 9.
 WINDOW: list[str] = [
     # --- round-8 additions: new contracts graded first ---
+    "imread_jpeg",
     "imread_tiff_deflate",
     "imread_tiff_lzw",
     "imread_tiff_packbits",
     "imread_tiff_16bit",
     "label_cc_dense",
+    "measure_central_moments",
+    "udtf_dynamic_schema",
     # --- never driver-graded round-7 continuation additions ---
     "unpivot_events",
     "hll_sketch_merge",
@@ -121,13 +124,10 @@ WINDOW: list[str] = [
     "conversion_latency",
     "weighted_median",
     "ordered_string_agg",
-    "bitmask_rollup",
     "id_gap_audit",
     "psi_drift",
-    "pandas_api_groupby",
     "dedup_incremental_minhash",
     "ngram_diversity",
-    "distance_transform_l1_3d",
     "streaming_static_antijoin",
     "custom_python_datasource",
     "streaming_custom_source",

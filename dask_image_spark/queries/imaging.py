@@ -1213,6 +1213,40 @@ def measure_center_of_mass(spark, sf_dir):
     )
 
 
+@register("measure_central_moments", _measure_oracle(
+    "SELECT label, "
+    "ROUND(1.2345e-8 + SUM(value), 4) AS mass, "
+    "ROUND(1.2345e-8 + SUM(value*y)/SUM(value), 4) AS com_y, "
+    "ROUND(1.2345e-8 + SUM(value*x)/SUM(value), 4) AS com_x, "
+    "ROUND(1.2345e-8 + SUM(value*y*y) - SUM(value*y)*SUM(value*y)/SUM(value), 4) AS mu20, "
+    "ROUND(1.2345e-8 + SUM(value*x*x) - SUM(value*x)*SUM(value*x)/SUM(value), 4) AS mu02, "
+    "ROUND(1.2345e-8 + SUM(value*y*x) - SUM(value*y)*SUM(value*x)/SUM(value), 4) AS mu11, "
+    "ROUND(1.2345e-8 + atan2("
+    "  2*(SUM(value*y*x) - SUM(value*y)*SUM(value*x)/SUM(value)),"
+    "  (SUM(value*y*y) - SUM(value*y)*SUM(value*y)/SUM(value))"
+    "  - (SUM(value*x*x) - SUM(value*x)*SUM(value*x)/SUM(value))) / 2, 4)"
+    " AS orientation "
+    "FROM labeled GROUP BY label"),
+    tags=("imaging", "ndmeasure", "regionprops"))
+def measure_central_moments(spark, sf_dir):
+    """Per-label central moments + principal-axis orientation — skimage
+    regionprops' shape descriptors (the inertia-tensor family) as one
+    partial-aggregatable pass over the label table; completes the
+    measurement family beyond upstream's center_of_mass (see
+    ndmeasure.central_moments for the raw-moment identity plan)."""
+    df = ndmeasure.central_moments(labeled_grid(spark, sf_dir))
+    return df.select(
+        "label",
+        _eps_round("mass", 4).alias("mass"),
+        _eps_round("com_y", 4).alias("com_y"),
+        _eps_round("com_x", 4).alias("com_x"),
+        _eps_round("mu20", 4).alias("mu20"),
+        _eps_round("mu02", 4).alias("mu02"),
+        _eps_round("mu11", 4).alias("mu11"),
+        _eps_round("orientation", 4).alias("orientation"),
+    )
+
+
 @register("measure_histogram", _measure_oracle(
     "SELECT label, LEAST(CAST(FLOOR((value - 0.0) / 400.0 * 8) AS INT), 7) AS bucket, "
     "COUNT(*) AS cnt FROM labeled WHERE value >= 0.0 AND value <= 400.0 "

@@ -1808,6 +1808,94 @@ def imread_tiff_packbits(spark, sf_dir):
 
 
 @register(
+    "imread_jpeg",
+    """
+    WITH px AS (
+      SELECT CAST(event_id // 4096 AS INT) AS img,
+             ((CAST(event_id // 4096 AS INT) * 64
+               + CAST((event_id % 4096) // 512 AS INT) * 8
+               + CAST((event_id % 64) // 8 AS INT)) * 97 + 31) % 256 AS v
+      FROM events WHERE event_id < 8192)
+    SELECT img, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(4096 AS INT) AS n_px,
+           CAST(SUM(v) % 65536 AS INT) AS checksum
+    FROM px GROUP BY img
+    """,
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema="img int, width int, height int, n_px int, checksum int",
+)
+def imread_jpeg(spark, sf_dir):
+    """Baseline JPEG ingest through the full from-scratch codec
+    (operators/jpeg.py — marker walk, DQT/DHT parsing, canonical-Huffman
+    entropy decode with FF00 unstuffing, DC prediction, zigzag, dequant,
+    IDCT): the format upstream's pims/PIL path meets constantly. JPEG is
+    LOSSY, so the fixture is BLOCK-CONSTANT — every 8x8 block carries one
+    value ((img*64 + block)*97 + 31) % 256 — which leaves only the DC
+    coefficient nonzero and makes the roundtrip bit-exact (unit-pinned in
+    tests/test_jpeg.py; lossy inputs are differential-tested there
+    against an independent cosine-sum IDCT instead). The oracle
+    recomputes the block values straight from events, so header writing,
+    Huffman tables, the entropy bitstream, and the IDCT all sit inside
+    the value-hash."""
+    import os
+
+    from dask_image_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/jpeg_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    img_c = (F.col("event_id") / 4096).cast("int")
+    pos_c = F.pmod(F.col("event_id"), F.lit(4096)).cast("int")
+    blk_c = (pos_c / 512).cast("int") * 8 + F.pmod(pos_c, F.lit(64)).cast("int") / F.lit(8)
+    px = ev.select(
+        img_c.alias("img"),
+        pos_c.alias("pos"),
+        F.pmod(
+            (img_c * 64 + blk_c.cast("int")) * 97 + 31, F.lit(256)
+        ).cast("int").alias("px"),
+    )
+
+    def write_image(pdf):
+        import numpy as np
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        ordered = np.zeros(4096, dtype="uint8")
+        ordered[pdf["pos"].to_numpy()] = pdf["px"].to_numpy().astype("uint8")
+        payload = encode_jpeg_gray(ordered.tolist(), 64, 64)
+        with open(f"{out_dir}/img_{img}.jpg", "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.jpg")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"img": [], "width": [], "height": [], "n_px": [], "checksum": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_jpeg_gray(bytes(content))
+                rows["img"].append(int(path.rsplit("img_", 1)[1].split(".")[0]))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(pixels))
+                rows["checksum"].append(sum(pixels) % 65536)
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode, "img int, width int, height int, n_px int, checksum int"
+    )
+
+
+@register(
     "imread_tiff_16bit",
     """
     SELECT CAST(event_id // 4096 AS INT) AS img,
@@ -3930,6 +4018,70 @@ def udtf_table_arg_gaps(spark, sf_dir):
     return spark.sql(
         f"SELECT * FROM gap_stats_udtf(TABLE({view})"
         " PARTITION BY user_id ORDER BY (us, event_id)) ORDER BY user_id"
+    )
+
+
+@register(
+    "udtf_dynamic_schema",
+    """
+    WITH t AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL),
+    cols AS (
+      SELECT toks[1] AS tok0,
+             CASE WHEN len(toks) >= 2 THEN toks[2] END AS tok1,
+             CASE WHEN len(toks) >= 3 THEN toks[3] END AS tok2
+      FROM t)
+    SELECT tok0, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT tok2) AS BIGINT) AS n_third
+    FROM cols GROUP BY tok0 ORDER BY n DESC, tok0 LIMIT 20
+    """,
+    tags=("pipeline", "udtf", "dynamic-schema"),
+)
+def udtf_dynamic_schema(spark, sf_dir):
+    """Spark 4 polymorphic UDTF with an ``analyze()``-time OUTPUT SCHEMA:
+    the column set (tok0..tok{n-1}) is computed from the constant
+    argument when the query is ANALYZED, not declared statically — the
+    third member of the UDTF family (`udtf_ngrams` = scalar args + static
+    schema, `udtf_table_arg_gaps` = table arg + PARTITION BY). This is
+    the schema-on-call shape of real dynamic splitters (fixed-width
+    parsers, pivot-to-N-columns): the engine type-checks downstream
+    references against the analyze() result, so a wrong dynamic schema
+    fails at plan time, not mid-job. The oracle replays the first-3-token
+    split with list indexing; NULL padding for short documents is graded
+    (COUNT(DISTINCT tok2) skips them identically on both engines)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(s: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, s, n):
+            toks = (s or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    spark.udtf.register("split_fixed_udtf", SplitFixed)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    d.createOrReplaceTempView("_udtf_dyn_docs")
+    return spark.sql(
+        """
+        SELECT s.tok0, COUNT(*) AS n, COUNT(DISTINCT s.tok2) AS n_third
+        FROM _udtf_dyn_docs d, LATERAL split_fixed_udtf(d.text, 3) s
+        GROUP BY s.tok0 ORDER BY n DESC, s.tok0 LIMIT 20
+        """
     )
 
 

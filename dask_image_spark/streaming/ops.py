@@ -801,3 +801,4 @@ def stream_left_outer_join(
     # the last delay-window of unmatched purchases forever). Filtering the
     # sink table is a plain batch predicate the stream never sees.
     return run_to_memory(joined, "append").filter(F.col("user_id") >= 0)
+

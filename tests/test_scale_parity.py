@@ -44,6 +44,13 @@ SAMPLE = [
     "fifo_allocation",           # cumulative-axis boundaries at 10x
     "logreg_gd_2step",           # gradient-sum precision at 10x rows
     "embedding_dim_stats",       # the signed-zero regression class
+    # round-8 additions
+    "imread_tiff_lzw",           # LZW strips at the full 8192-event fixture
+    "imread_tiff_16bit",         # 16-bit + predictor roundtrip at 10x
+    "imread_jpeg",               # block-constant exactness is SF-dependent-free
+    "label_cc_dense",            # noise-mask labeling (dense-grid contract)
+    "measure_central_moments",   # raw-moment precision at 10x values
+    "udtf_dynamic_schema",       # analyze()-schema over the 10x corpus
 ]
 
 
