@@ -379,3 +379,37 @@ def fourier_gaussian_3d(px: DataFrame, sigma: float, shape, keys=()) -> DataFram
 
     grouped = px.groupBy(*keys) if keys else px.groupBy(F.lit(1).alias("_g"))
     return grouped.applyInPandas(fn, schema)
+
+
+def edt_envelope_1d(f):
+    """One line of the exact squared-euclidean distance transform:
+    D(q) = min over p of (f(p) + (q - p)^2), computed in O(n) as the
+    lower envelope of parabolas (Felzenszwalb & Huttenlocher 2004,
+    "Distance Transforms of Sampled Functions", eq. 3 pseudocode).
+    ``f`` is the per-site seed cost (0 at mask sites, squared row
+    distance in the 2-D composition); returns int64 squared distances."""
+    import numpy as np
+
+    f = np.asarray(f, dtype=np.float64)
+    n = len(f)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    v = np.zeros(n, dtype=np.int64)        # parabola vertices
+    z = np.empty(n + 1, dtype=np.float64)  # envelope breakpoints
+    z[0], z[1] = -np.inf, np.inf
+    k = 0
+    for q in range(1, n):
+        s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+        while s <= z[k]:
+            k -= 1
+            s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+        k += 1
+        v[k] = q
+        z[k], z[k + 1] = s, np.inf
+    d = np.empty(n, dtype=np.int64)
+    k = 0
+    for q in range(n):
+        while z[k + 1] < q:
+            k += 1
+        d[q] = (q - v[k]) ** 2 + int(f[v[k]])
+    return d

@@ -89,6 +89,8 @@ WINDOW: list[str] = [
     "label_cc_dense",
     "measure_central_moments",
     "udtf_dynamic_schema",
+    "distance_transform_edt",
+    "streaming_rocksdb_agg",
     # --- never driver-graded round-7 continuation additions ---
     "unpivot_events",
     "hll_sketch_merge",
@@ -122,8 +124,6 @@ WINDOW: list[str] = [
     "pit_join_scd2",
     "window_distribution_ranks",
     "conversion_latency",
-    "weighted_median",
-    "ordered_string_agg",
     "id_gap_audit",
     "psi_drift",
     "dedup_incremental_minhash",

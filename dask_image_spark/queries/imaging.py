@@ -1505,6 +1505,77 @@ def distance_transform_l1(spark, sf_dir):
 
 
 @register(
+    "distance_transform_edt",
+    with_pixel_ctes(
+        """
+        SELECT p.y, p.x,
+               CAST(MIN((p.y - m.y) * (p.y - m.y)
+                      + (p.x - m.x) * (p.x - m.x)) AS BIGINT) AS dist2
+        FROM pixels p CROSS JOIN (SELECT y, x FROM mask WHERE m) m
+        GROUP BY p.y, p.x
+        """,
+        extra=None,
+    ),
+    tags=("imaging", "distance-transform", "window"),
+)
+def distance_transform_edt(spark, sf_dir):
+    """EXACT squared EUCLIDEAN distance transform — scipy
+    ``distance_transform_edt``'s metric (watershed markers, morphology
+    by threshold-of-EDT, proximity features), completing the transform
+    family beside the L1 pair. Squared distances are INTEGERS, so the
+    result is value-hash exact with no float contract.
+
+    The separable two-pass design (Felzenszwalb & Huttenlocher 2004):
+
+    - Row pass: within a row the input is binary, so the 1-D squared
+      euclidean distance is just the SQUARE of the L1 row distance —
+      the same two prefix-minima window frames as
+      ``distance_transform_l1``, squared. Pure codegen, one shuffle.
+    - Column pass: D(y) = min over y' of (d1(y') + (y - y')²) is a
+      LOWER ENVELOPE OF PARABOLAS — not a prefix recurrence, so this
+      pass runs the published O(n) envelope algorithm per column line
+      in ``applyInPandas`` (the R2 per-line pattern the spline IIR
+      filters use). One shuffle groups the columns; each line is
+      64 floats here and one column of a tile at scale.
+
+    Two shuffles total for an exact EDT vs the oracle's brute-force
+    O(pixels × mask) search; per-column envelope memory is O(column
+    height), independent of image width."""
+    import pandas as pd
+
+    from dask_image_spark.functions.pixelgrid import mask_grid
+
+    INF = 1 << 20
+    m = mask_grid(spark, sf_dir)
+    g = m.select(
+        "y", "x", F.when(F.col("m"), 0).otherwise(F.lit(INF)).alias("g")
+    )
+    fwd_x = Window.partitionBy("y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bwd_x = Window.partitionBy("y").orderBy("x").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    drow = F.least(
+        F.min(F.col("g") - F.col("x")).over(fwd_x) + F.col("x"),
+        F.min(F.col("g") + F.col("x")).over(bwd_x) - F.col("x"),
+        F.lit(100_000),  # bounded sentinel: (1e5)^2 is float64-exact
+    )
+    d1 = g.select("y", "x", (drow * drow).cast("double").alias("d1"))
+
+    def envelope(pdf: pd.DataFrame) -> pd.DataFrame:
+        from dask_image_spark.operators.chunked import edt_envelope_1d
+
+        pdf = pdf.sort_values("y")
+        d = edt_envelope_1d(pdf["d1"].to_numpy())
+        return pd.DataFrame(
+            {"y": pdf["y"].to_numpy(), "x": pdf["x"].to_numpy(), "dist2": d}
+        )
+
+    return d1.groupBy("x").applyInPandas(envelope, "y int, x int, dist2 long")
+
+
+@register(
     "measure_perimeter",
     with_pixel_ctes(
         """

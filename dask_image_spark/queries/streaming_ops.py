@@ -169,6 +169,34 @@ def streaming_session_window(spark, sf_dir):
 
 
 @register(
+    "streaming_rocksdb_agg",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= {GAP_US}
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+          FROM g)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+    tags=("streaming", "window", "session", "rocksdb"),
+)
+def streaming_rocksdb_agg(spark, sf_dir):
+    """The SAME session-window aggregate on the ROCKSDB state store —
+    the production backend for state beyond executor heap (local-SSD
+    spill + changelog checkpointing). Sharing streaming_session_window's
+    batch oracle is the point: a state backend must never change
+    results, only capacity (see streaming/ops.py::rocksdb_session_stats
+    for the 100 TB rationale)."""
+    return ops.rocksdb_session_stats(spark, sf_dir)
+
+
+@register(
     "streaming_dedup_watermark",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS n

@@ -802,3 +802,31 @@ def stream_left_outer_join(
     # sink table is a plain batch predicate the stream never sees.
     return run_to_memory(joined, "append").filter(F.col("user_id") >= 0)
 
+
+
+def rocksdb_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-window aggregate (``session_window_counts`` — the most
+    state-intensive built-in operator: arbitrary-many open sessions per
+    key, merged on overlap) running on the ROCKSDB state store provider
+    — the production backend for streaming state that outgrows executor
+    heap (the 100 TB posture: RocksDB spills keyed state to local SSD
+    with changelog checkpointing, where the default HDFS-backed store
+    holds every key in memory). The provider conf is scoped to this
+    query and restored after, so the rest of the streaming family keeps
+    the default store; both backends must produce IDENTICAL results,
+    which is exactly what sharing the batch sessionization oracle
+    checks."""
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        return session_window_counts(spark, sf_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)

@@ -179,3 +179,42 @@ def test_generic_filter_tiles_mad_matches_numpy(spark):
     med = np.median(win, axis=2, keepdims=True)
     want = np.median(np.abs(win - med), axis=2)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_edt_envelope_matches_brute_force():
+    """Full 2-D EDT composition (row L1 squared -> per-column parabola
+    envelope) against the O(n^2 m) brute-force nearest-mask search, on
+    random masks including empty rows/columns and an all-empty grid."""
+    import numpy as np
+
+    from dask_image_spark.operators.chunked import edt_envelope_1d
+
+    rng = np.random.default_rng(5)
+    for trial in range(8):
+        h, w = rng.integers(3, 20, size=2)
+        mask = rng.random((h, w)) < (0.15 if trial % 2 else 0.45)
+        if trial == 7:
+            mask[:] = False  # no seeds: all distances stay at sentinel
+        SENT = 100_000
+        # row pass: 1-D L1 distance per row, squared
+        d1 = np.full((h, w), float(SENT) ** 2)
+        for y in range(h):
+            xs = np.flatnonzero(mask[y])
+            if len(xs):
+                d = np.abs(np.arange(w)[:, None] - xs[None, :]).min(axis=1)
+                d1[y] = d.astype(float) ** 2
+        # column pass: parabola envelope
+        got = np.empty((h, w), dtype=np.int64)
+        for x in range(w):
+            got[:, x] = edt_envelope_1d(d1[:, x])
+        # brute force
+        ys, xs = np.nonzero(mask)
+        if len(ys):
+            yy, xx = np.mgrid[0:h, 0:w]
+            bf = (
+                (yy[:, :, None] - ys[None, None, :]) ** 2
+                + (xx[:, :, None] - xs[None, None, :]) ** 2
+            ).min(axis=2)
+            assert np.array_equal(got, bf), trial
+        else:
+            assert (got >= SENT**2).all()
