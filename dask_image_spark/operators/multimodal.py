@@ -731,6 +731,10 @@ def decode_image(payload: bytes, codec: str = "fake"):
         return decode_png(payload)[2]
     if codec == "tiff":
         return decode_tiff(payload)[2]
+    if codec == "jpeg":
+        from dask_image_spark.operators.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)[2]
     raise NotImplementedError(
         f"codec {codec!r} needs an image library not present in this "
         "container; install PIL/tifffile and extend decode_image"

@@ -91,6 +91,8 @@ WINDOW: list[str] = [
     "udtf_dynamic_schema",
     "distance_transform_edt",
     "streaming_rocksdb_agg",
+    "kcore_decomposition",
+    "image_hist_match",
     # --- never driver-graded round-7 continuation additions ---
     "unpivot_events",
     "hll_sketch_merge",
@@ -119,11 +121,9 @@ WINDOW: list[str] = [
     "k_anonymity_violations",
     "streaming_ohlc",
     "moments_per_type",
-    "mutual_information",
     "mv_incremental_refresh",
     "pit_join_scd2",
     "window_distribution_ranks",
-    "conversion_latency",
     "id_gap_audit",
     "psi_drift",
     "dedup_incremental_minhash",

@@ -1505,6 +1505,82 @@ def distance_transform_l1(spark, sf_dir):
 
 
 @register(
+    "image_hist_match",
+    with_pixel_ctes(
+        """
+        SELECT a.lvl, a.cnt,
+               CAST(MIN(b.lvl) AS INT) AS matched
+        FROM ca a JOIN cb b
+          ON b.cum * a.tot >= a.cum * b.tot
+        GROUP BY a.lvl, a.cnt ORDER BY a.lvl
+        """,
+        extra=[
+            """ha AS (SELECT CAST(FLOOR(value) AS BIGINT) % 256 AS lvl,
+                    COUNT(*) AS cnt FROM pixels GROUP BY 1)""",
+            """ca AS (SELECT lvl, cnt,
+                    SUM(cnt) OVER (ORDER BY lvl ROWS UNBOUNDED PRECEDING)
+                      AS cum,
+                    SUM(cnt) OVER () AS tot FROM ha)""",
+            """hb AS (SELECT (event_id * 37 + 11) % 256 AS lvl,
+                    COUNT(*) AS cnt FROM events GROUP BY 1)""",
+            """cb AS (SELECT lvl,
+                    SUM(cnt) OVER (ORDER BY lvl ROWS UNBOUNDED PRECEDING)
+                      AS cum,
+                    SUM(cnt) OVER () AS tot FROM hb)""",
+        ],
+    ),
+    tags=("imaging", "histogram", "pointwise"),
+)
+def image_hist_match(spark, sf_dir):
+    """HISTOGRAM MATCHING (skimage ``match_histograms`` made discrete):
+    remap the source image's gray levels so its distribution follows a
+    REFERENCE distribution — the cross-acquisition normalization step
+    microscopy pipelines run before any cross-image comparison (the
+    two-image generalization of ``image_hist_equalize``, whose target
+    is implicitly uniform). matched(a) = the smallest reference level b
+    with CDF_ref(b) >= CDF_src(a) — the monotone quantile map.
+
+    The CDF comparison is EXACT INTEGER arithmetic on both engines:
+    CDF_b >= CDF_a  <=>  cum_b * tot_a >= cum_a * tot_b, so no float
+    quantile can flip the argmin at a boundary. Scale shape: both
+    histograms are partial-agg groupBys to <= 256 rows; the CDF windows
+    and the theta-join run over the LEVEL DOMAIN (256 x 256 worst
+    case, broadcast), never the image — per-pixel application is a
+    broadcast lookup exactly like hist-equalize."""
+    px = pixel_grid(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ha = px.select(
+        (F.floor("value").cast("bigint") % 256).alias("lvl")
+    ).groupBy("lvl").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ca = ha.select(
+        "lvl", "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    hb = ev.select(
+        ((F.col("event_id") * 37 + 11) % 256).alias("lvl")
+    ).groupBy("lvl").agg(F.count(F.lit(1)).alias("cnt"))
+    cb = hb.select(
+        F.col("lvl").alias("blvl"),
+        F.sum("cnt").over(w_cum.orderBy("lvl")).alias("bcum"),
+        F.sum("cnt").over(w_all).alias("btot"),
+    )
+    return (
+        ca.join(
+            F.broadcast(cb),
+            F.col("bcum") * F.col("tot") >= F.col("cum") * F.col("btot"),
+        )
+        .groupBy("lvl", "cnt")
+        .agg(F.min("blvl").cast("int").alias("matched"))
+        .orderBy("lvl")
+    )
+
+
+@register(
     "distance_transform_edt",
     with_pixel_ctes(
         """

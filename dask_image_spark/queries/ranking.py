@@ -1409,3 +1409,109 @@ def retrieval_mrr_hit(spark, sf_dir):
             "hit_at_5",
         )
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    ctes = [
+        "nodes AS (SELECT doc_id FROM documents)",
+        "n AS (SELECT COUNT(*) AS c FROM nodes)",
+        f"""dirs AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src,
+               {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+        FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2)) t(j))
+      WHERE src <> dst)""",
+        """edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM dirs
+        UNION ALL SELECT dst AS src, src AS dst FROM dirs))""",
+        "s0 AS (SELECT doc_id AS v FROM nodes)",
+    ]
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""s{i} AS (
+      SELECT e.src AS v FROM edges e
+      JOIN {prev} a ON a.v = e.src JOIN {prev} b ON b.v = e.dst
+      GROUP BY e.src HAVING COUNT(*) >= {k})"""
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM edges e
+    JOIN {prev} a ON a.v = e.src JOIN {prev} b ON b.v = e.dst
+    GROUP BY e.src ORDER BY e.src
+    """
+    )
+
+
+@register(
+    "kcore_decomposition",
+    _kcore_oracle(),
+    tags=("ranking", "graph", "kcore"),
+)
+def kcore_decomposition(spark, sf_dir):
+    """3-CORE DECOMPOSITION by iterative peeling (4 fixed synchronous
+    rounds + a final in-subgraph degree report) over a thinned simple
+    symmetrized fixture graph (out-degree 2, so the peel PROVABLY
+    cascades: 500 -> 206 -> 201 -> 199 survivors at sf0.01 — a k under
+    the minimum degree would grade vacuously on an unpeeled graph) — the graph-cleanup pass dedup
+    pipelines run before community detection (degree-1 tendrils are
+    usually boilerplate chains, the dense core is the real duplicate
+    cluster). Per round: ONE degree aggregate over edges whose both
+    endpoints survive (two semi-shaped equi-joins against the current
+    survivor set + a partial+final count), then the degree-&gt;=k filter;
+    ``localCheckpoint`` truncates lineage per round like the other
+    iterative ops (pagerank/bfs/LPA). Survivor sets only SHRINK, so the
+    joins get cheaper every round; the edge list partitioning is
+    reusable across rounds. The oracle replays the fixed peels as a CTE
+    chain — the `pagerank_2iter` fixed-iteration contract."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    dirs = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.lit(n).alias("n"),
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            "src",
+            F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = (
+        dirs.union(
+            dirs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def surviving_degrees(surv):
+        return (
+            edges.join(surv.withColumnRenamed("v", "src"), "src")
+            .join(
+                surv.select(F.col("v").alias("dst")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    surv = docs.select(F.col("doc_id").alias("v"))
+    for _ in range(4):
+        surv = (
+            surviving_degrees(surv)
+            .filter(F.col("deg") >= 3)
+            .select(F.col("src").alias("v"))
+            .localCheckpoint()
+        )
+    return (
+        surviving_degrees(surv)
+        .select(
+            F.col("src").alias("doc_id"), F.col("deg").cast("long").alias("deg")
+        )
+        .orderBy("doc_id")
+    )

@@ -693,3 +693,32 @@ def test_nested_schema_pruning_reads_one_leaf(spark, sf_dir):
     assert "l_quantity" in read, read
     assert "l_extendedprice" not in read, read
     assert "l_partkey" not in read, read
+
+
+def test_edt_is_windows_plus_one_line_shuffle(spark, sf_dir):
+    """The exact Euclidean transform must be the L1 window pass plus ONE
+    column-grouped Arrow stage (FlatMapGroupsInPandas) — never a
+    pixels x mask nearest join."""
+    plan = _plan(spark, sf_dir, "distance_transform_edt")
+    for bad in ("SortMergeJoin", "CartesianProduct", "ShuffledHashJoin"):
+        assert bad not in plan, f"EDT plan grew a {bad}:\n{plan[:2000]}"
+    tree = plan.split("\n\n")[0]
+    # mask_grid's 1-row threshold broadcast is the only nested loop
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+    assert "FlatMapGroupsInPandas" in plan  # the per-column envelope
+    assert plan.count("Window") >= 1        # the row L1 pass
+
+
+def test_central_moments_single_aggregate(spark, sf_dir):
+    """Raw-moment identities make the shape descriptors ONE
+    partial+final hash aggregate: no Window, no join, no second
+    mean-subtract scan of the label table."""
+    plan = _plan(spark, sf_dir, "measure_central_moments")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    for bad in ("SortMergeJoin", "CartesianProduct", "ShuffledHashJoin"):
+        assert bad not in tree, f"moments plan grew a {bad}:\n{tree[:2000]}"
+    # partial + final for the moments themselves; the cached pixel-grid
+    # fixture's own aggregate pair lives under InMemoryRelation
+    above_cache = tree.split("InMemoryTableScan")[0]
+    assert above_cache.count("HashAggregate") == 2, tree

@@ -51,6 +51,10 @@ SAMPLE = [
     "label_cc_dense",            # noise-mask labeling (dense-grid contract)
     "measure_central_moments",   # raw-moment precision at 10x values
     "udtf_dynamic_schema",       # analyze()-schema over the 10x corpus
+    "distance_transform_edt",    # envelope exactness on the dense grid
+    "streaming_rocksdb_agg",     # RocksDB backend at a 10x timeline
+    "kcore_decomposition",       # peel cascade on the 10x graph
+    "image_hist_match",          # integer CDF cross-multiplication at 10x
 ]
 
 
