@@ -93,6 +93,8 @@ WINDOW: list[str] = [
     "streaming_rocksdb_agg",
     "kcore_decomposition",
     "image_hist_match",
+    "template_match_ncc",
+    "sql_group_by_all",
     # --- never driver-graded round-7 continuation additions ---
     "unpivot_events",
     "hll_sketch_merge",
@@ -125,9 +127,7 @@ WINDOW: list[str] = [
     "pit_join_scd2",
     "window_distribution_ranks",
     "id_gap_audit",
-    "psi_drift",
     "dedup_incremental_minhash",
-    "ngram_diversity",
     "streaming_static_antijoin",
     "custom_python_datasource",
     "streaming_custom_source",

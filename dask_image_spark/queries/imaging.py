@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from dask_image_spark.functions import kernels as K
 from dask_image_spark.functions.boundary import remap_sql
+from dask_image_spark.functions.localrel import values_df
 from dask_image_spark.functions.pixelgrid import (
     GRID,
     labeled_grid,
@@ -1501,6 +1502,97 @@ def distance_transform_l1(spark, sf_dir):
             F.min(F.col("dr") - F.col("y")).over(fwd_y) + F.col("y"),
             F.min(F.col("dr") + F.col("y")).over(bwd_y) - F.col("y"),
         ).cast("int").alias("dist"),
+    )
+
+
+# 3x3 template for NCC matching: varied deterministic ints, centered
+# at build time so both engines embed identical double literals.
+_TM_RAW = [
+    (dy, dx, ((3 * (dy + 1) + (dx + 1)) * 7 + 5) % 13)
+    for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+]
+_TM_MEAN = sum(w for _, _, w in _TM_RAW) / 9.0
+_TM_CENT = [(dy, dx, w - _TM_MEAN) for dy, dx, w in _TM_RAW]
+_TM_SS = sum(w * w for _, _, w in _TM_CENT)  # sum of squared centered taps
+
+_TM_VALUES = ", ".join(f"({dy}, {dx}, {w!r})" for dy, dx, w in _TM_CENT)
+
+_TEMPLATE_MATCH_ORACLE = with_pixel_ctes(
+    f"""
+    SELECT y, x,
+           ROUND(1.2345e-8 + corrt / sqrt((s2 - s1 * s1 / 9.0) * {_TM_SS!r}),
+                 4) AS ncc
+    FROM win
+    WHERE s2 - s1 * s1 / 9.0 > 1e-9
+    ORDER BY ncc DESC, y, x LIMIT 10
+    """,
+    extra=[
+        f"t(dy, dx, w) AS (SELECT * FROM (VALUES {_TM_VALUES}))",
+        """win AS (
+      SELECT p.y, p.x,
+             SUM(q.value * t.w) AS corrt,
+             SUM(q.value) AS s1,
+             SUM(q.value * q.value) AS s2
+      FROM pixels p CROSS JOIN t
+      JOIN pixels q ON q.y = p.y + t.dy AND q.x = p.x + t.dx
+      GROUP BY p.y, p.x HAVING COUNT(*) = 9)""",
+    ],
+)
+
+
+@register(
+    "template_match_ncc",
+    _TEMPLATE_MATCH_ORACLE,
+    tags=("imaging", "stencil", "matching"),
+)
+def template_match_ncc(spark, sf_dir):
+    """TEMPLATE MATCHING by normalized cross-correlation (skimage
+    ``match_template``): score every valid 3x3 window against a fixed
+    template, invariant to local brightness and contrast —
+    ncc = sum((I_d - mean_I)(T_d - mean_T)) / sqrt(var_I * var_T) —
+    then report the top-10 matches. Because sum(T_d - mean_T) = 0, the
+    numerator is just the correlation with the CENTERED template, and
+    the local variance comes from the window sum and sum-of-squares; so
+    ALL THREE window statistics come out of ONE scatter-aggregate (each
+    pixel fans out to the 9 windows that read it, one groupBy — the
+    stencil family's single-shuffle plan, carrying three aggregates
+    instead of one) followed by a TakeOrderedAndProject heap. A naive
+    composition would run three separate 9-tap correlations = three
+    shuffles. Interior-only via the count-9 gate, matching the oracle's
+    definitional join; flat windows (zero variance) are excluded before
+    the division on both engines."""
+    px = pixel_grid(spark, sf_dir)
+    taps = values_df(
+        spark, "dy, dx, w", [(dy, dx, float(w)) for dy, dx, w in _TM_CENT]
+    )
+    win = (
+        px.crossJoin(F.broadcast(taps))
+        .select(
+            (F.col("y") - F.col("dy")).alias("ty"),
+            (F.col("x") - F.col("dx")).alias("tx"),
+            (F.col("value") * F.col("w")).alias("vw"),
+            "value",
+        )
+        .groupBy(F.col("ty").alias("y"), F.col("tx").alias("x"))
+        .agg(
+            F.sum("vw").alias("corrt"),
+            F.sum("value").alias("s1"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == 9)
+    )
+    var_i = F.col("s2") - F.col("s1") * F.col("s1") / 9.0
+    return (
+        win.filter(var_i > 1e-9)
+        .select(
+            "y", "x",
+            _eps_round(
+                F.col("corrt") / F.sqrt(var_i * F.lit(_TM_SS)), 4
+            ).alias("ncc"),
+        )
+        .orderBy(F.desc("ncc"), "y", "x")
+        .limit(10)
     )
 
 

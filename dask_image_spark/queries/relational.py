@@ -4003,6 +4003,46 @@ def sql_pipe_syntax(spark, sf_dir):
 
 
 @register(
+    "sql_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           EXTRACT(year FROM l_shipdate) AS ship_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + SUM(l_extendedprice * (1 - l_discount)), 4)
+             AS revenue
+    FROM lineitem WHERE l_quantity >= 30
+    GROUP BY l_returnflag, l_linestatus, ship_year
+    ORDER BY l_returnflag, l_linestatus, ship_year
+    """,
+    tags=("relational", "sql-surface", "group-by-all"),
+)
+def sql_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` — the Spark 4 shorthand that
+    infers the grouping keys from the non-aggregate SELECT items and
+    sorts by every output column (the duckdb-popularized idiom
+    analysts now write by default; a migration blocker when absent).
+    The statement must resolve a computed expression (``ship_year``)
+    into the inferred key set, not just plain columns, and compile to
+    the identical plan as the explicit form the oracle states — the
+    grade certifies the inference, the execution is ordinary."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "liv_group_by_all"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               EXTRACT(year FROM l_shipdate) AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_extendedprice * (1 - l_discount))
+                     + 1.2345e-8, 4) AS revenue
+        FROM liv_group_by_all WHERE l_quantity >= 30
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@register(
     "filtered_aggregates",
     """
     SELECT event_type,

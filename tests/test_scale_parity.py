@@ -55,6 +55,8 @@ SAMPLE = [
     "streaming_rocksdb_agg",     # RocksDB backend at a 10x timeline
     "kcore_decomposition",       # peel cascade on the 10x graph
     "image_hist_match",          # integer CDF cross-multiplication at 10x
+    "template_match_ncc",        # NCC top-10 tiebreak stability at 10x
+    "sql_group_by_all",          # inferred grouping keys over 10x lineitem
 ]
 
 
