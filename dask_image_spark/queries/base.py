@@ -95,6 +95,7 @@ WINDOW: list[str] = [
     "image_hist_match",
     "template_match_ncc",
     "sql_group_by_all",
+    "richardson_lucy_deconv",
     # --- never driver-graded round-7 continuation additions ---
     "unpivot_events",
     "hll_sketch_merge",
@@ -118,7 +119,6 @@ WINDOW: list[str] = [
     "dedup_levenshtein",
     "chisq_independence",
     "remove_small_objects",
-    "fir_smooth_8tap",
     "attribution_last_touch",
     "k_anonymity_violations",
     "streaming_ohlc",

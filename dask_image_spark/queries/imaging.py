@@ -1505,6 +1505,118 @@ def distance_transform_l1(spark, sf_dir):
     )
 
 
+# Richardson-Lucy deconvolution fixture: a deliberately ASYMMETRIC
+# normalized 3x3 PSF (a symmetric one would make the convolve and
+# correlate passes identical and leave the kernel flip ungraded).
+_RL_PSF = [
+    (dy, dx, (3 * (dy + 1) + (dx + 1) + 1) / 45.0)
+    for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+]
+_RL_PSF_FLIP = [(-dy, -dx, w) for dy, dx, w in _RL_PSF]
+_RL_EPS = 1.2345e-8
+
+
+def _rl_oracle(iters: int = 2) -> str:
+    """Chained-CTE replay of the fixed-iteration RL update with the same
+    6-decimal quantization barrier after every stage (the engine's
+    numpy tiles quantize identically, so cross-engine float drift can
+    never compound through the iterations)."""
+    def taps_values(taps):
+        return ", ".join(f"({dy}, {dx}, {w!r})" for dy, dx, w in taps)
+
+    def scatter(name, src, taps_tbl):
+        return f"""{name} AS (
+      SELECT p.y, p.x,
+             ROUND({_RL_EPS!r} + COALESCE(SUM(q.v * t.w), 0.0), 6) AS v
+      FROM grid p CROSS JOIN {taps_tbl} t
+      LEFT JOIN {src} q ON q.y = p.y + t.dy AND q.x = p.x + t.dx
+      GROUP BY p.y, p.x)"""
+
+    ctes = [
+        "grid AS (SELECT y, x, value FROM pixels)",
+        "j0 AS (SELECT y, x, value AS v FROM grid)",
+        f"tconv(dy, dx, w) AS (SELECT * FROM (VALUES {taps_values(_RL_PSF_FLIP)}))",
+        f"tcorr(dy, dx, w) AS (SELECT * FROM (VALUES {taps_values(_RL_PSF)}))",
+    ]
+    prev = "j0"
+    for i in range(1, iters + 1):
+        ctes.append(scatter(f"conv{i}", prev, "tconv"))
+        ctes.append(
+            f"""ratio{i} AS (
+      SELECT g.y, g.x,
+             ROUND({_RL_EPS!r} + CASE WHEN c.v > 1e-12
+                   THEN g.value / c.v ELSE 0.0 END, 6) AS v
+      FROM grid g JOIN conv{i} c ON c.y = g.y AND c.x = g.x)"""
+        )
+        ctes.append(scatter(f"corr{i}", f"ratio{i}", "tcorr"))
+        ctes.append(
+            f"""j{i} AS (
+      SELECT p.y, p.x, ROUND({_RL_EPS!r} + p.v * c.v, 6) AS v
+      FROM {prev} p JOIN corr{i} c ON c.y = p.y AND c.x = p.x)"""
+        )
+        prev = f"j{i}"
+    return with_pixel_ctes(
+        f"SELECT y, x, ROUND({_RL_EPS!r} + v, 4) AS deconv "
+        f"FROM {prev} ORDER BY y, x",
+        extra=ctes,
+    )
+
+
+@register(
+    "richardson_lucy_deconv",
+    _rl_oracle(),
+    tags=("imaging", "restoration", "tiles", "iterative"),
+)
+def richardson_lucy_deconv(spark, sf_dir):
+    """RICHARDSON-LUCY DECONVOLUTION, 2 fixed iterations with an
+    asymmetric 3x3 PSF — the iterative image-restoration workhorse
+    (skimage ``restoration.richardson_lucy``; deblurring microscopy
+    stacks is dask-image's home turf). Update rule per iteration:
+    J <- J * correlate(I / convolve(J, P), P), zero-padded 'same'
+    boundaries — the convolve/correlate pair exercises the PSF flip,
+    which only an asymmetric PSF can grade.
+
+    Engine plan: the ENTIRE 2-iteration update runs inside ONE R2
+    tile pass (``chunked.map_overlap_tiles``, depth 4 = the full
+    receptive radius of 4 chained radius-1 stencils, constant-0 pad) —
+    one shuffle total, where composing eight R1 stencil/join stages
+    would pay a shuffle each. Every stage output is quantized to 6
+    decimals on BOTH engines (the k-means quantized-iterates barrier),
+    so float drift cannot compound across iterations; the oracle
+    replays the stages as chained scatter CTEs."""
+    import numpy as np
+
+    px = pixel_grid(spark, sf_dir)
+
+    def q6(a):
+        return np.round(a + _RL_EPS, 6)
+
+    def conv9(a, taps):
+        ap = np.pad(a, 1)
+        nr, nc = a.shape
+        out = np.zeros_like(a)
+        for dy, dx, w in taps:
+            out += w * ap[1 + dy : 1 + dy + nr, 1 + dx : 1 + dx + nc]
+        return out
+
+    def rl(tile: np.ndarray) -> np.ndarray:
+        image = tile
+        j = tile
+        for _ in range(2):
+            conv = q6(conv9(j, _RL_PSF_FLIP))
+            ratio = q6(np.where(conv > 1e-12, image / np.where(conv > 1e-12, conv, 1.0), 0.0))
+            corr = q6(conv9(ratio, _RL_PSF))
+            j = q6(j * corr)
+        return j
+
+    out = chunked.map_overlap_tiles(
+        px, rl, SHAPE, depth=4, block=32, mode="constant", cval=0.0
+    )
+    return out.select(
+        "y", "x", _eps_round("v", 4).alias("deconv")
+    ).orderBy("y", "x")
+
+
 # 3x3 template for NCC matching: varied deterministic ints, centered
 # at build time so both engines embed identical double literals.
 _TM_RAW = [

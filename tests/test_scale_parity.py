@@ -57,6 +57,7 @@ SAMPLE = [
     "image_hist_match",          # integer CDF cross-multiplication at 10x
     "template_match_ncc",        # NCC top-10 tiebreak stability at 10x
     "sql_group_by_all",          # inferred grouping keys over 10x lineitem
+    "richardson_lucy_deconv",    # quantization barrier holds at 10x values
 ]
 
 
