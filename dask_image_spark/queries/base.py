@@ -96,6 +96,7 @@ WINDOW: list[str] = [
     "template_match_ncc",
     "sql_group_by_all",
     "richardson_lucy_deconv",
+    "watershed_voronoi_markers",
     # --- never driver-graded round-7 continuation additions ---
     "unpivot_events",
     "hll_sketch_merge",
@@ -121,7 +122,6 @@ WINDOW: list[str] = [
     "remove_small_objects",
     "attribution_last_touch",
     "k_anonymity_violations",
-    "streaming_ohlc",
     "moments_per_type",
     "mv_incremental_refresh",
     "pit_join_scd2",

@@ -23,7 +23,11 @@ from dask_image_spark.functions.pixelgrid import (
     with_pixel_ctes,
 )
 from dask_image_spark.operators import chunked, ndfilters, ndinterp, ndmeasure, ndmorph
-from dask_image_spark.queries.base import r as _eps_round, register
+from dask_image_spark.queries.base import (
+    persist_tracked,
+    r as _eps_round,
+    register,
+)
 from dask_image_spark.sources.tables import load_table
 
 SHAPE = (GRID, GRID)
@@ -1502,6 +1506,144 @@ def distance_transform_l1(spark, sf_dir):
             F.min(F.col("dr") - F.col("y")).over(fwd_y) + F.col("y"),
             F.min(F.col("dr") + F.col("y")).over(bwd_y) - F.col("y"),
         ).cast("int").alias("dist"),
+    )
+
+
+_VORONOI_ORACLE = with_pixel_ctes(
+    """
+    SELECT f.y, f.x, MIN(s2.sy * 64 + s2.sx) AS marker
+    FROM fg f
+    JOIN seeds s2
+      ON (f.y - s2.sy) * (f.y - s2.sy) + (f.x - s2.sx) * (f.x - s2.sx)
+         = (SELECT MIN((f.y - s.sy) * (f.y - s.sy)
+                     + (f.x - s.sx) * (f.x - s.sx)) FROM seeds s)
+    GROUP BY f.y, f.x
+    """,
+    extra=[
+        "fg AS (SELECT y, x FROM mask WHERE m)",
+        """ed AS (
+      SELECT f.y, f.x,
+             MIN((f.y - g.y) * (f.y - g.y) + (f.x - g.x) * (f.x - g.x))
+               AS d2
+      FROM fg f CROSS JOIN (SELECT y, x FROM mask WHERE NOT m) g
+      GROUP BY f.y, f.x)""",
+        """ranked AS (
+      SELECT y, x, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY y // 16, x // 16
+               ORDER BY d2 DESC, y, x) AS rn
+      FROM ed)""",
+        "seeds AS (SELECT y AS sy, x AS sx FROM ranked WHERE rn = 1)",
+    ],
+)
+
+
+@register(
+    "watershed_voronoi_markers",
+    _VORONOI_ORACLE,
+    tags=("imaging", "segmentation", "distance-transform"),
+)
+def watershed_voronoi_markers(spark, sf_dir):
+    """MARKER-BASED SEGMENTATION, the watershed-pipeline composition
+    (skimage's canonical recipe: EDT -> peak markers -> assign each
+    foreground pixel to a marker): markers are the per-16x16-block
+    DEEPEST foreground pixels (argmax of the euclidean distance to
+    background, deterministic (d2 desc, y, x) tie-break), and every
+    foreground pixel joins its NEAREST marker — the Voronoi partition
+    that watershed-on-a-flat-landscape reduces to, with min-ravel
+    tie-breaking so the labeling is canonical like ``label``'s.
+
+    Composition story: the background distance reuses the separable
+    EDT machinery (row L1 squared via windows + per-column parabola
+    envelope); marker selection is one 16-group argmax aggregate; and
+    the assignment BROADCASTS the <= 16-row marker table and takes ONE
+    map-side min(struct(d2, ravel)) aggregate per pixel — no shuffle
+    beyond the EDT's own two, at any image size. The oracle replays all
+    three stages definitionally (brute-force nearest background, window
+    argmax, nearest-marker anti-ties)."""
+    from dask_image_spark.functions.pixelgrid import mask_grid
+    from dask_image_spark.operators.chunked import edt_envelope_1d
+
+    import pandas as pd
+
+    INF = 1 << 20
+    m = mask_grid(spark, sf_dir)
+    # EDT to BACKGROUND (distance from each fg pixel to nearest ~m):
+    # seed cost 0 at background pixels
+    g = m.select(
+        "y", "x", "m",
+        F.when(~F.col("m"), 0).otherwise(F.lit(INF)).alias("g"),
+    )
+    fwd_x = Window.partitionBy("y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bwd_x = Window.partitionBy("y").orderBy("x").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    drow = F.least(
+        F.min(F.col("g") - F.col("x")).over(fwd_x) + F.col("x"),
+        F.min(F.col("g") + F.col("x")).over(bwd_x) - F.col("x"),
+        F.lit(100_000),
+    )
+    d1 = g.select(
+        "y", "x", "m", (drow * drow).cast("double").alias("d1")
+    )
+
+    def envelope(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("y")
+        d = edt_envelope_1d(pdf["d1"].to_numpy())
+        return pd.DataFrame(
+            {
+                "y": pdf["y"].to_numpy(),
+                "x": pdf["x"].to_numpy(),
+                "m": pdf["m"].to_numpy(),
+                "d2": d,
+            }
+        )
+
+    ed = (
+        d1.groupBy("x")
+        .applyInPandas(envelope, "y int, x int, m boolean, d2 long")
+        .filter(F.col("m"))
+        .select("y", "x", "d2")
+    )
+    ed = persist_tracked(ed)
+    seeds = (
+        ed.groupBy(
+            (F.col("y") / 16).cast("int").alias("by"),
+            (F.col("x") / 16).cast("int").alias("bx"),
+        )
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("d2"),
+                    (-F.col("y")).alias("ny"),
+                    (-F.col("x")).alias("nx"),
+                )
+            ).alias("s")
+        )
+        .select(
+            (-F.col("s.ny")).alias("sy"), (-F.col("s.nx")).alias("nxv")
+        )
+        .select("sy", F.col("nxv").alias("sx"))
+    )
+    dist2 = (
+        (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy"))
+        + (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+    )
+    return (
+        ed.select("y", "x")
+        .crossJoin(F.broadcast(seeds))
+        .groupBy("y", "x")
+        .agg(
+            F.min(
+                F.struct(
+                    dist2.alias("d"),
+                    (F.col("sy") * 64 + F.col("sx")).alias("ravel"),
+                )
+            ).alias("s")
+        )
+        .select("y", "x", F.col("s.ravel").cast("long").alias("marker"))
     )
 
 

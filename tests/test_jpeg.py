@@ -114,3 +114,27 @@ def test_byte_stuffing_survives_ff_bytes():
         payload = encode_jpeg_gray(img.ravel().tolist(), 24, 24)
         _, _, px = decode_jpeg_gray(payload)
         assert np.abs(np.array(px).reshape(24, 24) - img).max() <= 4
+
+
+def test_jpeg_property_roundtrip_bound():
+    """Hypothesis: any 8-bit image (random dims, random content) survives
+    the lossy roundtrip within the flat-2 quant table's error bound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(deadline=None, max_examples=25)
+    @given(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def check(bh, bw, seed):
+        h, w = bh * 8 - (seed % 3), bw * 8 - (seed % 5)
+        h, w = max(h, 1), max(w, 1)
+        img = np.random.default_rng(seed).integers(0, 256, size=(h, w))
+        payload = encode_jpeg_gray(img.ravel().tolist(), w, h)
+        dw, dh, px = decode_jpeg_gray(payload)
+        assert (dw, dh) == (w, h)
+        assert np.abs(np.array(px).reshape(h, w) - img).max() <= 4
+
+    check()

@@ -722,3 +722,14 @@ def test_central_moments_single_aggregate(spark, sf_dir):
     # fixture's own aggregate pair lives under InMemoryRelation
     above_cache = tree.split("InMemoryTableScan")[0]
     assert above_cache.count("HashAggregate") == 2, tree
+
+
+def test_richardson_lucy_is_single_tile_stage(spark, sf_dir):
+    """The whole 2-iteration RL update must run inside ONE map-overlap
+    Arrow stage — a single FlatMapGroupsInPandas, never the eight
+    shuffle-per-stage relational composition."""
+    plan = _plan(spark, sf_dir, "richardson_lucy_deconv")
+    tree = plan.split("\n\n")[0]  # operator tree, not the details section
+    assert tree.count("FlatMapGroupsInPandas") == 1, tree[:2500]
+    for bad in ("SortMergeJoin", "CartesianProduct"):
+        assert bad not in plan, f"RL plan grew a {bad}:\n{plan[:2000]}"

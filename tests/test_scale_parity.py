@@ -58,6 +58,7 @@ SAMPLE = [
     "template_match_ncc",        # NCC top-10 tiebreak stability at 10x
     "sql_group_by_all",          # inferred grouping keys over 10x lineitem
     "richardson_lucy_deconv",    # quantization barrier holds at 10x values
+    "watershed_voronoi_markers", # marker argmax ties at 10x values
 ]
 
 
