@@ -97,6 +97,8 @@ WINDOW: list[str] = [
     "sql_group_by_all",
     "richardson_lucy_deconv",
     "watershed_voronoi_markers",
+    "morph_fill_holes",
+    "morph_binary_propagation",
     # --- never driver-graded round-7 continuation additions ---
     "unpivot_events",
     "hll_sketch_merge",
@@ -118,10 +120,8 @@ WINDOW: list[str] = [
     "cusum_changepoint",
     "bfs_3hop",
     "dedup_levenshtein",
-    "chisq_independence",
     "remove_small_objects",
     "attribution_last_touch",
-    "k_anonymity_violations",
     "moments_per_type",
     "mv_incremental_refresh",
     "pit_join_scd2",

@@ -59,6 +59,7 @@ SAMPLE = [
     "sql_group_by_all",          # inferred grouping keys over 10x lineitem
     "richardson_lucy_deconv",    # quantization barrier holds at 10x values
     "watershed_voronoi_markers", # marker argmax ties at 10x values
+    "morph_fill_holes",          # border-reachability filter at 10x
 ]
 
 
