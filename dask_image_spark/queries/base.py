@@ -70,15 +70,16 @@ REGISTRY: dict[str, Query] = {}
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
 # Round 8 window (VERDICT_r07 "Next round" item 1 — the staging COVERAGE.md
-# queued at the end of round 7): every slot goes to a FIRST driver grade,
-# drawn from the 117 registered queries that have never been driver-graded
-# (all parity-green locally every round; the driver's 50-slot window simply
-# hadn't reached them). Ordering follows the COVERAGE.md round-8 queue —
-# modern-SQL surfaces first (unpivot/VARIANT/recursive-CTE-adjacent),
-# then the stats/eval, imaging-extension, graph, warehouse, time-series,
-# and streaming families. Round-8 additions (compressed-TIFF tiers, dense
-# label) are spliced at the head as new contracts, per the round-6
-# precedent. The 22 round-2-evidence re-grades stay queued for round 9.
+# queued at the end of round 7): every slot goes to a FIRST driver grade.
+# The 19 round-8 additions lead as new contracts (the round-6 precedent):
+# the five imread tiers (JPEG + compressed/16-bit TIFF), dense-noise
+# labeling, central moments, the dynamic-schema UDTF, the Euclidean
+# transform, the RocksDB agg, k-core, histogram matching, NCC template
+# matching, GROUP BY ALL, Richardson-Lucy, Voronoi markers, fill-holes,
+# binary propagation, and map_coordinates. The remaining 31 slots drain
+# the never-driver-graded round-7 continuation queue in its COVERAGE.md
+# order; the names it displaced and the 22 round-2-evidence re-grades are
+# queued for round 9 (COVERAGE.md "Round-9 staging").
 WINDOW: list[str] = [
     # --- round-8 additions: new contracts graded first ---
     "imread_jpeg",
@@ -99,6 +100,7 @@ WINDOW: list[str] = [
     "watershed_voronoi_markers",
     "morph_fill_holes",
     "morph_binary_propagation",
+    "interp_map_coordinates",
     # --- never driver-graded round-7 continuation additions ---
     "unpivot_events",
     "hll_sketch_merge",
@@ -113,7 +115,6 @@ WINDOW: list[str] = [
     "longest_streak",
     "image_hist_equalize",
     "distance_transform_l1",
-    "emd_source_drift",
     "measure_perimeter",
     "ohlc_bars",
     "survival_km",

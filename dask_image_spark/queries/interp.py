@@ -27,7 +27,9 @@ from dask_image_spark.operators import (
     ndmeasure,
     ndmorph,
 )
+from dask_image_spark.functions.localrel import values_df
 from dask_image_spark.queries.base import r as _eps_round, register
+from dask_image_spark.sources.tables import load_table
 
 SHAPE = (GRID, GRID)
 N = GRID
@@ -855,6 +857,79 @@ def label_cc_dense_q(spark, sf_dir):
     px = pixel_grid(spark, sf_dir)
     m = px.select("y", "x", F.expr(_DENSE_MASK).alias("m"))
     return label_cc.label(m, SHAPE)
+
+
+_MAP_COORDS_ORACLE = with_pixel_ctes(
+    """
+    SELECT g.k, ROUND(1.2345e-8 + SUM(g.wgt * p.value), 4) AS v
+    FROM (
+      SELECT o.k,
+             CAST(FLOOR(o.yc) AS INT) + c.cy AS sy,
+             CAST(FLOOR(o.xc) AS INT) + c.cx AS sx,
+             (CASE WHEN c.cy = 0 THEN 1 - (o.yc - FLOOR(o.yc))
+                   ELSE (o.yc - FLOOR(o.yc)) END)
+           * (CASE WHEN c.cx = 0 THEN 1 - (o.xc - FLOOR(o.xc))
+                   ELSE (o.xc - FLOOR(o.xc)) END) AS wgt
+      FROM coords o CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) c(cy, cx)
+    ) g JOIN pixels p ON p.y = g.sy AND p.x = g.sx
+    GROUP BY g.k ORDER BY g.k
+    """,
+    extra=[
+        """coords AS (
+      SELECT event_id AS k,
+             ((event_id * 31) % 630) / 10.0 AS yc,
+             ((event_id * 17 + 5) % 630) / 10.0 AS xc
+      FROM events WHERE event_id < 500)""",
+    ],
+)
+
+
+@register(
+    "interp_map_coordinates",
+    _MAP_COORDS_ORACLE,
+    tags=("imaging", "ndinterp"),
+)
+def interp_map_coordinates(spark, sf_dir):
+    """``map_coordinates`` — scipy's ARBITRARY-coordinate sampling entry
+    point (the general form ``affine_transform`` is a special case of:
+    any (y, x) float pairs, not a grid image of them — landmark
+    sampling, warp fields, line profiles). 500 deterministic fractional
+    coordinates (all interior, so no boundary branch muddies the
+    contract) gather their 4 bilinear corners against the pixel grid:
+    the coordinate table fans out x4 map-side, ONE equi-join on the
+    corner key, one k-grouped aggregate. At 100 TB the coordinate side
+    is usually the small one — broadcast it and the plan is
+    shuffle-free on the image; here both sides are tiny and AQE picks
+    the broadcast. The oracle replays the same floor/frac arithmetic
+    per corner."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    coords = ev.select(
+        F.col("event_id").alias("k"),
+        (((F.col("event_id") * 31) % 630) / 10.0).alias("yc"),
+        (((F.col("event_id") * 17 + 5) % 630) / 10.0).alias("xc"),
+    )
+    corners = values_df(spark, "cy, cx", [(0, 0), (0, 1), (1, 0), (1, 1)])
+    fan = coords.crossJoin(F.broadcast(corners)).select(
+        "k",
+        (F.floor("yc").cast("int") + F.col("cy")).alias("sy"),
+        (F.floor("xc").cast("int") + F.col("cx")).alias("sx"),
+        (
+            F.when(F.col("cy") == 0, 1 - (F.col("yc") - F.floor("yc")))
+            .otherwise(F.col("yc") - F.floor("yc"))
+            * F.when(F.col("cx") == 0, 1 - (F.col("xc") - F.floor("xc")))
+            .otherwise(F.col("xc") - F.floor("xc"))
+        ).alias("wgt"),
+    )
+    px = pixel_grid(spark, sf_dir)
+    return (
+        fan.join(
+            px,
+            (F.col("sy") == F.col("y")) & (F.col("sx") == F.col("x")),
+        )
+        .groupBy("k")
+        .agg(_eps_round(F.sum(F.col("wgt") * F.col("value")), 4).alias("v"))
+        .orderBy("k")
+    )
 
 
 _FILL_HOLES_ORACLE = """

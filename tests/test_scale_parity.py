@@ -60,6 +60,7 @@ SAMPLE = [
     "richardson_lucy_deconv",    # quantization barrier holds at 10x values
     "watershed_voronoi_markers", # marker argmax ties at 10x values
     "morph_fill_holes",          # border-reachability filter at 10x
+    "interp_map_coordinates",    # bilinear corner weights at 10x values
 ]
 
 
