@@ -64,14 +64,22 @@ def decode_pgm(payload: bytes) -> tuple[int, int, list[int]]:
     return width, height, list(data)
 
 
-def encode_png(pixels, width: int, height: int) -> bytes:
-    """Encode 8-bit grayscale pixels as PNG (color type 0), from scratch on
-    stdlib ``zlib``: signature, IHDR, one IDAT, IEND, CRC32 per chunk.
-    Odd scanlines use filter type 1 (Sub), even use 0 (None) — both are
-    spec-valid, and alternating them makes the roundtrip exercise the
-    decoder's unfiltering, not just the passthrough."""
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB (truecolor), RGBA
+
+
+def encode_png(pixels, width: int, height: int, color_type: int = 0) -> bytes:
+    """Encode 8-bit samples as PNG, from scratch on stdlib ``zlib``:
+    signature, IHDR, one IDAT, IEND, CRC32 per chunk. ``color_type`` 0 =
+    grayscale (1 sample/px), 2 = RGB (3 interleaved samples/px), 6 =
+    RGBA — ``pixels`` is the flat interleaved sample sequence. Odd
+    scanlines use filter type 1 (Sub, whose left neighbor is ``bpp``
+    bytes back per the spec — the multi-channel gotcha), even use 0
+    (None); both are spec-valid, and alternating them makes the
+    roundtrip exercise the decoder's unfiltering, not a passthrough."""
     import struct
     import zlib
+
+    bpp = _PNG_CHANNELS[color_type]
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -81,14 +89,15 @@ def encode_png(pixels, width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    row_bytes = width * bpp
     rows = []
     for r in range(height):
-        line = bytearray(pixels[r * width : (r + 1) * width])
-        if r % 2 == 1:  # Sub filter: delta against the left neighbor
+        line = bytearray(pixels[r * row_bytes : (r + 1) * row_bytes])
+        if r % 2 == 1:  # Sub filter: delta against the left-neighbor PIXEL
             filtered = bytearray(line)
-            for i in range(width - 1, 0, -1):
-                filtered[i] = (line[i] - line[i - 1]) & 0xFF
+            for i in range(row_bytes - 1, bpp - 1, -1):
+                filtered[i] = (line[i] - line[i - bpp]) & 0xFF
             rows.append(b"\x01" + bytes(filtered))
         else:
             rows.append(b"\x00" + bytes(line))
@@ -100,17 +109,19 @@ def encode_png(pixels, width: int, height: int) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode 8-bit grayscale (color type 0, non-interlaced) PNG: chunk walk
-    with CRC verification, inflate the IDAT stream, undo all five spec
-    scanline filters (None/Sub/Up/Average/Paeth). Pure python + stdlib zlib.
-    """
+def decode_png_any(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode an 8-bit non-interlaced PNG of color type 0 (grayscale),
+    2 (RGB), or 6 (RGBA): chunk walk with CRC verification, inflate the
+    IDAT stream, undo all five spec scanline filters (None/Sub/Up/
+    Average/Paeth) with the per-PIXEL left-neighbor stride the
+    multi-channel filters require. Returns (width, height, channels,
+    flat interleaved samples). Pure python + stdlib zlib."""
     import struct
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, idat, width, height = 8, b"", None, None
+    pos, idat, width, height, bpp = 8, b"", None, None, 1
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -124,10 +135,12 @@ def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
             width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype != 0 or interlace != 0:
+            if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
                 raise NotImplementedError(
-                    "only 8-bit grayscale non-interlaced PNG supported"
+                    "only 8-bit non-interlaced grayscale/RGB/RGBA PNG "
+                    "supported"
                 )
+            bpp = _PNG_CHANNELS[ctype]
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -136,28 +149,31 @@ def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = zlib.decompress(idat)
-    if len(raw) != height * (width + 1):
+    row_bytes = width * bpp
+    if len(raw) != height * (row_bytes + 1):
         raise ValueError("truncated PNG pixel data")
     px: list[int] = []
-    prev = bytearray(width)
+    prev = bytearray(row_bytes)
     for r in range(height):
-        ft = raw[r * (width + 1)]
-        line = bytearray(raw[r * (width + 1) + 1 : (r + 1) * (width + 1)])
-        if ft == 1:  # Sub
-            for i in range(1, width):
-                line[i] = (line[i] + line[i - 1]) & 0xFF
+        ft = raw[r * (row_bytes + 1)]
+        line = bytearray(
+            raw[r * (row_bytes + 1) + 1 : (r + 1) * (row_bytes + 1)]
+        )
+        if ft == 1:  # Sub (left neighbor is bpp bytes back)
+            for i in range(bpp, row_bytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ft == 2:  # Up
-            for i in range(width):
+            for i in range(row_bytes):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ft == 3:  # Average
-            for i in range(width):
-                left = line[i - 1] if i else 0
+            for i in range(row_bytes):
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
         elif ft == 4:  # Paeth
-            for i in range(width):
-                a = line[i - 1] if i else 0
+            for i in range(row_bytes):
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - 1] if i else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -166,6 +182,16 @@ def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
             raise ValueError(f"unknown PNG filter type {ft}")
         px.extend(line)
         prev = line
+    return width, height, bpp, px
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[int]]:
+    """Grayscale surface of :func:`decode_png_any` (the original API)."""
+    width, height, bpp, px = decode_png_any(payload)
+    if bpp != 1:
+        raise NotImplementedError(
+            "decode_png is the grayscale surface; use decode_png_any"
+        )
     return width, height, px
 
 

@@ -71,18 +71,19 @@ REGISTRY: dict[str, Query] = {}
 #
 # Round 8 window (VERDICT_r07 "Next round" item 1 — the staging COVERAGE.md
 # queued at the end of round 7): every slot goes to a FIRST driver grade.
-# The 19 round-8 additions lead as new contracts (the round-6 precedent):
-# the five imread tiers (JPEG + compressed/16-bit TIFF), dense-noise
-# labeling, central moments, the dynamic-schema UDTF, the Euclidean
-# transform, the RocksDB agg, k-core, histogram matching, NCC template
-# matching, GROUP BY ALL, Richardson-Lucy, Voronoi markers, fill-holes,
-# binary propagation, and map_coordinates. The remaining 31 slots drain
+# The 20 round-8 additions lead as new contracts (the round-6 precedent):
+# the six imread tiers (JPEG, truecolor PNG, compressed/16-bit TIFF),
+# dense-noise labeling, central moments, the dynamic-schema UDTF, the
+# Euclidean transform, the RocksDB agg, k-core, histogram matching, NCC
+# template matching, GROUP BY ALL, Richardson-Lucy, Voronoi markers,
+# fill-holes, binary propagation, and map_coordinates. The rest drain
 # the never-driver-graded round-7 continuation queue in its COVERAGE.md
 # order; the names it displaced and the 22 round-2-evidence re-grades are
 # queued for round 9 (COVERAGE.md "Round-9 staging").
 WINDOW: list[str] = [
     # --- round-8 additions: new contracts graded first ---
     "imread_jpeg",
+    "imread_png_rgb",
     "imread_tiff_deflate",
     "imread_tiff_lzw",
     "imread_tiff_packbits",
@@ -112,7 +113,6 @@ WINDOW: list[str] = [
     "pareto_skyline_brand",
     "tree_depth_doubling",
     "max_concurrent_sessions",
-    "longest_streak",
     "image_hist_equalize",
     "distance_transform_l1",
     "measure_perimeter",

@@ -1808,6 +1808,107 @@ def imread_tiff_packbits(spark, sf_dir):
 
 
 @register(
+    "imread_png_rgb",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS img,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(SUM((event_id * 7 + 13) % 256) % 65536 AS INT) AS sum_r,
+           CAST(SUM((event_id * 11 + 5) % 256) % 65536 AS INT) AS sum_g,
+           CAST(SUM((event_id * 3 + 17) % 256) % 65536 AS INT) AS sum_b,
+           CAST(SUM(299 * ((event_id * 7 + 13) % 256)
+                  + 587 * ((event_id * 11 + 5) % 256)
+                  + 114 * ((event_id * 3 + 17) % 256)) % 1000003 AS INT)
+             AS luma_sum
+    FROM events WHERE event_id < 8192
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema=(
+        "img int, width int, height int, sum_r int, sum_g int, sum_b int, "
+        "luma_sum int"
+    ),
+)
+def imread_png_rgb(spark, sf_dir):
+    """TRUECOLOR (RGB, color type 2) PNG ingest — the color type every
+    real screenshot or figure actually uses (the grayscale tier alone
+    would refuse a user's first PNG): three deterministic channel
+    planes interleave into RGB scanlines, encode with the multi-channel
+    Sub filter (left neighbor = 3 bytes back — the per-PIXEL stride a
+    bpp-unaware unfilter gets wrong, shifting every color), land, scan
+    via binaryFile, decode, and grade per-channel sums plus a
+    luma-weighted checksum that breaks if channels are swapped or
+    phase-shifted against each other."""
+    import os
+
+    from dask_image_spark.operators.multimodal import (
+        decode_png_any,
+        encode_png,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/pngrgb_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("img"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(256)).cast("int").alias("r"),
+        F.pmod(F.col("event_id") * 11 + 5, F.lit(256)).cast("int").alias("g"),
+        F.pmod(F.col("event_id") * 3 + 17, F.lit(256)).cast("int").alias("b"),
+    )
+
+    def write_image(pdf):
+        import numpy as np
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        flat = np.zeros(4096 * 3, dtype="uint8")
+        pos = pdf["pos"].to_numpy()
+        for c, col in enumerate(("r", "g", "b")):
+            flat[pos * 3 + c] = pdf[col].to_numpy().astype("uint8")
+        payload = encode_png(flat.tolist(), 64, 64, color_type=2)
+        with open(f"{out_dir}/img_{img}.png", "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.png")
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "img": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "luma_sum": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, bpp, flat = decode_png_any(bytes(content))
+                assert bpp == 3, "expected a truecolor PNG"
+                a = np.asarray(flat, dtype=np.int64).reshape(-1, 3)
+                rows["img"].append(int(path.rsplit("img_", 1)[1].split(".")[0]))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(a[:, 0].sum()) % 65536)
+                rows["sum_g"].append(int(a[:, 1].sum()) % 65536)
+                rows["sum_b"].append(int(a[:, 2].sum()) % 65536)
+                rows["luma_sum"].append(
+                    int((299 * a[:, 0] + 587 * a[:, 1] + 114 * a[:, 2]).sum())
+                    % 1000003
+                )
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode,
+        "img int, width int, height int, sum_r int, sum_g int, sum_b int, "
+        "luma_sum int",
+    )
+
+
+@register(
     "imread_jpeg",
     """
     WITH px AS (

@@ -539,3 +539,34 @@ def test_tiff_16bit_big_endian():
     ]
     ifd = struct.pack(">H", len(entries)) + b"".join(entries) + struct.pack(">I", 0)
     assert decode_tiff(hdr + data + ifd) == (2, 2, px)
+
+
+def test_png_multichannel_roundtrip_and_bpp_stride():
+    """RGB (color type 2) and RGBA (6) roundtrips — including a
+    construction that would break a bpp-unaware Sub unfilter: a
+    constant-color row becomes all-zero deltas ONLY with the 3-byte
+    stride, so a 1-byte-stride decoder shifts every channel."""
+    import random
+
+    from dask_image_spark.operators.multimodal import (
+        decode_png,
+        decode_png_any,
+        encode_png,
+    )
+
+    random.seed(9)
+    for ct, bpp in ((2, 3), (6, 4)):
+        px = [random.randrange(256) for _ in range(24 * 16 * bpp)]
+        assert decode_png_any(encode_png(px, 24, 16, color_type=ct)) == (
+            24, 16, bpp, px,
+        )
+    # constant-color RGB rows (odd rows Sub-filtered)
+    solid = [200, 30, 90] * (8 * 6)
+    assert decode_png_any(encode_png(solid, 8, 6, color_type=2)) == (
+        8, 6, 3, solid,
+    )
+    # the grayscale surface refuses color payloads instead of garbling
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="grayscale surface"):
+        decode_png(encode_png(solid, 8, 6, color_type=2))

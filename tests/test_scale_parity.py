@@ -61,6 +61,7 @@ SAMPLE = [
     "watershed_voronoi_markers", # marker argmax ties at 10x values
     "morph_fill_holes",          # border-reachability filter at 10x
     "interp_map_coordinates",    # bilinear corner weights at 10x values
+    "imread_png_rgb",            # bpp-strided unfilter at the full fixture
 ]
 
 
