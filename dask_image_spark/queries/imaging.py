@@ -2201,3 +2201,442 @@ def quickstart_pipeline(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --- round-8 continuation: classic vision operators --------------------------
+#
+# Five canonical image-analysis operators the reference's scipy/skimage
+# ecosystem reaches for right after the ndimage surface (upstream users
+# compose dask-image with skimage.filters/feature routinely): Otsu
+# thresholding, the integral-image box filter, Harris corners, local
+# binary patterns, and the Hough line transform. All five are EXACT
+# INTEGER computations here (quantized gray levels), so every oracle is
+# a definitional SQL replay with no float contract at all.
+
+
+@register(
+    "threshold_otsu",
+    with_pixel_ctes(
+        """
+        SELECT CAST(t AS INT) AS threshold, w0, tot - w0 AS w1, score
+        FROM scored
+        ORDER BY score DESC, t LIMIT 1
+        """,
+        extra=[
+            """h AS (SELECT CAST(FLOOR(value) AS BIGINT) % 16 AS lvl,
+                   COUNT(*) AS cnt FROM pixels GROUP BY 1)""",
+            """c AS (SELECT lvl AS t,
+                   SUM(cnt) OVER (ORDER BY lvl ROWS UNBOUNDED PRECEDING)
+                     AS w0,
+                   SUM(lvl * cnt) OVER (ORDER BY lvl ROWS UNBOUNDED
+                     PRECEDING) AS s0,
+                   SUM(cnt) OVER () AS tot,
+                   SUM(lvl * cnt) OVER () AS s FROM h)""",
+            """scored AS (SELECT t, w0, tot,
+                   ((s0 * tot - s * w0) * (s0 * tot - s * w0) * 16)
+                     // (w0 * (tot - w0)) AS score
+              FROM c WHERE w0 > 0 AND w0 < tot)""",
+        ],
+    ),
+    tags=("imaging", "threshold", "histogram"),
+)
+def threshold_otsu(spark, sf_dir):
+    """OTSU GLOBAL THRESHOLD (skimage ``threshold_otsu``): the gray level
+    maximizing between-class variance — the automatic foreground split
+    every segmentation pipeline starts from (``threshold_local`` covers
+    the adaptive variant; this is the global one).
+
+    EXACT-INTEGER formulation: on the 16-level quantized histogram,
+    between-class variance w0*w1*(mu0-mu1)^2 is ordered identically by
+    the integer score (s0*tot - s*w0)^2 * 16 // (w0*(tot-w0)) — all
+    magnitudes bounded well inside int64 (|s| <= 61440, tot = 4096), and
+    integer floor-division is bit-identical on both engines, so the
+    argmax (min-level tie-break) can never flip on a float ulp.
+
+    Scale shape: ONE partial-agg histogram groupBy to <= 16 rows; the
+    scan/argmax runs on the LEVEL DOMAIN. At 100 TB the histogram is the
+    only fact-scale pass — the map-side combine reduces each partition
+    to <= 16 cells before the exchange."""
+    px = pixel_grid(spark, sf_dir)
+    h = (
+        px.select((F.floor("value").cast("bigint") % 16).alias("lvl"))
+        .groupBy("lvl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = h.select(
+        F.col("lvl").alias("t"),
+        F.sum("cnt").over(w_cum).alias("w0"),
+        F.sum(F.col("lvl") * F.col("cnt")).over(w_cum).alias("s0"),
+        F.sum("cnt").over(w_all).alias("tot"),
+        F.sum(F.col("lvl") * F.col("cnt")).over(w_all).alias("s"),
+    ).filter((F.col("w0") > 0) & (F.col("w0") < F.col("tot")))
+    scored = c.select(
+        "t",
+        "w0",
+        (F.col("tot") - F.col("w0")).alias("w1"),
+        F.expr(
+            "(s0 * tot - s * w0) * (s0 * tot - s * w0) * 16"
+            " div (w0 * (tot - w0))"
+        ).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("t"))
+        .limit(1)
+        .select(
+            F.col("t").cast("int").alias("threshold"), "w0", "w1", "score"
+        )
+    )
+
+
+@register(
+    "box_filter_integral",
+    with_pixel_ctes(
+        """
+        SELECT p.y, p.x, SUM(CAST(FLOOR(q.value) AS BIGINT)) AS box
+        FROM pixels p JOIN pixels q
+          ON q.y BETWEEN p.y - 4 AND p.y + 4
+         AND q.x BETWEEN p.x - 4 AND p.x + 4
+        WHERE p.y BETWEEN 4 AND 59 AND p.x BETWEEN 4 AND 59
+        GROUP BY p.y, p.x
+        """,
+    ),
+    tags=("imaging", "filter", "window"),
+)
+def box_filter_integral(spark, sf_dir):
+    """INTEGRAL-IMAGE (summed-area table) BOX FILTER: the 9x9 box sum
+    computed from PREFIX SUMS AND FOUR DIFFERENCES instead of a 81-way
+    kernel fan-out — Viola-Jones's O(1)-per-window trick, the scale
+    rewrite that makes LARGE boxes free: cost is independent of box
+    size, where the scatter-join stencil pays O(k^2) rows per output.
+
+    Plan: row prefix sum (one window sort per row) -> 9-wide row sums
+    as lead/lag differences of the prefix -> column prefix sum of the
+    row sums -> 9-tall differences. TWO shuffles total (y-partition,
+    then x-partition) for ANY box size; the oracle is the definitional
+    O(k^2) neighborhood join, proving the factorization. Values are
+    floor-quantized integers so every prefix/difference is exact.
+
+    Interior-only ([4,59]^2): boundary semantics belong to the stencil
+    family (uniform_filter grades all five modes); this query isolates
+    the integral-image algebra."""
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", F.floor("value").cast("bigint").alias("v")
+    )
+    wx_cum = Window.partitionBy("y").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wx = Window.partitionBy("y").orderBy("x")
+    rowcum = px.select("y", "x", F.sum("v").over(wx_cum).alias("rc"))
+    rowsum = rowcum.select(
+        "y",
+        "x",
+        (
+            F.lead("rc", 4).over(wx) - F.lag("rc", 5, 0).over(wx)
+        ).alias("rs"),
+    ).filter(F.col("x").between(4, 59))
+    wy_cum = Window.partitionBy("x").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wy = Window.partitionBy("x").orderBy("y")
+    colcum = rowsum.select("y", "x", F.sum("rs").over(wy_cum).alias("cc"))
+    return (
+        colcum.select(
+            "y",
+            "x",
+            (
+                F.lead("cc", 4).over(wy) - F.lag("cc", 5, 0).over(wy)
+            ).alias("box"),
+        )
+        .filter(F.col("y").between(4, 59))
+        .orderBy("y", "x")
+    )
+
+
+# Shared Harris/LBP/Hough kernel definitions: ONE Python list renders both
+# the Spark VALUES table and the DuckDB CASE/VALUES text, so the two
+# engines read literally the same weights (the house oracle-generation
+# rule every stencil query follows).
+
+_SOBEL_3 = [-1, 0, 1]
+_SMOOTH_3 = [1, 2, 1]
+# (dy, dx, wx, wy): wx = d/dx Sobel weight, wy = d/dy Sobel weight
+_HARRIS_OFF = [
+    (dy, dx, _SOBEL_3[dx + 1] * _SMOOTH_3[dy + 1],
+     _SOBEL_3[dy + 1] * _SMOOTH_3[dx + 1])
+    for dy in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+]
+
+
+def _case_weights(pairs) -> str:
+    """CASE text mapping (q.y-p.y, q.x-p.x) -> integer weight."""
+    whens = " ".join(
+        f"WHEN {dy * 10 + dx} THEN {w}" for dy, dx, w in pairs if w != 0
+    )
+    return f"CASE (q.y - p.y) * 10 + (q.x - p.x) {whens} ELSE 0 END"
+
+
+_HARRIS_ORACLE = with_pixel_ctes(
+    """
+    SELECT y, x,
+           20 * (sxx * syy - sxy * sxy)
+             - (sxx + syy) * (sxx + syy) AS r
+    FROM s ORDER BY r DESC, y, x LIMIT 20
+    """,
+    extra=[
+        """v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) % 256 AS v
+               FROM pixels)""",
+        f"""g AS (SELECT p.y, p.x,
+               SUM(q.v * {_case_weights([(dy, dx, wx) for dy, dx, wx, _ in _HARRIS_OFF])}) AS gx,
+               SUM(q.v * {_case_weights([(dy, dx, wy) for dy, dx, _, wy in _HARRIS_OFF])}) AS gy
+          FROM v p JOIN v q
+            ON q.y BETWEEN p.y - 1 AND p.y + 1
+           AND q.x BETWEEN p.x - 1 AND p.x + 1
+          WHERE p.y BETWEEN 1 AND 62 AND p.x BETWEEN 1 AND 62
+          GROUP BY p.y, p.x)""",
+        """pr AS (SELECT y, x, gx * gx AS pxx, gy * gy AS pyy,
+                gx * gy AS pxy FROM g)""",
+        """s AS (SELECT p.y, p.x, SUM(q.pxx) AS sxx, SUM(q.pyy) AS syy,
+               SUM(q.pxy) AS sxy
+          FROM pr p JOIN pr q
+            ON q.y BETWEEN p.y - 1 AND p.y + 1
+           AND q.x BETWEEN p.x - 1 AND p.x + 1
+          WHERE p.y BETWEEN 2 AND 61 AND p.x BETWEEN 2 AND 61
+          GROUP BY p.y, p.x)""",
+    ],
+)
+
+
+@register(
+    "harris_corners",
+    _HARRIS_ORACLE,
+    tags=("imaging", "feature", "stencil"),
+)
+def harris_corners(spark, sf_dir):
+    """HARRIS CORNER DETECTOR (skimage ``corner_harris`` + ``corner_peaks``
+    top-k): Sobel gradients -> structure-tensor window sums -> response
+    R = det(M) - k*trace(M)^2 -> top-20 corners. The k=0.05 constant is
+    RATIONAL (1/20), so the whole pipeline is INTEGER arithmetic end to
+    end: R*20 = 20*(Sxx*Syy - Sxy^2) - (Sxx+Syy)^2 with every magnitude
+    bounded by 1.8e15 << int64 — the response ordering is bit-exact on
+    both engines and the top-20 heap can never flip on a float ulp.
+
+    Plan shape: two scatter-join stencil stages (the convolve template:
+    broadcast 9-row kernel, inline fan-out, partial+final SUM groupBy)
+    feeding one TakeOrderedAndProject heap — no global sort. At scale the
+    two stages pin to the same tile partitioning so the second shuffle
+    co-locates with the first; the oracle replays both stages
+    definitionally from the SAME weight list (shared CASE text)."""
+    off = values_df(
+        spark,
+        "dy, dx, wx, wy",
+        [(dy, dx, wx, wy) for dy, dx, wx, wy in _HARRIS_OFF],
+    )
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", (F.floor("value").cast("bigint") % 256).alias("v")
+    )
+    g = (
+        px.crossJoin(F.broadcast(off))
+        .select(
+            (F.col("y") - F.col("dy")).alias("ty"),
+            (F.col("x") - F.col("dx")).alias("tx"),
+            (F.col("v") * F.col("wx")).alias("cx"),
+            (F.col("v") * F.col("wy")).alias("cy"),
+        )
+        .groupBy("ty", "tx")
+        .agg(F.sum("cx").alias("gx"), F.sum("cy").alias("gy"))
+        .filter(
+            F.col("ty").between(1, 62) & F.col("tx").between(1, 62)
+        )
+    )
+    pr = g.select(
+        F.col("ty").alias("y"),
+        F.col("tx").alias("x"),
+        (F.col("gx") * F.col("gx")).alias("pxx"),
+        (F.col("gy") * F.col("gy")).alias("pyy"),
+        (F.col("gx") * F.col("gy")).alias("pxy"),
+    )
+    ones = values_df(
+        spark,
+        "dy, dx",
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+    )
+    s = (
+        pr.crossJoin(F.broadcast(ones))
+        .select(
+            (F.col("y") - F.col("dy")).alias("ty"),
+            (F.col("x") - F.col("dx")).alias("tx"),
+            "pxx",
+            "pyy",
+            "pxy",
+        )
+        .groupBy("ty", "tx")
+        .agg(
+            F.sum("pxx").alias("sxx"),
+            F.sum("pyy").alias("syy"),
+            F.sum("pxy").alias("sxy"),
+        )
+        .filter(
+            F.col("ty").between(2, 61) & F.col("tx").between(2, 61)
+        )
+    )
+    resp = (
+        F.lit(20) * (F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy"))
+        - (F.col("sxx") + F.col("syy")) * (F.col("sxx") + F.col("syy"))
+    )
+    return (
+        s.select(
+            F.col("ty").alias("y"), F.col("tx").alias("x"), resp.alias("r")
+        )
+        .orderBy(F.desc("r"), "y", "x")
+        .limit(20)
+    )
+
+
+_LBP_OFF = [
+    (-1, -1, 1), (-1, 0, 2), (-1, 1, 4), (0, 1, 8),
+    (1, 1, 16), (1, 0, 32), (1, -1, 64), (0, -1, 128),
+]
+
+_LBP_ORACLE = with_pixel_ctes(
+    """
+    SELECT code, COUNT(*) AS cnt FROM l GROUP BY code ORDER BY code
+    """,
+    extra=[
+        "v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) AS v FROM pixels)",
+        f"""l AS (SELECT p.y, p.x,
+               SUM(CASE WHEN q.v >= p.v
+                   THEN {_case_weights(_LBP_OFF)} ELSE 0 END) AS code
+          FROM v p JOIN v q
+            ON q.y BETWEEN p.y - 1 AND p.y + 1
+           AND q.x BETWEEN p.x - 1 AND p.x + 1
+           AND NOT (q.y = p.y AND q.x = p.x)
+          WHERE p.y BETWEEN 1 AND 62 AND p.x BETWEEN 1 AND 62
+          GROUP BY p.y, p.x)""",
+    ],
+)
+
+
+@register(
+    "lbp_histogram",
+    _LBP_ORACLE,
+    tags=("imaging", "feature", "texture"),
+)
+def lbp_histogram(spark, sf_dir):
+    """LOCAL BINARY PATTERNS (skimage ``local_binary_pattern`` P=8, R=1,
+    method='default') + code histogram — the classic illumination-
+    invariant texture descriptor (each pixel's code packs 'is each of my
+    8 neighbors >= me' into one byte; the histogram is the texture
+    feature). Bit order fixed clockwise from top-left, shared by both
+    engines via the single _LBP_OFF list.
+
+    Plan: ONE probe-side fan-out of 8 (broadcast offset table), one
+    co-partitioned self-join on the shifted coordinate, one groupBy per
+    pixel, then a <=256-row histogram aggregate. Integer comparisons
+    only. At scale the self-join keys on the same (y, x) partitioning
+    the stencil family uses; the fan-out carries 3 ints/row."""
+    off = values_df(spark, "dy, dx, bit", _LBP_OFF)
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", F.floor("value").cast("bigint").alias("v")
+    )
+    probes = px.crossJoin(F.broadcast(off)).select(
+        "y",
+        "x",
+        F.col("v").alias("cv"),
+        (F.col("y") + F.col("dy")).alias("ny"),
+        (F.col("x") + F.col("dx")).alias("nx"),
+        "bit",
+    )
+    nb = px.select(
+        F.col("y").alias("ny"),
+        F.col("x").alias("nx"),
+        F.col("v").alias("nv"),
+    )
+    codes = (
+        probes.join(nb, ["ny", "nx"])
+        .groupBy("y", "x")
+        .agg(
+            F.sum(
+                F.when(F.col("nv") >= F.col("cv"), F.col("bit")).otherwise(0)
+            ).alias("code")
+        )
+        .filter(F.col("y").between(1, 62) & F.col("x").between(1, 62))
+    )
+    return (
+        codes.groupBy("code")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("code")
+    )
+
+
+import math as _math
+
+# 8 Hough angles theta_k = k*pi/8; repr() round-trips the exact double, and
+# both engines parse the identical literal (CAST(... AS DOUBLE) on the
+# DuckDB side keeps it out of DECIMAL territory), so x*cos + y*sin is the
+# same IEEE arithmetic on both sides and FLOOR can never disagree.
+_HOUGH_ANGLES = [
+    (k, _math.cos(k * _math.pi / 8), _math.sin(k * _math.pi / 8))
+    for k in range(8)
+]
+
+_HOUGH_VALUES = ", ".join(
+    f"({k}, CAST({c!r} AS DOUBLE), CAST({s!r} AS DOUBLE))"
+    for k, c, s in _HOUGH_ANGLES
+)
+
+_HOUGH_ORACLE = with_pixel_ctes(
+    f"""
+    SELECT a.k, CAST(FLOOR(f.x * a.c + f.y * a.s + 0.5) AS BIGINT) AS rho,
+           COUNT(*) AS votes
+    FROM fg f CROSS JOIN (VALUES {_HOUGH_VALUES}) a(k, c, s)
+    GROUP BY 1, 2
+    ORDER BY votes DESC, k, rho LIMIT 10
+    """,
+    extra=["fg AS (SELECT y, x FROM mask WHERE m)"],
+)
+
+
+@register(
+    "hough_lines",
+    _HOUGH_ORACLE,
+    tags=("imaging", "feature", "transform"),
+)
+def hough_lines(spark, sf_dir):
+    """HOUGH LINE TRANSFORM (skimage ``hough_line`` + peak picking): each
+    foreground pixel votes for every (theta, rho) line through it; the
+    top-10 accumulator cells are the detected lines. 8 angles at pi/8
+    steps, rho = floor(x*cos + y*sin + 0.5) — nearest-integer binning.
+
+    This is the GROUP-BY reading of the transform: the accumulator array
+    skimage materializes densely is here votes = COUNT(*) GROUP BY
+    (theta-index, rho) — a partial-aggregated fan-out of exactly
+    |angles| rows per fg pixel with map-side combine into <= 8 * rho-range
+    cells per partition, then a top-10 TakeOrderedAndProject heap. At
+    100 TB the accumulator never materializes: only the per-partition
+    combined cells cross the wire. Determinism: identical double literals
+    and IEEE ops on both engines make every FLOOR bit-equal."""
+    ang = values_df(
+        spark,
+        "k, c, s",
+        [(k, c, s) for k, c, s in _HOUGH_ANGLES],
+    )
+    fg = mask_grid(spark, sf_dir).filter("m").select("y", "x")
+    votes = (
+        fg.crossJoin(F.broadcast(ang))
+        .select(
+            "k",
+            F.floor(
+                F.col("x") * F.col("c") + F.col("y") * F.col("s") + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rho"),
+        )
+        .groupBy("k", "rho")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    return votes.orderBy(F.desc("votes"), "k", "rho").limit(10)
