@@ -2640,3 +2640,220 @@ def hough_lines(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("votes"))
     )
     return votes.orderBy(F.desc("votes"), "k", "rho").limit(10)
+
+
+from dask_image_spark.functions.pixelgrid import fixture_ctes as _fixture_ctes
+
+# Canny stage kernels — ONE list each renders the Spark VALUES table and
+# the oracle CASE text (the Harris sharing rule).
+_CANNY_SM = [
+    (dy, dx, _SMOOTH_3[dy + 1] * _SMOOTH_3[dx + 1])
+    for dy in (-1, 0, 1)
+    for dx in (-1, 0, 1)
+]
+
+
+def _canny_oracle() -> str:
+    sm_case = _case_weights(_CANNY_SM)
+    gx_case = _case_weights(
+        [(dy, dx, wx) for dy, dx, wx, _ in _HARRIS_OFF]
+    )
+    gy_case = _case_weights(
+        [(dy, dx, wy) for dy, dx, _, wy in _HARRIS_OFF]
+    )
+    ctes = _fixture_ctes() + [
+        """v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) % 256 AS v
+               FROM pixels)""",
+        f"""sm AS (SELECT p.y, p.x, SUM(q.v * {sm_case}) AS sv
+          FROM v p JOIN v q
+            ON q.y BETWEEN p.y - 1 AND p.y + 1
+           AND q.x BETWEEN p.x - 1 AND p.x + 1
+          WHERE p.y BETWEEN 1 AND 62 AND p.x BETWEEN 1 AND 62
+          GROUP BY p.y, p.x)""",
+        f"""g AS (SELECT p.y, p.x,
+               SUM(q.sv * {gx_case}) AS gx,
+               SUM(q.sv * {gy_case}) AS gy
+          FROM sm p JOIN sm q
+            ON q.y BETWEEN p.y - 1 AND p.y + 1
+           AND q.x BETWEEN p.x - 1 AND p.x + 1
+          WHERE p.y BETWEEN 2 AND 61 AND p.x BETWEEN 2 AND 61
+          GROUP BY p.y, p.x)""",
+        """m2 AS (SELECT y, x, gx * gx + gy * gy AS m2,
+               CASE WHEN 2 * ABS(gy) <= ABS(gx) THEN 0
+                    WHEN 2 * ABS(gx) <= ABS(gy) THEN 2
+                    WHEN gx * gy > 0 THEN 1 ELSE 3 END AS bin
+          FROM g)""",
+        """d AS (SELECT y, x, m2,
+               CASE WHEN bin = 0 THEN 0 ELSE 1 END AS dy,
+               CASE bin WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0
+                        ELSE -1 END AS dx
+          FROM m2)""",
+        """nms AS (SELECT c.y, c.x, c.m2
+          FROM d c
+          JOIN m2 p ON p.y = c.y + c.dy AND p.x = c.x + c.dx
+          JOIN m2 q ON q.y = c.y - c.dy AND q.x = c.x - c.dx
+          WHERE c.y BETWEEN 3 AND 60 AND c.x BETWEEN 3 AND 60
+            AND c.m2 >= p.m2 AND c.m2 > q.m2)""",
+        "tot AS (SELECT SUM(m2) AS s, COUNT(*) AS n FROM m2)",
+        """cand AS (SELECT y, x, m2 FROM nms, tot
+          WHERE m2 * n >= 2 * s)""",
+        """strong AS (SELECT y, x FROM cand, tot
+          WHERE m2 * n >= 6 * s)""",
+        """ed AS (SELECT a.y AS ay, a.x AS ax, b.y AS by, b.x AS bx
+          FROM cand a JOIN cand b
+            ON b.y BETWEEN a.y - 1 AND a.y + 1
+           AND b.x BETWEEN a.x - 1 AND a.x + 1
+           AND NOT (b.y = a.y AND b.x = a.x))""",
+        """reach(y, x) AS (
+          SELECT y, x FROM strong
+          UNION
+          SELECT e.by, e.bx FROM reach r
+          JOIN ed e ON e.ay = r.y AND e.ax = r.x)""",
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + " SELECT y, x FROM reach ORDER BY y, x"
+    )
+
+
+@register(
+    "edge_canny",
+    _canny_oracle(),
+    tags=("imaging", "feature", "composition", "label"),
+)
+def edge_canny(spark, sf_dir):
+    """CANNY EDGE DETECTOR (skimage ``feature.canny``), the full five-stage
+    composition: binomial smooth -> Sobel gradient -> direction-quantized
+    non-maximum suppression -> double threshold -> HYSTERESIS. Each stage
+    reuses an engine pattern already graded standalone (stencil scatter
+    joins, broadcast-total thresholding, the components-intersecting-
+    marker closed form from ``morph_binary_propagation``), making this
+    the edge-detection counterpart of ``quickstart_pipeline``.
+
+    Exactness: integer arithmetic end to end. Direction bins use the
+    RATIONAL quantization 2|gy| <=> |gx| (the tan ~26.6 degree variant,
+    CASE-ordered so gx=gy=0 lands in bin 0 deterministically); NMS
+    breaks plateau ties asymmetrically (>= forward, > backward) so
+    exactly one side of a flat ridge survives; thresholds are integer
+    cross-multiplications against the global mean (lo = 2x, hi = 6x);
+    hysteresis = 8-connected components of the candidate set that
+    contain a strong pixel — the binary_propagation closed form, solved
+    by the distributed 3-stage labeling, NOT per-step flooding.
+
+    Scale: two stencil shuffles + one NMS self-join (co-partitioned on
+    the same keys) + the labeling stages; every magnitude is bounded by
+    2*(16*255*4)^2 * |grid| << int64. The oracle replays all five stages
+    definitionally, with WITH RECURSIVE reachability-from-strong as the
+    hysteresis. At sf0.01: 910 NMS survivors -> 419 candidates over lo,
+    138 components, 3 strong seeds, 30 final edge pixels — both the
+    keep AND drop outcomes are exercised by construction."""
+    import numpy as np
+
+    from dask_image_spark.operators import label_cc
+
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", (F.floor("value").cast("bigint") % 256).alias("v")
+    )
+    smk = values_df(spark, "dy, dx, w", _CANNY_SM)
+    sm = (
+        px.crossJoin(F.broadcast(smk))
+        .select(
+            (F.col("y") - F.col("dy")).alias("ty"),
+            (F.col("x") - F.col("dx")).alias("tx"),
+            (F.col("v") * F.col("w")).alias("c"),
+        )
+        .groupBy("ty", "tx")
+        .agg(F.sum("c").alias("sv"))
+        .filter(F.col("ty").between(1, 62) & F.col("tx").between(1, 62))
+        .select(F.col("ty").alias("y"), F.col("tx").alias("x"), "sv")
+    )
+    sok = values_df(
+        spark,
+        "dy, dx, wx, wy",
+        [(dy, dx, wx, wy) for dy, dx, wx, wy in _HARRIS_OFF],
+    )
+    g = (
+        sm.crossJoin(F.broadcast(sok))
+        .select(
+            (F.col("y") - F.col("dy")).alias("ty"),
+            (F.col("x") - F.col("dx")).alias("tx"),
+            (F.col("sv") * F.col("wx")).alias("cx"),
+            (F.col("sv") * F.col("wy")).alias("cy"),
+        )
+        .groupBy("ty", "tx")
+        .agg(F.sum("cx").alias("gx"), F.sum("cy").alias("gy"))
+        .filter(F.col("ty").between(2, 61) & F.col("tx").between(2, 61))
+        .select(F.col("ty").alias("y"), F.col("tx").alias("x"), "gx", "gy")
+    )
+    m2 = persist_tracked(
+        g.select(
+            "y",
+            "x",
+            (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).alias(
+                "m2"
+            ),
+            F.when(2 * F.abs("gy") <= F.abs("gx"), 0)
+            .when(2 * F.abs("gx") <= F.abs("gy"), 2)
+            .when(F.col("gx") * F.col("gy") > 0, 1)
+            .otherwise(3)
+            .alias("bin"),
+        )
+    )
+    d = m2.select(
+        "y",
+        "x",
+        "m2",
+        F.when(F.col("bin") == 0, 0).otherwise(1).alias("dy"),
+        F.when(F.col("bin") == 0, 1)
+        .when(F.col("bin") == 1, 1)
+        .when(F.col("bin") == 2, 0)
+        .otherwise(-1)
+        .alias("dx"),
+    )
+    fwd = m2.select(
+        F.col("y").alias("py"), F.col("x").alias("px_"),
+        F.col("m2").alias("pm2"),
+    )
+    bwd = m2.select(
+        F.col("y").alias("qy"), F.col("x").alias("qx"),
+        F.col("m2").alias("qm2"),
+    )
+    nms = (
+        d.join(
+            fwd,
+            (F.col("py") == F.col("y") + F.col("dy"))
+            & (F.col("px_") == F.col("x") + F.col("dx")),
+        )
+        .join(
+            bwd,
+            (F.col("qy") == F.col("y") - F.col("dy"))
+            & (F.col("qx") == F.col("x") - F.col("dx")),
+        )
+        .filter(
+            F.col("y").between(3, 60)
+            & F.col("x").between(3, 60)
+            & (F.col("m2") >= F.col("pm2"))
+            & (F.col("m2") > F.col("qm2"))
+        )
+        .select("y", "x", "m2")
+    )
+    tot = m2.agg(F.sum("m2").alias("s"), F.count(F.lit(1)).alias("n"))
+    scored = nms.crossJoin(F.broadcast(tot))
+    cand = scored.filter(F.col("m2") * F.col("n") >= 2 * F.col("s")).select(
+        "y", "x", "m2", "n", "s"
+    )
+    strong = cand.filter(F.col("m2") * F.col("n") >= 6 * F.col("s")).select(
+        "y", "x"
+    )
+    lab = label_cc.label(
+        cand.select("y", "x", F.lit(True).alias("m")),
+        SHAPE,
+        structure=np.ones((3, 3)),
+    )
+    keep = lab.join(strong, ["y", "x"]).select("label").distinct()
+    return (
+        lab.join(F.broadcast(keep), "label")
+        .select("y", "x")
+        .orderBy("y", "x")
+    )
