@@ -1515,3 +1515,194 @@ def kcore_decomposition(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "hits_2iter",
+    f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    a1 AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS a
+           FROM edges GROUP BY dst),
+    h1 AS (SELECT e.src, SUM(a1.a) AS h
+           FROM edges e JOIN a1 ON a1.dst = e.dst GROUP BY e.src),
+    a2 AS (SELECT e.dst, SUM(h1.h) AS a
+           FROM edges e JOIN h1 ON h1.src = e.src GROUP BY e.dst),
+    h2 AS (SELECT e.src, SUM(a2.a) AS h
+           FROM edges e JOIN a2 ON a2.dst = e.dst GROUP BY e.src)
+    SELECT nd.doc_id,
+           COALESCE(a2.a, 0) AS auth,
+           COALESCE(h2.h, 0) AS hub
+    FROM nodes nd
+    LEFT JOIN a2 ON a2.dst = nd.doc_id
+    LEFT JOIN h2 ON h2.src = nd.doc_id
+    ORDER BY auth DESC, doc_id LIMIT 20
+    """,
+    tags=("ranking", "graph", "hits"),
+)
+def hits_2iter(spark, sf_dir):
+    """HITS hubs-and-authorities (Kleinberg), 2 synchronous iterations
+    over the PageRank fixture graph — the second classical link-analysis
+    centrality (good-hub-points-at-good-authority mutual recursion),
+    complementing ``pagerank_2iter``'s random-surfer model. From the
+    all-ones start the UNNORMALIZED iterates are INTEGERS (a1 =
+    in-degree counts, h1/a2/h2 = integer sums over neighbors), so two
+    iterations need no quantization barrier at all: the top-20
+    authority heap is bit-exact on both engines, where normalized HITS
+    would force a float contract every iteration.
+
+    Plan shape per half-iteration: ONE equi-join of the score vector to
+    the edge list + ONE partial-agg groupBy — identical to the PageRank
+    iteration template, reusing the same (src)/(dst) partitionings, so
+    at scale the four half-steps pin to two exchanges' worth of
+    distinct keys. Zero-score nodes surface through the LEFT joins
+    (COALESCE 0), keeping leaf pages visible in the result."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("src"),
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            "src",
+            F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias(
+                "dst"
+            ),
+        )
+    )
+    from dask_image_spark.queries.base import persist_tracked
+
+    edges = persist_tracked(edges)
+    a1 = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    h1 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("h").alias("a"))
+    )
+    h2 = (
+        edges.join(a2, "dst")
+        .groupBy("src")
+        .agg(F.sum("a").alias("h"))
+    )
+    return (
+        docs.join(a2.select(F.col("dst").alias("doc_id"), "a"), "doc_id", "left")
+        .join(h2.select(F.col("src").alias("doc_id"), "h"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("a", F.lit(0)).alias("auth"),
+            F.coalesce("h", F.lit(0)).alias("hub"),
+        )
+        .orderBy(F.desc("auth"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "adamic_adar_linkpred",
+    f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    raw AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    adj AS (SELECT a AS z, b AS v FROM und
+            UNION ALL SELECT b AS z, a AS v FROM und),
+    deg AS (SELECT z, COUNT(*) AS d FROM adj GROUP BY z),
+    wz AS (SELECT z, 1.0 / LN(d) AS w FROM deg WHERE d >= 2),
+    pairs AS (
+      SELECT l.v AS a, r.v AS b, SUM(w.w) AS score
+      FROM adj l JOIN adj r ON r.z = l.z AND l.v < r.v
+      JOIN wz w ON w.z = l.z
+      GROUP BY l.v, r.v),
+    novel AS (
+      SELECT p.a, p.b, p.score FROM pairs p
+      LEFT JOIN und u ON u.a = p.a AND u.b = p.b
+      WHERE u.a IS NULL)
+    SELECT a, b, ROUND(1.2345e-8 + score, 4) AS aa_score
+    FROM novel
+    ORDER BY ROUND(1.2345e-8 + score, 4) DESC, a, b LIMIT 15
+    """,
+    tags=("ranking", "graph", "link-prediction"),
+)
+def adamic_adar_linkpred(spark, sf_dir):
+    """ADAMIC-ADAR LINK PREDICTION over the fixture graph: score every
+    NON-ADJACENT pair by the sum of 1/ln(degree) over their common
+    neighbors — the classic who-should-link signal (friend suggestion,
+    related-page mining, knowledge-graph completion); rare shared
+    neighbors count more than hubs. Top-15 predicted links.
+
+    Plan: common-neighbor enumeration is ONE self-join of the adjacency
+    list on the shared endpoint with l.v < r.v (each unordered pair
+    once) — fan-out Σ deg(z)², the same bounded wedge enumeration
+    triangle counting uses, never an all-pairs product; at scale hubs
+    get capped by degree-thresholding exactly like compact-forward
+    orientation. Degree weights broadcast (|nodes| rows); existing
+    edges leave via one anti-join. Determinism: scores are sums of
+    1/ln(integer-degree) doubles — ordered AFTER the shared 4-decimal
+    rounding (ROUND(eps + x)), tie-broken on (a, b), so cross-engine
+    ulp noise can't reorder the heap. Nodes of degree < 2 contribute
+    nothing (ln 1 = 0 would blow up; the standard AA convention),
+    enforced identically on both sides."""
+    from dask_image_spark.queries.base import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    raw = (
+        docs.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("src"),
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            "src",
+            F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias(
+                "dst"
+            ),
+        )
+    )
+    und = persist_tracked(
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("z"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("z"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    wz = deg.filter(F.col("d") >= 2).select(
+        "z", (F.lit(1.0) / F.log("d")).alias("w")
+    )
+    left = adj.select("z", F.col("v").alias("va"))
+    right = adj.select(F.col("z").alias("z2"), F.col("v").alias("vb"))
+    pairs = (
+        left.join(right, (F.col("z2") == F.col("z")) & (F.col("va") < F.col("vb")))
+        .join(F.broadcast(wz), "z")
+        .groupBy(F.col("va").alias("a"), F.col("vb").alias("b"))
+        .agg(F.sum("w").alias("score"))
+    )
+    novel = pairs.join(und, ["a", "b"], "left_anti")
+    return (
+        novel.select("a", "b", _eps_round("score", 4).alias("aa_score"))
+        .orderBy(F.desc("aa_score"), "a", "b")
+        .limit(15)
+    )

@@ -2289,3 +2289,109 @@ def forecast_eval_mase(spark, sf_dir):
             4,
         ).alias("mase"),
     )
+
+
+_ACF_LAGS = [1, 2, 3, 6, 12, 24]
+
+_ACF_LAG_SELECTS = " UNION ALL ".join(
+    f"""SELECT event_type, {k} AS lag, v,
+           LAG(v, {k}) OVER (PARTITION BY event_type ORDER BY hour) AS lv
+      FROM h"""
+    for k in _ACF_LAGS
+)
+
+
+@register(
+    "acf_hourly",
+    f"""
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, AVG(v) AS mu FROM h GROUP BY event_type),
+    den AS (
+      SELECT h.event_type, SUM((h.v - st.mu) * (h.v - st.mu)) AS d
+      FROM h JOIN st ON st.event_type = h.event_type
+      GROUP BY h.event_type),
+    lagged AS ({_ACF_LAG_SELECTS}),
+    num AS (
+      SELECT l.event_type, l.lag,
+             SUM((l.v - st.mu) * (l.lv - st.mu)) AS nm,
+             COUNT(l.lv) AS n_pairs
+      FROM lagged l JOIN st ON st.event_type = l.event_type
+      WHERE l.lv IS NOT NULL
+      GROUP BY l.event_type, l.lag)
+    SELECT n.event_type, n.lag,
+           ROUND(1.2345e-8 + n.nm / d.d, 4) AS acf,
+           CAST(n.n_pairs AS BIGINT) AS n_pairs
+    FROM num n JOIN den d ON d.event_type = n.event_type
+    ORDER BY n.event_type, n.lag
+    """,
+    tags=("timeseries", "autocorrelation", "window"),
+)
+def acf_hourly(spark, sf_dir):
+    """AUTOCORRELATION FUNCTION per series at lags 1/2/3/6/12/24 hours —
+    the first diagnostic every forecasting workflow runs (is there
+    daily seasonality? how fast does memory decay?), and the
+    order-selection input for ARIMA-style models. ACF_k = sum over t of
+    (v_t - mu)(v_{t-k} - mu) / sum of (v_t - mu)^2, with the full-series
+    mean and denominator (the standard sample-ACF convention).
+
+    Plan: the hourly frame is the only fact-scale pass; all six lags
+    come from ONE window sort per series (six LAG projections over the
+    same (event_type, hour) ordering — Spark plans a single Sort +
+    Window), stacked long with zero extra shuffle, then one partial-agg
+    groupBy on (event_type, lag). The per-series mean/denominator
+    broadcast back (|series| rows). At 100 TB of raw events the
+    calendar-bounded hourly frame is tiny — the ACF itself never
+    touches the fact table again."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.avg("value").alias("v"))
+    st = h.groupBy("event_type").agg(F.avg("v").alias("mu"))
+    den = (
+        h.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = h.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"l{k}") for k in _ACF_LAGS],
+    )
+    stack_args = ", ".join(f"{k}, l{k}" for k in _ACF_LAGS)
+    long = lagged.select(
+        "event_type",
+        "v",
+        F.expr(
+            f"stack({len(_ACF_LAGS)}, {stack_args}) AS (lag, lv)"
+        ),
+    ).filter(F.col("lv").isNotNull())
+    num = (
+        long.join(F.broadcast(st), "event_type")
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("mu")) * (F.col("lv") - F.col("mu"))
+            ).alias("nm"),
+            F.count("lv").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            _eps_round(F.col("nm") / F.col("d"), 4).alias("acf"),
+            "n_pairs",
+        )
+        .orderBy("event_type", "lag")
+    )
