@@ -2433,3 +2433,87 @@ def threshold_sweep_f1(spark, sf_dir):
             4,
         ).alias("f1"),
     )
+
+
+@register(
+    "pr_auc_average_precision",
+    """
+    WITH s AS (
+      SELECT CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS y,
+             ROUND(1.0 / (1.0 + EXP(-((value - 50.0) / 20.0
+               + ((('0x' || substr(md5('ns:' || CAST(event_id AS VARCHAR)),
+                    1, 8))::BIGINT % 2000) - 1000) / 1000.0))), 4) AS p
+      FROM events),
+    g AS (
+      SELECT p, SUM(y) AS np, COUNT(*) AS nt FROM s GROUP BY p),
+    c AS (
+      SELECT p, np,
+             SUM(np) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(nt) OVER (ORDER BY p DESC ROWS UNBOUNDED PRECEDING) AS pp,
+             SUM(np) OVER () AS pos
+      FROM g)
+    SELECT CAST(MAX(pos) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+           ROUND(1.2345e-8 + SUM((np / pos) * (tp / pp)), 4)
+             AS average_precision
+    FROM c
+    """,
+    tags=("curation", "ml", "evaluation"),
+)
+def pr_auc_average_precision(spark, sf_dir):
+    """PRECISION-RECALL AUC as AVERAGE PRECISION (sklearn
+    ``average_precision_score``, step interpolation): AP = sum over
+    descending distinct thresholds of (delta recall) * precision, with
+    delta recall = np_k / P — the class-imbalance-honest companion to
+    ``roc_auc_exact`` (ROC AUC stays optimistic when negatives dominate;
+    AP collapses, which is why retrieval and rare-event pipelines
+    report it instead). Same deterministic noisy-sigmoid model as the
+    ROC/Brier evals, so all three describe ONE classifier.
+
+    Scale shape mirrors roc_auc_exact exactly: collapse to the distinct
+    SCORE DOMAIN first (one combinable aggregate with 4-decimal score
+    rounding so ties exist and are exercised), then a single
+    descending-ordered window pass computes TP/PP cumulatives; AP is
+    one more aggregate over the <= 10^4-row threshold frame. Precision
+    and recall are ratios of exact integers; only the final AP sum is
+    float, under the shared rounding policy."""
+    ev = load_table(spark, sf_dir, "events")
+    noise = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ns:"), F.col("event_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 2000 - 1000
+    ) / 1000.0
+    p = F.round(
+        1.0 / (1.0 + F.exp(-((F.col("value") - 50.0) / 20.0 + noise))), 4
+    )
+    s = ev.select(
+        F.when(F.col("value") > 50.0, 1.0).otherwise(0.0).alias("y"),
+        p.alias("p"),
+    )
+    g = s.groupBy("p").agg(
+        F.sum("y").alias("np"), F.count(F.lit(1)).alias("nt")
+    )
+    w = Window.orderBy(F.desc("p")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "np",
+        F.sum("np").over(w).alias("tp"),
+        F.sum("nt").over(w).alias("pp"),
+        F.sum("np").over(w_all).alias("pos"),
+    )
+    return c.agg(
+        F.max("pos").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+        _eps_round(
+            F.sum((F.col("np") / F.col("pos")) * (F.col("tp") / F.col("pp"))),
+            4,
+        ).alias("average_precision"),
+    )

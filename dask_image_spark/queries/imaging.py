@@ -2857,3 +2857,83 @@ def edge_canny(spark, sf_dir):
         .select("y", "x")
         .orderBy("y", "x")
     )
+
+
+# Shared inertia-eigenvalue SQL fragments for the regionprops shape
+# descriptors: normalized second moments from the same raw-moment
+# identities measure_central_moments grades, then the closed-form 2x2
+# eigenvalues. One text, interpolated into the oracle; the engine
+# mirrors it expression for expression.
+_SHAPE_MU = {
+    "m20": "SUM(value*y*y) - SUM(value*y)*SUM(value*y)/SUM(value)",
+    "m02": "SUM(value*x*x) - SUM(value*x)*SUM(value*x)/SUM(value)",
+    "m11": "SUM(value*y*x) - SUM(value*y)*SUM(value*x)/SUM(value)",
+}
+
+_SHAPE_ORACLE = with_pixel_ctes(
+    """
+    SELECT label,
+           ROUND(1.2345e-8 + 4 * SQRT(l1), 4) AS major_axis,
+           ROUND(1.2345e-8 + 4 * SQRT(l2), 4) AS minor_axis,
+           ROUND(1.2345e-8 + SQRT(1 - l2 / l1), 4) AS eccentricity
+    FROM eig
+    """,
+    extra=[
+        f"""mom AS (SELECT label,
+               ({_SHAPE_MU['m20']}) / SUM(value) AS n20,
+               ({_SHAPE_MU['m02']}) / SUM(value) AS n02,
+               ({_SHAPE_MU['m11']}) / SUM(value) AS n11
+          FROM labeled GROUP BY label)""",
+        """eig AS (SELECT label,
+               (n20 + n02) / 2
+                 + SQRT((n20 - n02) * (n20 - n02) / 4 + n11 * n11) AS l1,
+               GREATEST((n20 + n02) / 2
+                 - SQRT((n20 - n02) * (n20 - n02) / 4 + n11 * n11),
+                 0) AS l2
+          FROM mom)""",
+    ],
+)
+
+
+@register(
+    "regionprops_shape",
+    _SHAPE_ORACLE,
+    tags=("imaging", "ndmeasure", "regionprops"),
+)
+def regionprops_shape(spark, sf_dir):
+    """REGIONPROPS SHAPE DESCRIPTORS (skimage ``regionprops``:
+    major/minor axis length + eccentricity): eigenvalues of the
+    mass-normalized inertia tensor, in closed 2x2 form — how elongated
+    is each segmented object, the go-to morphology feature after area
+    and centroid. Completes the regionprops family begun by
+    ``measure_central_moments`` (which grades the raw tensor +
+    orientation).
+
+    Same scale shape as every measurement: ONE partial+final aggregate
+    per label computes all three raw power sums; the eigenvalue algebra
+    runs on the |labels|-row frame. The minor eigenvalue is clamped at
+    0 on BOTH engines (GREATEST/greatest) so a last-ulp negative from
+    the moment subtraction can never NaN the square root on one side
+    only. skimage's axis-length convention (4*sqrt(lambda)) and
+    eccentricity sqrt(1 - l2/l1) follow the published formulas."""
+    from dask_image_spark.operators import ndmeasure as _nm
+
+    df = _nm.central_moments(labeled_grid(spark, sf_dir))
+    n20 = F.col("mu20") / F.col("mass")
+    n02 = F.col("mu02") / F.col("mass")
+    n11 = F.col("mu11") / F.col("mass")
+    half_tr = (n20 + n02) / 2
+    disc = F.sqrt((n20 - n02) * (n20 - n02) / 4 + n11 * n11)
+    eig = df.select(
+        "label",
+        (half_tr + disc).alias("l1"),
+        F.greatest(half_tr - disc, F.lit(0.0)).alias("l2"),
+    )
+    return eig.select(
+        "label",
+        _eps_round(4 * F.sqrt("l1"), 4).alias("major_axis"),
+        _eps_round(4 * F.sqrt("l2"), 4).alias("minor_axis"),
+        _eps_round(F.sqrt(1 - F.col("l2") / F.col("l1")), 4).alias(
+            "eccentricity"
+        ),
+    )
