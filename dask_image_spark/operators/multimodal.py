@@ -867,3 +867,70 @@ def frame_sample(
             )
 
     return df.select(id_col, "payload").mapInPandas(fn, schema)
+
+
+def encode_bmp_rgb(rgb_rows, width: int, height: int) -> bytes:
+    """Encode 24-bit uncompressed BMP (BI_RGB) from scratch.
+
+    ``rgb_rows`` is a row-major (top-down) iterable of (r, g, b) byte
+    triples. The file stores rows BOTTOM-UP in BGR order with each row
+    padded to a 4-byte boundary — the three layout quirks (vertical
+    flip, channel reversal, stride padding) every hand-rolled BMP
+    reader historically gets wrong, all round-trip-checked by the
+    luma-weighted oracle checksum. BITMAPFILEHEADER (14 bytes) +
+    BITMAPINFOHEADER (40 bytes), the original Windows 3.x layout every
+    viewer accepts."""
+    import struct
+
+    px = list(rgb_rows)
+    if len(px) != width * height:
+        raise ValueError("pixel count does not match dimensions")
+    row_stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_stride - width * 3)
+    body = bytearray()
+    for ry in range(height - 1, -1, -1):  # bottom-up
+        row = px[ry * width:(ry + 1) * width]
+        for r, g, b in row:
+            body += bytes((b & 0xFF, g & 0xFF, r & 0xFF))  # BGR on disk
+        body += pad
+    img_size = row_stride * height
+    file_size = 14 + 40 + img_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+        2835, 2835, 0, 0,
+    )
+    return header + info + bytes(body)
+
+
+def decode_bmp_rgb(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode 24-bit uncompressed BMP: returns (width, height, row-major
+    top-down (r, g, b) triples). Bottom-up files only (positive height,
+    the overwhelmingly common layout); compressed or non-24-bit BMPs
+    raise — codec guard rails, like the TIFF tiers'."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, width, height, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMPs not supported")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if height <= 0:
+        raise ValueError("top-down (negative-height) BMP not supported")
+    row_stride = (width * 3 + 3) & ~3
+    out: list[tuple[int, int, int]] = []
+    for ry in range(height):
+        src_row = height - 1 - ry  # stored bottom-up
+        base = offset + src_row * row_stride
+        row = payload[base:base + width * 3]
+        if len(row) != width * 3:
+            raise ValueError("truncated BMP pixel array")
+        for i in range(width):
+            b, g, r = row[3 * i:3 * i + 3]
+            out.append((r, g, b))
+    return width, height, out

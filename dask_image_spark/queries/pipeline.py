@@ -4558,3 +4558,121 @@ def arrow_batch_clip(spark, sf_dir):
         _eps_round(F.sum("clipped"), 4).alias("clipped_total"),
         F.sum("was_clipped").alias("n_clipped"),
     )
+
+
+@register(
+    "imread_bmp",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS img,
+           CAST(63 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(SUM((event_id * 7 + 13) % 256) % 65536 AS INT) AS sum_r,
+           CAST(SUM((event_id * 11 + 5) % 256) % 65536 AS INT) AS sum_g,
+           CAST(SUM((event_id * 3 + 17) % 256) % 65536 AS INT) AS sum_b,
+           CAST(SUM(299 * ((event_id * 7 + 13) % 256)
+                  + 587 * ((event_id * 11 + 5) % 256)
+                  + 114 * ((event_id * 3 + 17) % 256)) % 1000003 AS INT)
+             AS luma_sum
+    FROM events WHERE event_id < 8192 AND event_id % 64 <> 63
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema=(
+        "img int, width int, height int, sum_r int, sum_g int, sum_b int, "
+        "luma_sum int"
+    ),
+)
+def imread_bmp(spark, sf_dir):
+    """24-BIT BMP ingest — the uncompressed Windows bitmap (screenshots,
+    scanner output, ML-dataset dumps that skip compression for speed).
+    The codec is written from scratch and the fixture is deliberately
+    63 PIXELS WIDE: 63*3 = 189 bytes forces the 4-byte row-stride
+    padding that a naive reader mistakes for pixel data, and BMP's
+    OTHER two layout quirks — bottom-up row order and BGR channel
+    order — are both broken-detectable by the luma-weighted checksum
+    (channel swap changes luma; vertical flip changes nothing here, so
+    the decoder's row reversal is additionally unit-tested against the
+    raw payload layout in test_multimodal_codecs).
+
+    Same distributed shape as the PGM/PNG tiers: encode per image group
+    in applyInPandas, land files, re-scan via binaryFile, decode
+    partition-parallel in mapInPandas; the oracle recomputes every
+    channel statistic straight from events."""
+    import os
+
+    from dask_image_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/bmp_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 8192) & (F.pmod("event_id", F.lit(64)) != 63)
+    )
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("img"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(256)).cast("int").alias("r"),
+        F.pmod(F.col("event_id") * 11 + 5, F.lit(256)).cast("int").alias("g"),
+        F.pmod(F.col("event_id") * 3 + 17, F.lit(256)).cast("int").alias("b"),
+    )
+
+    def write_image(pdf):
+        import numpy as np
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        # 63-wide raster: position pos = y*64 + x with x < 63 maps to
+        # row-major index y*63 + x. Zero-pad partial groups at tiny sf
+        # (same convention as the PGM tier).
+        plane = np.zeros((4096 // 64, 63, 3), dtype="uint8")
+        ys = pdf["pos"].to_numpy() // 64
+        xs = pdf["pos"].to_numpy() % 64
+        plane[ys, xs, 0] = pdf["r"].to_numpy().astype("uint8")
+        plane[ys, xs, 1] = pdf["g"].to_numpy().astype("uint8")
+        plane[ys, xs, 2] = pdf["b"].to_numpy().astype("uint8")
+        triples = [tuple(int(c) for c in t) for t in plane.reshape(-1, 3)]
+        payload = encode_bmp_rgb(triples, 63, 64)
+        path = f"{out_dir}/img_{img}.bmp"
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.bmp")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "img": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "luma_sum": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_bmp_rgb(bytes(content))
+                rows["img"].append(
+                    int(path.rsplit("img_", 1)[1].split(".")[0])
+                )
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sum(p[0] for p in pixels) % 65536)
+                rows["sum_g"].append(sum(p[1] for p in pixels) % 65536)
+                rows["sum_b"].append(sum(p[2] for p in pixels) % 65536)
+                rows["luma_sum"].append(
+                    sum(
+                        299 * p[0] + 587 * p[1] + 114 * p[2]
+                        for p in pixels
+                    )
+                    % 1000003
+                )
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode,
+        "img int, width int, height int, sum_r int, sum_g int, sum_b int, "
+        "luma_sum int",
+    )

@@ -570,3 +570,47 @@ def test_png_multichannel_roundtrip_and_bpp_stride():
 
     with _pytest.raises(NotImplementedError, match="grayscale surface"):
         decode_png(encode_png(solid, 8, 6, color_type=2))
+
+
+def test_bmp_codec_roundtrip_and_stride_padding():
+    from dask_image_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+    )
+
+    w, h = 63, 4  # 63*3 = 189 -> stride 192: 3 pad bytes per row
+    px = [((i * 7) % 256, (i * 11) % 256, (i * 3) % 256) for i in range(w * h)]
+    payload = encode_bmp_rgb(px, w, h)
+    # header claims offset 54; padded stride means 192 bytes per row
+    assert len(payload) == 54 + 192 * h
+    w2, h2, out = decode_bmp_rgb(payload)
+    assert (w2, h2) == (w, h)
+    assert out == px
+    # raw layout: FIRST stored row is the BOTTOM image row, in BGR
+    r, g, b = px[(h - 1) * w]
+    assert payload[54:57] == bytes((b, g, r))
+
+
+def test_bmp_decoder_rejects_bad_payloads():
+    import struct
+
+    import pytest
+
+    from dask_image_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+    )
+
+    good = encode_bmp_rgb([(1, 2, 3)] * 4, 2, 2)
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp_rgb(b"PNG" + good[2:])
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)  # claim 8-bit palette
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp_rgb(bytes(bad_bpp))
+    topdown = bytearray(good)
+    struct.pack_into("<i", topdown, 22, -2)  # negative height
+    with pytest.raises(ValueError, match="top-down"):
+        decode_bmp_rgb(bytes(topdown))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_rgb(good[:-4])
