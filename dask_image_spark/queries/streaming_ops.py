@@ -376,3 +376,13 @@ def streaming_left_outer_join(spark, sf_dir):
     the two row classes are both nonzero (18 matched / 981 null-flushed)
     — the flush path cannot pass vacuously."""
     return ops.stream_left_outer_join(spark, sf_dir)
+
+
+# ``transformWithStateInPandas`` (Spark 4's new arbitrary-state API) is
+# implemented in streaming/ops.py::tws_user_type_stats but NOT registered:
+# its state protocol requires the ``protobuf`` package, which this
+# container does not ship (and installs are off-limits) — the same
+# optional-dependency posture as upstream's lazy ``pims`` import. The
+# batch-equivalence test (tests/test_streaming_multibatch.py) runs it
+# behind ``pytest.importorskip("google.protobuf")`` so the surface
+# activates automatically wherever protobuf exists.

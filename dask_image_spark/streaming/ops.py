@@ -830,3 +830,100 @@ def rocksdb_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+
+
+def tws_user_type_stats(spark: SparkSession, sf_dir: str, **stream_opts) -> DataFrame:
+    """``transformWithStateInPandas`` — Spark 4's NEW arbitrary-state API
+    (SPARK-49564, the successor to ``applyInPandasWithState``): an
+    object-oriented ``StatefulProcessor`` with TYPED, independently
+    evolvable state families instead of one monolithic state tuple.
+    Exercised here with BOTH families the old API cannot express
+    separately: a ValueState (running event count) and a MapState
+    (distinct event types seen — per-key map entries the store
+    serializes individually, so a 10^6-type key never rewrites its
+    whole state on update).
+
+    Requires the RocksDB state store provider (a transformWithState
+    contract, not a choice) — scoped to this query and restored after,
+    like ``rocksdb_session_stats``. Update-mode emissions are keyed-
+    merged by the monotonic count, so the availableNow result equals
+    the batch GROUP BY whatever the micro-batch split — the oracle
+    story shared by the whole stateful family.
+
+    DEPENDENCY GATE: the transformWithState state protocol speaks
+    protobuf between the JVM and the Python driver worker; this
+    container ships no ``protobuf`` package, so the operator raises a
+    clear ImportError up front instead of crashing the streaming query
+    mid-plan (upstream's lazy-``pims`` posture). The batch-equivalence
+    test runs behind ``pytest.importorskip("google.protobuf")`` and
+    activates wherever the dependency exists."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its JVM<->Python state protocol); install protobuf to use "
+            "tws_user_type_stats"
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cnt = handle.getValueState("cnt", "n LONG")
+            self._types = handle.getMapState("types", "t STRING", "one SHORT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self._cnt.get()[0] if self._cnt.exists() else 0
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                for t in pdf["event_type"].unique():
+                    self._types.updateValue((str(t),), (1,))
+            self._cnt.update((n,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir, **stream_opts).select(
+        "user_id", "event_type"
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        agg = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=UserTypeStats(),
+            outputStructType="user_id LONG, n_events LONG, n_types LONG",
+            outputMode="Update",
+            timeMode="None",
+        )
+        mem = run_to_memory(agg, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    # keyed-merge over the append-only memory sink: the count is monotonic
+    # across emissions, so max(struct) is the final state per user
+    return (
+        mem.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_types")).alias("s"))
+        .select("user_id", "s.n_events", "s.n_types")
+    )

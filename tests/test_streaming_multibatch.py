@@ -328,3 +328,52 @@ def test_custom_source_crash_resume_exactly_once(spark, tmp_path):
         ) > 1e-9
     ).count()
     assert bad == 0
+
+
+def test_transform_with_state_batch_equivalence(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (ValueState + MapState on
+    RocksDB) equals the batch per-user count / distinct-type aggregate.
+    The state protocol needs protobuf, which this container does not
+    ship — the test activates wherever the dependency exists."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.sources.tables import load_table
+    from dask_image_spark.streaming import ops
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in ops.tws_user_type_stats(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n_events"], r["n_types"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_raises_without_protobuf(spark, sf_dir):
+    """Without protobuf the operator fails FAST with a clear message,
+    never inside the streaming query plan."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present: the gate is open")
+    except ImportError:
+        pass
+
+    from dask_image_spark.streaming import ops
+
+    with pytest.raises(ImportError, match="protobuf"):
+        ops.tws_user_type_stats(spark, sf_dir)
