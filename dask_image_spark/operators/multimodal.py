@@ -934,3 +934,197 @@ def decode_bmp_rgb(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]
             b, g, r = row[3 * i:3 * i + 3]
             out.append((r, g, b))
     return width, height, out
+
+
+def _gif_lzw_encode(indices, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW (Appendix F of the GIF89a spec): LSB-FIRST bit
+    packing, clear/EOI control codes, code width growing at 2^width
+    WITHOUT the TIFF early-change, dictionary reset at 4096. The two
+    LZW dialects in this repo (see ``_lzw_encode`` for TIFF's) differ in
+    all three knobs — sharing one implementation is how codecs corrupt
+    quietly, so they are deliberately separate."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    prefix = b""
+    for idx in indices:
+        b = bytes([idx])
+        if prefix + b in table:
+            prefix += b
+            continue
+        emit(table[prefix], width)
+        table[prefix + b] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = b
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int = 8) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+    width = min_code_size + 1
+    out: list[int] = []
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal pos
+        byte = pos >> 3
+        shift = pos & 7
+        chunk = int.from_bytes(data[byte:byte + 3], "little")
+        code = (chunk >> shift) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    while True:
+        if (pos + width) > 8 * len(data):
+            # implicit EOI: real-world encoders routinely truncate the
+            # final EOI mid-byte (the canonical 1x1 GIF does) — tolerate
+            # it like every production decoder; genuinely short pixel
+            # streams are still caught by the caller's w*h count check
+            break
+        code = read_code()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW: first code not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW: code beyond table")
+        out.extend(entry)
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+def encode_gif_gray(pixels, width: int, height: int) -> bytes:
+    """Encode 8-bit grayscale pixels as a single-frame GIF87a with an
+    identity grayscale global color table (palette index i = gray i),
+    written from scratch: logical screen descriptor, 256-entry GCT,
+    image descriptor, GIF-LZW compressed index stream packetized into
+    <= 255-byte sub-blocks, trailer."""
+    import struct
+
+    px = [int(p) & 0xFF for p in pixels]
+    if len(px) != width * height:
+        raise ValueError("pixel count does not match dimensions")
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0xF7, 0, 0))  # GCT present, 8-bit, 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))  # identity grayscale palette
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(8)  # LZW minimum code size
+    lzw = _gif_lzw_encode(px, 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a single-frame GIF with a global color table; returns
+    (width, height, gray pixels) where gray = the palette's R channel
+    (the identity-palette convention ``encode_gif_gray`` writes; a
+    non-grayscale palette raises — this is the grayscale surface, like
+    ``decode_png``'s). Skips 89a extension blocks; interlace and local
+    color tables are guarded NotImplementedError rails."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _w, _h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    off = 13
+    palette: list[int] | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = []
+        for i in range(n):
+            r, g, b = payload[off + 3 * i:off + 3 * i + 3]
+            if r != g or g != b:
+                raise ValueError("non-grayscale palette: grayscale surface")
+            palette.append(r)
+        off += 3 * n
+    while True:
+        if off >= len(payload):
+            raise ValueError("truncated GIF (no image descriptor)")
+        block = payload[off]
+        if block == 0x21:  # 89a extension: skip sub-blocks
+            off += 2
+            while payload[off] != 0:
+                off += 1 + payload[off]
+            off += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    left, top, w, h = struct.unpack_from("<HHHH", payload, off + 1)
+    ipacked = payload[off + 9]
+    if ipacked & 0x80:
+        raise NotImplementedError("local color tables not supported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF not supported")
+    if palette is None:
+        raise ValueError("no color table")
+    off += 10
+    min_code = payload[off]
+    off += 1
+    lzw = bytearray()
+    while True:
+        n = payload[off]
+        off += 1
+        if n == 0:
+            break
+        lzw += payload[off:off + n]
+        off += n
+    indices = _gif_lzw_decode(bytes(lzw), min_code)
+    if len(indices) < w * h:
+        raise ValueError("truncated GIF pixel stream")
+    return w, h, [palette[i] for i in indices[:w * h]]

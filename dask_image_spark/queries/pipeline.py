@@ -4676,3 +4676,85 @@ def imread_bmp(spark, sf_dir):
         "img int, width int, height int, sum_r int, sum_g int, sum_b int, "
         "luma_sum int",
     )
+
+
+@register(
+    "imread_gif",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS img,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(4096 AS INT) AS n_px,
+           CAST(SUM((event_id * 7 + 13) % 256) % 65536 AS INT) AS checksum
+    FROM events WHERE event_id < 8192
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema="img int, width int, height int, n_px int, checksum int",
+)
+def imread_gif(spark, sf_dir):
+    """GIF ingest — the seventh from-scratch codec and the SECOND LZW
+    DIALECT in the repo: GIF's LSB-first bit packing with clear/EOI
+    control codes and no early-change, vs TIFF's MSB-first early-change
+    variant (imread_tiff_lzw) — the two dialects share nothing but the
+    dictionary idea, which is exactly why they are separate functions
+    (one flag wrong corrupts silently). Palette-indexed color model:
+    an identity grayscale global color table maps index i to gray i,
+    so the oracle's pixel checksum flows through the palette lookup.
+    The decoder is additionally pinned to the CANONICAL public 1x1 GIF
+    (the ubiquitous tracking-pixel bytes) in unit tests — third-party
+    evidence the dialect is spec-true, including the truncated-EOI
+    tolerance every production decoder has.
+
+    Same distributed harness as the other tiers: encode per image group
+    in applyInPandas, land, binaryFile scan, mapInPandas decode."""
+    import os
+
+    from dask_image_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/gif_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("img"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 7 + 13, F.lit(256)).cast("int").alias("px"),
+    )
+
+    def write_image(pdf):
+        import numpy as np
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        ordered = np.zeros(4096, dtype="uint8")
+        ordered[pdf["pos"].to_numpy()] = pdf["px"].to_numpy().astype("uint8")
+        payload = encode_gif_gray([int(v) for v in ordered], 64, 64)
+        with open(f"{out_dir}/img_{img}.gif", "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.gif")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"img": [], "width": [], "height": [], "n_px": [], "checksum": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_gif_gray(bytes(content))
+                rows["img"].append(int(path.rsplit("img_", 1)[1].split(".")[0]))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(pixels))
+                rows["checksum"].append(sum(pixels) % 65536)
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode, "img int, width int, height int, n_px int, checksum int"
+    )

@@ -614,3 +614,65 @@ def test_bmp_decoder_rejects_bad_payloads():
         decode_bmp_rgb(bytes(topdown))
     with pytest.raises(ValueError, match="truncated"):
         decode_bmp_rgb(good[:-4])
+
+
+def test_gif_codec_roundtrip_and_dict_reset():
+    import random
+
+    from dask_image_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    random.seed(11)
+    for w, h in [(64, 64), (63, 17), (5, 1)]:
+        px = [random.randrange(256) for _ in range(w * h)]
+        assert decode_gif_gray(encode_gif_gray(px, w, h)) == (w, h, px)
+    # constant run exercises KwKwK + width growth; 27k px forces the
+    # 4096-entry dictionary reset (clear code mid-stream)
+    px = ([7] * 9000) + [random.randrange(256) for _ in range(9000)] * 2
+    assert decode_gif_gray(encode_gif_gray(px, 150, 180)) == (150, 180, px)
+
+
+def test_gif_decoder_reads_canonical_public_vector():
+    """The ubiquitous 1x1 tracking-pixel GIF89a — THIRD-PARTY bytes, not
+    our own encoder's: proves the dialect (LSB-first packing, clear code
+    first, truncated-EOI tolerance, GCE extension skip, 2-entry
+    palette) against a file the whole web serves."""
+    import base64
+
+    from dask_image_spark.operators.multimodal import decode_gif_gray
+
+    payload = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert decode_gif_gray(payload) == (1, 1, [0])
+
+
+def test_gif_decoder_rejects_bad_payloads():
+    import pytest
+
+    from dask_image_spark.operators.multimodal import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    good = bytearray(encode_gif_gray([1, 2, 3, 4], 2, 2))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_gray(b"JIF87a" + bytes(good[6:]))
+    colored = bytearray(good)
+    colored[13 + 3 * 5] = 99  # palette entry 5: break r==g==b
+    with pytest.raises(ValueError, match="non-grayscale"):
+        decode_gif_gray(bytes(colored))
+    interlaced = bytearray(good)
+    # image descriptor starts after 13-byte header + 768-byte GCT
+    interlaced[13 + 768 + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif_gray(bytes(interlaced))
+    # truncated pixel stream: 2x2 image claiming 3x3
+    import struct
+
+    short = bytearray(good)
+    struct.pack_into("<HH", short, 13 + 768 + 5, 3, 3)
+    with pytest.raises(ValueError, match="truncated GIF pixel"):
+        decode_gif_gray(bytes(short))
