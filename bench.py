@@ -63,6 +63,15 @@ HEADLINE = [
     # so shingles/tokens replicate i.i.d. instead of colliding 4-way.
     ("minhash_lsh_4x", "__minhash_lsh_4x__"),
     ("tfidf_pairs_4x", "__tfidf_pairs_4x__"),
+    # round-8 continuation: slope points for the two shuffle-heaviest
+    # TPC-H queries (VERDICT_r07 item 4 named q9/q21 alongside the text
+    # ops). 1x = the registered queries; 4x = the same plans over
+    # lineitem_x4 (rows 4x, key domain unchanged — fact growth with
+    # constant dims). Stock twins in scripts/baseline_stock.py.
+    ("q9", "q9_product_type_profit"),
+    ("q21", "q21_suppliers_kept_waiting"),
+    ("q9_4x", "__q9_4x__"),
+    ("q21_4x", "__q21_4x__"),
 ]
 
 BASELINE_K = [
@@ -203,6 +212,27 @@ def tfidf_pairs_4x(spark, sf_dir):
     return tfidf_pairs_impl(docs_x4(spark, sf_dir))
 
 
+def q9_4x(spark, sf_dir):
+    """TPC-H q9's exact plan over the 4x-replicated fact table
+    (queries/relational.py::lineitem_x4): the broadcast-dim-chain +
+    orderkey-shuffle slope point."""
+    from dask_image_spark.queries.relational import lineitem_x4, q9_profit_over
+
+    return q9_profit_over(spark, sf_dir, lineitem_x4(spark, sf_dir))
+
+
+def q21_4x(spark, sf_dir):
+    """TPC-H q21's exact plan over the 4x fact table: the triple
+    lineitem self-join (semi + anti + inner on one l_orderkey key)
+    slope point — the heaviest shuffle shape in the TPC-H suite."""
+    from dask_image_spark.queries.relational import (
+        lineitem_x4,
+        q21_waiting_over,
+    )
+
+    return q21_waiting_over(spark, sf_dir, lineitem_x4(spark, sf_dir))
+
+
 def main() -> None:
     from dask_image_spark import queries as q
     from dask_image_spark.session import get_spark
@@ -226,6 +256,8 @@ def main() -> None:
                 "__gauss_r2_4096__": gauss_r2_4096,
                 "__minhash_lsh_4x__": minhash_lsh_4x,
                 "__tfidf_pairs_4x__": tfidf_pairs_4x,
+                "__q9_4x__": q9_4x,
+                "__q21_4x__": q21_4x,
             }
             # registry[name]: a KeyError names the missing query, instead
             # of the opaque NoneType-not-callable a .get fallback produced

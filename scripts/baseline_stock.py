@@ -462,6 +462,66 @@ def tfidf_pairs_4x(spark):
     )
 
 
+_Q9_SQL = """
+SELECT n.n_name, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+       SUM(l.l_extendedprice * (1 - l.l_discount)
+           - 0.6 * p.p_retailprice * l.l_quantity) AS profit
+FROM {lineitem} l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+"""
+
+_Q21_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM {lineitem} l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM {lineitem} l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM {lineitem} l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 25
+"""
+
+
+def _register_lineitem4(spark):
+    # the ENGINE's fact-growth augmentation (queries/relational.py::
+    # lineitem_x4): rows 4x, key domain unchanged
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW lineitem4 AS "
+        "SELECT l.* FROM lineitem l "
+        "CROSS JOIN (VALUES (0), (1), (2), (3)) c(i)"
+    )
+
+
+def q9(spark):
+    return spark.sql(_Q9_SQL.format(lineitem="lineitem"))
+
+
+def q21(spark):
+    return spark.sql(_Q21_SQL.format(lineitem="lineitem"))
+
+
+def q9_4x(spark):
+    _register_lineitem4(spark)
+    return spark.sql(_Q9_SQL.format(lineitem="lineitem4"))
+
+
+def q21_4x(spark):
+    _register_lineitem4(spark)
+    return spark.sql(_Q21_SQL.format(lineitem="lineitem4"))
+
+
 def global_index(spark):
     # stock global ordinal: ROW_NUMBER over an unpartitioned ORDER BY —
     # every one of the 10M rows funnels through ONE partition's sort.
@@ -504,6 +564,10 @@ SUITE = [
     ("pit_join", pit_join),
     ("minhash_lsh_4x", minhash_lsh_4x),
     ("tfidf_pairs_4x", tfidf_pairs_4x),
+    ("q9", q9),
+    ("q21", q21),
+    ("q9_4x", q9_4x),
+    ("q21_4x", q21_4x),
     # global_index deliberately NOT in the suite: the warm best-of-3
     # protocol reuses the materialized single-partition exchange, hiding
     # the bottleneck the comparison exists to show (see bench.py
