@@ -2218,7 +2218,8 @@ def quickstart_pipeline(spark, sf_dir):
     "threshold_otsu",
     with_pixel_ctes(
         """
-        SELECT CAST(t AS INT) AS threshold, w0, tot - w0 AS w1, score
+        SELECT CAST(t AS INT) AS threshold, CAST(w0 AS BIGINT) AS w0,
+               CAST(tot - w0 AS BIGINT) AS w1, CAST(score AS BIGINT) AS score
         FROM scored
         ORDER BY score DESC, t LIMIT 1
         """,
@@ -2296,7 +2297,7 @@ def threshold_otsu(spark, sf_dir):
     "box_filter_integral",
     with_pixel_ctes(
         """
-        SELECT p.y, p.x, SUM(CAST(FLOOR(q.value) AS BIGINT)) AS box
+        SELECT p.y, p.x, CAST(SUM(CAST(FLOOR(q.value) AS BIGINT)) AS BIGINT) AS box
         FROM pixels p JOIN pixels q
           ON q.y BETWEEN p.y - 4 AND p.y + 4
          AND q.x BETWEEN p.x - 4 AND p.x + 4
@@ -2383,8 +2384,8 @@ def _case_weights(pairs) -> str:
 _HARRIS_ORACLE = with_pixel_ctes(
     """
     SELECT y, x,
-           20 * (sxx * syy - sxy * sxy)
-             - (sxx + syy) * (sxx + syy) AS r
+           CAST(20 * (sxx * syy - sxy * sxy)
+             - (sxx + syy) * (sxx + syy) AS BIGINT) AS r
     FROM s ORDER BY r DESC, y, x LIMIT 20
     """,
     extra=[
@@ -2504,7 +2505,8 @@ _LBP_OFF = [
 
 _LBP_ORACLE = with_pixel_ctes(
     """
-    SELECT code, COUNT(*) AS cnt FROM l GROUP BY code ORDER BY code
+    SELECT CAST(code AS BIGINT) AS code, COUNT(*) AS cnt
+    FROM l GROUP BY code ORDER BY code
     """,
     extra=[
         "v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) AS v FROM pixels)",

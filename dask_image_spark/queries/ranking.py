@@ -1535,8 +1535,8 @@ def kcore_decomposition(spark, sf_dir):
     h2 AS (SELECT e.src, SUM(a2.a) AS h
            FROM edges e JOIN a2 ON a2.dst = e.dst GROUP BY e.src)
     SELECT nd.doc_id,
-           COALESCE(a2.a, 0) AS auth,
-           COALESCE(h2.h, 0) AS hub
+           CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth,
+           CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub
     FROM nodes nd
     LEFT JOIN a2 ON a2.dst = nd.doc_id
     LEFT JOIN h2 ON h2.src = nd.doc_id
