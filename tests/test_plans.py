@@ -733,3 +733,42 @@ def test_richardson_lucy_is_single_tile_stage(spark, sf_dir):
     assert tree.count("FlatMapGroupsInPandas") == 1, tree[:2500]
     for bad in ("SortMergeJoin", "CartesianProduct"):
         assert bad not in plan, f"RL plan grew a {bad}:\n{plan[:2000]}"
+
+
+def test_harris_broadcasts_kernels_and_heaps_topk(spark, sf_dir):
+    """Harris: both stencil stages fan out through BROADCAST kernel
+    tables (never a shuffled join against the 9-row side) and the
+    top-20 plans as a TakeOrderedAndProject heap, not a global sort."""
+    p = _plan(spark, sf_dir, "harris_corners")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # the literal-kernel fan-out
+    # exactly 3 shuffle exchanges: fixture aggregate + one per stencil
+    # stage (kernel sides broadcast, never shuffled)
+    shuffles = re.findall(r"^\(\d+\) Exchange$", p, flags=re.M)
+    assert len(shuffles) == 3, p[:2000]
+
+
+def test_hough_accumulator_never_materializes(spark, sf_dir):
+    """Hough: one broadcast fan-out + ONE aggregate exchange + the
+    top-10 heap — the dense accumulator array never exists."""
+    p = _plan(spark, sf_dir, "hough_lines")
+    assert "TakeOrderedAndProject" in p
+    # fixture build (grid aggregate) + vote aggregate; no sort exchange
+    assert "Sort [votes" not in p
+
+
+def test_box_filter_integral_two_window_partitionings(spark, sf_dir):
+    """The SAT factorization: row pass partitions by y, column pass by
+    x — exactly the two hashpartitionings, NO neighborhood join (the
+    oracle's O(k^2) join is what this plan replaces)."""
+    p = _plan(spark, sf_dir, "box_filter_integral")
+    assert "hashpartitioning(y" in p
+    assert "hashpartitioning(x" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_acf_single_window_sort_feeds_all_lags(spark, sf_dir):
+    """All six ACF lags come from ONE Window operator over one
+    (event_type, hour) sort — six lag projections, not six sorts."""
+    p = _plan(spark, sf_dir, "acf_hourly")
+    assert p.count("Window") - p.count("WindowGroupLimit") <= 2  # lag window + none extra per lag
