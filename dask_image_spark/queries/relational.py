@@ -5071,3 +5071,75 @@ def scan_ignore_corrupt_files(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         _r(F.sum("value")).alias("total"),
     )
+
+
+@register(
+    "pagination_limit_offset",
+    """
+    SELECT o_orderkey, ROUND(1.2345e-8 + o_totalprice, 4) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("relational", "sort", "pagination"),
+)
+def pagination_limit_offset(spark, sf_dir):
+    """LIMIT/OFFSET pagination (page 3 of 20-row pages over a ranked
+    listing) — the API-backend access pattern, and a real SQL-surface
+    gap until Spark 3.4 added ``offset``. The deterministic composite
+    sort key (totalprice desc, orderkey) makes every page boundary
+    stable, which is the part production pagination gets wrong (ties
+    split across pages re-shuffle between requests). Plan: Spark
+    composes the offset into the limit (TakeOrderedAndProject fetches
+    offset+limit=60 rows per partition, then skips 40 on the driver) —
+    still a heap, never a global sort; deep pagination (OFFSET 10^6)
+    degrades by design, and keyset pagination (WHERE key < last-seen
+    ORDER BY key LIMIT n) is the documented scale escape."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(40)
+        .limit(20)
+        .select("o_orderkey", _r("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    """
+    WITH d AS (SELECT doc_id, NULLIF(lang, 'en') AS k FROM documents)
+    SELECT a.k, COUNT(*) AS n_pairs
+    FROM d a JOIN d b ON a.k IS NOT DISTINCT FROM b.k
+                     AND a.doc_id < b.doc_id
+    GROUP BY a.k
+    """,
+    tags=("relational", "join", "null-semantics"),
+)
+def join_null_safe_eq(spark, sf_dir):
+    """NULL-SAFE EQUALITY JOIN (``<=>`` / IS NOT DISTINCT FROM): pair
+    documents sharing a NULLABLE key, with NULL matching NULL — the
+    semantics standard equality silently drops (a plain ``a.k = b.k``
+    loses every NULL-keyed row, the classic missing-data join bug this
+    query exists to pin; the NULL group's pair count is graded by
+    value). Key = NULLIF(lang, 'en'), so the biggest language class
+    becomes the NULL group and the miss would be loud.
+
+    Plan: Spark hashes ``<=>`` like any equi-key (null-safe equality is
+    hash-joinable — NULL gets a bucket), so this stays a
+    SortMergeJoin/ShuffledHashJoin at any scale, never the nested-loop
+    a residual-only null check would force. Complements
+    ``not_in_null_semantics`` (anti-join side of the same trap)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("NULLIF(lang, 'en')").alias("k")
+    )
+    a = d.select(F.col("doc_id").alias("ida"), "k")
+    b = d.select(F.col("doc_id").alias("idb"), F.col("k").alias("kb"))
+    return (
+        a.join(
+            b,
+            F.col("k").eqNullSafe(F.col("kb"))
+            & (F.col("ida") < F.col("idb")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
