@@ -3017,3 +3017,107 @@ def image_register_shift(spark, sf_dir):
         .orderBy(F.desc("score"), "dy", "dx")
         .limit(1)
     )
+
+
+@register(
+    "radial_profile",
+    with_pixel_ctes(
+        """
+        SELECT CAST(FLOOR(SQRT((y - 31.5) * (y - 31.5)
+                            + (x - 31.5) * (x - 31.5))) AS INT) AS ring,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               ROUND(1.2345e-8 + AVG(value), 4) AS mean_v
+        FROM pixels
+        GROUP BY 1 ORDER BY 1
+        """,
+    ),
+    tags=("imaging", "ndmeasure", "profile"),
+)
+def radial_profile(spark, sf_dir):
+    """RADIAL INTENSITY PROFILE: mean value per integer-radius ring
+    about the image center — astronomy's PSF/galaxy profile and
+    microscopy's bead-calibration curve (scipy recipes build it from
+    ``ndimage.mean`` over a radius label image, exactly this shape).
+    Ring binning is floor(euclidean distance to the 31.5-center);
+    (y - 31.5)^2 sums always end in .5, so the distance is NEVER an
+    exact integer and the floor cannot straddle engines.
+
+    ONE partial-agg groupBy over a computed key — the measurement
+    family's scale shape, with the ring id as a derived label."""
+    px = pixel_grid(spark, sf_dir)
+    ring = F.floor(
+        F.sqrt(
+            (F.col("y") - 31.5) * (F.col("y") - 31.5)
+            + (F.col("x") - 31.5) * (F.col("x") - 31.5)
+        )
+    ).cast("int")
+    return (
+        px.groupBy(ring.alias("ring"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_px"),
+            _eps_round(F.avg("value"), 4).alias("mean_v"),
+        )
+        .orderBy("ring")
+    )
+
+
+def _granulometry_oracle() -> str:
+    ctes = [_MASKD]
+    selects = [
+        "SELECT 0 AS k, CAST(COUNT(CASE WHEN value > 0.5 THEN 1 END)"
+        " AS BIGINT) AS fg_area FROM maskd"
+    ]
+    for k in (1, 2, 3):
+        passes = [(ndmorph.CROSS, _BAND, "constant", 0.0)] * k + [
+            (ndmorph.CROSS, _BOR, "constant", 0.0)
+        ] * k
+        cur = _chain(ctes, f"g{k}_", "maskd", passes)
+        selects.append(
+            f"SELECT {k} AS k, CAST(COUNT(CASE WHEN value > 0.5 THEN 1 END)"
+            f" AS BIGINT) AS fg_area FROM {cur}"
+        )
+    return with_pixel_ctes(
+        " UNION ALL ".join(selects), extra=ctes
+    )
+
+
+@register(
+    "granulometry_openings",
+    _granulometry_oracle(),
+    tags=("imaging", "ndmorph", "composition"),
+)
+def granulometry_openings(spark, sf_dir):
+    """GRANULOMETRY (the morphological size distribution): surviving
+    foreground area after openings with structuring elements of
+    increasing radius (iterations k = 0..3 of the cross) — the
+    pattern-spectrum curve that sizes particles WITHOUT segmenting
+    them (Matheron's classic; skimage cookbook's granulometry recipe).
+    The area drop between k and k+1 is the mass of features with
+    radius exactly k+1.
+
+    Each opening chains 2k stencil passes (k erosions then k
+    dilations), every pass the single-shuffle pad-then-scatter plan;
+    the per-k areas are 1-row aggregates unioned — so the whole curve
+    costs sum over k of 2k shuffles, and at scale the k openings run
+    CONCURRENTLY (independent branches of one job). The oracle replays
+    all 12 passes definitionally via the shared morphology CTE
+    machinery."""
+    m = mask_grid(spark, sf_dir)
+    parts = [
+        m.agg(
+            F.count(F.when(F.col("m"), 1)).cast("bigint").alias("fg_area")
+        ).select(F.lit(0).alias("k"), "fg_area")
+    ]
+    for k in (1, 2, 3):
+        o = ndmorph.binary_opening(m, shape=SHAPE, iterations=k)
+        parts.append(
+            o.agg(
+                F.count(F.when(F.col("m"), 1)).cast("bigint").alias(
+                    "fg_area"
+                )
+            ).select(F.lit(k).alias("k"), "fg_area")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
