@@ -62,6 +62,14 @@ SAMPLE = [
     "morph_fill_holes",          # border-reachability filter at 10x
     "interp_map_coordinates",    # bilinear corner weights at 10x values
     "imread_png_rgb",            # bpp-strided unfilter at the full fixture
+    # round-8 continuation
+    "threshold_otsu",            # level-domain argmax at 10x mass
+    "edge_canny",                # NMS ties + hysteresis on the dense grid
+    "hits_2iter",                # integer iterates on the 10x graph
+    "adamic_adar_linkpred",      # rounded-score heap ties at 10x degrees
+    "imread_gif",                # GIF LZW dialect at the full fixture
+    "granulometry_openings",     # 12 chained passes on the 10x-mass mask
+    "image_register_shift",      # correlation argmax margins at 10x values
 ]
 
 
