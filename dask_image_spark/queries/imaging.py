@@ -3121,3 +3121,94 @@ def granulometry_openings(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_HOG_ORACLE = with_pixel_ctes(
+    f"""
+    SELECT CAST(y // 8 AS INT) AS cy, CAST(x // 8 AS INT) AS cx,
+           CASE WHEN 2 * ABS(gy) <= ABS(gx) THEN 0
+                WHEN 2 * ABS(gx) <= ABS(gy) THEN 2
+                WHEN gx * gy > 0 THEN 1 ELSE 3 END AS obin,
+           CAST(SUM(gx * gx + gy * gy) AS BIGINT) AS energy,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM g
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    extra=[
+        """v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) % 256 AS v
+               FROM pixels)""",
+        f"""g AS (SELECT p.y, p.x,
+               SUM(q.v * {_case_weights([(dy, dx, wx) for dy, dx, wx, _ in _HARRIS_OFF])}) AS gx,
+               SUM(q.v * {_case_weights([(dy, dx, wy) for dy, dx, _, wy in _HARRIS_OFF])}) AS gy
+          FROM v p JOIN v q
+            ON q.y BETWEEN p.y - 1 AND p.y + 1
+           AND q.x BETWEEN p.x - 1 AND p.x + 1
+          WHERE p.y BETWEEN 1 AND 62 AND p.x BETWEEN 1 AND 62
+          GROUP BY p.y, p.x)""",
+    ],
+)
+
+
+@register(
+    "hog_cell_histograms",
+    _HOG_ORACLE,
+    tags=("imaging", "feature", "histogram"),
+)
+def hog_cell_histograms(spark, sf_dir):
+    """HOG — HISTOGRAM OF ORIENTED GRADIENTS cell descriptors (Dalal &
+    Triggs; skimage ``feature.hog`` before block normalization): per
+    8x8 cell, the gradient energy binned by quantized orientation —
+    THE classical pre-CNN detection feature, and the natural batch
+    feature-extraction op for an image corpus (one row per cell-bin is
+    the long-form feature vector). Orientation uses the same rational
+    4-bin quantization as ``edge_canny`` (2|gy| <=> |gx| CASE, ordered
+    ties); the histogram weight is gradient ENERGY (mag^2, the
+    documented integer variant of skimage's magnitude weighting) so
+    the whole descriptor is exact int64.
+
+    Plan: the Sobel scatter stage (broadcast kernel, one shuffle) then
+    ONE partial-agg groupBy on (cell, bin) — at a billion-image corpus
+    this is a map-side-combining two-shuffle pipeline producing 64
+    rows per image, the feature-store write shape."""
+    sok = values_df(
+        spark,
+        "dy, dx, wx, wy",
+        [(dy, dx, wx, wy) for dy, dx, wx, wy in _HARRIS_OFF],
+    )
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", (F.floor("value").cast("bigint") % 256).alias("v")
+    )
+    g = (
+        px.crossJoin(F.broadcast(sok))
+        .select(
+            (F.col("y") - F.col("dy")).alias("ty"),
+            (F.col("x") - F.col("dx")).alias("tx"),
+            (F.col("v") * F.col("wx")).alias("cx"),
+            (F.col("v") * F.col("wy")).alias("cy"),
+        )
+        .groupBy("ty", "tx")
+        .agg(F.sum("cx").alias("gx"), F.sum("cy").alias("gy"))
+        .filter(F.col("ty").between(1, 62) & F.col("tx").between(1, 62))
+    )
+    obin = (
+        F.when(2 * F.abs("gy") <= F.abs("gx"), 0)
+        .when(2 * F.abs("gx") <= F.abs("gy"), 2)
+        .when(F.col("gx") * F.col("gy") > 0, 1)
+        .otherwise(3)
+    )
+    return (
+        g.groupBy(
+            (F.col("ty") / 8).cast("int").alias("cy"),
+            (F.col("tx") / 8).cast("int").alias("cx"),
+            obin.alias("obin"),
+        )
+        .agg(
+            F.sum(
+                F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")
+            )
+            .cast("bigint")
+            .alias("energy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_px"),
+        )
+        .orderBy("cy", "cx", "obin")
+    )

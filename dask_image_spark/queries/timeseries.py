@@ -2395,3 +2395,101 @@ def acf_hourly(spark, sf_dir):
         )
         .orderBy("event_type", "lag")
     )
+
+
+@register(
+    "mann_kendall_trend",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             ROUND(1.2345e-8 + AVG(value), 2) AS v
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT a.event_type,
+             SUM(SIGN(b.v - a.v)) AS s
+      FROM h a JOIN h b
+        ON b.event_type = a.event_type AND a.hour < b.hour
+      GROUP BY a.event_type),
+    n AS (SELECT event_type, COUNT(*) AS n FROM h GROUP BY event_type),
+    ties AS (
+      SELECT event_type,
+             SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+      FROM (SELECT event_type, v, COUNT(*) AS t FROM h GROUP BY 1, 2)
+      GROUP BY event_type)
+    SELECT n.event_type, CAST(n.n AS BIGINT) AS n_hours,
+           CAST(s.s AS BIGINT) AS s,
+           ROUND(1.2345e-8
+             + (s.s - SIGN(s.s))
+               / SQRT((n.n * (n.n - 1.0) * (2 * n.n + 5)
+                       - ties.tie_term) / 18.0), 4) AS z
+    FROM n JOIN s ON s.event_type = n.event_type
+    JOIN ties ON ties.event_type = n.event_type
+    ORDER BY n.event_type
+    """,
+    tags=("timeseries", "trend", "statistics"),
+)
+def mann_kendall_trend(spark, sf_dir):
+    """MANN-KENDALL TREND TEST per series — the NONPARAMETRIC monotone-
+    trend detector (hydrology/climate's standard, and the robust
+    companion to ``theilsen_slope_per_user``'s estimator): S = sum of
+    sign(v_j - v_i) over ordered pairs, z-scored with the full
+    TIE-CORRECTED variance. Values are quantized to 2 decimals under
+    the shared EPS shift so sign() is bit-stable AND ties genuinely
+    exist — the tie-correction term is exercised, not vacuous.
+
+    Scale: the pairwise join is O(n²) in the HOURLY frame per series —
+    n is calendar-bounded (720/month), so the pair count is fixed per
+    series whatever the raw event volume; the only fact-scale pass is
+    the hourly aggregate. For per-entity variants where n grows, the
+    O(n log n) rank formulation (S from concordant/discordant counts
+    via a sort) is the documented rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(_eps_round(F.avg("value"), 2).alias("v"))
+    from dask_image_spark.queries.base import persist_tracked
+
+    h = persist_tracked(h)
+    b = h.select(
+        F.col("event_type").alias("et2"),
+        F.col("hour").alias("hour2"),
+        F.col("v").alias("v2"),
+    )
+    s = (
+        h.join(
+            b,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("hour") < F.col("hour2")),
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.signum(F.col("v2") - F.col("v"))).cast("bigint").alias("s"))
+    )
+    n = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        h.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    var = (
+        F.col("n") * (F.col("n") - F.lit(1.0)) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    return (
+        n.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_hours"),
+            "s",
+            _eps_round(
+                (F.col("s") - F.signum("s")) / F.sqrt(var), 4
+            ).alias("z"),
+        )
+        .orderBy("event_type")
+    )
