@@ -4758,3 +4758,218 @@ def imread_gif(spark, sf_dir):
     return scanned.select("path", "content").mapInPandas(
         decode, "img int, width int, height int, n_px int, checksum int"
     )
+
+
+def _duck_cos(e_vec: str, q_vec: str, dim: int) -> str:
+    """DuckDB cosine over the first ``dim`` components (the
+    similarity_top10 oracle idiom, parameterized by prefix length)."""
+    def _sq(v: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {dim}),"
+            f" i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE), 'sum')"
+        )
+
+    d = (
+        f"list_aggregate(list_transform(generate_series(1, {dim}),"
+        f" i -> {e_vec}[i]::DOUBLE * {q_vec}[i]::DOUBLE), 'sum')"
+    )
+    return f"{d} / (SQRT({_sq(e_vec)}) * SQRT({_sq(q_vec)}))"
+
+
+@register(
+    "matryoshka_recall",
+    f"""
+    WITH qs AS (SELECT vec_id AS qid, embedding AS qv
+                FROM embeddings WHERE vec_id % 50 = 0),
+    sc AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(1.2345e-8 + {_duck_cos('e.embedding', 'q.qv', 64)}, 4)
+               AS fc,
+             ROUND(1.2345e-8 + {_duck_cos('e.embedding', 'q.qv', 16)}, 4)
+               AS pc
+      FROM embeddings e CROSS JOIN qs q
+      WHERE e.vec_id <> q.qid),
+    tf AS (SELECT qid, vec_id FROM sc
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY fc DESC, vec_id) <= 10),
+    tp AS (SELECT qid, vec_id FROM sc
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY pc DESC, vec_id) <= 10)
+    SELECT tf.qid, CAST(COUNT(tp.vec_id) AS BIGINT) AS n_overlap,
+           COUNT(tp.vec_id) / 10.0 AS recall
+    FROM tf LEFT JOIN tp ON tp.qid = tf.qid AND tp.vec_id = tf.vec_id
+    GROUP BY tf.qid ORDER BY tf.qid
+    """,
+    tags=("pipeline", "similarity", "evaluation"),
+)
+def matryoshka_recall(spark, sf_dir):
+    """MATRYOSHKA EMBEDDING TRUNCATION EVAL: recall@10 of 16-dim-PREFIX
+    cosine retrieval against the full 64-dim ground truth, per query —
+    the measurement that decides whether MRL-style truncation (serve
+    short prefixes, store one vector) is safe for a corpus, run before
+    every embedding-storage downsize. 10 broadcast queries, both
+    rankings from ONE scored pass (two row_number windows over the same
+    (qid) partitioning — one exchange, two sorts), overlap via a keyed
+    left join on the 100-row tops.
+
+    Scale: the scored pass is the brute-force O(queries x corpus) shape
+    with the query side broadcast — the standard eval harness; sampling
+    queries (here: every 50th id) is how it stays fixed-cost as the
+    corpus grows. Prefix cosine reuses the exact zip_with/aggregate
+    machinery sliced to 16 components."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pairs = e.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        _eps_round(
+            similarity.cosine(F.col("embedding"), F.col("qv")), 4
+        ).alias("fc"),
+        _eps_round(
+            similarity.cosine(
+                F.slice("embedding", 1, 16), F.slice("qv", 1, 16)
+            ),
+            4,
+        ).alias("pc"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("fc"), "vec_id")
+    wp = W.partitionBy("qid").orderBy(F.desc("pc"), "vec_id")
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    tf = ranked.filter(F.col("rf") <= 10).select("qid", "vec_id")
+    tp = ranked.filter(F.col("rp") <= 10).select(
+        F.col("qid").alias("qid2"), F.col("vec_id").alias("vid2")
+    )
+    return (
+        tf.join(
+            tp,
+            (F.col("qid2") == F.col("qid")) & (F.col("vid2") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("vid2").cast("bigint").alias("n_overlap"),
+            (F.count("vid2") / 10.0).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+@register(
+    "textrank_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(split(text, ' ')) AS w,
+             generate_subscripts(split(text, ' '), 1) AS pos
+      FROM documents WHERE text IS NOT NULL),
+    pairs AS (
+      SELECT a.w AS u, b.w AS v
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.w <> b.w),
+    und AS (
+      SELECT u, v, COUNT(*) AS w FROM (
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs)
+      GROUP BY u, v),
+    outw AS (SELECT u, SUM(w) AS ow FROM und GROUP BY u),
+    r1 AS (
+      SELECT e.v AS word,
+             ROUND(1.2345e-8 + 0.15 + 0.85 * SUM(e.w / o.ow * 1.0), 6)
+               AS r
+      FROM und e JOIN outw o ON o.u = e.u
+      GROUP BY e.v),
+    r2 AS (
+      SELECT e.v AS word,
+             0.15 + 0.85 * SUM(e.w / o.ow * r1.r) AS r
+      FROM und e JOIN outw o ON o.u = e.u
+      JOIN r1 ON r1.word = e.u
+      GROUP BY e.v)
+    SELECT word, ROUND(1.2345e-8 + r, 4) AS score
+    FROM r2
+    ORDER BY ROUND(1.2345e-8 + r, 4) DESC, word LIMIT 20
+    """,
+    tags=("pipeline", "text", "graph"),
+)
+def textrank_keywords(spark, sf_dir):
+    """TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau): PageRank over the
+    word co-occurrence graph (adjacent-token edges, symmetrized, edge
+    weight = co-occurrence count), 2 weighted power iterations from the
+    all-ones start, top-20 words — the unsupervised corpus-level
+    keyword signal (what is this crawl slice ABOUT) that needs no
+    model. Composes the PMI collocation machinery's bigram frame with
+    the pagerank_2iter iteration template, on a WEIGHTED graph this
+    time (contributions w(u,v)/outstrength(u)).
+
+    Iterate r1 is quantized to 6 decimals on BOTH engines before
+    feeding iteration 2 (the k-means/Richardson-Lucy barrier pattern),
+    so the multiplicative error cannot compound into the final heap;
+    ranking orders by the ROUNDED score with a word tiebreak. Scale
+    shape per iteration: one join of the score vector to the edge list
+    + one partial-agg groupBy — vocabulary-sized frames after the
+    single fact-scale tokenize."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    from dask_image_spark.queries.base import persist_tracked
+
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    b = toks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("p2"),
+        F.col("w").alias("w2"),
+    )
+    pairs = toks.join(
+        b,
+        (F.col("d2") == F.col("doc_id")) & (F.col("p2") == F.col("pos") + 1),
+    ).filter(F.col("w") != F.col("w2")).select(
+        F.col("w").alias("u"), F.col("w2").alias("v")
+    )
+    und = (
+        pairs.unionAll(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = persist_tracked(und)
+    outw = und.groupBy("u").agg(F.sum("w").alias("ow"))
+    contrib = und.join(outw, "u")
+    r1 = (
+        contrib.groupBy(F.col("v").alias("word"))
+        .agg(
+            _eps_round(
+                0.15 + 0.85 * F.sum(F.col("w") / F.col("ow") * F.lit(1.0)),
+                6,
+            ).alias("r")
+        )
+    )
+    r2 = (
+        contrib.join(r1, contrib.u == r1.word)
+        .groupBy(F.col("v").alias("word2"))
+        .agg(
+            (
+                0.15 + 0.85 * F.sum(F.col("w") / F.col("ow") * F.col("r"))
+            ).alias("r2v")
+        )
+    )
+    return (
+        r2.select(
+            F.col("word2").alias("word"),
+            _eps_round("r2v", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), "word")
+        .limit(20)
+    )
