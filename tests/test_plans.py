@@ -742,10 +742,12 @@ def test_harris_broadcasts_kernels_and_heaps_topk(spark, sf_dir):
     p = _plan(spark, sf_dir, "harris_corners")
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p  # the literal-kernel fan-out
-    # exactly 3 shuffle exchanges: fixture aggregate + one per stencil
-    # stage (kernel sides broadcast, never shuffled)
+    # one shuffle per stencil stage (kernel sides broadcast, never
+    # shuffled) + the fixture aggregate — which drops to an
+    # InMemoryTableScan once another test has cached the grid, so the
+    # count is 2 warm / 3 cold
     shuffles = re.findall(r"^\(\d+\) Exchange$", p, flags=re.M)
-    assert len(shuffles) == 3, p[:2000]
+    assert 2 <= len(shuffles) <= 3, p[:2000]
 
 
 def test_hough_accumulator_never_materializes(spark, sf_dir):
@@ -762,8 +764,14 @@ def test_box_filter_integral_two_window_partitionings(spark, sf_dir):
     x — exactly the two hashpartitionings, NO neighborhood join (the
     oracle's O(k^2) join is what this plan replaces)."""
     p = _plan(spark, sf_dir, "box_filter_integral")
-    assert "hashpartitioning(y" in p
-    assert "hashpartitioning(x" in p
+    # the row pass sorts (y, x), the column pass (x, y); their
+    # hashpartitioning exchanges exist cold but are ELIDED once the
+    # coalesce(1) fixture is cached (a single partition satisfies any
+    # distribution), so pin the two window sort orders instead — they
+    # survive either cache state
+    assert re.search(r"Arguments: \[y#\d+ ASC NULLS FIRST, x#\d+ ASC", p), p[:1500]
+    assert re.search(r"Arguments: \[x#\d+ ASC NULLS FIRST, y#\d+ ASC", p), p[:1500]
+    assert p.count("Window") >= 4  # two prefix sums + two lead/lag passes
     assert "BroadcastNestedLoopJoin" not in p
 
 
