@@ -4973,3 +4973,60 @@ def textrank_keywords(spark, sf_dir):
         .orderBy(F.desc("score"), "word")
         .limit(20)
     )
+
+
+@register(
+    "arrow_grouped_apply",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + MIN(value), 4) AS min_v,
+           ROUND(1.2345e-8 + MAX(value), 4) AS max_v,
+           ROUND(1.2345e-8 + SUM(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("pipeline", "udf", "arrow"),
+)
+def arrow_grouped_apply(spark, sf_dir):
+    """``applyInArrow`` — Spark 4's pyarrow-NATIVE grouped map (the
+    zero-pandas sibling of ``applyInPandas``): the UDF receives each
+    group as a ``pyarrow.Table`` and computes with ``pyarrow.compute``
+    kernels directly — no Arrow->pandas conversion, which for wide
+    binary/nested columns is the copy that dominates UDF cost.
+    Completes the custom-function matrix's last cell (scalar pandas_udf
+    / grouped applyInPandas / mapInArrow / grouped applyInArrow /
+    UDTF / grouped-agg UDAF — all six surfaces now graded).
+
+    The reduction itself (count/min/max/sum per type) has a plain
+    aggregate oracle, so what this query GRADES is the Arrow plumbing:
+    group batching, Table schema hand-off, compute-kernel results
+    surviving the roundtrip bit-exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def stats(table: pa.Table) -> pa.Table:
+        v = table.column("value")
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                "min_v": [round(pc.min(v).as_py() + 1.2345e-8, 4)],
+                "max_v": [round(pc.max(v).as_py() + 1.2345e-8, 4)],
+                "total": [round(pc.sum(v).as_py() + 1.2345e-8, 4)],
+            },
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n", pa.int64()),
+                    ("min_v", pa.float64()),
+                    ("max_v", pa.float64()),
+                    ("total", pa.float64()),
+                ]
+            ),
+        )
+
+    return ev.groupBy("event_type").applyInArrow(
+        stats,
+        "event_type string, n long, min_v double, max_v double, total double",
+    )
