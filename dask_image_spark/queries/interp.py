@@ -1218,3 +1218,78 @@ def labeled_comprehension_positions(spark, sf_dir):
         lbl, wmean_pos, out_col="v", pass_positions=True, grid=GRID
     )
     return out.select("label", _eps_round("v", 4).alias("v"))
+
+
+_FFT_REG_ORACLE = """
+WITH pixels AS (SELECT CAST(event_id % 64 AS INT) AS y,
+                       CAST((event_id // 64) % 64 AS INT) AS x,
+                       SUM(value) AS value FROM events GROUP BY 1, 2),
+v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) % 256 AS v FROM pixels),
+w AS (SELECT CAST((y + 3) % 64 AS INT) AS y,
+             CAST((x + 5) % 64 AS INT) AS x, v FROM v),
+shifts AS (
+  SELECT a.dy, b.dx
+  FROM (SELECT UNNEST(generate_series(0, 63)) AS dy) a
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 63)) AS dx) b),
+corr AS (
+  SELECT s.dy, s.dx, CAST(SUM(a.v * b.v) AS BIGINT) AS score
+  FROM shifts s
+  JOIN v a ON TRUE
+  JOIN w b ON b.y = (a.y + s.dy) % 64 AND b.x = (a.x + s.dx) % 64
+  GROUP BY s.dy, s.dx)
+SELECT dy, dx, score FROM corr
+ORDER BY score DESC, dy, dx LIMIT 1
+"""
+
+
+@register(
+    "register_shift_fft",
+    _FFT_REG_ORACLE,
+    tags=("imaging", "registration", "fourier", "r2"),
+)
+def register_shift_fft(spark, sf_dir):
+    """FFT REGISTRATION — the UNBOUNDED-shift escalation
+    ``image_register_shift``'s docstring promises: the full circular
+    cross-correlation surface of the image against its (3, 5)-shifted
+    copy via the convolution theorem (corr = IFFT(FFT(a) · conj(FFT(b)))
+    — numpy inside ONE applyInPandas group per image, the R2 pattern
+    every fourier op uses), then the argmax over ALL 64×64 = 4096
+    candidate shifts. The windowed-join form pays O(|window|·px) and
+    needs a drift bound; this pays O(px log px) and searches everything.
+
+    The oracle computes the identical surface DEFINITIONALLY — all 4096
+    shifts by wrapped-coordinate join — so the graded claim is the
+    convolution theorem itself. Integer inputs make the true correlation
+    integral; the FFT's ~1e-9 float residue is crushed by rounding to
+    the nearest integer before the argmax (peak margins are ~1e6), so
+    the emitted (dy, dx, score) is bit-equal to the definitional one."""
+    import numpy as np
+    import pandas as pd
+
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", (F.floor("value").cast("bigint") % 256).alias("v")
+    )
+
+    def correlate(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = np.zeros((64, 64), dtype=np.float64)
+        a[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["v"].to_numpy()
+        b = np.roll(a, (3, 5), axis=(0, 1))  # the moving image
+        fa = np.fft.fft2(a)
+        fb = np.fft.fft2(b)
+        # corr[dy,dx] = sum a[y,x]*b[y+dy,x+dx]  (wrapped)
+        surf = np.real(np.fft.ifft2(np.conj(fa) * fb))
+        dy, dx = np.unravel_index(np.argmax(np.round(surf)), surf.shape)
+        return pd.DataFrame(
+            {
+                "dy": [int(dy)],
+                "dx": [int(dx)],
+                "score": [int(round(float(surf[dy, dx])))],
+            }
+        )
+
+    return (
+        px.withColumn("img", F.lit(0))
+        .groupBy("img")
+        .applyInPandas(correlate, "dy int, dx int, score long")
+        .select("dy", "dx", "score")
+    )
