@@ -5143,3 +5143,61 @@ def join_null_safe_eq(spark, sf_dir):
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "url_parse_surface",
+    """
+    WITH u AS (
+      SELECT 'https://shop' || CAST(user_id % 20 AS VARCHAR)
+               || '.example.com/cat/item' || CAST(event_id % 100 AS VARCHAR)
+               || '?ref=' || event_type AS url,
+             user_id, event_id, event_type
+      FROM events)
+    SELECT 'shop' || CAST(user_id % 20 AS VARCHAR) || '.example.com' AS host,
+           COUNT(*) AS n_hits,
+           COUNT(DISTINCT '/cat/item' || CAST(event_id % 100 AS VARCHAR))
+             AS n_paths,
+           COUNT(DISTINCT 'ref=' || event_type) AS n_queries
+    FROM u
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("relational", "string", "url"),
+)
+def url_parse_surface(spark, sf_dir):
+    """URL PARSING (``parse_url`` HOST/PATH/QUERY) — the clickstream /
+    crawl-log decomposition every web pipeline starts with, and a
+    scalar-function surface DuckDB lacks, so the oracle RECONSTRUCTS
+    each component definitionally from the same generator expressions:
+    if parse_url mis-split any URL (dropped the port-less host, ate the
+    query, confused path with query), the per-host counts and distinct
+    path/query cardinalities would not match.
+
+    Engine side parses REAL url strings with parse_url; all three
+    components are exercised. One fact-scale aggregate, map-side
+    combined; parse_url is JVM codegen, not a UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select(
+        F.concat(
+            F.lit("https://shop"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/cat/item"),
+            (F.col("event_id") % 100).cast("string"),
+            F.lit("?ref="),
+            F.col("event_type"),
+        ).alias("url")
+    )
+    return (
+        u.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY")).alias("query"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("path").alias("n_paths"),
+            F.countDistinct("query").alias("n_queries"),
+        )
+        .orderBy("host")
+    )
