@@ -3433,3 +3433,208 @@ def remove_elongated_objects(spark, sf_dir):
         .select("label", F.col("n").cast("bigint").alias("n_px"))
         .orderBy("label")
     )
+
+
+# Shared 3x3 window-pair CTE for the rank/restoration filter family:
+# every interior pixel joined to its 9-neighborhood, both values carried.
+_WIN9 = """win AS (
+  SELECT p.y, p.x, p.v AS cv, q.v AS nv,
+         (q.y - p.y) * 10 + (q.x - p.x) AS off
+  FROM v p JOIN v q
+    ON q.y BETWEEN p.y - 1 AND p.y + 1
+   AND q.x BETWEEN p.x - 1 AND p.x + 1
+  WHERE p.y BETWEEN 1 AND 62 AND p.x BETWEEN 1 AND 62)"""
+
+_BINOMIAL_CASE = (
+    "CASE off WHEN -11 THEN 1 WHEN -10 THEN 2 WHEN -9 THEN 1 "
+    "WHEN -1 THEN 2 WHEN 0 THEN 4 WHEN 1 THEN 2 "
+    "WHEN 9 THEN 1 WHEN 10 THEN 2 WHEN 11 THEN 1 END"
+)
+
+
+@register(
+    "filter_bilateral",
+    with_pixel_ctes(
+        f"""
+        SELECT y, x,
+               ROUND(1.2345e-8
+                 + SUM({_BINOMIAL_CASE}
+                       * EXP(-((nv - cv) * (nv - cv)) / 5000.0) * nv)
+                 / SUM({_BINOMIAL_CASE}
+                       * EXP(-((nv - cv) * (nv - cv)) / 5000.0)), 4) AS v
+        FROM win GROUP BY y, x
+        """,
+        extra=[
+            "v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) % 256 AS v"
+            " FROM pixels)",
+            _WIN9,
+        ],
+    ),
+    tags=("imaging", "filter", "restoration"),
+)
+def filter_bilateral(spark, sf_dir):
+    """BILATERAL FILTER (skimage ``denoise_bilateral``): edge-preserving
+    smoothing — each neighbor's weight is spatial closeness TIMES range
+    closeness exp(-(dv)²/2σr²), so averaging never crosses an intensity
+    edge (the denoiser that doesn't blur boundaries, which the plain
+    gaussian does by construction). Binomial 3×3 spatial weights (the
+    integer [1,2,1]⊗[1,2,1]), range σr = 50 on the 0-255 quantized
+    levels.
+
+    Value-difference inputs are exact integers, so both engines feed
+    IDENTICAL arguments to EXP and the 4-decimal rounding absorbs the
+    last-ulp libm variance (the roc-sigmoid precedent). ONE
+    neighborhood join + ONE groupBy — the stencil plan with a
+    data-dependent weight, which is exactly what makes bilateral
+    non-separable and worth grading apart from gaussian."""
+    off = values_df(spark, "dy, dx, sw", [
+        (dy, dx, _SMOOTH_3[dy + 1] * _SMOOTH_3[dx + 1])
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ])
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", (F.floor("value").cast("bigint") % 256).alias("v")
+    )
+    probes = px.crossJoin(F.broadcast(off)).select(
+        "y", "x", F.col("v").alias("cv"),
+        (F.col("y") + F.col("dy")).alias("ny"),
+        (F.col("x") + F.col("dx")).alias("nx"),
+        "sw",
+    )
+    nb = px.select(
+        F.col("y").alias("ny"), F.col("x").alias("nx"),
+        F.col("v").alias("nv"),
+    )
+    dv = F.col("nv") - F.col("cv")
+    w = F.col("sw") * F.exp(-(dv * dv) / F.lit(5000.0))
+    return (
+        probes.join(nb, ["ny", "nx"])
+        .filter(F.col("y").between(1, 62) & F.col("x").between(1, 62))
+        .groupBy("y", "x")
+        .agg(
+            _eps_round(
+                F.sum(w * F.col("nv")) / F.sum(w), 4
+            ).alias("v")
+        )
+    )
+
+
+@register(
+    "filter_local_entropy",
+    with_pixel_ctes(
+        """
+        SELECT y, x,
+               ROUND(1.2345e-8
+                 - SUM((c / 9.0) * LN(c / 9.0)), 4) AS h
+        FROM (SELECT y, x, nv % 16 AS lvl, COUNT(*) AS c
+              FROM win GROUP BY y, x, nv % 16)
+        GROUP BY y, x
+        """,
+        extra=[
+            "v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) % 256 AS v"
+            " FROM pixels)",
+            _WIN9,
+        ],
+    ),
+    tags=("imaging", "filter", "texture"),
+)
+def filter_local_entropy(spark, sf_dir):
+    """LOCAL ENTROPY FILTER (skimage ``filters.rank.entropy``): Shannon
+    entropy of the 16-level histogram in each 3×3 window — the texture/
+    information map segmentation uses to separate busy regions from
+    flat ones. Probabilities are exact rationals c/9 over integer
+    counts, so both engines feed LN identical arguments.
+
+    Plan: the neighborhood join then TWO chained aggregates — per
+    (pixel, level) counts, then the entropy sum per pixel — both on the
+    SAME (y, x) keys, so AQE plans the second without a new exchange.
+    The rank-filter family's general recipe: any histogram functional
+    (entropy here, majority in ``filter_majority``) drops into the
+    second aggregate."""
+    off = values_df(spark, "dy, dx", [
+        (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ])
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", (F.floor("value").cast("bigint") % 256).alias("v")
+    )
+    probes = px.crossJoin(F.broadcast(off)).select(
+        "y", "x",
+        (F.col("y") + F.col("dy")).alias("ny"),
+        (F.col("x") + F.col("dx")).alias("nx"),
+    )
+    nb = px.select(
+        F.col("y").alias("ny"), F.col("x").alias("nx"),
+        F.col("v").alias("nv"),
+    )
+    counts = (
+        probes.join(nb, ["ny", "nx"])
+        .filter(F.col("y").between(1, 62) & F.col("x").between(1, 62))
+        .groupBy("y", "x", (F.col("nv") % 16).alias("lvl"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p = F.col("c") / F.lit(9.0)
+    return (
+        counts.groupBy("y", "x")
+        .agg(_eps_round(-F.sum(p * F.log(p)), 4).alias("h"))
+    )
+
+
+@register(
+    "filter_majority",
+    with_pixel_ctes(
+        """
+        SELECT y, x, CAST(MIN(lvl) AS INT) AS mode_lvl
+        FROM (SELECT y, x, lvl, c,
+                     MAX(c) OVER (PARTITION BY y, x) AS mx
+              FROM (SELECT y, x, nv % 16 AS lvl, COUNT(*) AS c
+                    FROM win GROUP BY y, x, nv % 16))
+        WHERE c = mx
+        GROUP BY y, x
+        """,
+        extra=[
+            "v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) % 256 AS v"
+            " FROM pixels)",
+            _WIN9,
+        ],
+    ),
+    tags=("imaging", "filter", "rank"),
+)
+def filter_majority(spark, sf_dir):
+    """MAJORITY (MODE) FILTER (skimage ``filters.rank.majority``): the
+    most frequent 16-quantized level in each 3×3 window, minimum level
+    on ties — label-map smoothing after any per-pixel classification
+    (the categorical analog of the median filter; means would invent
+    nonexistent classes). Pure integer counts and an integer tie-break:
+    bit-exact with NO float contract.
+
+    Same two-aggregate recipe as ``filter_local_entropy`` with an
+    argmax instead of an entropy sum — the window max + equality filter
+    keeps it one extra window pass over the already-partitioned count
+    frame."""
+    off = values_df(spark, "dy, dx", [
+        (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ])
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", (F.floor("value").cast("bigint") % 256).alias("v")
+    )
+    probes = px.crossJoin(F.broadcast(off)).select(
+        "y", "x",
+        (F.col("y") + F.col("dy")).alias("ny"),
+        (F.col("x") + F.col("dx")).alias("nx"),
+    )
+    nb = px.select(
+        F.col("y").alias("ny"), F.col("x").alias("nx"),
+        F.col("v").alias("nv"),
+    )
+    counts = (
+        probes.join(nb, ["ny", "nx"])
+        .filter(F.col("y").between(1, 62) & F.col("x").between(1, 62))
+        .groupBy("y", "x", (F.col("nv") % 16).alias("lvl"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("y", "x")
+    return (
+        counts.withColumn("mx", F.max("c").over(w))
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("y", "x")
+        .agg(F.min("lvl").cast("int").alias("mode_lvl"))
+    )
