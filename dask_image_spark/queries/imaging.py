@@ -3638,3 +3638,61 @@ def filter_majority(spark, sf_dir):
         .groupBy("y", "x")
         .agg(F.min("lvl").cast("int").alias("mode_lvl"))
     )
+
+
+def _gabor_taps(theta: float, lam: float = 4.0, sigma: float = 1.5,
+                radius: int = 2) -> list:
+    """Real-part Gabor kernel taps: cos(2*pi/lambda * x') * gaussian
+    envelope, orientation theta — driver-computed double literals shared
+    verbatim by engine kernel table and oracle text (the gaussian-taps
+    precedent). Zero-DC corrected so flat regions respond 0 (the
+    standard practice that makes the filter a pure texture probe)."""
+    import math
+
+    taps = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            xr = dx * math.cos(theta) + dy * math.sin(theta)
+            yr = -dx * math.sin(theta) + dy * math.cos(theta)
+            env = math.exp(-(xr * xr + yr * yr) / (2 * sigma * sigma))
+            taps.append((dy, dx, env * math.cos(2 * math.pi * xr / lam)))
+    mean = sum(w for _, _, w in taps) / len(taps)
+    return [(dy, dx, w - mean) for dy, dx, w in taps]
+
+
+_GABOR_0 = _gabor_taps(0.0)
+_GABOR_45 = _gabor_taps(0.7853981633974483)
+
+
+@register(
+    "filter_gabor_0",
+    _linear_oracle([(_GABOR_0, CORR, REFL, 0.0)]),
+    tags=("imaging", "ndfilters", "texture"),
+)
+def filter_gabor_0(spark, sf_dir):
+    """GABOR FILTER, horizontal orientation (skimage ``filters.gabor``
+    real part): a cos-modulated gaussian probe for oriented texture at
+    wavelength 4 px — the biologically-motivated feature V1-style
+    pipelines and classical texture classifiers run in banks. The 5x5
+    taps are driver-computed double literals shared verbatim with the
+    oracle (the gaussian-taps rule), zero-DC corrected so flat regions
+    respond 0. Plan: ONE pad-then-scatter correlate pass — a bank of K
+    orientations is K independent branches over one cached input."""
+    return _round_v(
+        ndfilters.correlate(pixel_grid(spark, sf_dir), _GABOR_0, SHAPE)
+    )
+
+
+@register(
+    "filter_gabor_45",
+    _linear_oracle([(_GABOR_45, CORR, REFL, 0.0)]),
+    tags=("imaging", "ndfilters", "texture"),
+)
+def filter_gabor_45(spark, sf_dir):
+    """The 45-degree member of the Gabor bank (see ``filter_gabor_0``)
+    — rotated coordinates exercise the anisotropic tap generation, and
+    together the two orientations are the minimal bank a texture-energy
+    feature needs."""
+    return _round_v(
+        ndfilters.correlate(pixel_grid(spark, sf_dir), _GABOR_45, SHAPE)
+    )
