@@ -68,6 +68,7 @@ HEADLINE = [
     # ops). 1x = the registered queries; 4x = the same plans over
     # lineitem_x4 (rows 4x, key domain unchanged — fact growth with
     # constant dims). Stock twins in scripts/baseline_stock.py.
+    ("minhash_lsh_16x", "__minhash_lsh_16x__"),
     ("q9", "q9_product_type_profit"),
     ("q21", "q21_suppliers_kept_waiting"),
     ("q9_4x", "__q9_4x__"),
@@ -212,6 +213,17 @@ def tfidf_pairs_4x(spark, sf_dir):
     return tfidf_pairs_impl(docs_x4(spark, sf_dir))
 
 
+def minhash_lsh_16x(spark, sf_dir):
+    """Third point on the band-join size axis (1x / 4x / 16x documents):
+    with three points the linear-slope claim is measured, not fitted.
+    Same engine operators over queries/pipeline.py::docs_x16."""
+    from dask_image_spark.operators import textops
+    from dask_image_spark.queries.pipeline import docs_x16
+
+    sigs = textops.minhash_signatures(docs_x16(spark, sf_dir), n_hashes=8, k=3)
+    return textops.lsh_band_pairs(sigs, n_hashes=8, rows_per_band=2)
+
+
 def q9_4x(spark, sf_dir):
     """TPC-H q9's exact plan over the 4x-replicated fact table
     (queries/relational.py::lineitem_x4): the broadcast-dim-chain +
@@ -256,6 +268,7 @@ def main() -> None:
                 "__gauss_r2_4096__": gauss_r2_4096,
                 "__minhash_lsh_4x__": minhash_lsh_4x,
                 "__tfidf_pairs_4x__": tfidf_pairs_4x,
+                "__minhash_lsh_16x__": minhash_lsh_16x,
                 "__q9_4x__": q9_4x,
                 "__q21_4x__": q21_4x,
             }

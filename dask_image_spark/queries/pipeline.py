@@ -102,6 +102,32 @@ def docs_x4(spark, sf_dir):
     return out
 
 
+# Third size point for the band-join slope: 16 copies = the 4 vowel
+# rotations crossed with 4 consonant rotations (every composed transform
+# produces a distinct token stream, so shingles replicate i.i.d. exactly
+# as in docs_x4 — same property, 4x more of it). The stock twin
+# interpolates the same constants (scripts/baseline_stock.py).
+X16_CROTS = ("rstln", "stlnr", "tlnrs", "lnrst")
+
+
+def docs_x16(spark, sf_dir):
+    """The 16x-augmented documents frame (third slope point)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = None
+    for c, rot in enumerate(X4_ROTS):
+        for c2, crot in enumerate(X16_CROTS):
+            cp = d.select(
+                (
+                    F.col("doc_id") + (c * 4 + c2) * X4_OFFSET
+                ).alias("doc_id"),
+                F.translate(
+                    F.translate("text", "aeiou", rot), "rstln", crot
+                ).alias("text"),
+            )
+            out = cp if out is None else out.unionAll(cp)
+    return out
+
+
 @register(
     "dedup_exact_groups",
     f"""

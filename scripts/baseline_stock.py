@@ -504,6 +504,44 @@ def _register_lineitem4(spark):
     )
 
 
+def _register_docs16x(spark):
+    from dask_image_spark.queries.pipeline import X4_OFFSET, X4_ROTS, X16_CROTS
+
+    union = " UNION ALL ".join(
+        f"SELECT doc_id + {(c * 4 + c2) * X4_OFFSET} AS doc_id, "
+        f"translate(translate(text, 'aeiou', '{rot}'), 'rstln', '{crot}')"
+        f" AS text FROM documents"
+        for c, rot in enumerate(X4_ROTS)
+        for c2, crot in enumerate(X16_CROTS)
+    )
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW documents16 AS {union}")
+
+
+def minhash_lsh_16x(spark):
+    # the stock twin of bench.py::minhash_lsh_16x (third slope point)
+    _register_docs16x(spark)
+    hs = ", ".join(
+        f"min(md5(concat('{s}:', sh))) h{s}" for s in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} band_id, concat(h{2 * b}, h{2 * b + 1}) sig FROM mh"
+        for b in range(4)
+    )
+    return spark.sql(
+        f"""
+        WITH toks AS (SELECT doc_id, split(text, ' ') t FROM documents16
+                      WHERE size(split(text, ' ')) >= 3),
+        sh AS (SELECT doc_id, explode(transform(sequence(0, size(t)-3),
+                   i -> concat_ws(' ', slice(t, i+1, 3)))) sh FROM toks),
+        mh AS (SELECT doc_id, {hs} FROM sh GROUP BY doc_id),
+        bands AS ({bands})
+        SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+        FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+        """
+    )
+
+
 def q9(spark):
     return spark.sql(_Q9_SQL.format(lineitem="lineitem"))
 
@@ -564,6 +602,7 @@ SUITE = [
     ("pit_join", pit_join),
     ("minhash_lsh_4x", minhash_lsh_4x),
     ("tfidf_pairs_4x", tfidf_pairs_4x),
+    ("minhash_lsh_16x", minhash_lsh_16x),
     ("q9", q9),
     ("q21", q21),
     ("q9_4x", q9_4x),
