@@ -2517,3 +2517,517 @@ def pr_auc_average_precision(spark, sf_dir):
             4,
         ).alias("average_precision"),
     )
+
+
+@register(
+    "spearman_corr",
+    """
+    WITH rk AS (
+      SELECT event_type,
+             RANK() OVER (PARTITION BY event_type ORDER BY value)
+               + (COUNT(*) OVER (PARTITION BY event_type, value) - 1) / 2.0
+               AS rv,
+             RANK() OVER (PARTITION BY event_type ORDER BY ts)
+               + (COUNT(*) OVER (PARTITION BY event_type, ts) - 1) / 2.0
+               AS rt
+      FROM events)
+    SELECT event_type, ROUND(1.2345e-8 + CORR(rv, rt), 4) AS spearman,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM rk GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("curation", "statistics", "correlation"),
+)
+def spearman_corr(spark, sf_dir):
+    """SPEARMAN RANK CORRELATION per series — Pearson's r on fractional
+    (tie-averaged) ranks, the monotone-association test every drift /
+    feature-screening pipeline runs when the relationship need not be
+    linear. Ranks use the standard fractional convention
+    (RANK + (ties-1)/2 = average position of the tie block), so the
+    statistic is exact under ties, not the no-tie shortcut
+    1 - 6*sum(d^2)/(n(n^2-1)).
+
+    Plan: two window ranks over the SAME partition key (one Sort per
+    ordering within the event_type hash partition — no extra shuffle
+    between them), then one partial-agg CORR per series. At 100 TB the
+    sort-within-series is the cost; series are independent so the 1000
+    executors each sort their own hash partitions; a quantile-sketch
+    rank approximation would trade exactness for a scan if series stop
+    fitting per-task."""
+    ev = load_table(spark, sf_dir, "events")
+    rv = F.rank().over(
+        Window.partitionBy("event_type").orderBy("value")
+    ) + (
+        F.count(F.lit(1)).over(Window.partitionBy("event_type", "value")) - 1
+    ) / 2.0
+    rt = F.rank().over(
+        Window.partitionBy("event_type").orderBy("ts")
+    ) + (
+        F.count(F.lit(1)).over(Window.partitionBy("event_type", "ts")) - 1
+    ) / 2.0
+    return (
+        ev.select("event_type", rv.alias("rv"), rt.alias("rt"))
+        .groupBy("event_type")
+        .agg(
+            _eps_round(F.corr("rv", "rt"), 4).alias("spearman"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "mannwhitney_u",
+    """
+    WITH p AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('click', 'view')),
+    rk AS (
+      SELECT v, ia,
+             RANK() OVER (ORDER BY v)
+               + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS fr
+      FROM p),
+    agg AS (
+      SELECT SUM(CASE WHEN ia = 1 THEN fr ELSE 0 END) AS ra,
+             CAST(SUM(ia) AS DOUBLE) AS na, CAST(COUNT(*) AS DOUBLE) AS nn
+      FROM rk),
+    ties AS (
+      SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tc
+      FROM (SELECT COUNT(*) AS c FROM p GROUP BY v) t)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nn - na AS BIGINT) AS n_b,
+           ROUND(1.2345e-8 + ra - na * (na + 1) / 2.0, 4) AS u_stat,
+           ROUND(1.2345e-8 +
+             (ra - na * (na + 1) / 2.0 - na * (nn - na) / 2.0)
+             / SQRT(na * (nn - na) / 12.0
+                    * ((nn + 1) - tc / (nn * (nn - 1.0)))), 4) AS z
+    FROM agg CROSS JOIN ties
+    """,
+    tags=("curation", "statistics", "rank-test"),
+)
+def mannwhitney_u(spark, sf_dir):
+    """MANN-WHITNEY U (Wilcoxon rank-sum) — the nonparametric two-sample
+    location test (here: click vs view `value` distributions), with the
+    exact tie-corrected normal approximation:
+    U = R_a - n_a(n_a+1)/2, z = (U - n_a n_b/2) / sqrt(n_a n_b / 12 *
+    ((N+1) - sum(t^3 - t)/(N(N-1)))). Like [[ks_two_sample]] it needs
+    no binning; unlike KS it targets stochastic dominance rather than
+    any-CDF-gap.
+
+    Plan: one pooled fractional rank (single global sort of the two
+    filtered groups — the only non-partial-agg step), tie counts from
+    a per-value groupBy that reuses the same hash partitioning, then
+    two scalar aggregates crossed. At 100 TB the global sort is the
+    bottleneck; range-partitioned sort (Spark's TakeOrderedAndProject
+    doesn't apply, but rank is sort-based and spills) keeps it
+    linear-ish; a sketch-rank variant bounds it at one scan."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+    )
+    fr = F.rank().over(Window.orderBy("v")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("v")) - 1
+    ) / 2.0
+    rk = p.select("v", "ia", fr.alias("fr"))
+    agg = rk.agg(
+        F.sum(F.when(F.col("ia") == 1, F.col("fr")).otherwise(0.0)).alias(
+            "ra"
+        ),
+        F.sum("ia").cast("double").alias("na"),
+        F.count(F.lit(1)).cast("double").alias("nn"),
+    )
+    ties = (
+        p.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            ).cast("double").alias("tc")
+        )
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2.0
+    nb = F.col("nn") - F.col("na")
+    sigma = F.sqrt(
+        F.col("na") * nb / 12.0
+        * ((F.col("nn") + 1)
+           - F.col("tc") / (F.col("nn") * (F.col("nn") - 1.0)))
+    )
+    return j.select(
+        F.col("na").cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        _eps_round(u, 4).alias("u_stat"),
+        _eps_round((u - F.col("na") * nb / 2.0) / sigma, 4).alias("z"),
+    )
+
+
+@register(
+    "anova_f_oneway",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, AVG(value) AS m,
+             SUM(value * value) AS ss, SUM(value) AS s
+      FROM events GROUP BY event_type),
+    tot AS (
+      SELECT SUM(s) / SUM(n) AS gm, SUM(n) AS nn,
+             CAST(COUNT(*) AS DOUBLE) AS k
+      FROM g),
+    parts AS (
+      SELECT MAX(tot.k) AS k, MAX(tot.nn) AS nn,
+             SUM(g.n * (g.m - tot.gm) * (g.m - tot.gm)) AS ssb,
+             SUM(g.ss - g.n * g.m * g.m) AS ssw
+      FROM g CROSS JOIN tot)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+           ROUND(1.2345e-8 + (ssb / (k - 1)) / (ssw / (nn - k)), 4)
+             AS f_stat,
+           ROUND(1.2345e-8 + ssb / (ssb + ssw), 4) AS eta_sq
+    FROM parts
+    """,
+    tags=("curation", "statistics", "anova"),
+)
+def anova_f_oneway(spark, sf_dir):
+    """ONE-WAY ANOVA F — between/within mean-square ratio across the
+    five event-type groups on `value`, plus the eta-squared effect
+    size (SSB / SST). The k-group generalization of the t-test, and
+    the standard screen for 'does this categorical feature move the
+    metric at all'. SSW uses the one-pass identity
+    sum((x-m)^2) = sum(x^2) - n m^2 (safe here: double precision and
+    4-decimal rounding dominate the cancellation).
+
+    Plan: ONE partial-agg pass over the fact table (count/sum/sumsq
+    per group — classic map-side combine, k rows out), then scalar
+    arithmetic on a k-row frame crossed with its own rollup. At 100 TB
+    this is a single scan with a 5-row shuffle: the optimal plan."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.sum("value").alias("s"),
+    )
+    tot = g.agg(
+        (F.sum("s") / F.sum("n")).alias("gm"),
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("k").alias("k"),
+        F.max("nn").alias("nn"),
+        F.sum(
+            F.col("n") * (F.col("m") - F.col("gm"))
+            * (F.col("m") - F.col("gm"))
+        ).alias("ssb"),
+        F.sum(F.col("ss") - F.col("n") * F.col("m") * F.col("m")).alias(
+            "ssw"
+        ),
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        _eps_round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        _eps_round(
+            F.col("ssb") / (F.col("ssb") + F.col("ssw")), 4
+        ).alias("eta_sq"),
+    )
+
+
+@register(
+    "ols_two_feature",
+    """
+    WITH mu AS (
+      SELECT l_returnflag, AVG(l_quantity) AS m1, AVG(l_discount) AS m2,
+             AVG(l_extendedprice) AS my
+      FROM lineitem GROUP BY l_returnflag),
+    c AS (
+      SELECT l.l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+             MAX(mu.m1) AS m1, MAX(mu.m2) AS m2, MAX(mu.my) AS my,
+             SUM((l_quantity - m1) * (l_quantity - m1)) AS c11,
+             SUM((l_discount - m2) * (l_discount - m2)) AS c22,
+             SUM((l_quantity - m1) * (l_discount - m2)) AS c12,
+             SUM((l_quantity - m1) * (l_extendedprice - my)) AS c1y,
+             SUM((l_discount - m2) * (l_extendedprice - my)) AS c2y,
+             SUM((l_extendedprice - my) * (l_extendedprice - my)) AS cyy
+      FROM lineitem l JOIN mu ON mu.l_returnflag = l.l_returnflag
+      GROUP BY l.l_returnflag),
+    b AS (
+      SELECT l_returnflag, n, my, m1, m2, c1y, c2y, cyy,
+             (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+             (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+      FROM c)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(1.2345e-8 + my - b1 * m1 - b2 * m2, 4) AS b0,
+           ROUND(1.2345e-8 + b1, 4) AS b_qty,
+           ROUND(1.2345e-8 + b2, 4) AS b_disc,
+           ROUND(1.2345e-8 + 1.0 - (cyy - b1 * c1y - b2 * c2y) / cyy, 4)
+             AS r2
+    FROM b ORDER BY l_returnflag
+    """,
+    tags=("curation", "statistics", "regression"),
+)
+def ols_two_feature(spark, sf_dir):
+    """TWO-FEATURE OLS, closed form — per return-flag regression of
+    extendedprice on (quantity, discount) via the CENTERED normal
+    equations: center both features and the target, solve the 2x2
+    system by Cramer's rule (b1, b2), recover the intercept as
+    my - b1 m1 - b2 m2, and get R^2 without a residual pass from the
+    OLS identity SSE = cyy - b1 c1y - b2 c2y. Centering is what makes
+    the determinant numerically safe (raw-moment normal equations
+    cancel ~1e15-scale products; centered cross-moments don't).
+    Generalizes Spark's built-in regr_slope (single-feature) to the
+    multivariate case with the same two-scan cost.
+
+    Plan: scan 1 computes per-group means (partial agg, k rows); the
+    means broadcast back into scan 2's centered cross-moment partial
+    agg (map-side combine, k rows out); coefficients are driver-scale
+    arithmetic. No residual third pass — the R^2 identity replaces
+    it. At 100 TB: two scans, zero fact-table shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mu = li.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("m1"),
+        F.avg("l_discount").alias("m2"),
+        F.avg("l_extendedprice").alias("my"),
+    )
+    d1 = F.col("l_quantity") - F.col("m1")
+    d2 = F.col("l_discount") - F.col("m2")
+    dy = F.col("l_extendedprice") - F.col("my")
+    c = (
+        li.join(F.broadcast(mu), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.max("m1").alias("m1"),
+            F.max("m2").alias("m2"),
+            F.max("my").alias("my"),
+            F.sum(d1 * d1).alias("c11"),
+            F.sum(d2 * d2).alias("c22"),
+            F.sum(d1 * d2).alias("c12"),
+            F.sum(d1 * dy).alias("c1y"),
+            F.sum(d2 * dy).alias("c2y"),
+            F.sum(dy * dy).alias("cyy"),
+        )
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det
+    b2 = (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det
+    b = c.select(
+        "l_returnflag", "n", "my", "m1", "m2", "c1y", "c2y", "cyy",
+        b1.alias("b1"), b2.alias("b2"),
+    )
+    return b.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        _eps_round(
+            F.col("my") - F.col("b1") * F.col("m1")
+            - F.col("b2") * F.col("m2"),
+            4,
+        ).alias("b0"),
+        _eps_round(F.col("b1"), 4).alias("b_qty"),
+        _eps_round(F.col("b2"), 4).alias("b_disc"),
+        _eps_round(
+            1.0
+            - (
+                F.col("cyy") - F.col("b1") * F.col("c1y")
+                - F.col("b2") * F.col("c2y")
+            )
+            / F.col("cyy"),
+            4,
+        ).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "bollinger_breaches",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT event_type, v,
+             AVG(v) OVER w AS m, STDDEV_POP(v) OVER w AS sd,
+             COUNT(*) OVER w AS c
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+    f AS (SELECT * FROM b WHERE c = 24)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN v > m + 2 * sd THEN 1 ELSE 0 END) AS BIGINT)
+             AS upper_breaches,
+           CAST(SUM(CASE WHEN v < m - 2 * sd THEN 1 ELSE 0 END) AS BIGINT)
+             AS lower_breaches,
+           ROUND(1.2345e-8 + AVG(4 * sd), 4) AS avg_band_width
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("timeseries", "statistics", "window"),
+)
+def bollinger_breaches(spark, sf_dir):
+    """BOLLINGER BANDS breach audit — per series, the 24-hour rolling
+    mean +/- 2 rolling population-sigma envelope, counting hours that
+    close outside either band (the classic volatility-breakout signal,
+    and operationally the same shape as an SLO burn alert: 'metric
+    outside its own recent +/-2-sigma envelope'). Warm-up rows (frame
+    shorter than 24) are excluded so every band is a full-window band.
+
+    Plan: hourly pre-agg shrinks the fact table first (partial agg);
+    the rolling mean/sigma are ONE window sort per series computing
+    both moments in the same frame pass; the breach audit is a final
+    partial agg. Same sort-once posture as [[rolling_1h_median]] but
+    with a ROWS frame — bounded state per row at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-23, 0)
+    b = h.select(
+        "event_type",
+        "v",
+        F.avg("v").over(w).alias("m"),
+        F.stddev_pop("v").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    ).filter(F.col("c") == 24)
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(
+                F.when(
+                    F.col("v") > F.col("m") + 2 * F.col("sd"), 1
+                ).otherwise(0)
+            ).cast("long").alias("upper_breaches"),
+            F.sum(
+                F.when(
+                    F.col("v") < F.col("m") - 2 * F.col("sd"), 1
+                ).otherwise(0)
+            ).cast("long").alias("lower_breaches"),
+            _eps_round(F.avg(4 * F.col("sd")), 4).alias("avg_band_width"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "max_drawdown",
+    """
+    WITH eq AS (
+      SELECT user_id, ts, event_id,
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS eqty
+      FROM events),
+    dd AS (
+      SELECT user_id,
+             MAX(eqty) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - eqty AS draw
+      FROM eq)
+    SELECT user_id, ROUND(1.2345e-8 + MAX(draw), 4) AS max_drawdown
+    FROM dd GROUP BY user_id
+    ORDER BY max_drawdown DESC, user_id LIMIT 20
+    """,
+    tags=("timeseries", "statistics", "window"),
+)
+def max_drawdown(spark, sf_dir):
+    """MAXIMUM DRAWDOWN per account — treat each user's cumulative
+    event value as an equity curve and report the largest peak-to-
+    trough drop: max over t of (running-max - equity_t). The standard
+    risk statistic for any cumulative series (finance PnL, but equally
+    error-budget burn). Deterministic because BOTH the running sum and
+    the running max are frame-ordered ((ts, event_id) total order), so
+    the doubles are bit-identical across engines — no floating-point
+    reorder hazard despite no exact-decimal types.
+
+    Plan: one hash partition by user, ONE sort per partition feeding
+    two stacked running windows (Spark collapses same-ordering windows
+    into a single Sort + two Window operators, zero extra exchange),
+    then a partial-agg max and a 20-row TakeOrdered. User series are
+    independent: at 100 TB the 1000 executors each stream their own
+    users with O(1) window state per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    eq = ev.select(
+        "user_id", "ts", "event_id", F.sum("value").over(w).alias("eqty")
+    )
+    dd = eq.select(
+        "user_id", (F.max("eqty").over(w) - F.col("eqty")).alias("draw")
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(_eps_round(F.max("draw"), 4).alias("max_drawdown"))
+        .orderBy(F.col("max_drawdown").desc(), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "gini_concentration",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey AS k, SUM(o.o_totalprice) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT c_nationkey, x,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY x, k) AS i,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+             SUM(x) OVER (PARTITION BY c_nationkey) AS sx
+      FROM rev)
+    SELECT c_nationkey, CAST(MAX(n) AS BIGINT) AS n_cust,
+           ROUND(1.2345e-8 + 2.0 * SUM(i * x) / (MAX(n) * MAX(sx))
+                 - (MAX(n) + 1.0) / MAX(n), 4) AS gini
+    FROM rk GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    tags=("curation", "statistics", "concentration"),
+)
+def gini_concentration(spark, sf_dir):
+    """GINI COEFFICIENT of revenue concentration per nation — how
+    unequally customer lifetime revenue is distributed, via the exact
+    sorted-rank identity G = 2*sum(i * x_(i)) / (n * sum(x)) - (n+1)/n
+    (ties broken by custkey: permuting equal x within a tie block
+    leaves sum(i*x) unchanged, so the tie-break only pins engine-side
+    determinism, not the value). The concentration statistic data
+    governance runs on source contributions and revenue teams run on
+    accounts; [[pareto_skyline_brand]] is its per-item frontier cousin.
+
+    Plan: revenue rollup is a partial-agg groupBy; the ranked pass is
+    one sort per nation partition (rank + count + sum share the
+    partition frame); the final fold is partial-agg again. Customer
+    counts per nation are ~|customers|/25 — each sort fits a task at
+    any realistic scale; beyond that, Gini from a quantile sketch."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            o.o_custkey == cu.c_custkey,
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    wp = Window.partitionBy("c_nationkey")
+    rk = rev.select(
+        "c_nationkey",
+        "x",
+        F.row_number().over(wp.orderBy("x", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+    )
+    return (
+        rk.groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("long").alias("n_cust"),
+            _eps_round(
+                2.0 * F.sum(F.col("i") * F.col("x"))
+                / (F.max("n") * F.max("sx"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                4,
+            ).alias("gini"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -2493,3 +2493,132 @@ def mann_kendall_trend(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "pacf_durbin_levinson",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT event_type, AVG(v) AS mu FROM h GROUP BY event_type),
+    den AS (
+      SELECT h.event_type, SUM((h.v - st.mu) * (h.v - st.mu)) AS d
+      FROM h JOIN st ON st.event_type = h.event_type
+      GROUP BY h.event_type),
+    l AS (
+      SELECT event_type, v,
+             LAG(v, 1) OVER w AS l1, LAG(v, 2) OVER w AS l2,
+             LAG(v, 3) OVER w AS l3
+      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+    num AS (
+      SELECT l.event_type,
+             SUM(CASE WHEN l1 IS NOT NULL
+                 THEN (v - st.mu) * (l1 - st.mu) END) AS n1,
+             SUM(CASE WHEN l2 IS NOT NULL
+                 THEN (v - st.mu) * (l2 - st.mu) END) AS n2,
+             SUM(CASE WHEN l3 IS NOT NULL
+                 THEN (v - st.mu) * (l3 - st.mu) END) AS n3
+      FROM l JOIN st ON st.event_type = l.event_type
+      GROUP BY l.event_type),
+    rho AS (
+      SELECT num.event_type, n1 / d AS r1, n2 / d AS r2, n3 / d AS r3
+      FROM num JOIN den ON den.event_type = num.event_type),
+    dl AS (
+      SELECT event_type, r1, r2, r3,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS p2
+      FROM rho),
+    dl2 AS (
+      SELECT event_type, r1, r2, r3, p2, r1 * (1 - p2) AS q1 FROM dl)
+    SELECT event_type,
+           ROUND(1.2345e-8 + r1, 4) AS pacf1,
+           ROUND(1.2345e-8 + p2, 4) AS pacf2,
+           ROUND(1.2345e-8 + (r3 - q1 * r2 - p2 * r1)
+                 / (1 - q1 * r1 - p2 * r2), 4) AS pacf3
+    FROM dl2 ORDER BY event_type
+    """,
+    tags=("timeseries", "autocorrelation", "statistics"),
+)
+def pacf_durbin_levinson(spark, sf_dir):
+    """PARTIAL AUTOCORRELATION at lags 1-3 per series — the AR-order
+    selection companion to [[acf_hourly]]: PACF_k is the correlation
+    between v_t and v_{t-k} after regressing out lags 1..k-1, computed
+    by the Durbin-Levinson recursion closed over the sample ACF
+    (phi_11 = rho1; phi_22 = (rho2 - rho1^2)/(1 - rho1^2);
+    phi_33 = (rho3 - phi_21 rho2 - phi_22 rho1) /
+    (1 - phi_21 rho1 - phi_22 rho2) with phi_21 = rho1(1 - phi_22)).
+    An AR(p) process shows PACF cutting off after lag p — THE
+    diagnostic ACF can't give (ACF tails forever under AR).
+
+    Plan: identical physical shape to [[acf_hourly]] — hourly partial
+    agg, ONE window sort per series emitting all three lag columns,
+    one grouped partial agg for the covariances, then per-series
+    scalar recursion on a 5-row frame. The recursion itself is free;
+    the engine cost is one fact scan + one tiny sort, at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    st = h.groupBy("event_type").agg(F.avg("v").alias("mu"))
+    den = (
+        h.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))
+            ).alias("d")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lg = h.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"l{k}") for k in (1, 2, 3)],
+    )
+    num = (
+        lg.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col(f"l{k}").isNotNull(),
+                        (F.col("v") - F.col("mu"))
+                        * (F.col(f"l{k}") - F.col("mu")),
+                    )
+                ).alias(f"n{k}")
+                for k in (1, 2, 3)
+            ]
+        )
+    )
+    rho = num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        (F.col("n1") / F.col("d")).alias("r1"),
+        (F.col("n2") / F.col("d")).alias("r2"),
+        (F.col("n3") / F.col("d")).alias("r3"),
+    )
+    p2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    dl = rho.select("event_type", "r1", "r2", "r3", p2.alias("p2"))
+    dl2 = dl.select(
+        "event_type", "r1", "r2", "r3", "p2",
+        (F.col("r1") * (1 - F.col("p2"))).alias("q1"),
+    )
+    return dl2.select(
+        "event_type",
+        _eps_round(F.col("r1"), 4).alias("pacf1"),
+        _eps_round(F.col("p2"), 4).alias("pacf2"),
+        _eps_round(
+            (
+                F.col("r3") - F.col("q1") * F.col("r2")
+                - F.col("p2") * F.col("r1")
+            )
+            / (
+                1 - F.col("q1") * F.col("r1")
+                - F.col("p2") * F.col("r2")
+            ),
+            4,
+        ).alias("pacf3"),
+    ).orderBy("event_type")
