@@ -5056,3 +5056,155 @@ def arrow_grouped_apply(spark, sf_dir):
         stats,
         "event_type string, n long, min_v double, max_v double, total double",
     )
+
+
+@register(
+    "cluster_medoid",
+    f"""
+    WITH pairs AS (
+      SELECT a.label, a.vec_id,
+             {_COS_Q.format(a="a.embedding", b="b.embedding")} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON b.label = a.label AND b.vec_id <> a.vec_id),
+    scored AS (
+      SELECT label, vec_id, AVG(cos) AS avg_cos,
+             COUNT(*) + 1 AS n_members
+      FROM pairs GROUP BY label, vec_id),
+    ranked AS (
+      SELECT label, vec_id, avg_cos, n_members,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY avg_cos DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT label, vec_id AS medoid_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           ROUND(1.2345e-8 + avg_cos, 4) AS avg_cos
+    FROM ranked WHERE rnk = 1 ORDER BY label
+    """,
+    tags=("pipeline", "similarity", "clustering"),
+)
+def cluster_medoid(spark, sf_dir):
+    """CLUSTER MEDOID — the actual member vector maximizing average
+    cosine to its own cluster (equivalently minimizing summed cosine
+    distance), per label group. The medoid is what you ship when a
+    centroid must be a REAL example (prototype selection for
+    dataset summarization / few-shot exemplar picking); the mean
+    vector ([[dedup_semantic]]'s centroid) need not correspond to any
+    document. Exact within-cluster all-pairs — the textbook O(n_c^2)
+    medoid, correct under ties via (avg_cos, vec_id) ordering.
+
+    Plan: the self-join is label-equi so it shuffles BOTH sides on
+    label once and computes pairs within each cluster partition only
+    (never the full corpus cross join); per-candidate averages are a
+    partial agg on the same key, and the argmax is one tiny window.
+    At 100 TB, n_c^2 per cluster is the real cost driver — the scale
+    path subsamples candidates per cluster (medoid-of-sample) or
+    switches to [[dedup_semantic]]'s centroid when approximation is
+    acceptable; the per-cluster independence parallelizes either way."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.label") == F.col("a.label"))
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_id"),
+        similarity.cosine(
+            F.col("a.embedding"), F.col("b.embedding")
+        ).alias("cos"),
+    )
+    scored = pairs.groupBy("label", "vec_id").agg(
+        F.avg("cos").alias("avg_cos"),
+        (F.count(F.lit(1)) + 1).alias("n_members"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("avg_cos").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "label",
+            F.col("vec_id").alias("medoid_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            _eps_round(F.col("avg_cos"), 4).alias("avg_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "readability_flesch",
+    """
+    WITH d AS (
+      SELECT source, text,
+             len(string_split(text, ' ')) AS words,
+             regexp_replace(lower(text), '[aeiouy]+', 'V', 'g') AS vt,
+             regexp_replace(text, '[.!?]+', '#', 'g') AS st
+      FROM documents WHERE text IS NOT NULL AND text <> ''),
+    m AS (
+      SELECT source, CAST(words AS DOUBLE) AS w,
+             CAST(len(vt) - len(replace(vt, 'V', '')) AS DOUBLE) AS syll,
+             GREATEST(1.0, CAST(len(st) - len(replace(st, '#', ''))
+                                AS DOUBLE)) AS sents
+      FROM d)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1.2345e-8 + AVG(syll / w), 4) AS avg_syll_per_word,
+           ROUND(1.2345e-8 + AVG(206.835 - 1.015 * (w / sents)
+                                 - 84.6 * (syll / w)), 4) AS avg_flesch
+    FROM m GROUP BY source ORDER BY source
+    """,
+    tags=("pipeline", "text-analysis", "quality"),
+)
+def readability_flesch(spark, sf_dir):
+    """FLESCH READING EASE per source — 206.835 - 1.015(words/sentences)
+    - 84.6(syllables/word), with syllables approximated by VOWEL-GROUP
+    counting (each maximal [aeiouy]+ run = one syllable, the standard
+    regex-only estimator) and a document-as-sentence fallback
+    (GREATEST(1, ...)) since this corpus carries no terminal
+    punctuation. The classic prose-difficulty score every text-quality
+    gate computes next to [[quality_score]]'s length/stopword ratios —
+    and like them it must run as pure string ops, no NLP runtime.
+
+    Plan: map-only codegen — two regexp_replace + length arithmetic
+    per row inside WholeStageCodegen, then a partial-agg rollup per
+    source. Zero shuffles beyond the k-row final agg; at 100 TB it
+    rides the same single scan as every other quality signal (and in
+    production you'd fuse them into one pass)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    vt = F.regexp_replace(F.lower(F.col("text")), "[aeiouy]+", "V")
+    st = F.regexp_replace(F.col("text"), "[.!?]+", "#")
+    m = d.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("w"),
+        (
+            F.length(vt) - F.length(F.regexp_replace(vt, "V", ""))
+        ).cast("double").alias("syll"),
+        F.greatest(
+            F.lit(1.0),
+            (
+                F.length(st) - F.length(F.regexp_replace(st, "#", ""))
+            ).cast("double"),
+        ).alias("sents"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            _eps_round(F.avg(F.col("syll") / F.col("w")), 4).alias(
+                "avg_syll_per_word"
+            ),
+            _eps_round(
+                F.avg(
+                    206.835
+                    - 1.015 * (F.col("w") / F.col("sents"))
+                    - 84.6 * (F.col("syll") / F.col("w"))
+                ),
+                4,
+            ).alias("avg_flesch"),
+        )
+        .orderBy("source")
+    )

@@ -5201,3 +5201,147 @@ def url_parse_surface(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+@register(
+    "lateral_topk_per_key",
+    """
+    WITH seg AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0)
+    SELECT s.c_custkey, t.o_orderkey,
+           ROUND(1.2345e-8 + t.o_totalprice, 4) AS o_totalprice, t.rnk
+    FROM seg s JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rnk
+      FROM orders o WHERE o.o_custkey = s.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t ON TRUE
+    ORDER BY s.c_custkey, t.rnk
+    """,
+    tags=("relational", "sql-surface", "lateral"),
+)
+def lateral_topk_per_key(spark, sf_dir):
+    """LATERAL correlated subquery — top-3 orders per sampled BUILDING
+    customer via `JOIN LATERAL (... ORDER BY ... LIMIT 3)`, the
+    SQL:2003 per-row-subquery surface Spark added with correlated
+    DecorrelateInnerQuery support (SPARK-34382 line of work). The same
+    result is expressible as a window-rank filter; LATERAL is the
+    surface users migrating from Postgres/DuckDB/Trino actually write,
+    so the engine must both ACCEPT it and plan it without a per-row
+    re-scan.
+
+    Plan: Catalyst decorrelates the lateral subquery into a
+    rank-over-partition + filter on the (broadcastable) key-filtered
+    join — .explain shows one Window over o_custkey, NOT an
+    iterative per-customer loop; at 100 TB it is exactly the
+    [[window_rank]] plan plus a semi-join-pushable key filter."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_custkey, c_mktsegment FROM lat_customer
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0)
+        SELECT s.c_custkey, t.o_orderkey,
+               ROUND(1.2345e-8 + t.o_totalprice, 4) AS o_totalprice, t.rnk
+        FROM seg s JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rnk
+          FROM lat_orders o WHERE o.o_custkey = s.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t ON TRUE
+        ORDER BY s.c_custkey, t.rnk
+        """
+    )
+
+
+@register(
+    "gdpr_erasure_cascade",
+    """
+    WITH del AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 97 = 0),
+    del_orders AS (
+      SELECT o.o_orderkey, d.c_nationkey
+      FROM orders o JOIN del d ON d.c_custkey = o.o_custkey),
+    del_items AS (
+      SELECT l.l_orderkey, o.c_nationkey
+      FROM lineitem l JOIN del_orders o ON o.o_orderkey = l.l_orderkey),
+    cust_n AS (SELECT c_nationkey, COUNT(*) AS c FROM del GROUP BY 1),
+    ord_n AS (SELECT c_nationkey, COUNT(*) AS c FROM del_orders GROUP BY 1),
+    item_n AS (SELECT c_nationkey, COUNT(*) AS c FROM del_items GROUP BY 1),
+    survivors AS (
+      SELECT COUNT(*) AS c FROM orders o
+      WHERE o.o_custkey IN (SELECT c_custkey FROM del)
+        AND o.o_orderkey NOT IN (SELECT o_orderkey FROM del_orders))
+    SELECT cu.c_nationkey, CAST(cu.c AS BIGINT) AS customers_erased,
+           CAST(COALESCE(o.c, 0) AS BIGINT) AS orders_cascaded,
+           CAST(COALESCE(i.c, 0) AS BIGINT) AS items_cascaded,
+           CAST((SELECT c FROM survivors) AS BIGINT) AS leak_check
+    FROM cust_n cu
+    LEFT JOIN ord_n o USING (c_nationkey)
+    LEFT JOIN item_n i USING (c_nationkey)
+    ORDER BY cu.c_nationkey
+    """,
+    tags=("relational", "warehouse", "governance"),
+)
+def gdpr_erasure_cascade(spark, sf_dir):
+    """GDPR ERASURE CASCADE audit — given a right-to-be-forgotten
+    deletion set (every 97th custkey), walk the foreign-key graph
+    customer -> orders -> lineitem and report, per nation, how many
+    rows each table must erase, plus a leak check proving the order
+    set is closed (survivor count is 0 by construction). The dry-run
+    side of a deletion pipeline: production runs exactly these joins
+    as anti-join rewrites ([[merge_three_way]] is the write path).
+
+    Plan: the deletion set is tiny and BROADCASTS down the whole
+    cascade — each fact table is scanned once with a broadcast
+    semi-join (no fact shuffle at any step); the per-nation rollup
+    aggregates the already-small cascade frontier. At 100 TB this is
+    the only sane shape: the cascade frontier stays
+    dimension-sized while facts stream by."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dele = cu.filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey", "c_nationkey"
+    )
+    del_orders = o.join(
+        F.broadcast(dele), o.o_custkey == dele.c_custkey
+    ).select("o_orderkey", "c_nationkey")
+    del_items = li.join(
+        F.broadcast(del_orders.select("o_orderkey", "c_nationkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "c_nationkey")
+    survivors = (
+        o.join(F.broadcast(dele), o.o_custkey == dele.c_custkey, "semi")
+        .join(
+            F.broadcast(del_orders.select("o_orderkey")), "o_orderkey", "anti"
+        )
+        .count()
+    )
+    cust_n = dele.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    ord_n = del_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("oc")
+    )
+    item_n = del_items.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("ic")
+    )
+    return (
+        cust_n.join(F.broadcast(ord_n), "c_nationkey", "left")
+        .join(F.broadcast(item_n), "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            F.col("cc").cast("long").alias("customers_erased"),
+            F.coalesce(F.col("oc"), F.lit(0)).cast("long").alias(
+                "orders_cascaded"
+            ),
+            F.coalesce(F.col("ic"), F.lit(0)).cast("long").alias(
+                "items_cascaded"
+            ),
+            F.lit(survivors).cast("long").alias("leak_check"),
+        )
+        .orderBy("c_nationkey")
+    )
