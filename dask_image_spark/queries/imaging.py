@@ -3696,3 +3696,330 @@ def filter_gabor_45(spark, sf_dir):
     return _round_v(
         ndfilters.correlate(pixel_grid(spark, sf_dir), _GABOR_45, SHAPE)
     )
+
+
+# --- round-8 continuation: sharpening / blobs / tensor eigen / diffusion ----
+
+_UNSHARP_AMT = 1.5
+_UNSHARP = [
+    (dy, dx,
+     (1.0 + _UNSHARP_AMT if (dy == 0 and dx == 0) else 0.0)
+     - _UNSHARP_AMT * wy * wx)
+    for dy, wy in _G1
+    for dx, wx in _G1
+]
+
+
+@register(
+    "filter_unsharp_mask",
+    _linear_oracle([(_UNSHARP, CORR, REFL, 0.0)]),
+    tags=("imaging", "ndfilters", "enhancement"),
+)
+def filter_unsharp_mask(spark, sf_dir):
+    """UNSHARP MASKING (skimage ``filters.unsharp_mask``, amount=1.5,
+    sigma=1): out = img + amount * (img - gaussian(img)), folded into a
+    SINGLE 9x9 kernel (1+a)*delta - a*(g_y (x) g_x) — the delta-minus-
+    blur identity means the classic sharpen is just one more linear
+    stencil, not a three-step pipeline with an intermediate frame. Taps
+    are driver-computed doubles shared verbatim with the oracle.
+
+    Plan: one pad-then-scatter correlate pass, identical physical shape
+    to [[filter_gaussian]]; folding the identity into the kernel
+    halves the shuffles a naive img-minus-blur dataflow would pay
+    (at 100 TB that is one fact-scale join saved)."""
+    return _round_v(
+        ndfilters.correlate(pixel_grid(spark, sf_dir), _UNSHARP, SHAPE)
+    )
+
+
+def _dog_kernel() -> list:
+    """Difference-of-Gaussians 2-D taps, sigma 1.0 minus sigma 1.6
+    (the classic SIFT-style ratio), on the union 13x13 support."""
+    g2 = K.gaussian_taps_1d(1.6, 0)
+    acc: dict = {}
+    for dy, wy in _G1:
+        for dx, wx in _G1:
+            acc[(dy, dx)] = acc.get((dy, dx), 0.0) + wy * wx
+    for dy, wy in g2:
+        for dx, wx in g2:
+            acc[(dy, dx)] = acc.get((dy, dx), 0.0) - wy * wx
+    return [(dy, dx, w) for (dy, dx), w in sorted(acc.items())]
+
+
+_DOG = _dog_kernel()
+_BLOB_THR = 2.0
+
+_BLOB_ORACLE = with_pixel_ctes(
+    """
+    SELECT p.y, p.x, p.v
+    FROM s0r p JOIN s0r q
+      ON q.y BETWEEN p.y - 1 AND p.y + 1
+     AND q.x BETWEEN p.x - 1 AND p.x + 1
+     AND NOT (q.y = p.y AND q.x = p.x)
+    WHERE p.y BETWEEN 1 AND 62 AND p.x BETWEEN 1 AND 62
+    GROUP BY p.y, p.x, p.v
+    HAVING p.v > MAX(q.v) AND p.v > 2.0
+    ORDER BY p.y, p.x
+    """,
+    extra=[
+        f"s0 AS ({_pass_sql('pixels', _DOG, CORR, 'reflect', 0.0)})",
+        "s0r AS (SELECT y, x, ROUND(1.2345e-8 + value, 6) AS v FROM s0)",
+    ],
+)
+
+
+@register(
+    "blob_dog_maxima",
+    _BLOB_ORACLE,
+    tags=("imaging", "feature", "blob-detection"),
+)
+def blob_dog_maxima(spark, sf_dir):
+    """BLOB DETECTION by Difference-of-Gaussians (skimage ``blob_dog``
+    at a single scale pair 1.0/1.6): band-pass the image with the DoG
+    kernel (folded to ONE 13x13 stencil on the union support), then
+    keep strict 8-neighbor local maxima above threshold. Strictness
+    excludes plateaus by design (same choice scipy's peak_local_max
+    makes with exclude_border); the DoG response is rounded to 6
+    decimals WITH the house epsilon on both engines BEFORE the
+    max-compare, so summation-order ulps can never flip a
+    local-maximum decision across engines.
+
+    Plan: one correlate pass + one neighbor self-join on the response
+    frame (both tile-partitionable gathers); the maxima filter is a
+    HAVING over the 8-row group — no window sort. At 100 TB both
+    stages pin to the same tile partitioning: one halo exchange."""
+    dog = ndfilters.correlate(pixel_grid(spark, sf_dir), _DOG, SHAPE)
+    d6 = dog.select("y", "x", _eps_round("v", 6).alias("v"))
+    off = values_df(spark, "dy, dx", [
+        (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if not (dy == 0 and dx == 0)
+    ])
+    probes = d6.crossJoin(F.broadcast(off)).select(
+        "y", "x", "v",
+        (F.col("y") + F.col("dy")).alias("ny"),
+        (F.col("x") + F.col("dx")).alias("nx"),
+    )
+    nb = d6.select(
+        F.col("y").alias("ny"), F.col("x").alias("nx"),
+        F.col("v").alias("nv"),
+    )
+    return (
+        probes.join(nb, ["ny", "nx"])
+        .filter(F.col("y").between(1, 62) & F.col("x").between(1, 62))
+        .groupBy("y", "x", "v")
+        .agg(F.max("nv").alias("mx"))
+        .filter((F.col("v") > F.col("mx")) & (F.col("v") > _BLOB_THR))
+        .select("y", "x", "v")
+        .orderBy("y", "x")
+    )
+
+
+_TENSOR_ORACLE = with_pixel_ctes(
+    """
+    SELECT y, x,
+           ROUND(1.2345e-8 + ((sxx + syy)
+             + SQRT((sxx - syy) * (sxx - syy) + 4.0 * sxy * sxy)) / 2.0,
+             4) AS lam1,
+           ROUND(1.2345e-8 + ((sxx + syy)
+             - SQRT((sxx - syy) * (sxx - syy) + 4.0 * sxy * sxy)) / 2.0,
+             4) AS lam2,
+           ROUND(1.2345e-8 + SQRT((sxx - syy) * (sxx - syy)
+                                  + 4.0 * sxy * sxy)
+             / (sxx + syy + 1.0), 4) AS coherence,
+           ROUND(1.2345e-8 + 0.5 * ATAN2(2.0 * sxy, sxx - syy), 4)
+             AS orientation
+    FROM s WHERE y % 4 = 2 AND x % 4 = 2 ORDER BY y, x
+    """,
+    extra=[
+        """v AS (SELECT y, x, CAST(FLOOR(value) AS BIGINT) % 256 AS v
+               FROM pixels)""",
+        f"""g AS (SELECT p.y, p.x,
+               SUM(q.v * {_case_weights([(dy, dx, wx) for dy, dx, wx, _ in _HARRIS_OFF])}) AS gx,
+               SUM(q.v * {_case_weights([(dy, dx, wy) for dy, dx, _, wy in _HARRIS_OFF])}) AS gy
+          FROM v p JOIN v q
+            ON q.y BETWEEN p.y - 1 AND p.y + 1
+           AND q.x BETWEEN p.x - 1 AND p.x + 1
+          WHERE p.y BETWEEN 1 AND 62 AND p.x BETWEEN 1 AND 62
+          GROUP BY p.y, p.x)""",
+        """pr AS (SELECT y, x, gx * gx AS pxx, gy * gy AS pyy,
+                gx * gy AS pxy FROM g)""",
+        """s AS (SELECT p.y, p.x, SUM(q.pxx) AS sxx, SUM(q.pyy) AS syy,
+               SUM(q.pxy) AS sxy
+          FROM pr p JOIN pr q
+            ON q.y BETWEEN p.y - 1 AND p.y + 1
+           AND q.x BETWEEN p.x - 1 AND p.x + 1
+          WHERE p.y BETWEEN 2 AND 61 AND p.x BETWEEN 2 AND 61
+          GROUP BY p.y, p.x)""",
+    ],
+)
+
+
+@register(
+    "structure_tensor_eigen",
+    _TENSOR_ORACLE,
+    tags=("imaging", "feature", "tensor"),
+)
+def structure_tensor_eigen(spark, sf_dir):
+    """STRUCTURE TENSOR EIGEN-DECOMPOSITION (skimage
+    ``structure_tensor`` + ``structure_tensor_eigenvalues``): the same
+    integer Sobel-gradient tensor as [[harris_corners]], but instead
+    of the scalar corner response it reports the full local geometry —
+    eigenvalues lam1 >= lam2 (edge strength along/across), coherence
+    (lam1-lam2)/(lam1+lam2+1) in [0,1) (1 = perfectly oriented
+    structure, 0 = isotropic; the +1 regularizer keeps flat regions
+    exactly 0 in integer arithmetic), and the dominant orientation
+    0.5*atan2(2 Sxy, Sxx - Syy). Sampled on the every-4th-pixel
+    subgrid — the density a texture-flow or fingerprint pipeline
+    actually keeps. The tensor itself is BIT-EXACT integer work; only
+    the final eigen formulas touch doubles, on identical int inputs.
+
+    Plan: identical two-stencil-stage shape as [[harris_corners]]
+    (broadcast kernel scatter, partial-agg window sums) with a
+    map-only eigen epilogue — the subsample filter prunes BEFORE the
+    epilogue, and at 100 TB both stages share one tile partitioning."""
+    off = values_df(
+        spark, "dy, dx, wx, wy",
+        [(dy, dx, wx, wy) for dy, dx, wx, wy in _HARRIS_OFF],
+    )
+    px = pixel_grid(spark, sf_dir).select(
+        "y", "x", (F.floor("value").cast("bigint") % 256).alias("v")
+    )
+    g = (
+        px.crossJoin(F.broadcast(off))
+        .select(
+            (F.col("y") - F.col("dy")).alias("ty"),
+            (F.col("x") - F.col("dx")).alias("tx"),
+            (F.col("v") * F.col("wx")).alias("cx"),
+            (F.col("v") * F.col("wy")).alias("cy"),
+        )
+        .groupBy("ty", "tx")
+        .agg(F.sum("cx").alias("gx"), F.sum("cy").alias("gy"))
+        .filter(F.col("ty").between(1, 62) & F.col("tx").between(1, 62))
+    )
+    pr = g.select(
+        F.col("ty").alias("y"), F.col("tx").alias("x"),
+        (F.col("gx") * F.col("gx")).alias("pxx"),
+        (F.col("gy") * F.col("gy")).alias("pyy"),
+        (F.col("gx") * F.col("gy")).alias("pxy"),
+    )
+    ones = values_df(
+        spark, "dy, dx",
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+    )
+    s = (
+        pr.crossJoin(F.broadcast(ones))
+        .select(
+            (F.col("y") - F.col("dy")).alias("sy"),
+            (F.col("x") - F.col("dx")).alias("sx"),
+            "pxx", "pyy", "pxy",
+        )
+        .groupBy("sy", "sx")
+        .agg(
+            F.sum("pxx").alias("sxx"),
+            F.sum("pyy").alias("syy"),
+            F.sum("pxy").alias("sxy"),
+        )
+        .filter(F.col("sy").between(2, 61) & F.col("sx").between(2, 61))
+        .filter((F.col("sy") % 4 == 2) & (F.col("sx") % 4 == 2))
+    )
+    tr = F.col("sxx") + F.col("syy")
+    disc = F.sqrt(
+        (F.col("sxx") - F.col("syy")) * (F.col("sxx") - F.col("syy"))
+        + 4.0 * F.col("sxy") * F.col("sxy")
+    )
+    return s.select(
+        F.col("sy").alias("y"),
+        F.col("sx").alias("x"),
+        _eps_round((tr + disc) / 2.0, 4).alias("lam1"),
+        _eps_round((tr - disc) / 2.0, 4).alias("lam2"),
+        _eps_round(disc / (tr + 1.0), 4).alias("coherence"),
+        _eps_round(
+            0.5 * F.atan2(2.0 * F.col("sxy"), F.col("sxx") - F.col("syy")),
+            4,
+        ).alias("orientation"),
+    ).orderBy("y", "x")
+
+
+_PM_K = 30.0
+_PM_LAM = 0.2
+_PM_NB = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+
+def _pm_pass_sql(src: str, lo: int, hi: int) -> str:
+    """One Perona-Malik step over CTE src -> (y, x, value), interior
+    [lo, hi] only (no border handling — the frame shrinks by 1/step,
+    exactly scipy-free reference semantics for fixed-step diffusion)."""
+    return f"""
+      SELECT p.y, p.x,
+             p.value + {_PM_LAM!r} * SUM(
+               EXP(-((q.value - p.value) / {_PM_K!r})
+                   * ((q.value - p.value) / {_PM_K!r}))
+               * (q.value - p.value)) AS value
+      FROM {src} p JOIN {src} q
+        ON ABS(q.y - p.y) + ABS(q.x - p.x) = 1
+      WHERE p.y BETWEEN {lo} AND {hi} AND p.x BETWEEN {lo} AND {hi}
+      GROUP BY p.y, p.x, p.value"""
+
+
+_PM_ORACLE = with_pixel_ctes(
+    "SELECT y, x, ROUND(1.2345e-8 + value, 4) AS v FROM pm2 ORDER BY y, x",
+    extra=[
+        f"pm1 AS ({_pm_pass_sql('pixels', 1, 62)})",
+        f"pm2 AS ({_pm_pass_sql('pm1', 2, 61)})",
+    ],
+)
+
+
+@register(
+    "perona_malik_2iter",
+    _PM_ORACLE,
+    tags=("imaging", "ndfilters", "diffusion", "iterative"),
+)
+def perona_malik_2iter(spark, sf_dir):
+    """PERONA-MALIK ANISOTROPIC DIFFUSION, two unrolled iterations
+    (the edge-preserving smoother: I += lambda * sum over 4-neighbors
+    of g(dI) * dI with conductance g(d) = exp(-(d/K)^2), K=30,
+    lambda=0.2). Unlike the gaussian it smooths WITHIN regions but not
+    ACROSS edges — the classical denoiser bilateral ([[filter_bilateral]])
+    approximates in one shot and deep nets replaced; 2 fixed steps keep
+    the unrolled-iteration contract [[logreg_gd_2step]] set. The frame
+    shrinks one interior ring per step instead of inventing border
+    physics.
+
+    Plan: each step is a 4-neighbor gather (join on |dy|+|dx|=1) with
+    a partial-agg flux sum — the halo-exchange stencil shape again; N
+    steps = N co-partitioned shuffles, and at 100 TB the tile-pinned
+    variant runs all steps without re-exchanging halos."""
+    px = pixel_grid(spark, sf_dir).select("y", "x", F.col("value"))
+    off = values_df(spark, "dy, dx", _PM_NB)
+
+    def step(df, lo, hi):
+        probes = df.crossJoin(F.broadcast(off)).select(
+            "y", "x", "value",
+            (F.col("y") + F.col("dy")).alias("ny"),
+            (F.col("x") + F.col("dx")).alias("nx"),
+        )
+        nb = df.select(
+            F.col("y").alias("ny"), F.col("x").alias("nx"),
+            F.col("value").alias("nv"),
+        )
+        d = (F.col("nv") - F.col("value")) / _PM_K
+        return (
+            probes.join(nb, ["ny", "nx"])
+            .filter(F.col("y").between(lo, hi) & F.col("x").between(lo, hi))
+            .groupBy("y", "x", "value")
+            .agg(
+                F.sum(
+                    F.exp(-d * d) * (F.col("nv") - F.col("value"))
+                ).alias("flux")
+            )
+            .select(
+                "y", "x",
+                (F.col("value") + _PM_LAM * F.col("flux")).alias("value"),
+            )
+        )
+
+    out = step(step(px, 1, 62), 2, 61)
+    return out.select(
+        "y", "x", _eps_round("value", 4).alias("v")
+    ).orderBy("y", "x")
