@@ -3031,3 +3031,267 @@ def gini_concentration(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "naive_bayes_gaussian",
+    """
+    WITH params AS (
+      SELECT l_returnflag AS cls, CAST(COUNT(*) AS DOUBLE) AS n,
+             ROUND(AVG(l_quantity), 6) AS mu1,
+             ROUND(VAR_POP(l_quantity), 6) AS v1,
+             ROUND(AVG(l_discount), 6) AS mu2,
+             ROUND(VAR_POP(l_discount), 6) AS v2
+      FROM lineitem GROUP BY l_returnflag),
+    pw AS (
+      SELECT SUM(n) AS nn,
+             MAX(CASE WHEN cls = 'A' THEN n END) AS na,
+             MAX(CASE WHEN cls = 'A' THEN mu1 END) AS a_mu1,
+             MAX(CASE WHEN cls = 'A' THEN v1 END) AS a_v1,
+             MAX(CASE WHEN cls = 'A' THEN mu2 END) AS a_mu2,
+             MAX(CASE WHEN cls = 'A' THEN v2 END) AS a_v2,
+             MAX(CASE WHEN cls = 'N' THEN n END) AS nb,
+             MAX(CASE WHEN cls = 'N' THEN mu1 END) AS n_mu1,
+             MAX(CASE WHEN cls = 'N' THEN v1 END) AS n_v1,
+             MAX(CASE WHEN cls = 'N' THEN mu2 END) AS n_mu2,
+             MAX(CASE WHEN cls = 'N' THEN v2 END) AS n_v2,
+             MAX(CASE WHEN cls = 'R' THEN n END) AS nc,
+             MAX(CASE WHEN cls = 'R' THEN mu1 END) AS r_mu1,
+             MAX(CASE WHEN cls = 'R' THEN v1 END) AS r_v1,
+             MAX(CASE WHEN cls = 'R' THEN mu2 END) AS r_mu2,
+             MAX(CASE WHEN cls = 'R' THEN v2 END) AS r_v2
+      FROM params),
+    scored AS (
+      SELECT l.l_returnflag AS actual,
+             LN(p.na / p.nn) - 0.5 * LN(p.a_v1)
+               - (l.l_quantity - p.a_mu1) * (l.l_quantity - p.a_mu1)
+                 / (2 * p.a_v1)
+               - 0.5 * LN(p.a_v2)
+               - (l.l_discount - p.a_mu2) * (l.l_discount - p.a_mu2)
+                 / (2 * p.a_v2) AS ll_a,
+             LN(p.nb / p.nn) - 0.5 * LN(p.n_v1)
+               - (l.l_quantity - p.n_mu1) * (l.l_quantity - p.n_mu1)
+                 / (2 * p.n_v1)
+               - 0.5 * LN(p.n_v2)
+               - (l.l_discount - p.n_mu2) * (l.l_discount - p.n_mu2)
+                 / (2 * p.n_v2) AS ll_n,
+             LN(p.nc / p.nn) - 0.5 * LN(p.r_v1)
+               - (l.l_quantity - p.r_mu1) * (l.l_quantity - p.r_mu1)
+                 / (2 * p.r_v1)
+               - 0.5 * LN(p.r_v2)
+               - (l.l_discount - p.r_mu2) * (l.l_discount - p.r_mu2)
+                 / (2 * p.r_v2) AS ll_r
+      FROM lineitem l CROSS JOIN pw p),
+    pred AS (
+      SELECT actual,
+             CASE WHEN ll_a >= ll_n AND ll_a >= ll_r THEN 'A'
+                  WHEN ll_n >= ll_r THEN 'N' ELSE 'R' END AS predicted
+      FROM scored)
+    SELECT actual, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + AVG(CASE WHEN predicted = actual
+                                      THEN 1.0 ELSE 0.0 END), 4)
+             AS recall
+    FROM pred GROUP BY actual ORDER BY actual
+    """,
+    tags=("curation", "ml", "classification"),
+)
+def naive_bayes_gaussian(spark, sf_dir):
+    """GAUSSIAN NAIVE BAYES, train + resubstitution eval — per-class
+    Gaussian likelihoods on (quantity, discount) with class priors,
+    argmax log-posterior prediction, per-class recall. The one-pass
+    trainable classifier every data-quality router starts with (and
+    the standard 'is this feature predictive at all' probe next to
+    [[mutual_information]]). Class params ROUND to 6 decimals BEFORE
+    scoring on BOTH engines, so aggregate summation-order ulps cannot
+    leak into a borderline argmax; the argmax itself is a branch-free
+    CASE chain whose >= tie-break prefers the alphabetically smaller
+    class identically on both engines — NO per-row id is needed
+    anywhere (the first draft partitioned a window by a post-join row
+    number and triple-counted; the pivot kills the whole hazard).
+
+    Plan: training is ONE partial-agg pass (count/avg/var per class, 3
+    rows); the pivoted 1-row param frame broadcasts into a map-only
+    scoring expression inside WholeStageCodegen; eval is a partial-agg
+    rollup. At 100 TB: two scans, no fact shuffle — the NB sweet
+    spot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    params = li.groupBy(F.col("l_returnflag").alias("cls")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("mu1"),
+        F.round(F.var_pop("l_quantity"), 6).alias("v1"),
+        F.round(F.avg("l_discount"), 6).alias("mu2"),
+        F.round(F.var_pop("l_discount"), 6).alias("v2"),
+    )
+
+    def _pick(cls, col):
+        return F.max(F.when(F.col("cls") == cls, F.col(col)))
+
+    pw = params.agg(
+        F.sum("n").alias("nn"),
+        *[
+            _pick(cls, col).alias(f"{pre}_{col}")
+            for cls, pre in (("A", "a"), ("N", "n"), ("R", "r"))
+            for col in ("n", "mu1", "v1", "mu2", "v2")
+        ],
+    )
+
+    def _ll(pre):
+        return (
+            F.log(F.col(f"{pre}_n") / F.col("nn"))
+            - 0.5 * F.log(F.col(f"{pre}_v1"))
+            - (F.col("l_quantity") - F.col(f"{pre}_mu1"))
+            * (F.col("l_quantity") - F.col(f"{pre}_mu1"))
+            / (2 * F.col(f"{pre}_v1"))
+            - 0.5 * F.log(F.col(f"{pre}_v2"))
+            - (F.col("l_discount") - F.col(f"{pre}_mu2"))
+            * (F.col("l_discount") - F.col(f"{pre}_mu2"))
+            / (2 * F.col(f"{pre}_v2"))
+        )
+
+    scored = li.crossJoin(F.broadcast(pw)).select(
+        F.col("l_returnflag").alias("actual"),
+        _ll("a").alias("ll_a"),
+        _ll("n").alias("ll_n"),
+        _ll("r").alias("ll_r"),
+    )
+    pred = scored.select(
+        "actual",
+        F.when(
+            (F.col("ll_a") >= F.col("ll_n"))
+            & (F.col("ll_a") >= F.col("ll_r")),
+            "A",
+        )
+        .when(F.col("ll_n") >= F.col("ll_r"), "N")
+        .otherwise("R")
+        .alias("predicted"),
+    )
+    return (
+        pred.groupBy("actual")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _eps_round(
+                F.avg(
+                    F.when(
+                        F.col("predicted") == F.col("actual"), 1.0
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("actual")
+    )
+
+
+@register(
+    "decision_stump_infogain",
+    """
+    WITH f AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    g AS (SELECT v, COUNT(*) AS n, SUM(y) AS pos FROM f GROUP BY v),
+    tot AS (SELECT SUM(n) AS nn, SUM(pos) AS pp FROM g),
+    cum AS (
+      SELECT v,
+             SUM(n) OVER (ORDER BY v) AS cn,
+             SUM(pos) OVER (ORDER BY v) AS cpos
+      FROM g),
+    sc AS (
+      SELECT c.v, c.cn, c.cpos, t.nn, t.pp,
+             (CAST(c.cn AS DOUBLE) / t.nn) * (
+               CASE WHEN c.cpos IN (0, c.cn) THEN 0.0 ELSE
+                 -(CAST(c.cpos AS DOUBLE) / c.cn)
+                    * LN(CAST(c.cpos AS DOUBLE) / c.cn)
+                 - (1.0 - CAST(c.cpos AS DOUBLE) / c.cn)
+                    * LN(1.0 - CAST(c.cpos AS DOUBLE) / c.cn) END)
+             + (CAST(t.nn - c.cn AS DOUBLE) / t.nn) * (
+               CASE WHEN t.pp - c.cpos IN (0, t.nn - c.cn) THEN 0.0 ELSE
+                 -(CAST(t.pp - c.cpos AS DOUBLE) / (t.nn - c.cn))
+                    * LN(CAST(t.pp - c.cpos AS DOUBLE) / (t.nn - c.cn))
+                 - (1.0 - CAST(t.pp - c.cpos AS DOUBLE) / (t.nn - c.cn))
+                    * LN(1.0 - CAST(t.pp - c.cpos AS DOUBLE)
+                         / (t.nn - c.cn)) END) AS wh
+      FROM cum c CROSS JOIN tot t WHERE c.cn < t.nn),
+    best AS (
+      SELECT v, cn, cpos, nn, pp, wh,
+             ROW_NUMBER() OVER (ORDER BY ROUND(wh, 8), v) AS rk
+      FROM sc)
+    SELECT ROUND(1.2345e-8 + v, 4) AS threshold,
+           CAST(cn AS BIGINT) AS n_left, CAST(nn - cn AS BIGINT) AS n_right,
+           ROUND(1.2345e-8 +
+             (CASE WHEN pp IN (0, nn) THEN 0.0 ELSE
+               -(CAST(pp AS DOUBLE) / nn) * LN(CAST(pp AS DOUBLE) / nn)
+               - (1.0 - CAST(pp AS DOUBLE) / nn)
+                  * LN(1.0 - CAST(pp AS DOUBLE) / nn) END) - wh, 4)
+             AS info_gain
+    FROM best WHERE rk = 1
+    """,
+    tags=("curation", "ml", "tree"),
+)
+def decision_stump_infogain(spark, sf_dir):
+    """DECISION STUMP by exact information gain — the single best
+    threshold on `value` for predicting the purchase class, evaluated
+    at EVERY distinct split point (the C4.5/CART inner loop, not a
+    quantile approximation): one cumulative scan gives (n_left,
+    pos_left) for all thresholds simultaneously, weighted binary
+    entropy picks the argmin. All split statistics are INTEGER
+    cumulative counts, so the entropy inputs are bit-identical across
+    engines; the argmin orders by ROUND(wh, 8) with threshold
+    tie-break, collapsing last-ulp libm-LN differences before they
+    can flip the winner.
+
+    Plan: per-value groupBy (partial agg), ONE global window cumsum
+    over distinct values (|distinct| rows, not |rows|), map-only
+    entropy, TakeOrdered(1). The same histogram-then-scan shape
+    XGBoost's exact-greedy mode uses per feature; at 100 TB you run
+    it per-feature in parallel and switch to the quantile-sketch
+    variant ([[equidepth_bins]]) when |distinct| explodes."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "y"
+        ),
+    )
+    g = f.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = g.agg(F.sum("n").alias("nn"), F.sum("pos").alias("pp"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "v",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cpos"),
+    )
+
+    def _h(pos, n):
+        pr = pos.cast("double") / n
+        return (
+            F.when((pos == 0) | (pos == n), 0.0)
+            .otherwise(-pr * F.log(pr) - (1 - pr) * F.log(1 - pr))
+        )
+
+    sc = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cn") < F.col("nn"))
+        .select(
+            "v", "cn", "cpos", "nn", "pp",
+            (
+                (F.col("cn").cast("double") / F.col("nn"))
+                * _h(F.col("cpos"), F.col("cn"))
+                + ((F.col("nn") - F.col("cn")).cast("double") / F.col("nn"))
+                * _h(
+                    F.col("pp") - F.col("cpos"), F.col("nn") - F.col("cn")
+                )
+            ).alias("wh"),
+        )
+    )
+    best = sc.orderBy(F.round(F.col("wh"), 8), "v").limit(1)
+    return best.select(
+        _eps_round(F.col("v"), 4).alias("threshold"),
+        F.col("cn").cast("long").alias("n_left"),
+        (F.col("nn") - F.col("cn")).cast("long").alias("n_right"),
+        _eps_round(
+            _h(F.col("pp"), F.col("nn")) - F.col("wh"), 4
+        ).alias("info_gain"),
+    )

@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from dask_image_spark.operators import multimodal, similarity, textops
-from dask_image_spark.queries.base import r as _eps_round, register
+from dask_image_spark.queries.base import (
+    persist_tracked,
+    r as _eps_round,
+    register,
+)
 from dask_image_spark.sources.tables import load_table
 from dask_image_spark.functions.localrel import values_df
 
@@ -5208,3 +5212,152 @@ def readability_flesch(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mmr_rerank_top3",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding,
+             ROUND(1.2345e-8 + {_COS_Q.format(a="e.embedding", b="q.qv")}, 6)
+               AS rel
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT 8),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(1.2345e-8
+                   + {_COS_Q.format(a="a.embedding", b="b.embedding")}, 6)
+               AS sim
+      FROM cand a JOIN cand b ON b.vec_id <> a.vec_id),
+    s1 AS (
+      SELECT vec_id AS sid, rel AS score FROM cand
+      ORDER BY rel DESC, vec_id LIMIT 1),
+    s2 AS (
+      SELECT c.vec_id AS sid, 0.7 * c.rel - 0.3 * p.sim AS score
+      FROM cand c CROSS JOIN s1
+      JOIN pairs p ON p.ia = c.vec_id AND p.ib = s1.sid
+      WHERE c.vec_id <> s1.sid
+      ORDER BY score DESC, c.vec_id LIMIT 1),
+    s3 AS (
+      SELECT c.vec_id AS sid, 0.7 * c.rel - 0.3 * MAX(p.sim) AS score
+      FROM cand c CROSS JOIN s1 CROSS JOIN s2
+      JOIN pairs p ON p.ia = c.vec_id
+                  AND (p.ib = s1.sid OR p.ib = s2.sid)
+      WHERE c.vec_id <> s1.sid AND c.vec_id <> s2.sid
+      GROUP BY c.vec_id, c.rel
+      ORDER BY score DESC, c.vec_id LIMIT 1)
+    SELECT 1 AS rank, sid AS vec_id, ROUND(1.2345e-8 + score, 4) AS score
+    FROM s1
+    UNION ALL
+    SELECT 2, sid, ROUND(1.2345e-8 + score, 4) FROM s2
+    UNION ALL
+    SELECT 3, sid, ROUND(1.2345e-8 + score, 4) FROM s3
+    ORDER BY rank
+    """,
+    tags=("pipeline", "similarity", "reranking"),
+)
+def mmr_rerank_top3(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE reranking (Carbonell & Goldstein
+    1998), three greedy rounds unrolled — the diversity-aware rerank
+    every RAG retrieval stack bolts onto its ANN results: pick argmax
+    of 0.7*relevance - 0.3*max-similarity-to-already-picked, so the
+    second and third picks are penalized for redundancy with the
+    first. Relevance and pairwise sims ROUND to 6 decimals before any
+    argmax (the determinism rule), and every argmax tie-breaks on
+    vec_id; the greedy recursion is unrolled into three LIMIT-1 CTEs
+    ([[logreg_gd_2step]]'s fixed-step contract for iterative ops).
+
+    Plan: the expensive part is the candidate top-8 (the brute-force
+    scan [[similarity_top10]] / IVF path already price); everything
+    after operates on an 8-row frame — 8x8 pairwise sims, three
+    broadcast-nested-loop argmax steps. At 100 TB the candidate fetch
+    scales like ANN; MMR itself is O(k^2) driver-scale arithmetic, by
+    construction independent of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = persist_tracked(
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            _eps_round(
+                similarity.cosine(F.col("embedding"), F.col("qv")), 6
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(8)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, F.col("ib") != F.col("ia"))
+        .select(
+            "ia", "ib",
+            _eps_round(
+                similarity.cosine(F.col("ea"), F.col("eb")), 6
+            ).alias("sim"),
+        )
+    )
+    s1 = cand.select(
+        F.col("vec_id").alias("sid"), F.col("rel").alias("score")
+    ).orderBy(F.col("score").desc(), "sid").limit(1)
+    s2 = (
+        cand.crossJoin(F.broadcast(s1.select(F.col("sid").alias("sid1"))))
+        .filter(F.col("vec_id") != F.col("sid1"))
+        .join(
+            pairs,
+            (F.col("ia") == F.col("vec_id"))
+            & (F.col("ib") == F.col("sid1")),
+        )
+        .select(
+            F.col("vec_id").alias("sid"),
+            (0.7 * F.col("rel") - 0.3 * F.col("sim")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "sid")
+        .limit(1)
+    )
+    s3 = (
+        cand.crossJoin(F.broadcast(s1.select(F.col("sid").alias("sid1"))))
+        .crossJoin(F.broadcast(s2.select(F.col("sid").alias("sid2"))))
+        .filter(
+            (F.col("vec_id") != F.col("sid1"))
+            & (F.col("vec_id") != F.col("sid2"))
+        )
+        .join(
+            pairs,
+            (F.col("ia") == F.col("vec_id"))
+            & (
+                (F.col("ib") == F.col("sid1"))
+                | (F.col("ib") == F.col("sid2"))
+            ),
+        )
+        .groupBy(F.col("vec_id").alias("sid"), "rel")
+        .agg(F.max("sim").alias("mx"))
+        .select(
+            "sid", (0.7 * F.col("rel") - 0.3 * F.col("mx")).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "sid")
+        .limit(1)
+    )
+    out = (
+        s1.select(F.lit(1).alias("rank"), F.col("sid").alias("vec_id"),
+                  _eps_round("score", 4).alias("score"))
+        .unionAll(
+            s2.select(F.lit(2).alias("rank"), F.col("sid").alias("vec_id"),
+                      _eps_round("score", 4).alias("score"))
+        )
+        .unionAll(
+            s3.select(F.lit(3).alias("rank"), F.col("sid").alias("vec_id"),
+                      _eps_round("score", 4).alias("score"))
+        )
+        .orderBy("rank")
+    )
+    return out
