@@ -4023,3 +4023,135 @@ def perona_malik_2iter(spark, sf_dir):
     return out.select(
         "y", "x", _eps_round("value", 4).alias("v")
     ).orderBy("y", "x")
+
+
+# --- Zhang-Suen skeletonization (one full iteration = 2 subpasses) ----------
+
+_ZS_NB = [
+    ("p2", -1, 0), ("p3", -1, 1), ("p4", 0, 1), ("p5", 1, 1),
+    ("p6", 1, 0), ("p7", 1, -1), ("p8", 0, -1), ("p9", -1, -1),
+]
+_ZS_RING = [nm for nm, _, _ in _ZS_NB]
+
+
+def _zs_pivot_sql(src: str) -> str:
+    cols = ", ".join(
+        f"MAX(CASE WHEN q.y = p.y + {dy} AND q.x = p.x + {dx} "
+        f"THEN q.v ELSE 0 END) AS {nm}"
+        for nm, dy, dx in _ZS_NB
+    )
+    return (
+        f"SELECT p.y, p.x, p.v, {cols} FROM {src} p LEFT JOIN {src} q "
+        f"ON q.y BETWEEN p.y - 1 AND p.y + 1 "
+        f"AND q.x BETWEEN p.x - 1 AND p.x + 1 "
+        f"AND NOT (q.y = p.y AND q.x = p.x) "
+        f"GROUP BY p.y, p.x, p.v"
+    )
+
+
+def _zs_delete_sql(masks: tuple[str, str]) -> str:
+    b = " + ".join(_ZS_RING)
+    ring = _ZS_RING + [_ZS_RING[0]]
+    a = " + ".join(
+        f"(CASE WHEN {u} = 0 AND {v} = 1 THEN 1 ELSE 0 END)"
+        for u, v in zip(ring, ring[1:])
+    )
+    m1, m2 = masks
+    return (
+        f"CASE WHEN v = 1 AND ({b}) BETWEEN 2 AND 6 AND ({a}) = 1 "
+        f"AND {m1} = 0 AND {m2} = 0 THEN 0 ELSE v END"
+    )
+
+
+_ZS_ORACLE = with_pixel_ctes(
+    "SELECT y, x FROM t2 WHERE v = 1 ORDER BY y, x",
+    extra=[
+        "m AS (SELECT y, x, CASE WHEN value > "
+        "(SELECT AVG(value) FROM pixels) THEN 1 ELSE 0 END AS v "
+        "FROM pixels)",
+        f"n1 AS ({_zs_pivot_sql('m')})",
+        f"t1 AS (SELECT y, x, {_zs_delete_sql(('p2 * p4 * p6', 'p4 * p6 * p8'))} AS v FROM n1)",
+        f"n2 AS ({_zs_pivot_sql('t1')})",
+        f"t2 AS (SELECT y, x, {_zs_delete_sql(('p2 * p4 * p8', 'p2 * p6 * p8'))} AS v FROM n2)",
+    ],
+)
+
+
+@register(
+    "skeletonize_zhangsuen_1iter",
+    _ZS_ORACLE,
+    tags=("imaging", "ndmorph", "skeleton", "iterative"),
+)
+def skeletonize_zhangsuen_1iter(spark, sf_dir):
+    """ZHANG-SUEN THINNING, one full iteration (both subpasses) — the
+    classical skeletonization step (skimage ``skeletonize``'s
+    ancestor): delete a foreground pixel iff its 8-neighbor count B is
+    in [2,6], its clockwise 0->1 transition count A equals 1, and the
+    directional products (P2 P4 P6, P4 P6 P8 in subpass 1; P2 P4 P8,
+    P2 P6 P8 in subpass 2) vanish — conditions that peel one boundary
+    layer while PROVABLY preserving connectivity and line endpoints.
+    Full convergence loops until no deletions; the fixed single
+    iteration keeps the unrolled-iteration contract
+    ([[perona_malik_2iter]]) with bit-exact INTEGER logic end to end.
+
+    Plan: each subpass is one 8-neighbor gather pivoted to columns
+    (LEFT JOIN + MAX(CASE) partial agg — the [[filter_majority]]
+    recipe) feeding a pure boolean codegen expression; two subpasses =
+    two co-partitioned halo exchanges, and the tile-pinned variant at
+    100 TB runs the whole peel without re-shuffling between them."""
+    m = mask_grid(spark, sf_dir).select(
+        "y", "x", F.col("m").cast("int").alias("v")
+    )
+    off = values_df(
+        spark, "idx, dy, dx",
+        [(i, dy, dx) for i, (_, dy, dx) in enumerate(_ZS_NB)],
+    )
+
+    def pivot(df):
+        probes = df.crossJoin(F.broadcast(off)).select(
+            "y", "x", "v", "idx",
+            (F.col("y") + F.col("dy")).alias("ny"),
+            (F.col("x") + F.col("dx")).alias("nx"),
+        )
+        nb = df.select(
+            F.col("y").alias("ny"), F.col("x").alias("nx"),
+            F.col("v").alias("nv"),
+        )
+        return (
+            probes.join(nb, ["ny", "nx"], "left")
+            .groupBy("y", "x", "v")
+            .agg(
+                *[
+                    F.max(
+                        F.when(
+                            F.col("idx") == i, F.coalesce("nv", F.lit(0))
+                        ).otherwise(0)
+                    ).alias(nm)
+                    for i, (nm, _, _) in enumerate(_ZS_NB)
+                ]
+            )
+        )
+
+    def subpass(df, masks):
+        piv = pivot(df)
+        b = sum(F.col(nm) for nm in _ZS_RING)
+        ring = _ZS_RING + [_ZS_RING[0]]
+        a = sum(
+            F.when((F.col(u) == 0) & (F.col(v) == 1), 1).otherwise(0)
+            for u, v in zip(ring, ring[1:])
+        )
+        m1 = F.col(masks[0][0]) * F.col(masks[0][1]) * F.col(masks[0][2])
+        m2 = F.col(masks[1][0]) * F.col(masks[1][1]) * F.col(masks[1][2])
+        keep = F.when(
+            (F.col("v") == 1)
+            & b.between(2, 6)
+            & (a == 1)
+            & (m1 == 0)
+            & (m2 == 0),
+            0,
+        ).otherwise(F.col("v"))
+        return piv.select("y", "x", keep.alias("v"))
+
+    t1 = subpass(m, (("p2", "p4", "p6"), ("p4", "p6", "p8")))
+    t2 = subpass(t1, (("p2", "p4", "p8"), ("p2", "p6", "p8")))
+    return t2.filter(F.col("v") == 1).select("y", "x").orderBy("y", "x")
