@@ -3295,3 +3295,82 @@ def decision_stump_infogain(spark, sf_dir):
             _h(F.col("pp"), F.col("nn")) - F.col("wh"), 4
         ).alias("info_gain"),
     )
+
+
+@register(
+    "kfold_assignment_balance",
+    """
+    WITH f AS (
+      SELECT CASE
+               WHEN substr(md5('kfold:' || CAST(l_orderkey AS VARCHAR)
+                            || ':' || CAST(l_linenumber AS VARCHAR)), 1, 2)
+                    < '33' THEN 0
+               WHEN substr(md5('kfold:' || CAST(l_orderkey AS VARCHAR)
+                            || ':' || CAST(l_linenumber AS VARCHAR)), 1, 2)
+                    < '66' THEN 1
+               WHEN substr(md5('kfold:' || CAST(l_orderkey AS VARCHAR)
+                            || ':' || CAST(l_linenumber AS VARCHAR)), 1, 2)
+                    < '99' THEN 2
+               WHEN substr(md5('kfold:' || CAST(l_orderkey AS VARCHAR)
+                            || ':' || CAST(l_linenumber AS VARCHAR)), 1, 2)
+                    < 'cc' THEN 3
+               ELSE 4 END AS fold,
+             l_extendedprice AS y,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS pos
+      FROM lineitem)
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + AVG(y), 4) AS mean_target,
+           ROUND(1.2345e-8 + AVG(pos), 4) AS pos_rate
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+    tags=("curation", "ml", "sampling"),
+)
+def kfold_assignment_balance(spark, sf_dir):
+    """DETERMINISTIC K-FOLD ASSIGNMENT + balance audit — hash each row
+    into one of 5 folds by salted-md5 prefix thresholds (the
+    [[split_group_hash]] discipline extended to k buckets: '33'/'66'/
+    '99'/'cc' cut the 256 two-hex-char values into ~fifths) and verify
+    the folds are balanced on size, target mean, and class rate. The
+    audit IS the point: skewed folds silently bias every
+    cross-validated metric downstream, and a hash-keyed fold is
+    reproducible across runs, engines, and re-partitioning — the only
+    property that makes CV results comparable over time (rand()-based
+    folds are not).
+
+    Plan: map-only fold assignment (codegen md5 + string compare),
+    partial-agg rollup — one scan, 5-row shuffle at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("kfold"),
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+        1, 2,
+    )
+    fold = (
+        F.when(h < "33", 0)
+        .when(h < "66", 1)
+        .when(h < "99", 2)
+        .when(h < "cc", 3)
+        .otherwise(4)
+    )
+    f = li.select(
+        fold.alias("fold"),
+        F.col("l_extendedprice").alias("y"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias(
+            "pos"
+        ),
+    )
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _eps_round(F.avg("y"), 4).alias("mean_target"),
+            _eps_round(F.avg("pos"), 4).alias("pos_rate"),
+        )
+        .orderBy("fold")
+    )

@@ -5345,3 +5345,112 @@ def gdpr_erasure_cascade(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "fk_orphan_audit",
+    """
+    WITH o_orphans AS (
+      SELECT COUNT(*) AS viol, COUNT(DISTINCT o_custkey) AS keys
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+    l_orphans AS (
+      SELECT COUNT(*) AS viol, COUNT(DISTINCT l_orderkey) AS keys
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+    c_orphans AS (
+      SELECT COUNT(*) AS viol, COUNT(DISTINCT c_nationkey) AS keys
+      FROM customer c WHERE NOT EXISTS (
+        SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    SELECT 'orders->customer' AS fk, CAST(viol AS BIGINT) AS orphan_rows,
+           CAST(keys AS BIGINT) AS orphan_keys
+    FROM o_orphans
+    UNION ALL
+    SELECT 'lineitem->orders', CAST(viol AS BIGINT), CAST(keys AS BIGINT)
+    FROM l_orphans
+    UNION ALL
+    SELECT 'customer->nation', CAST(viol AS BIGINT), CAST(keys AS BIGINT)
+    FROM c_orphans
+    ORDER BY fk
+    """,
+    tags=("relational", "warehouse", "data-quality"),
+)
+def fk_orphan_audit(spark, sf_dir):
+    """REFERENTIAL-INTEGRITY AUDIT — orphan counts for the three
+    foreign-key edges of the schema (orders->customer,
+    lineitem->orders, customer->nation): rows whose FK has no parent,
+    plus the distinct dangling keys. The constraint check every
+    lakehouse DQ suite runs because parquet enforces nothing
+    ([[dq_expectations]] covers column-level rules; this is the
+    CROSS-TABLE rule). Zero everywhere on this generator — the audit's
+    PASS state — with the count columns proving each anti-join
+    actually executed ([[id_gap_audit]] is the intra-table cousin).
+
+    Plan: each edge is an ANTI JOIN; the parent side streams as a
+    broadcast where dimension-sized (customer, nation) and a shuffled
+    semi-anti for lineitem->orders — exactly how Spark plans NOT
+    EXISTS. Partial-agg counts mean no orphan row set ever
+    materializes. At 100 TB the audit is 3 scans; production
+    runs incrementally on new partitions only."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+
+    def audit(child, fk_col, parent, pk_col, label):
+        orph = child.join(
+            parent.select(F.col(pk_col).alias(fk_col)), fk_col, "anti"
+        )
+        return orph.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("orphan_rows"),
+            F.countDistinct(fk_col).cast("long").alias("orphan_keys"),
+        )
+    return (
+        audit(o, "o_custkey", cu, "c_custkey", "orders->customer")
+        .unionAll(audit(li, "l_orderkey", o, "o_orderkey",
+                        "lineitem->orders"))
+        .unionAll(audit(cu, "c_nationkey", na, "n_nationkey",
+                        "customer->nation"))
+        .orderBy("fk")
+    )
+
+
+@register(
+    "histogram_2d",
+    """
+    SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bin,
+           CAST(FLOOR(l_discount * 20) AS BIGINT) AS disc_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + AVG(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY qty_bin, disc_bin
+    """,
+    tags=("relational", "statistics", "profiling"),
+)
+def histogram_2d(spark, sf_dir):
+    """2-D HISTOGRAM (joint distribution heatmap) — fixed-width binning
+    on (quantity/10, discount*0.05) with per-cell counts AND a per-cell
+    mean of a third measure, i.e. the exact aggregation behind every
+    density heatmap and binned-scatter diagnostic. Integer bin edges
+    via FLOOR keep cell assignment bit-exact; [[equidepth_bins]] is the
+    adaptive-width 1-D cousin, [[measure_histogram]] the per-label
+    imaging one.
+
+    Plan: pure partial-agg groupBy on derived integer keys — map-side
+    combine collapses to |cells| rows before the (tiny) shuffle.
+    The optimal 100 TB plan: one scan, O(cells) exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
+            F.floor(F.col("l_discount") * 20).cast("long").alias(
+                "disc_bin"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _eps_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("qty_bin", "disc_bin")
+    )

@@ -2622,3 +2622,86 @@ def pacf_durbin_levinson(spark, sf_dir):
             4,
         ).alias("pacf3"),
     ).orderBy("event_type")
+
+
+_CCF_LAGS = list(range(-6, 7))
+
+_CCF_LAG_SELECTS = " UNION ALL ".join(
+    f"""SELECT {k} AS lag, a.hour, a.v AS av, b.v AS bv
+      FROM ha a JOIN hb b ON b.hour = a.hour + ({k}) * INTERVAL '1 hour'"""
+    for k in _CCF_LAGS
+)
+
+
+@register(
+    "ccf_lead_lag",
+    f"""
+    WITH h AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             AVG(value) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2),
+    ha AS (SELECT hour, v FROM h WHERE event_type = 'click'),
+    hb AS (SELECT hour, v FROM h WHERE event_type = 'purchase'),
+    lagged AS ({_CCF_LAG_SELECTS}),
+    cc AS (
+      SELECT lag, CORR(av, bv) AS c, COUNT(*) AS n_pairs
+      FROM lagged GROUP BY lag),
+    best AS (
+      SELECT lag, c, n_pairs,
+             ROW_NUMBER() OVER (ORDER BY ROUND(c, 8) DESC, lag) AS rk
+      FROM cc)
+    SELECT lag AS best_lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(1.2345e-8 + c, 4) AS ccf
+    FROM best WHERE rk = 1
+    """,
+    tags=("timeseries", "autocorrelation", "statistics"),
+)
+def ccf_lead_lag(spark, sf_dir):
+    """CROSS-CORRELATION LEAD-LAG FINDER — which shift of the purchase
+    series best aligns it with the click series? CCF(k) = corr(click_t,
+    purchase_{t+k}) over k in [-6, +6] hours; the argmax lag is the
+    lead-lag estimate every marketing-mix / ops-causality screen starts
+    from (positive best_lag = clicks LEAD purchases by that many
+    hours). Correlations round to 8 decimals before the argmax so
+    engine summation ulps can't flip near-equal lags ([[decision_stump_
+    infogain]]'s rule); ties break toward the smaller lag.
+
+    Plan: one hourly partial agg, then 13 lag branches UNIONed — each
+    an equi-join on the shifted hour key over the TINY hourly frame
+    (the fact table is touched once); per-lag CORR is partial-agg.
+    Spark plans the 13 branches as a union of broadcast-size joins; at
+    100 TB the hourly frame is still calendar-bounded, so the whole
+    CCF costs one fact scan regardless of lag range."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    ha = h.filter(F.col("event_type") == "click").select(
+        "hour", F.col("v").alias("av")
+    )
+    hb = h.filter(F.col("event_type") == "purchase").select(
+        F.col("hour").alias("bhour"), F.col("v").alias("bv")
+    )
+    branches = None
+    for k in _CCF_LAGS:
+        br = ha.join(
+            hb,
+            F.col("bhour")
+            == F.col("hour") + F.expr(f"INTERVAL '{k}' HOUR"),
+        ).select(F.lit(k).alias("lag"), "av", "bv")
+        branches = br if branches is None else branches.unionAll(br)
+    cc = branches.groupBy("lag").agg(
+        F.corr("av", "bv").alias("c"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    best = cc.orderBy(F.round(F.col("c"), 8).desc(), "lag").limit(1)
+    return best.select(
+        F.col("lag").alias("best_lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        _eps_round(F.col("c"), 4).alias("ccf"),
+    )
