@@ -3374,3 +3374,104 @@ def kfold_assignment_balance(spark, sf_dir):
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "isotonic_calibration_pava",
+    """
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS DOUBLE) AS w,
+             ROUND(AVG(CASE WHEN event_type = 'purchase'
+                            THEN 1.0 ELSE 0.0 END), 6) AS rate
+      FROM events GROUP BY 1),
+    iv AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             SUM(m.w * m.rate) / SUM(m.w) AS a
+      FROM b j JOIN b k ON k.bin >= j.bin
+      JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+      GROUP BY j.bin, k.bin),
+    t1 AS (
+      SELECT i.bin, v.jb, MIN(v.a) AS m
+      FROM b i JOIN iv v ON v.jb <= i.bin AND v.kb >= i.bin
+      GROUP BY i.bin, v.jb),
+    iso AS (SELECT bin, MAX(m) AS iso FROM t1 GROUP BY bin)
+    SELECT b.bin, CAST(b.w AS BIGINT) AS n,
+           ROUND(1.2345e-8 + b.rate, 4) AS raw_rate,
+           ROUND(1.2345e-8 + iso.iso, 4) AS iso_rate
+    FROM b JOIN iso USING (bin) ORDER BY b.bin
+    """,
+    tags=("curation", "ml", "calibration"),
+)
+def isotonic_calibration_pava(spark, sf_dir):
+    """ISOTONIC REGRESSION (PAVA) calibration curve — the
+    weighted monotone fit of purchase rate against value decile via
+    the pool-adjacent-violators MINIMAX identity iso(i) = max_{j<=i}
+    min_{k>=i} weightedAvg(rate[j..k]): the closed form turns the
+    sequential pooling algorithm into three join-aggregates, which is
+    what makes it distributable AT ALL (textbook PAVA is an inherently
+    serial scan). The standard probability-calibration step
+    ([[brier_calibration]] measures what this fixes) and the exact
+    solution, not an approximation — on 10 bins the O(n^3) interval
+    enumeration is 220 rows. Bin rates round to 6 decimals first
+    (the argmax-stability rule).
+
+    Plan: ONE fact-scan partial agg to the 10-bin frame; everything
+    after is interval enumeration on a broadcast-size frame (two
+    grouped aggregates). At 100 TB the bin count, not the row count,
+    drives the isotonic cost — n_bins ~ 100s keeps the closed form
+    cheap; past that you pool on a quantile-sketch grid."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.least(
+            F.floor(F.col("value") / 50).cast("int"), F.lit(9)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("w"),
+        F.round(
+            F.avg(
+                F.when(F.col("event_type") == "purchase", 1.0).otherwise(
+                    0.0
+                )
+            ),
+            6,
+        ).alias("rate"),
+    )
+    j = b.select(F.col("bin").alias("jb"))
+    k = b.select(F.col("bin").alias("kb"))
+    m = b.select(
+        F.col("bin").alias("mb"), F.col("w").alias("mw"),
+        F.col("rate").alias("mr"),
+    )
+    iv = (
+        j.join(k, F.col("kb") >= F.col("jb"))
+        .join(m, F.col("mb").between(F.col("jb"), F.col("kb")))
+        .groupBy("jb", "kb")
+        .agg(
+            (
+                F.sum(F.col("mw") * F.col("mr")) / F.sum("mw")
+            ).alias("a")
+        )
+    )
+    i = b.select(F.col("bin").alias("ib"))
+    t1 = (
+        i.join(
+            iv,
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("a").alias("m"))
+    )
+    iso = t1.groupBy(F.col("ib").alias("bin")).agg(
+        F.max("m").alias("iso")
+    )
+    return (
+        b.join(iso, "bin")
+        .select(
+            "bin",
+            F.col("w").cast("long").alias("n"),
+            _eps_round("rate", 4).alias("raw_rate"),
+            _eps_round("iso", 4).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
