@@ -5361,3 +5361,213 @@ def mmr_rerank_top3(spark, sf_dir):
         .orderBy("rank")
     )
     return out
+
+
+def _pq_subspace_sql(pre: str, lo: int, hi: int, k: int = 4,
+                     iters: int = 2) -> str:
+    """One PQ subspace: the kmeans_lloyd_sql CTE chain over the SLICED
+    embedding list (DuckDB 1-based inclusive slice), names prefixed so
+    two subspaces coexist in one WITH."""
+    dim = hi - lo + 1
+    dist_tpl = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), 'sum')"
+    )
+    ctes = [
+        f"{pre}e AS (SELECT vec_id, "
+        f"CAST(embedding[{lo}:{hi}] AS DOUBLE[]) AS v FROM embeddings)",
+        f"{pre}c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cvec "
+        f"FROM {pre}e WHERE vec_id < {k})",
+    ]
+    prev = f"{pre}c0"
+    for it in range(1, iters + 1):
+        d = dist_tpl.format(v=f"{pre}e.v", c=f"{prev}.cvec")
+        ctes.append(
+            f"{pre}a{it} AS (SELECT {pre}e.vec_id, {prev}.cid, {d} AS dist "
+            f"FROM {pre}e CROSS JOIN {prev} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {pre}e.vec_id "
+            f"ORDER BY {d}, {prev}.cid) = 1)"
+        )
+        if it < iters:
+            ctes.append(
+                f"{pre}m{it} AS (SELECT cid, i, "
+                f"ROUND(1.2345e-8 + AVG(val), 6) AS m "
+                f"FROM (SELECT {pre}a{it}.cid, unnest({pre}e.v) AS val, "
+                f"unnest(range(1, {dim + 1})) AS i "
+                f"FROM {pre}a{it} JOIN {pre}e USING (vec_id)) "
+                f"GROUP BY cid, i)"
+            )
+            ctes.append(
+                f"{pre}c{it} AS (SELECT cid, list(m ORDER BY i) AS cvec "
+                f"FROM {pre}m{it} GROUP BY cid)"
+            )
+            prev = f"{pre}c{it}"
+    return ",\n".join(ctes)
+
+
+@register(
+    "pq_codebook_2sub",
+    f"""
+    WITH {_pq_subspace_sql("s0_", 1, 32)},
+    {_pq_subspace_sql("s1_", 33, 64)}
+    SELECT 0 AS subspace, cid, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + AVG(dist), 4) AS avg_sqerr
+    FROM s0_a2 GROUP BY cid
+    UNION ALL
+    SELECT 1, cid, CAST(COUNT(*) AS BIGINT), ROUND(1.2345e-8 + AVG(dist), 4)
+    FROM s1_a2 GROUP BY cid
+    ORDER BY subspace, cid
+    """,
+    tags=("pipeline", "similarity", "quantization", "iterative"),
+)
+def pq_codebook_2sub(spark, sf_dir):
+    """PRODUCT QUANTIZATION codebook training (Jegou et al. 2011) — the
+    ANN compression standard behind FAISS IVF-PQ: split each 64-dim
+    vector into 2 independent 32-dim subspaces, k-means each subspace
+    to 4 codes (one training round, deterministic id<k init, the
+    quantized-recenter determinism barrier from [[kmeans_lloyd_2iter]]),
+    and report per-(subspace, code) population and mean squared
+    reconstruction error. 2 subspaces x 4 codes = 4 bits/vector — a
+    512x compression of float32x64 — and the per-cell MSE is exactly
+    the codebook-quality metric PQ papers tune m and k by.
+    [[embedding_quantize_int8]] is the scalar-quantization baseline
+    this beats at equal bit budget.
+
+    Plan: per subspace, slicing is map-only; each Lloyd round is one
+    broadcast(4-row codebook) join + a map-side-combining argmin
+    (struct-min, no window sort) + a (cid, dim)-keyed partial-agg
+    recenter. Subspaces are INDEPENDENT — at 100 TB all m subspaces
+    train in parallel from one cached scan of the sliced columns."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = None
+    for sub, (lo, length) in enumerate([(1, 32), (33, 32)]):
+        sliced = e.select(
+            "vec_id",
+            F.slice(F.col("embedding"), lo, length).alias("embedding"),
+        )
+        asg = similarity.kmeans_lloyd(
+            sliced, k=4, iters=2, dim=length
+        )
+        agg = asg.groupBy("cid").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _eps_round(F.avg("dist"), 4).alias("avg_sqerr"),
+        ).select(F.lit(sub).alias("subspace"), "cid", "n", "avg_sqerr")
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("subspace", "cid")
+
+
+@register(
+    "jaccard_prefix_filter_join",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i + 2], ' '))) AS sh
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+    rk AS (
+      SELECT s.doc_id, s.sh,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.df, s.sh) AS rn,
+             z.n
+      FROM sh s JOIN dfreq d USING (sh)
+      JOIN sizes z ON z.doc_id = s.doc_id),
+    pref AS (
+      SELECT doc_id, sh FROM rk WHERE rn <= n - ((4 * n + 4) // 5) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON b.sh = a.sh AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b,
+           ROUND(1.2345e-8 + CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+    """,
+    tags=("pipeline", "dedup", "prefix-filter"),
+)
+def jaccard_prefix_filter_join(spark, sf_dir):
+    """PREFIX-FILTERED set-similarity join (the PPJoin/AllPairs family,
+    Bayardo et al. 2007 / Xiao et al. 2008) — exact Jaccard >= 0.8
+    pairs like [[dedup_ngram_jaccard]], but candidates come ONLY from
+    the length-dependent PREFIX of each shingle set under a global
+    rarity order (df asc, shingle): if J(A,B) >= t, the first
+    |A| - ceil(t|A|) + 1 rarest shingles of A must hit B's prefix, so
+    joining prefixes (instead of whole postings) is LOSSLESS while
+    skipping the high-df shingles that cause the quadratic blowup.
+    ceil(0.8 n) is computed in INTEGER arithmetic ((4n+4) div 5) so
+    prefix lengths can never drift on a float ulp. Verification is
+    exact intersection on candidates; the result provably equals the
+    unfiltered join.
+
+    Plan: rarity ranking is one window per doc over the df-joined
+    shingles; the candidate join hits only prefix postings —
+    rare-first ordering makes those postings SHORT (the hottest
+    shingle lists are exactly the ones pruned); verification joins
+    candidates (semi-join pushed) to the full posting lists. At 100 TB
+    this IS the algorithm you run when MinHash recall isn't
+    acceptable: exact output at a fraction of the all-pairs cost."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = persist_tracked(textops.exploded_shingles(d, k=3).distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rk = (
+        sh.join(dfreq, "sh")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+    )
+    pref = rk.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr("(4 * n + 4) DIV 5") + 1
+    ).select("doc_id", "sh")
+    a = pref.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(
+        F.col("doc_id").alias("docb2"), F.col("sh").alias("shb")
+    )
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("docb2"))
+            & (F.col("sh") == F.col("shb")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb2 = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb2, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", _eps_round(jac, 4).alias("jaccard"))
+    )

@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from dask_image_spark.queries.base import r as _eps_round, register
+from dask_image_spark.queries.base import (
+    persist_tracked,
+    r as _eps_round,
+    register,
+)
 from dask_image_spark.sources.tables import load_table
 
 # PageRank fixture graph: each document emits 3 out-links by fixed modular
@@ -1705,4 +1709,215 @@ def adamic_adar_linkpred(spark, sf_dir):
         novel.select("a", "b", _eps_round("score", 4).alias("aa_score"))
         .orderBy(F.desc("aa_score"), "a", "b")
         .limit(15)
+    )
+
+
+@register(
+    "ppr_seeded_2iter",
+    f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    seeds AS (SELECT doc_id FROM nodes WHERE doc_id % 101 = 0),
+    ns AS (SELECT COUNT(*) AS c FROM seeds),
+    v AS (
+      SELECT nd.doc_id,
+             CASE WHEN s.doc_id IS NULL THEN 0.0 ELSE 1.0 / ns.c END AS tp
+      FROM nodes nd CROSS JOIN ns
+      LEFT JOIN seeds s ON s.doc_id = nd.doc_id),
+    agg1 AS (SELECT e.dst, SUM(p.tp / 3) AS inflow
+             FROM edges e JOIN v p ON p.doc_id = e.src GROUP BY e.dst),
+    pr1 AS (SELECT vv.doc_id, 0.15 * vv.tp + 0.85 * COALESCE(a.inflow, 0)
+              AS pr
+            FROM v vv LEFT JOIN agg1 a ON a.dst = vv.doc_id),
+    agg2 AS (SELECT e.dst, SUM(p.pr / 3) AS inflow
+             FROM edges e JOIN pr1 p ON p.doc_id = e.src GROUP BY e.dst),
+    pr2 AS (SELECT vv.doc_id, 0.15 * vv.tp + 0.85 * COALESCE(a.inflow, 0)
+              AS pr
+            FROM v vv LEFT JOIN agg2 a ON a.dst = vv.doc_id)
+    SELECT p.doc_id, ROUND(1.2345e-8 + p.pr * n.c, 4) AS ppr_norm
+    FROM pr2 p CROSS JOIN n
+    ORDER BY ROUND(1.2345e-8 + p.pr * n.c, 4) DESC, p.doc_id LIMIT 20
+    """,
+    tags=("ranking", "graph", "pagerank"),
+)
+def ppr_seeded_2iter(spark, sf_dir):
+    """PERSONALIZED PAGERANK, 2 power iterations — [[pagerank_2iter]]'s
+    recurrence with the teleport vector concentrated on a SEED SET
+    (every 101st doc, uniform mass) instead of uniform-over-all:
+    pr = 0.15 v_S + 0.85 A^T pr, started from v_S. The
+    neighborhood-relevance ranker behind 'related items', trust
+    propagation (TrustRank seeds = vetted domains), and local community
+    scoring — mass stays near the seeds instead of mixing to the
+    global stationary vector. Top-20 by normalized score, rounded
+    BEFORE the ordering so the cut is engine-stable.
+
+    Plan: identical physical shape to [[pagerank_2iter]] (per
+    iteration: rank-vector join edges on src, groupBy dst with
+    map-side partial sums) — the teleport is a broadcast left join.
+    At 100 TB seeded PPR is CHEAPER than global PageRank in its
+    converged form (push-style approximations touch only the seed
+    neighborhood); the fixed-iteration power form shares the
+    pre-partitioned edge list across iterations."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = persist_tracked(
+        docs.crossJoin(F.broadcast(cnt))
+        .select(
+            F.col("doc_id").alias("src"),
+            "n",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            "src",
+            F.expr(
+                _PR_EDGE_SQL.format(src="src", j="j", n="n")
+            ).alias("dst"),
+        )
+    )
+    seeds = docs.filter(F.col("doc_id") % 101 == 0)
+    ns = seeds.agg(F.count(F.lit(1)).alias("ns"))
+    v = (
+        docs.crossJoin(F.broadcast(ns))
+        .join(
+            seeds.select(F.col("doc_id"), F.lit(1).alias("is_seed")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("is_seed").isNull(), 0.0)
+            .otherwise(1.0 / F.col("ns"))
+            .alias("tp"),
+        )
+    )
+
+    def iterate(pr, col):
+        inflow = (
+            edges.join(
+                pr.select(F.col("doc_id").alias("src"), F.col(col)), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col(col) / 3).alias("inflow"))
+        )
+        return v.join(
+            inflow.select(F.col("dst").alias("doc_id"), "inflow"),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            "tp",
+            (
+                0.15 * F.col("tp")
+                + 0.85 * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("pr"),
+        )
+
+    pr1 = iterate(v.withColumn("pr", F.col("tp")), "tp")
+    pr2 = iterate(pr1, "pr")
+    out = pr2.crossJoin(F.broadcast(cnt)).select(
+        "doc_id",
+        _eps_round(F.col("pr") * F.col("n"), 4).alias("ppr_norm"),
+    )
+    return out.orderBy(F.col("ppr_norm").desc(), "doc_id").limit(20)
+
+
+@register(
+    "ktruss_edge_support",
+    f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    raw AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    sup AS (
+      SELECT a, b, COUNT(*) AS s FROM (
+        SELECT a, b FROM tri
+        UNION ALL SELECT b AS a, c AS b FROM tri
+        UNION ALL SELECT a, c AS b FROM tri) t
+      GROUP BY a, b),
+    alle AS (
+      SELECT u.a, u.b, COALESCE(s.s, 0) AS support
+      FROM und u LEFT JOIN sup s ON s.a = u.a AND s.b = u.b)
+    SELECT support, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN support >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS in_4truss
+    FROM alle GROUP BY support ORDER BY support
+    """,
+    tags=("ranking", "graph", "triangles"),
+)
+def ktruss_edge_support(spark, sf_dir):
+    """K-TRUSS EDGE SUPPORT — per-edge triangle membership counts over
+    the fixture graph, histogrammed, with the 4-truss first-round
+    survivor count (support >= k-2 = 2): the truss decomposition's
+    unit step, the community-core detector that is strictly stronger
+    than [[ktruss_edge_support]]'s input signal [[graph_triangle_count]]
+    (a global count) and than k-core (degree-only). Full k-truss
+    iterates prune-and-recount to a fixpoint; one exact round keeps
+    the fixed-step contract and already separates bridge edges
+    (support 0) from community cores.
+
+    Plan: triangles enumerate ONCE via the id-oriented compact-forward
+    join ([[graph_triangle_count]]'s plan), then each triangle posts
+    support to its three edges — a UNION ALL of three projections into
+    one partial-agg groupBy on the edge key: no second triangle pass,
+    no per-edge subquery. At 100 TB the triangle join dominates;
+    support attribution rides the same edge-key partitioning."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    raw = docs.crossJoin(F.broadcast(cnt)).select(
+        F.col("doc_id").alias("src"),
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "src",
+        F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
+    )
+    und = persist_tracked(
+        raw.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        und.join(e2, und.b == e2.b2)
+        .join(
+            e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+        )
+        .select("a", "b", "c")
+    )
+    posts = (
+        tri.select("a", "b")
+        .unionAll(tri.select(F.col("b").alias("a"), F.col("c").alias("b")))
+        .unionAll(tri.select("a", F.col("c").alias("b")))
+    )
+    sup = posts.groupBy("a", "b").agg(F.count(F.lit(1)).alias("s"))
+    alle = und.join(sup, ["a", "b"], "left").select(
+        F.coalesce(F.col("s"), F.lit(0)).alias("support")
+    )
+    return (
+        alle.groupBy("support")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(
+                F.when(F.col("support") >= 2, 1).otherwise(0)
+            ).cast("long").alias("in_4truss"),
+        )
+        .orderBy("support")
     )
