@@ -5454,3 +5454,54 @@ def histogram_2d(spark, sf_dir):
         )
         .orderBy("qty_bin", "disc_bin")
     )
+
+
+_ORDERED_SET_SQL = """
+    SELECT l_returnflag,
+           ROUND(1.2345e-8 + percentile_cont(0.25)
+             WITHIN GROUP (ORDER BY l_quantity), 4) AS p25_cont,
+           ROUND(1.2345e-8 + percentile_cont(0.9)
+             WITHIN GROUP (ORDER BY l_quantity), 4) AS p90_cont,
+           ROUND(1.2345e-8 + percentile_disc(0.5)
+             WITHIN GROUP (ORDER BY l_quantity), 4) AS p50_disc,
+           ROUND(1.2345e-8 + regr_slope(l_extendedprice, l_quantity), 4)
+             AS slope,
+           ROUND(1.2345e-8 + regr_intercept(l_extendedprice, l_quantity), 4)
+             AS intercept,
+           ROUND(1.2345e-8
+                 + regr_r2(l_extendedprice, l_quantity) * 1000000, 4)
+             AS r2_ppm,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc_gt5,
+           bool_and(l_quantity > 0) AS all_pos_qty,
+           bool_or(l_discount > 0.09) AS any_deep_disc
+    FROM {tbl} GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "ordered_set_regr_surface",
+    _ORDERED_SET_SQL.format(tbl="lineitem"),
+    tags=("relational", "sql-surface", "aggregates"),
+)
+def ordered_set_regr_surface(spark, sf_dir):
+    """ORDERED-SET + REGRESSION + BOOLEAN AGGREGATE SURFACE — the
+    SQL:2008 ordered-set aggregates (percentile_cont interpolated /
+    percentile_disc exact-row WITHIN GROUP), the full bivariate
+    regr_* family (slope, intercept, R^2 — the one-call OLS every BI
+    tool issues; [[ols_two_feature]] is its multivariate big sibling),
+    and the boolean folds count_if / bool_and / bool_or, all in ONE
+    grouped query executed from the SAME SQL text on both engines
+    (the [[sql_group_by_all]] house rule for surface queries). R^2 is
+    reported in ppm because its raw magnitude (~1e-7) would vanish at
+    the 4-decimal compare — scaling, not loosening, the contract.
+
+    Plan: ONE partial-agg pass — the regr_* and boolean aggregates
+    all map-side combine; the exact percentiles are the only
+    sort-requiring members and Spark plans them as a single per-group
+    sort shared by all three WITHIN GROUP calls. At 100 TB you swap
+    percentile_cont for [[approx_quantiles_bounded]]'s GK sketch and
+    keep everything else unchanged."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "osr_lineitem"
+    )
+    return spark.sql(_ORDERED_SET_SQL.format(tbl="osr_lineitem"))

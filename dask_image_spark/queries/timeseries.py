@@ -2828,3 +2828,84 @@ def dtw_alignment_distance(spark, sf_dir):
         _eps_round("dtw_distance", 4).alias("dtw_distance"),
         _eps_round("l1_baseline", 4).alias("l1_baseline"),
     )
+
+
+def _kalman_weights(n: int = 24, q: float = 1.0, r: float = 4.0):
+    """Steady gains for the 1-D random-walk Kalman filter are
+    DATA-INDEPENDENT (P/K recursion involves only Q and R), so the
+    final filtered estimate is an exact linear combination of the
+    observations: x_n = sum_h w_h z_h with w_t = K_t * prod_{s>t}
+    (1-K_s), w_0 = prod_{s>=1} (1-K_s). Driver-computed double
+    literals shared verbatim with the oracle (the Gabor-taps rule)."""
+    p = r
+    ks = [0.0]
+    for _ in range(1, n):
+        pp = p + q
+        k = pp / (pp + r)
+        p = (1 - k) * pp
+        ks.append(k)
+    ws = [1.0] * n
+    for t in range(n):
+        w = ks[t] if t > 0 else 1.0
+        for s in range(t + 1, n):
+            w *= 1 - ks[s]
+        ws[t] = w
+    return ws, ks[-1], p
+
+
+_KALMAN_W, _KALMAN_K_LAST, _KALMAN_P_LAST = _kalman_weights()
+
+_KALMAN_W_CASE = "CASE hod " + " ".join(
+    f"WHEN {h} THEN {w!r}" for h, w in enumerate(_KALMAN_W)
+) + " ELSE 0.0 END"
+
+
+@register(
+    "kalman_filter_hod",
+    f"""
+    WITH obs AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+             ROUND(1.2345e-8 + AVG(value), 4) AS z
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           ROUND(1.2345e-8 + SUM(z * ({_KALMAN_W_CASE})), 4) AS x_hat,
+           ROUND(1.2345e-8 + AVG(z), 4) AS mean_z,
+           ROUND(1.2345e-8 + {_KALMAN_K_LAST!r}, 4) AS steady_gain,
+           ROUND(1.2345e-8 + {_KALMAN_P_LAST!r}, 4) AS steady_var
+    FROM obs GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("timeseries", "state-estimation", "statistics"),
+)
+def kalman_filter_hod(spark, sf_dir):
+    """1-D KALMAN FILTER over each series' 24-point hour-of-day
+    profile (random-walk state, Q=1, R=4): the recursive
+    predict/update x_t = x_{t-1} + K_t (z_t - x_{t-1}),
+    K_t = (P+Q)/(P+Q+R) — collapsed to its EXACT closed form. The key
+    identity: the gain recursion never touches the data, so the final
+    filtered state is a fixed linear functional of the observations
+    (exponentially decaying weights, freshest hour heaviest), and the
+    'iterative' filter becomes ONE weighted aggregate with
+    driver-computed weights shared verbatim with the oracle — the
+    [[fir_smooth_8tap]] physical shape carrying [[dtw_alignment_
+    distance]]-grade sequential semantics, plus the steady-state gain
+    and variance the recursion converges to (Riccati fixed point).
+
+    Plan: hourly partial agg, then a map-only CASE weight and one more
+    partial agg — zero window sorts, zero joins. At 100 TB this is the
+    cheapest possible plan for ANY fixed-gain filter; data-dependent
+    gains (adaptive R) would need the unrolled-CTE form instead."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(_eps_round(F.avg("value"), 4).alias("z"))
+    w = F.expr(_KALMAN_W_CASE)
+    return (
+        obs.groupBy("event_type")
+        .agg(
+            _eps_round(F.sum(F.col("z") * w), 4).alias("x_hat"),
+            _eps_round(F.avg("z"), 4).alias("mean_z"),
+            _eps_round(F.lit(_KALMAN_K_LAST), 4).alias("steady_gain"),
+            _eps_round(F.lit(_KALMAN_P_LAST), 4).alias("steady_var"),
+        )
+        .orderBy("event_type")
+    )
