@@ -5505,3 +5505,91 @@ def ordered_set_regr_surface(spark, sf_dir):
         "osr_lineitem"
     )
     return spark.sql(_ORDERED_SET_SQL.format(tbl="osr_lineitem"))
+
+
+@register(
+    "sql_udf_surface",
+    """
+    SELECT l_returnflag,
+           ROUND(1.2345e-8 + SUM(l_extendedprice * (1.0 - l_discount)), 4)
+             AS net_revenue,
+           CAST(SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bulk
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("relational", "sql-surface", "udf"),
+)
+def sql_udf_surface(spark, sf_dir):
+    """SQL-DEFINED FUNCTIONS (SQL UDFs, SPARK-51086 line of Spark 4
+    work): CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN <expr> —
+    scalar functions authored IN SQL, which Catalyst INLINES into the
+    calling plan, so unlike Python UDFs they cost nothing (stay inside
+    WholeStageCodegen, keep pushdown and partial aggregation). The
+    engine query defines `net(p, d)` and a `bulk(q)` classifier and
+    computes revenue through them; the oracle verifies the identical
+    algebra inlined by hand — semantic parity of definition vs
+    expansion is exactly the SQL-UDF contract.
+
+    Plan: indistinguishable from writing the expressions inline (that
+    is the point) — one partial-agg scan; .explain shows no UDF
+    boundary at all. At 100 TB SQL UDFs are the ONLY udf flavor with
+    zero scale penalty; the pandas/Arrow surfaces
+    ([[udaf_geomean]] etc.) exist for what SQL cannot express."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "udf_lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bulk(q DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN q >= 40 THEN 1 ELSE 0 END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(1.2345e-8 + SUM(net(l_extendedprice, l_discount)), 4)
+                 AS net_revenue,
+               CAST(SUM(bulk(l_quantity)) AS BIGINT) AS n_bulk
+        FROM udf_lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+_LCA_SQL = """
+    SELECT l_returnflag,
+           ROUND(1.2345e-8 + AVG(gross_margin), 4) AS avg_gross_margin
+    FROM (
+      SELECT l_returnflag,
+             l_extendedprice * (1.0 - l_discount) AS net,
+             net * (1.0 + l_tax) AS gross,
+             (gross - net) / gross AS gross_margin
+      FROM {tbl})
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "lateral_column_alias",
+    _LCA_SQL.format(tbl="lineitem"),
+    tags=("relational", "sql-surface"),
+)
+def lateral_column_alias(spark, sf_dir):
+    """LATERAL COLUMN ALIASES (SPARK-27561, on by default since 3.4) —
+    a SELECT item referencing an alias defined EARLIER IN THE SAME
+    SELECT (net -> gross -> gross_margin), the chained-derivation
+    style analysts write everywhere and ANSI SQL technically forbids;
+    DuckDB adopted the same extension, so ONE shared text runs
+    verbatim on both engines (the [[sql_group_by_all]] rule). Catalyst
+    rewrites the chain into nested projections at analysis time — no
+    CTE boilerplate, no repeated subexpressions in user code.
+
+    Plan: after rewrite the three aliases collapse into one codegen'd
+    projection (common subexpressions shared), feeding a partial-agg
+    groupBy — the same single-scan plan the fully-inlined form gets.
+    Zero scale cost; purely a surface contract."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lca_lineitem"
+    )
+    return spark.sql(_LCA_SQL.format(tbl="lca_lineitem"))
