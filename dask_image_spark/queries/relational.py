@@ -5593,3 +5593,108 @@ def lateral_column_alias(spark, sf_dir):
         "lca_lineitem"
     )
     return spark.sql(_LCA_SQL.format(tbl="lca_lineitem"))
+
+
+@register(
+    "bitmap_exact_distinct",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS n_distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "sql-surface", "bitmap"),
+)
+def bitmap_exact_distinct(spark, sf_dir):
+    """BITMAP-ROLLUP EXACT DISTINCT (the Spark 3.5 bitmap function
+    family): partition each key's id space into 32k-bit buckets
+    (bitmap_bucket_number), OR together per-bucket bitmaps
+    (bitmap_construct_agg of bitmap_bit_position), and SUM the
+    per-bucket popcounts (bitmap_count) — EXACT COUNT(DISTINCT)
+    computed as a two-level partial aggregate. This is the
+    materializable form: the per-(key, bucket) bitmaps are a stored
+    rollup that refreshes incrementally with bitmap_or_agg and answers
+    distinct-count queries WITHOUT rescanning facts — what
+    COUNT(DISTINCT) (one big shuffle of raw ids, no reusable state)
+    and [[approx_distinct]] (approximate) both cannot give you. The
+    oracle IS COUNT(DISTINCT): bit-for-bit agreement is the contract.
+
+    Plan: groupBy (key, bucket) with map-side bitmap ORs — shuffle
+    carries O(buckets) 4KB bitmaps, not O(rows) ids — then a tiny
+    popcount-sum per key. At 100 TB with billions of distinct ids
+    this is the standard exact-distinct materialization pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("bm_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(SUM(cnt) AS BIGINT) AS n_distinct_users
+        FROM (
+          SELECT event_type, bitmap_bucket_number(user_id) AS bkt,
+                 bitmap_count(
+                   bitmap_construct_agg(bitmap_bit_position(user_id)))
+                   AS cnt
+          FROM bm_events GROUP BY event_type,
+               bitmap_bucket_number(user_id))
+        GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+@register(
+    "dp_noisy_counts",
+    """
+    WITH g AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS DOUBLE) AS n FROM customer
+      GROUP BY c_nationkey),
+    u AS (
+      SELECT c_nationkey, n,
+             (CAST('0x' || substr(md5('dp:' ||
+                    CAST(c_nationkey AS VARCHAR)), 1, 8) AS BIGINT)
+              + 0.5) / 4294967296.0 - 0.5 AS uu
+      FROM g)
+    SELECT c_nationkey, CAST(n AS BIGINT) AS true_n,
+           ROUND(1.2345e-8 + n - CASE WHEN uu < 0 THEN -1.0 ELSE 1.0 END
+                 * LN(1.0 - 2.0 * ABS(uu)), 4) AS noisy_n
+    FROM u ORDER BY c_nationkey
+    """,
+    tags=("relational", "governance", "privacy"),
+)
+def dp_noisy_counts(spark, sf_dir):
+    """DIFFERENTIALLY-PRIVATE COUNTS (epsilon=1 Laplace mechanism) —
+    per-nation customer counts released with Laplace(1/eps) noise via
+    the inverse-CDF transform noise = -b * sign(u) * ln(1 - 2|u|),
+    u ~ Uniform(-1/2, 1/2): count sensitivity is 1, so eps=1 needs
+    scale b=1. The noise is SEEDED (salted md5 of the group key mapped
+    to a uniform), making the release deterministic and thus strong-
+    oracle checkable — in production you'd draw fresh randomness; the
+    pipeline shape (aggregate -> per-group seeded noise -> release) is
+    identical. Completes the privacy surface next to
+    [[k_anonymity_violations]] / [[l_diversity_audit]]: suppression,
+    generalization auditing, and now noise addition. The +0.5 bias in
+    the uniform keeps |u| strictly below 1/2 (no ln(0) edge).
+
+    Plan: partial-agg count, then map-only noise on the group frame —
+    privacy costs nothing at any scale; the md5-hex-to-int text is the
+    engine seam ('0x' cast in DuckDB, conv() in Spark) with the SAME
+    integer contract."""
+    cu = load_table(spark, sf_dir, "customer")
+    g = cu.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    hexint = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("c_nationkey").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    uu = (hexint + 0.5) / 4294967296.0 - 0.5
+    noise = (
+        F.when(uu < 0, -1.0).otherwise(1.0)
+        * F.log(1.0 - 2.0 * F.abs(uu))
+    )
+    return g.select(
+        "c_nationkey",
+        F.col("n").cast("long").alias("true_n"),
+        _eps_round(F.col("n") - noise, 4).alias("noisy_n"),
+    ).orderBy("c_nationkey")

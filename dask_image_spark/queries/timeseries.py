@@ -2909,3 +2909,122 @@ def kalman_filter_hod(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "asof_join_nearest",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+    bwd AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             c.click_id AS cb, c.ts AS tb
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts),
+    fwd AS (
+      SELECT p.event_id, c.click_id AS cf, c.ts AS tf
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.ts)
+    SELECT b.event_id, b.user_id,
+           CASE WHEN b.cb IS NULL AND f.cf IS NULL THEN NULL
+                WHEN b.cb IS NULL THEN f.cf
+                WHEN f.cf IS NULL THEN b.cb
+                WHEN b.ts - b.tb <= f.tf - b.ts THEN b.cb
+                ELSE f.cf END AS click_id,
+           CASE WHEN b.cb IS NULL AND f.cf IS NULL THEN 'none'
+                WHEN b.cb IS NULL THEN 'forward'
+                WHEN f.cf IS NULL THEN 'backward'
+                WHEN b.ts - b.tb <= f.tf - b.ts THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM bwd b JOIN fwd f ON f.event_id = b.event_id
+    """,
+    tags=("timeseries", "join", "asof"),
+)
+def asof_join_nearest(spark, sf_dir):
+    """AS-OF JOIN, NEAREST direction (pandas merge_asof
+    direction='nearest') — each purchase matched to the temporally
+    CLOSEST click of the same user, whichever side it falls on, ties
+    to the backward match. Completes the as-of matrix: [[asof_join]]
+    backward, [[asof_join_forward]], [[asof_join_tolerance]], and now
+    nearest — the variant sensor-fusion and quote-matching workloads
+    ask for when causality doesn't pin a direction.
+
+    Engine path: the backward and forward candidates each come from
+    the union + running last/first(ignorenulls) window trick (ONE
+    shuffle on user_id each, opposite tie-orderings so an equal-ts
+    click is visible to BOTH sides and resolves as a zero-gap
+    backward match); the chooser compares the two gaps as exact
+    timestamp arithmetic — no float, no truncation. The oracle uses
+    DuckDB's native ASOF twice with the same CASE. At 100 TB this is
+    two sorted passes over the same user partitioning — Spark fuses
+    them into one exchange with two sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id", "ts", "click_id",
+            F.col("ts").alias("cts"),
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts",
+            F.lit(None).cast("long").alias("click_id"),
+            F.lit(None).cast("timestamp").alias("cts"),
+            F.lit(1).alias("kind"), "event_id",
+        )
+    )
+    unioned = purchases.unionByName(clicks)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("kind").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    m = (
+        unioned.withColumn(
+            "cb", F.last("click_id", ignorenulls=True).over(wb)
+        )
+        .withColumn("tb", F.last("cts", ignorenulls=True).over(wb))
+        .withColumn("cf", F.first("click_id", ignorenulls=True).over(wf))
+        .withColumn("tf", F.first("cts", ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    back_wins = (
+        F.col("ts").cast("double") - F.col("tb").cast("double")
+        <= F.col("tf").cast("double") - F.col("ts").cast("double")
+    )
+    chosen = (
+        F.when(F.col("cb").isNull() & F.col("cf").isNull(), F.lit(None))
+        .when(F.col("cb").isNull(), F.col("cf"))
+        .when(F.col("cf").isNull(), F.col("cb"))
+        .when(back_wins, F.col("cb"))
+        .otherwise(F.col("cf"))
+    )
+    direction = (
+        F.when(F.col("cb").isNull() & F.col("cf").isNull(), "none")
+        .when(F.col("cb").isNull(), "forward")
+        .when(F.col("cf").isNull(), "backward")
+        .when(back_wins, "backward")
+        .otherwise("forward")
+    )
+    return m.select(
+        "event_id", "user_id",
+        chosen.alias("click_id"),
+        direction.alias("direction"),
+    )
