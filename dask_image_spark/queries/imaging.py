@@ -4155,3 +4155,67 @@ def skeletonize_zhangsuen_1iter(spark, sf_dir):
     t1 = subpass(m, (("p2", "p4", "p6"), ("p4", "p6", "p8")))
     t2 = subpass(t1, (("p2", "p4", "p8"), ("p2", "p6", "p8")))
     return t2.filter(F.col("v") == 1).select("y", "x").orderBy("y", "x")
+
+
+_RADON_AXES = [
+    ("deg0", "x"), ("deg90", "y"), ("deg45", "y + x"), ("deg135", "y - x"),
+]
+
+_RADON_UNION = " UNION ALL ".join(
+    f"SELECT '{nm}' AS angle, CAST({expr} AS INT) AS offset_idx, "
+    f"SUM(value) AS s, COUNT(*) AS n FROM pixels GROUP BY 2"
+    for nm, expr in _RADON_AXES
+)
+
+
+@register(
+    "radon_projections",
+    with_pixel_ctes(
+        f"""
+        SELECT angle, offset_idx,
+               ROUND(1.2345e-8 + s, 4) AS line_sum,
+               CAST(n AS BIGINT) AS n_pixels
+        FROM ({_RADON_UNION})
+        ORDER BY angle, offset_idx
+        """
+    ),
+    tags=("imaging", "transform", "projection"),
+)
+def radon_projections(spark, sf_dir):
+    """DISCRETE RADON TRANSFORM at the four exact lattice angles
+    (0/45/90/135 degrees) — line-integral projections (the sinogram
+    columns CT reconstruction inverts, and the projection-profile
+    signals document-deskew and barcode-localization pipelines use).
+    At these angles the line sums are EXACT integer-lattice groupings
+    (column x, row y, anti-diagonal y+x, diagonal y-x) — no
+    interpolation, so the transform is pure partial-agg arithmetic;
+    arbitrary angles would ride [[interp_map_coordinates]]'s resampling
+    machinery instead.
+
+    Plan: four groupBys over one scan (Spark shares the cached pixel
+    frame across the union branches); each is map-side-combining with
+    O(GRID) output rows. The 100 TB form projects per-tile partials
+    and sums across tiles — associativity is the whole algorithm."""
+    px = pixel_grid(spark, sf_dir)
+    out = None
+    for nm, expr in _RADON_AXES:
+        spark_expr = {
+            "x": F.col("x"),
+            "y": F.col("y"),
+            "y + x": F.col("y") + F.col("x"),
+            "y - x": F.col("y") - F.col("x"),
+        }[expr]
+        br = (
+            px.groupBy(spark_expr.cast("int").alias("offset_idx"))
+            .agg(
+                F.sum("value").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.lit(nm).alias("angle"), "offset_idx",
+                _eps_round("s", 4).alias("line_sum"),
+                F.col("n").cast("long").alias("n_pixels"),
+            )
+        )
+        out = br if out is None else out.unionAll(br)
+    return out.orderBy("angle", "offset_idx")

@@ -5571,3 +5571,255 @@ def jaccard_prefix_filter_join(spark, sf_dir):
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", _eps_round(jac, 4).alias("jaccard"))
     )
+
+
+@register(
+    "heaps_law_fit",
+    """
+    WITH dr AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      FROM documents WHERE text IS NOT NULL),
+    nn AS (SELECT COUNT(*) AS n FROM dr),
+    fr AS (
+      SELECT tok, MIN(rn) AS first_rn FROM (
+        SELECT rn, unnest(string_split(text, ' ')) AS tok FROM dr) t
+      WHERE tok <> '' GROUP BY tok),
+    bucketed AS (
+      SELECT CAST(CEIL(CAST(first_rn AS DOUBLE) * 10 / nn.n) AS INT)
+               AS b, COUNT(*) AS c
+      FROM fr CROSS JOIN nn GROUP BY 1),
+    ck AS (
+      SELECT k.k, (k.k * nn.n) // 10 AS n_docs,
+             SUM(CASE WHEN b.b <= k.k THEN b.c ELSE 0 END) AS vocab
+      FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10))
+           k(k)
+      CROSS JOIN nn LEFT JOIN bucketed b ON TRUE
+      GROUP BY k.k, nn.n),
+    fit AS (
+      SELECT regr_slope(LN(CAST(vocab AS DOUBLE)),
+                        LN(CAST(n_docs AS DOUBLE))) AS beta,
+             EXP(AVG(LN(CAST(vocab AS DOUBLE)))
+                 - regr_slope(LN(CAST(vocab AS DOUBLE)),
+                              LN(CAST(n_docs AS DOUBLE)))
+                   * AVG(LN(CAST(n_docs AS DOUBLE)))) AS kcoef
+      FROM ck)
+    SELECT ck.k AS decile, CAST(ck.n_docs AS BIGINT) AS n_docs,
+           CAST(ck.vocab AS BIGINT) AS vocab,
+           ROUND(1.2345e-8 + fit.beta, 4) AS heaps_beta,
+           ROUND(1.2345e-8 + fit.kcoef, 4) AS heaps_k
+    FROM ck CROSS JOIN fit ORDER BY ck.k
+    """,
+    tags=("pipeline", "text-analysis", "corpus-stats"),
+)
+def heaps_law_fit(spark, sf_dir):
+    """HEAPS' LAW FIT — vocabulary growth V(N) ~ K N^beta measured at
+    ten corpus-prefix checkpoints (docs ordered by id), with (K, beta)
+    from the log-log least-squares line: THE corpus-linguistics
+    scaling law (beta ~ 0.5 for natural text) that data curation uses
+    to project tokenizer vocabulary needs and to detect synthetic /
+    templated corpora (depressed beta = vocabulary saturating = heavy
+    duplication — this fixture's tiny closed vocabulary shows exactly
+    that signature, the PURPOSE of the probe). Vocabulary at each
+    checkpoint counts tokens by FIRST-OCCURRENCE rank, so the ten
+    prefix vocabularies come from ONE pass, not ten rescans.
+
+    Plan: doc ranking is one global sort of doc ids (at 100 TB:
+    ingest order or a monotonic id replaces it for free); token
+    first-occurrence is a partial-agg MIN per token; checkpoints are
+    a 10-row broadcast; the fit is regr_slope over 10 points.
+    [[token_zipf]] is the frequency-side sibling of this growth-side
+    law."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    dr = d.select(
+        "text", F.row_number().over(Window.orderBy("doc_id")).alias("rn")
+    )
+    n = dr.count()
+    fr = (
+        dr.select("rn", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("rn").alias("first_rn"))
+    )
+    bucketed = fr.groupBy(
+        F.ceil(F.col("first_rn").cast("double") * 10 / n).cast("int").alias(
+            "b"
+        )
+    ).agg(F.count(F.lit(1)).alias("c"))
+    ks = values_df(spark, "k", [(k,) for k in range(1, 11)])
+    ck = (
+        ks.crossJoin(F.broadcast(bucketed))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("b") <= F.col("k"), F.col("c")).otherwise(0)
+            ).alias("vocab")
+        )
+        .select(
+            "k",
+            F.floor(F.col("k") * n / 10).cast("long").alias("n_docs"),
+            "vocab",
+        )
+    )
+    fit = ck.agg(
+        F.regr_slope(
+            F.log(F.col("vocab").cast("double")),
+            F.log(F.col("n_docs").cast("double")),
+        ).alias("beta"),
+        F.exp(
+            F.avg(F.log(F.col("vocab").cast("double")))
+            - F.regr_slope(
+                F.log(F.col("vocab").cast("double")),
+                F.log(F.col("n_docs").cast("double")),
+            )
+            * F.avg(F.log(F.col("n_docs").cast("double")))
+        ).alias("kcoef"),
+    )
+    return (
+        ck.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").alias("decile"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("vocab").cast("long").alias("vocab"),
+            _eps_round("beta", 4).alias("heaps_beta"),
+            _eps_round("kcoef", 4).alias("heaps_k"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _dft8_tables():
+    """cos/sin tables for the 8-point DFT bins k=1..3, driver-computed
+    double literals shared verbatim by engine and oracle (the
+    Gabor-taps rule). Bin 0 (DC) and bin 4 (Nyquist) are excluded
+    from the centroid as standard."""
+    import math
+
+    cos_t, sin_t = {}, {}
+    for k in (1, 2, 3):
+        cos_t[k] = [math.cos(2 * math.pi * k * nn / 8) for nn in range(8)]
+        sin_t[k] = [-math.sin(2 * math.pi * k * nn / 8) for nn in range(8)]
+    return cos_t, sin_t
+
+
+_DFT_COS, _DFT_SIN = _dft8_tables()
+
+
+def _dft_case(tbl: dict, k: int) -> str:
+    return "CASE pos % 8 " + " ".join(
+        f"WHEN {nn} THEN {tbl[k][nn]!r}" for nn in range(8)
+    ) + " ELSE 0.0 END"
+
+
+_CENTROID_POWER = " + ".join(f"p{k} * {k}" for k in (1, 2, 3))
+_TOTAL_POWER = " + ".join(f"p{k}" for k in (1, 2, 3))
+
+
+@register(
+    "audio_spectral_centroid",
+    f"""
+    WITH s AS (
+      SELECT CAST(event_id // 4096 AS INT) AS clip,
+             CAST(event_id % 4096 AS INT) AS pos,
+             CAST((event_id * 31 + 7) % 65536 AS BIGINT) AS u
+      FROM events WHERE event_id < 8192),
+    sv AS (SELECT clip, pos,
+                  CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+                       AS DOUBLE) AS smp
+           FROM s),
+    fr AS (
+      SELECT clip, CAST(pos // 8 AS INT) AS frame,
+             {", ".join(
+                 f"SUM(smp * ({_dft_case(_DFT_COS, k)})) AS re{k}, "
+                 f"SUM(smp * ({_dft_case(_DFT_SIN, k)})) AS im{k}"
+                 for k in (1, 2, 3))}
+      FROM sv GROUP BY clip, pos // 8),
+    pw AS (
+      SELECT clip, frame,
+             {", ".join(
+                 f"re{k} * re{k} + im{k} * im{k} AS p{k}"
+                 for k in (1, 2, 3))}
+      FROM fr),
+    ce AS (
+      SELECT clip, frame,
+             ({_CENTROID_POWER}) / ({_TOTAL_POWER}) AS centroid
+      FROM pw WHERE ({_TOTAL_POWER}) > 0)
+    SELECT clip, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           ROUND(1.2345e-8 + AVG(centroid), 4) AS avg_centroid,
+           ROUND(1.2345e-8 + STDDEV_POP(centroid), 4) AS sd_centroid
+    FROM ce GROUP BY clip ORDER BY clip
+    """,
+    tags=("pipeline", "multimodal", "audio", "dsp"),
+)
+def audio_spectral_centroid(spark, sf_dir):
+    """SPECTRAL CENTROID per audio clip — the brightness feature
+    (power-weighted mean frequency bin) every audio-quality /
+    music-vs-speech gate computes: 8-sample frames through an exact
+    8-point DFT (bins 1-3; DC and Nyquist excluded), centroid =
+    sum(k P_k)/sum(P_k), averaged per clip with its variability. The
+    DFT twiddle factors are driver-computed double literals shared
+    verbatim with the oracle — the [[filter_gabor_0]] kernel rule
+    applied to DSP — over the same synthetic int16 sample arithmetic
+    as [[audio_zcr_rms]] (time-domain sibling: together they are the
+    canonical 2-feature audio screen).
+
+    Plan: frame DFT is ONE partial-agg groupBy (6 SUM aggregates with
+    CASE twiddles — map-side combine over the 8 samples per frame),
+    power/centroid map-only, clip rollup partial-agg again. No
+    windows, no joins; at 100 TB each executor streams its clips and
+    the shuffle carries only frame rows (samples/8)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 8192
+    )
+    sv = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("clip"),
+        (F.col("event_id") % 4096).cast("int").alias("pos"),
+        ((F.col("event_id") * 31 + 7) % 65536).alias("u"),
+    ).select(
+        "clip", "pos",
+        F.when(F.col("u") >= 32768, F.col("u") - 65536)
+        .otherwise(F.col("u"))
+        .cast("double")
+        .alias("smp"),
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        aggs.append(
+            F.sum(
+                F.col("smp") * F.expr(_dft_case(_DFT_COS, k))
+            ).alias(f"re{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.col("smp") * F.expr(_dft_case(_DFT_SIN, k))
+            ).alias(f"im{k}")
+        )
+    fr = sv.groupBy(
+        "clip", (F.col("pos") / 8).cast("int").alias("frame")
+    ).agg(*aggs)
+    pw = fr.select(
+        "clip", "frame",
+        *[
+            (
+                F.col(f"re{k}") * F.col(f"re{k}")
+                + F.col(f"im{k}") * F.col(f"im{k}")
+            ).alias(f"p{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    total = F.col("p1") + F.col("p2") + F.col("p3")
+    weighted = F.col("p1") * 1 + F.col("p2") * 2 + F.col("p3") * 3
+    ce = pw.filter(total > 0).select(
+        "clip", "frame", (weighted / total).alias("centroid")
+    )
+    return (
+        ce.groupBy("clip")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            _eps_round(F.avg("centroid"), 4).alias("avg_centroid"),
+            _eps_round(F.stddev_pop("centroid"), 4).alias("sd_centroid"),
+        )
+        .orderBy("clip")
+    )

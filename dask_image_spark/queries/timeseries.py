@@ -3028,3 +3028,192 @@ def asof_join_nearest(spark, sf_dir):
         chosen.alias("click_id"),
         direction.alias("direction"),
     )
+
+
+@register(
+    "survival_nelson_aalen",
+    f"""
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1,
+             MIN(CASE WHEN event_type = 'error' THEN ts END) AS te
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT user_id,
+             CAST((epoch_us(COALESCE(te, t1)) - epoch_us(t0))
+                  // {_HOUR_US} AS BIGINT) AS dur,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS observed
+      FROM u),
+    t AS (
+      SELECT dur, SUM(observed) AS deaths, COUNT(*) AS n_users
+      FROM d GROUP BY dur),
+    rs AS (
+      SELECT dur, deaths,
+             SUM(n_users) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+      FROM t),
+    na AS (
+      SELECT dur, deaths, at_risk,
+             SUM(CAST(deaths AS DOUBLE) / at_risk) OVER w AS h,
+             SUM(CAST(deaths AS DOUBLE) / (CAST(at_risk AS DOUBLE)
+                                           * at_risk)) OVER w AS hvar
+      FROM rs
+      WINDOW w AS (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CAST(dur AS BIGINT) AS dur_hours,
+           CAST(deaths AS BIGINT) AS deaths,
+           CAST(at_risk AS BIGINT) AS at_risk,
+           ROUND(1.2345e-8 + h, 4) AS cum_hazard,
+           ROUND(1.2345e-8 + hvar, 6) AS hazard_var,
+           ROUND(1.2345e-8 + EXP(-h), 4) AS na_survival
+    FROM na WHERE deaths > 0 ORDER BY dur_hours
+    """,
+    tags=("timeseries", "survival", "stats"),
+)
+def survival_nelson_aalen(spark, sf_dir):
+    """NELSON-AALEN cumulative hazard — H(t) = sum over death times
+    <= t of d_i/n_i with its variance estimator sum d_i/n_i^2, plus
+    the Fleming-Harrington survival exp(-H) — the estimator-of-choice
+    when hazard (instantaneous risk) rather than survival probability
+    is the quantity of interest, and the numerically kinder sibling of
+    [[survival_km]] at small risk sets (no product of near-zero
+    terms). Identical duration/censoring fixture as the KM query so
+    the two curves are directly comparable (exp(-H) >= S_KM always;
+    the gap measures discreteness).
+
+    Plan: same as KM — per-user rollup (partial agg), per-duration
+    death counts, ONE descending cumulative window for risk sets and
+    ONE ascending for the hazard sums, zero joins. Calendar-bounded
+    duration domain keeps the windows tiny at any event scale."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("te"),
+    )
+    d = u.select(
+        (
+            (
+                F.unix_micros(F.coalesce("te", "t1"))
+                - F.unix_micros("t0")
+            )
+            / _HOUR_US
+        ).cast("bigint").alias("dur"),
+        F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("observed"),
+    )
+    t = d.groupBy("dur").agg(
+        F.sum("observed").alias("deaths"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    wdesc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rs = t.select(
+        "dur", "deaths", F.sum("n_users").over(wdesc).alias("at_risk")
+    )
+    wasc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = F.col("deaths").cast("double")
+    na = rs.select(
+        "dur", "deaths", "at_risk",
+        F.sum(dd / F.col("at_risk")).over(wasc).alias("h"),
+        F.sum(
+            dd / (F.col("at_risk").cast("double") * F.col("at_risk"))
+        ).over(wasc).alias("hvar"),
+    )
+    return (
+        na.filter(F.col("deaths") > 0)
+        .select(
+            F.col("dur").cast("long").alias("dur_hours"),
+            F.col("deaths").cast("long").alias("deaths"),
+            F.col("at_risk").cast("long").alias("at_risk"),
+            _eps_round("h", 4).alias("cum_hazard"),
+            _eps_round("hvar", 6).alias("hazard_var"),
+            _eps_round(F.exp(-F.col("h")), 4).alias("na_survival"),
+        )
+        .orderBy("dur_hours")
+    )
+
+
+_BOXCOX_GRID = [-1.0, -0.5, 0.0, 0.5, 1.0]
+
+_BOXCOX_BRANCHES = " UNION ALL ".join(
+    f"""SELECT CAST({lam!r} AS DOUBLE) AS lam,
+           {"LN(value)" if lam == 0.0
+            else f"(POW(value, {lam!r}) - 1.0) / {lam!r}"} AS y,
+           LN(value) AS lx
+      FROM events"""
+    for lam in _BOXCOX_GRID
+)
+
+
+@register(
+    "boxcox_lambda_grid",
+    f"""
+    WITH b AS ({_BOXCOX_BRANCHES}),
+    ll AS (
+      SELECT lam,
+             -COUNT(*) / 2.0 * LN(VAR_POP(y))
+               + (lam - 1.0) * SUM(lx) AS loglik
+      FROM b GROUP BY lam),
+    rk AS (
+      SELECT lam, loglik,
+             ROW_NUMBER() OVER (ORDER BY ROUND(loglik, 6) DESC, lam)
+               AS rnk
+      FROM ll)
+    SELECT lam, ROUND(1.2345e-8 + loglik, 4) AS loglik,
+           CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS INT) AS is_best
+    FROM rk ORDER BY lam
+    """,
+    tags=("timeseries", "statistics", "transform"),
+)
+def boxcox_lambda_grid(spark, sf_dir):
+    """BOX-COX TRANSFORM SELECTION — the profile log-likelihood
+    LL(lambda) = -n/2 ln(sigma^2_lambda) + (lambda-1) sum(ln x) over
+    the classic grid {-1, -1/2, 0, 1/2, 1} (reciprocal, reciprocal
+    sqrt, log, sqrt, identity), argmax flagged: the standard
+    variance-stabilization step before any Gaussian-assuming model
+    (the t-tests, ANOVA and control charts elsewhere in this suite
+    all sharpen on transformed data). Each grid point is a map-only
+    transform + one-pass moments; the argmax rounds to 6 decimals
+    before ranking (the [[decision_stump_infogain]] rule).
+
+    Plan: 5 branches over ONE scan each (Spark unions them and
+    shares the scan via exchange reuse), partial-agg var/sum per
+    branch, 5-row epilogue. Grid size scales the plan linearly and
+    nothing else; at 100 TB you'd fuse the branches into one
+    multi-aggregate pass over a single projection."""
+    ev = load_table(spark, sf_dir, "events")
+    branches = None
+    for lam in _BOXCOX_GRID:
+        y = (
+            F.log("value")
+            if lam == 0.0
+            else (F.pow("value", F.lit(lam)) - 1.0) / lam
+        )
+        br = ev.select(
+            F.lit(lam).alias("lam"),
+            y.alias("y"),
+            F.log("value").alias("lx"),
+        )
+        branches = br if branches is None else branches.unionAll(br)
+    ll = branches.groupBy("lam").agg(
+        (
+            -F.count(F.lit(1)) / 2.0 * F.log(F.var_pop("y"))
+            + (F.col("lam") - 1.0) * F.sum("lx")
+        ).alias("loglik")
+    )
+    w = Window.orderBy(F.round(F.col("loglik"), 6).desc(), "lam")
+    return (
+        ll.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "lam",
+            _eps_round("loglik", 4).alias("loglik"),
+            F.when(F.col("rnk") == 1, 1).otherwise(0).cast("int").alias(
+                "is_best"
+            ),
+        )
+        .orderBy("lam")
+    )
