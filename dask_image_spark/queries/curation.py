@@ -3475,3 +3475,350 @@ def isotonic_calibration_pava(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "welch_ttest",
+    """
+    WITH g AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+             CAST(COUNT(*) AS DOUBLE) AS n, AVG(value) AS m,
+             (SUM(value * value) - COUNT(*) * AVG(value) * AVG(value))
+               / (COUNT(*) - 1) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+    w AS (
+      SELECT MAX(CASE WHEN ia = 1 THEN n END) AS na,
+             MAX(CASE WHEN ia = 0 THEN n END) AS nb,
+             MAX(CASE WHEN ia = 1 THEN m END) AS ma,
+             MAX(CASE WHEN ia = 0 THEN m END) AS mb,
+             MAX(CASE WHEN ia = 1 THEN v END) AS va,
+             MAX(CASE WHEN ia = 0 THEN v END) AS vb
+      FROM g)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(1.2345e-8 + ma - mb, 4) AS mean_diff,
+           ROUND(1.2345e-8 +
+             (ma - mb) / SQRT(va / na + vb / nb), 4) AS t_stat,
+           ROUND(1.2345e-8 +
+             (va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS df_welch
+    FROM w
+    """,
+    tags=("curation", "statistics", "hypothesis-test"),
+)
+def welch_ttest(spark, sf_dir):
+    """WELCH'S UNEQUAL-VARIANCE t-TEST — click vs view `value`: the
+    default two-sample mean test when variances can't be assumed equal
+    (the pooled Student t is the special case; Welch is what A/B
+    platforms actually run). Emits the mean difference, the t
+    statistic t = (m_a - m_b)/sqrt(v_a/n_a + v_b/n_b), and the
+    Welch-Satterthwaite effective degrees of freedom. Sample variance
+    uses the one-pass identity (sum(x^2) - n m^2)/(n-1) — same
+    cancellation posture as [[anova_f_oneway]]. Complements
+    [[abtest_conversion_z]] (proportions) and [[mannwhitney_u]]
+    (ranks): together the standard experiment-readout trio.
+
+    Plan: ONE partial-agg scan (count/sum/sumsq per arm — map-side
+    combine, 2 rows out), then scalar arithmetic on the pivoted 1-row
+    frame. At 100 TB this is a single pass with a 2-row shuffle — the
+    optimal plan; nothing here grows with data."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("ia")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("value").alias("m"),
+            (
+                (
+                    F.sum(F.col("value") * F.col("value"))
+                    - F.count(F.lit(1)) * F.avg("value") * F.avg("value")
+                )
+                / (F.count(F.lit(1)) - 1)
+            ).alias("v"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("ia") == 1, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("ia") == 0, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("ia") == 1, F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("ia") == 0, F.col("m"))).alias("mb"),
+        F.max(F.when(F.col("ia") == 1, F.col("v"))).alias("va"),
+        F.max(F.when(F.col("ia") == 0, F.col("v"))).alias("vb"),
+    )
+    sa = F.col("va") / F.col("na")
+    sb = F.col("vb") / F.col("nb")
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        _eps_round(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
+        _eps_round(
+            (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb), 4
+        ).alias("t_stat"),
+        _eps_round(
+            (sa + sb) * (sa + sb)
+            / (sa * sa / (F.col("na") - 1) + sb * sb / (F.col("nb") - 1)),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "kendall_tau_b",
+    """
+    WITH s AS (
+      SELECT event_id, event_type, value AS x,
+             epoch_us(ts) AS y
+      FROM events WHERE event_id % 13 = 0),
+    pr AS (
+      SELECT a.event_type,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS c,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS d,
+             CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      FROM s a JOIN s b
+        ON a.event_type = b.event_type AND a.event_id < b.event_id),
+    agg AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n0,
+             CAST(SUM(c) AS DOUBLE) AS c, CAST(SUM(d) AS DOUBLE) AS d,
+             CAST(SUM(tx) AS DOUBLE) AS tx, CAST(SUM(ty) AS DOUBLE) AS ty
+      FROM pr GROUP BY event_type)
+    SELECT event_type, CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           ROUND(1.2345e-8 +
+             (c - d) / SQRT((n0 - tx) * (n0 - ty)), 4) AS tau_b
+    FROM agg ORDER BY event_type
+    """,
+    tags=("curation", "statistics", "correlation"),
+)
+def kendall_tau_b(spark, sf_dir):
+    """KENDALL'S TAU-B per series — concordant-vs-discordant pair
+    fractions between `value` and event time, with the tie-corrected
+    denominator sqrt((n0 - t_x)(n0 - t_y)): the third member of the
+    monotone-association family next to [[spearman_corr]] (fractional
+    ranks) and Pearson ([[corr_matrix]]); tau's 0.95-efficiency and
+    direct probabilistic reading (P(concordant) - P(discordant)) make
+    it the robust default for small/tied samples. Computed on the
+    deterministic 1-in-13 event slice so the exact O(n^2) pair form
+    stays bounded.
+
+    Plan: equi-join on the series key with an id inequality — each
+    series' pairs stay inside its hash partition, counted by ONE
+    partial agg (5 rows out). The quadratic pair form is the EXACT
+    estimator and is only run on the bounded sample; at 100 TB the
+    full-series alternative is the O(n log n) merge-sort
+    inversion-count (discordant pairs = inversions of y under x-sort),
+    a natural mapInPandas per series — the sample keeps the oracle
+    exactly mirrorable instead."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_id") % 13 == 0).select(
+        "event_id",
+        "event_type",
+        F.col("value").alias("x"),
+        F.unix_micros("ts").alias("y"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    pr = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(prod > 0, 1).otherwise(0).alias("c"),
+        F.when(prod < 0, 1).otherwise(0).alias("d"),
+        F.when(F.col("a.x") == F.col("b.x"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("a.y") == F.col("b.y"), 1).otherwise(0).alias("ty"),
+    )
+    agg = pr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n0"),
+        F.sum("c").cast("double").alias("c"),
+        F.sum("d").cast("double").alias("d"),
+        F.sum("tx").cast("double").alias("tx"),
+        F.sum("ty").cast("double").alias("ty"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        _eps_round(
+            (F.col("c") - F.col("d"))
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty"))
+            ),
+            4,
+        ).alias("tau_b"),
+    ).orderBy("event_type")
+
+
+@register(
+    "kruskal_wallis",
+    """
+    WITH rk AS (
+      SELECT source,
+             RANK() OVER (ORDER BY n_chars)
+               + (COUNT(*) OVER (PARTITION BY n_chars) - 1) / 2.0 AS fr
+      FROM documents),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n, SUM(fr) AS rs
+      FROM rk GROUP BY source),
+    tot AS (
+      SELECT SUM(n) AS nn FROM g),
+    ties AS (
+      SELECT CAST(SUM(c * c * c - c) AS DOUBLE) AS tc
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY n_chars) t),
+    h AS (
+      SELECT MAX(tot.nn) AS nn, MAX(ties.tc) AS tc,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(g.rs * g.rs / g.n) AS srr
+      FROM g CROSS JOIN tot CROSS JOIN ties)
+    SELECT k AS k_groups, CAST(nn AS BIGINT) AS n,
+           ROUND(1.2345e-8 +
+             (12.0 / (nn * (nn + 1)) * srr - 3.0 * (nn + 1))
+             / (1.0 - tc / (nn * nn * nn - nn)), 4) AS h_stat
+    FROM h
+    """,
+    tags=("curation", "statistics", "rank-test"),
+)
+def kruskal_wallis(spark, sf_dir):
+    """KRUSKAL-WALLIS H — the rank-based one-way ANOVA across document
+    sources on `n_chars`, with the standard tie correction
+    1 - sum(t^3 - t)/(N^3 - N): the k-group generalization of
+    [[mannwhitney_u]] exactly as [[anova_f_oneway]] generalizes the t
+    test, and the right screen when the metric is heavy-tailed (doc
+    lengths are). H = 12/(N(N+1)) * sum(R_i^2/n_i) - 3(N+1), corrected.
+
+    Plan: one pooled fractional rank (the single global sort is the
+    only non-partial-agg step — same posture as [[mannwhitney_u]]),
+    per-group rank sums in one partial agg, tie counts from a
+    per-value groupBy, then scalar arithmetic on a k-row frame. At
+    100 TB the sort-based rank dominates; everything after it moves
+    k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    fr = F.rank().over(Window.orderBy("n_chars")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("n_chars")) - 1
+    ) / 2.0
+    g = (
+        docs.select("source", fr.alias("fr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("fr").alias("rs"),
+        )
+    )
+    tot = g.agg(F.sum("n").alias("nn"))
+    ties = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+            .cast("double")
+            .alias("tc")
+        )
+    )
+    h = (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .agg(
+            F.max("nn").alias("nn"),
+            F.max("tc").alias("tc"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.col("rs") * F.col("rs") / F.col("n")).alias("srr"),
+        )
+    )
+    nn = F.col("nn")
+    return h.select(
+        F.col("k").alias("k_groups"),
+        nn.cast("long").alias("n"),
+        _eps_round(
+            (12.0 / (nn * (nn + 1)) * F.col("srr") - 3.0 * (nn + 1))
+            / (1.0 - F.col("tc") / (nn * nn * nn - nn)),
+            4,
+        ).alias("h_stat"),
+    )
+
+
+@register(
+    "ece_calibration_bins",
+    """
+    WITH p AS (
+      SELECT 1.0 / (1.0 + EXP(-(value - 50.0) / 25.0)) AS pred,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM events),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(pred * 10) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(pred) AS conf, AVG(y) AS acc
+      FROM p GROUP BY 1),
+    e AS (
+      SELECT SUM(n * ABS(conf - acc)) / SUM(n) AS ece FROM b)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           ROUND(1.2345e-8 + conf, 4) AS confidence,
+           ROUND(1.2345e-8 + acc, 4) AS accuracy,
+           ROUND(1.2345e-8 + conf - acc, 4) AS gap,
+           ROUND(1.2345e-8 + ece, 4) AS ece
+    FROM b CROSS JOIN e ORDER BY bin
+    """,
+    tags=("curation", "statistics", "calibration"),
+)
+def ece_calibration_bins(spark, sf_dir):
+    """EXPECTED CALIBRATION ERROR — the decile reliability diagram +
+    its weighted-|gap| summary, the standard model-calibration readout
+    next to [[brier_calibration]] (proper score) and
+    [[isotonic_calibration_pava]] (the fix). Scores are a
+    deterministic logistic transform of `value` (sigma((v-50)/25))
+    against a click/purchase outcome, so both engines derive identical
+    (pred, y) pairs with no model dependency; bins are equal-WIDTH
+    deciles of the probability axis (the ECE convention —
+    [[equidepth_bins]] covers equal-mass).
+
+    Plan: map-only transform -> ONE partial-agg groupBy on the bin id
+    (10 rows out) -> scalar ECE crossed back for display. At 100 TB:
+    single scan, 10-row shuffle, optimal; the broadcast of the 1-row
+    ECE frame is free."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        (
+            1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))
+        ).alias("pred"),
+        F.when(F.col("event_type").isin("click", "purchase"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    b = (
+        p.groupBy(
+            F.least(F.floor(F.col("pred") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("pred").alias("conf"),
+            F.avg("y").alias("acc"),
+        )
+    )
+    e = b.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("conf") - F.col("acc")))
+            / F.sum("n")
+        ).alias("ece")
+    )
+    return (
+        b.crossJoin(F.broadcast(e))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            _eps_round("conf", 4).alias("confidence"),
+            _eps_round("acc", 4).alias("accuracy"),
+            _eps_round(F.col("conf") - F.col("acc"), 4).alias("gap"),
+            _eps_round("ece", 4).alias("ece"),
+        )
+        .orderBy("bin")
+    )
