@@ -3822,3 +3822,285 @@ def ece_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "f1_macro_multiclass",
+    """
+    WITH yp AS (
+      SELECT label AS y,
+             list_position(embedding[1:10],
+                           list_max(embedding[1:10])) - 1 AS p
+      FROM embeddings),
+    cls AS (SELECT DISTINCT y AS c FROM yp),
+    tp AS (SELECT y AS c, CAST(COUNT(*) AS DOUBLE) AS tp
+           FROM yp WHERE y = p GROUP BY y),
+    pc AS (SELECT p AS c, CAST(COUNT(*) AS DOUBLE) AS predc
+           FROM yp GROUP BY p),
+    tc AS (SELECT y AS c, CAST(COUNT(*) AS DOUBLE) AS truec
+           FROM yp GROUP BY y),
+    m AS (
+      SELECT cls.c, COALESCE(tp.tp, 0) AS tp,
+             COALESCE(pc.predc, 0) AS predc, tc.truec
+      FROM cls LEFT JOIN tp ON tp.c = cls.c
+               LEFT JOIN pc ON pc.c = cls.c
+               JOIN tc ON tc.c = cls.c),
+    prf AS (
+      SELECT c, tp, predc, truec,
+             CASE WHEN predc > 0 THEN tp / predc ELSE 0.0 END AS prec,
+             CASE WHEN truec > 0 THEN tp / truec ELSE 0.0 END AS rec
+      FROM m),
+    f AS (
+      SELECT c, tp, predc, truec, prec, rec,
+             CASE WHEN prec + rec > 0
+                  THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+      FROM prf),
+    mac AS (
+      SELECT AVG(f1) AS macro_f1, SUM(tp) / SUM(truec) AS accuracy
+      FROM f)
+    SELECT CAST(c AS INT) AS class, CAST(tp AS BIGINT) AS tp,
+           CAST(predc AS BIGINT) AS n_pred, CAST(truec AS BIGINT) AS n_true,
+           ROUND(1.2345e-8 + prec, 4) AS precision_c,
+           ROUND(1.2345e-8 + rec, 4) AS recall_c,
+           ROUND(1.2345e-8 + f1, 4) AS f1_c,
+           ROUND(1.2345e-8 + macro_f1, 4) AS macro_f1,
+           ROUND(1.2345e-8 + accuracy, 4) AS accuracy
+    FROM f CROSS JOIN mac ORDER BY class
+    """,
+    tags=("curation", "evaluation", "multiclass"),
+)
+def f1_macro_multiclass(spark, sf_dir):
+    """MULTICLASS PRECISION/RECALL/F1 + MACRO-F1 — the confusion-matrix
+    readout every classifier eval emits: predictions come from a
+    deterministic linear-probe-style argmax over the first 10 embedding
+    dims (array_position of array_max — both engines take the FIRST
+    maximal element, so ties resolve identically on the same float
+    bits), true labels from the `label` column. Per-class P/R/F1 use
+    the sklearn zero_division=0 convention; macro-F1 is the unweighted
+    class mean and accuracy the micro view (sum tp / N). Binary
+    thresholded siblings: [[threshold_sweep_f1]], [[cohens_kappa]].
+
+    Plan: ONE map-only argmax pass, then three partial aggs over tiny
+    key domains (k=10 rows each) joined on the class id — every join
+    side after the first agg is k rows, broadcast territory. At 100 TB
+    the single embedding scan dominates; nothing else grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    yp = emb.select(
+        F.col("label").alias("y"),
+        (
+            F.expr(
+                "array_position(slice(embedding, 1, 10),"
+                " array_max(slice(embedding, 1, 10)))"
+            )
+            - 1
+        ).alias("p"),
+    )
+    cls = yp.select(F.col("y").alias("c")).distinct()
+    tp = (
+        yp.filter(F.col("y") == F.col("p"))
+        .groupBy(F.col("y").alias("c"))
+        .agg(F.count(F.lit(1)).cast("double").alias("tp"))
+    )
+    pc = yp.groupBy(F.col("p").alias("c")).agg(
+        F.count(F.lit(1)).cast("double").alias("predc")
+    )
+    tc = yp.groupBy(F.col("y").alias("c")).agg(
+        F.count(F.lit(1)).cast("double").alias("truec")
+    )
+    m = (
+        cls.join(tp, "c", "left")
+        .join(pc, "c", "left")
+        .join(tc, "c")
+        .select(
+            "c",
+            F.coalesce("tp", F.lit(0.0)).alias("tp"),
+            F.coalesce("predc", F.lit(0.0)).alias("predc"),
+            "truec",
+        )
+    )
+    prec = F.when(
+        F.col("predc") > 0, F.col("tp") / F.col("predc")
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("truec") > 0, F.col("tp") / F.col("truec")
+    ).otherwise(0.0)
+    f = m.select(
+        "c", "tp", "predc", "truec",
+        prec.alias("prec"), rec.alias("rec"),
+    ).withColumn(
+        "f1",
+        F.when(
+            F.col("prec") + F.col("rec") > 0,
+            2 * F.col("prec") * F.col("rec")
+            / (F.col("prec") + F.col("rec")),
+        ).otherwise(0.0),
+    )
+    mac = f.agg(
+        F.avg("f1").alias("macro_f1"),
+        (F.sum("tp") / F.sum("truec")).alias("accuracy"),
+    )
+    return (
+        f.crossJoin(F.broadcast(mac))
+        .select(
+            F.col("c").cast("int").alias("class"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("predc").cast("long").alias("n_pred"),
+            F.col("truec").cast("long").alias("n_true"),
+            _eps_round("prec", 4).alias("precision_c"),
+            _eps_round("rec", 4).alias("recall_c"),
+            _eps_round("f1", 4).alias("f1_c"),
+            _eps_round("macro_f1", 4).alias("macro_f1"),
+            _eps_round("accuracy", 4).alias("accuracy"),
+        )
+        .orderBy("class")
+    )
+
+
+@register(
+    "matthews_corrcoef",
+    """
+    WITH yp AS (
+      SELECT CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS p
+      FROM events),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS tp,
+             CAST(SUM(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS tn,
+             CAST(SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS fp,
+             CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS fn
+      FROM yp)
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+           CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+           ROUND(1.2345e-8 +
+             (tp * tn - fp * fn)
+             / SQRT((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+             4) AS mcc
+    FROM c
+    """,
+    tags=("curation", "evaluation", "binary"),
+)
+def matthews_corrcoef(spark, sf_dir):
+    """MATTHEWS CORRELATION COEFFICIENT — the balanced binary-classifier
+    summary (phi coefficient of the 2x2 confusion table), robust to
+    class imbalance where accuracy and even F1 mislead: here the
+    value>50 rule predicts the click/purchase outcome. MCC =
+    (tp*tn - fp*fn)/sqrt((tp+fp)(tp+fn)(tn+fp)(tn+fn)). Completes the
+    binary-eval set next to [[cohens_kappa]] (chance-corrected
+    agreement), [[roc_auc_exact]] (ranking), [[brier_calibration]]
+    (probability quality).
+
+    Plan: ONE partial-agg scan producing four conditional counts (a
+    1-row frame), scalar arithmetic after. Optimal at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    yp = ev.select(
+        F.when(F.col("event_type").isin("click", "purchase"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("p"),
+    )
+    c = yp.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("p") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("p") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("tn"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("p") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("p") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("fn"),
+    )
+    return c.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        _eps_round(
+            (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn"))
+            / F.sqrt(
+                (F.col("tp") + F.col("fp"))
+                * (F.col("tp") + F.col("fn"))
+                * (F.col("tn") + F.col("fp"))
+                * (F.col("tn") + F.col("fn"))
+            ),
+            4,
+        ).alias("mcc"),
+    )
+
+
+@register(
+    "log_loss_binary",
+    """
+    WITH p AS (
+      SELECT 1.0 / (1.0 + EXP(-(value - 50.0) / 25.0)) AS pred,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM events),
+    b AS (SELECT AVG(y) AS base FROM p)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + AVG(
+             -(y * LN(GREATEST(pred, 1e-15))
+               + (1 - y) * LN(GREATEST(1 - pred, 1e-15)))), 4)
+             AS log_loss,
+           ROUND(1.2345e-8 + AVG(
+             -(y * LN(GREATEST(base, 1e-15))
+               + (1 - y) * LN(GREATEST(1 - base, 1e-15)))), 4)
+             AS baseline_log_loss
+    FROM p CROSS JOIN b
+    """,
+    tags=("curation", "evaluation", "binary"),
+)
+def log_loss_binary(spark, sf_dir):
+    """BINARY LOG-LOSS (cross-entropy) — the proper scoring rule that
+    training actually optimizes, on the same deterministic logistic
+    score / click-purchase outcome as [[ece_calibration_bins]], with
+    the standard 1e-15 probability clamp and, for reference, the
+    log-loss of the constant base-rate predictor (the 'null model' a
+    useful score must beat — same role the climatology term plays in
+    [[brier_calibration]]'s Murphy decomposition).
+
+    Plan: map-only transform + ONE aggregate; the base rate is a
+    separate scalar agg broadcast back (never an unpartitioned window,
+    which would funnel every row through one task). Two scans of the
+    projected 2-column frame — or one, when the source caches."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        (
+            1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))
+        ).alias("pred"),
+        F.when(F.col("event_type").isin("click", "purchase"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    b = p.agg(F.avg("y").alias("base"))
+    p2 = p.crossJoin(F.broadcast(b))
+    return p2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _eps_round(
+            F.avg(
+                -(
+                    F.col("y") * F.log(F.greatest(F.col("pred"), F.lit(1e-15)))
+                    + (1 - F.col("y"))
+                    * F.log(F.greatest(1 - F.col("pred"), F.lit(1e-15)))
+                )
+            ),
+            4,
+        ).alias("log_loss"),
+        _eps_round(
+            F.avg(
+                -(
+                    F.col("y") * F.log(F.greatest(F.col("base"), F.lit(1e-15)))
+                    + (1 - F.col("y"))
+                    * F.log(F.greatest(1 - F.col("base"), F.lit(1e-15)))
+                )
+            ),
+            4,
+        ).alias("baseline_log_loss"),
+    )
