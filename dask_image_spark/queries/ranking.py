@@ -1921,3 +1921,187 @@ def ktruss_edge_support(spark, sf_dir):
         )
         .orderBy("support")
     )
+
+
+@register(
+    "katz_centrality_2iter",
+    f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    x1 AS (
+      SELECT nd.doc_id,
+             1.0 + 0.1 * COALESCE(a.infl, 0) AS x
+      FROM nodes nd LEFT JOIN (
+        SELECT dst, CAST(COUNT(*) AS DOUBLE) AS infl
+        FROM edges GROUP BY dst) a ON a.dst = nd.doc_id),
+    x2 AS (
+      SELECT nd.doc_id,
+             1.0 + 0.1 * COALESCE(a.infl, 0) AS x
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst, SUM(x1.x) AS infl
+        FROM edges e JOIN x1 ON x1.doc_id = e.src GROUP BY e.dst) a
+        ON a.dst = nd.doc_id)
+    SELECT doc_id, ROUND(1.2345e-8 + x, 4) AS katz
+    FROM x2 ORDER BY doc_id
+    """,
+    tags=("ranking", "graph", "centrality"),
+)
+def katz_centrality_2iter(spark, sf_dir):
+    """KATZ CENTRALITY, 2 fixed Jacobi iterations (alpha=0.1, beta=1)
+    over the same deterministic 3-out-regular link graph as
+    [[pagerank_2iter]]: x_{{k+1}} = beta + alpha * A^T x_k, the
+    attenuation-weighted count of walks arriving at each node.
+    Distinct from PageRank in exactly the way that matters for corpus
+    weighting: contributions are NOT divided by out-degree, so a hub
+    that links widely confers full (attenuated) credit to every
+    target — the 'influence' rather than 'random-surfer' axiom; with
+    alpha below 1/lambda_max the fixed-point exists and two iterations
+    are the SQL-replayable prefix (the [[kmeans_lloyd_2iter]]
+    precedent). x1 is closed-form 1 + alpha*indeg; multi-edges carry
+    multiplicity on both engines.
+
+    Plan: per iteration ONE rank-vector-to-edges join on src + ONE
+    groupBy(dst) with map-side partial sums — identical shuffle shape
+    to [[pagerank_2iter]], so the same pre-partitioned-edges posture
+    holds at 100 TB; the node frame re-join is a left join on the
+    same key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    nodes = docs.crossJoin(F.broadcast(cnt))
+    edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "src",
+        F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
+    )
+    indeg = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("double").alias("infl")
+    )
+    x1 = docs.join(indeg, docs.doc_id == indeg.dst, "left").select(
+        "doc_id",
+        (1.0 + 0.1 * F.coalesce(F.col("infl"), F.lit(0.0))).alias("x"),
+    )
+    infl2 = (
+        edges.join(x1.select(F.col("doc_id").alias("src"), "x"), "src")
+        .groupBy("dst")
+        .agg(F.sum("x").alias("infl"))
+    )
+    x2 = docs.join(infl2, docs.doc_id == infl2.dst, "left").select(
+        "doc_id",
+        (1.0 + 0.1 * F.coalesce(F.col("infl"), F.lit(0.0))).alias("x"),
+    )
+    return x2.select(
+        "doc_id", _eps_round("x", 4).alias("katz")
+    ).orderBy("doc_id")
+
+
+@register(
+    "wl_relabel_1iter",
+    f"""
+    WITH nodes AS (SELECT doc_id FROM documents),
+    n AS (SELECT COUNT(*) AS c FROM nodes),
+    edges AS (
+      SELECT doc_id AS src,
+             {_PR_EDGE_SQL.format(src="doc_id", j="j", n="n.c")} AS dst
+      FROM nodes CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) t(j)),
+    l0 AS (
+      SELECT nd.doc_id, COALESCE(d.indeg, 0) AS lbl
+      FROM nodes nd LEFT JOIN (
+        SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg
+        FROM edges GROUP BY dst) d ON d.dst = nd.doc_id),
+    nb AS (
+      SELECT e.src AS doc_id,
+             STRING_AGG(CAST(l0.lbl AS VARCHAR), ','
+                        ORDER BY l0.lbl, e.dst) AS sig
+      FROM edges e JOIN l0 ON l0.doc_id = e.dst GROUP BY e.src),
+    wl AS (
+      SELECT l0.doc_id, l0.lbl AS lbl0,
+             MD5(CAST(l0.lbl AS VARCHAR) || '|' || COALESCE(nb.sig, ''))
+               AS wl1
+      FROM l0 LEFT JOIN nb ON nb.doc_id = l0.doc_id)
+    SELECT doc_id, CAST(lbl0 AS BIGINT) AS indeg_label,
+           SUBSTRING(wl1, 1, 16) AS wl1_sig,
+           CAST(COUNT(*) OVER (PARTITION BY wl1) AS BIGINT) AS class_size
+    FROM wl ORDER BY doc_id
+    """,
+    tags=("ranking", "graph", "isomorphism"),
+)
+def wl_relabel_1iter(spark, sf_dir):
+    """WEISFEILER-LEHMAN RELABELING, one refinement round — the color
+    refinement behind WL graph kernels and GNN expressiveness bounds:
+    each node's new color = hash(own label | sorted multiset of
+    out-neighbor labels), starting from in-degree (out-degree is
+    constant 3 on this graph, so in-degree is the informative seed).
+    Emits each node's refined signature (16 hex chars of the md5) and
+    its color-class size — the refinement histogram two graphs must
+    share to remain WL-indistinguishable. The multiset string sorts by
+    (label, dst) so multi-edge duplicates order deterministically on
+    both engines.
+
+    Plan: ONE indeg groupBy, ONE edges-to-labels join on dst + groupBy
+    (src) building the sorted neighbor string (collect_list bounded by
+    out-degree 3 — never a wide row), ONE window count on the color
+    key. At 100 TB each round is a constant number of key-partitioned
+    shuffles; rounds iterate the same shape, exactly how distributed
+    WL kernels run."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    nodes = docs.crossJoin(F.broadcast(cnt))
+    edges = nodes.select(
+        F.col("doc_id").alias("src"),
+        "n",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "src",
+        F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
+    )
+    indeg = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    l0 = docs.join(indeg, docs.doc_id == indeg.dst, "left").select(
+        "doc_id", F.coalesce("indeg", F.lit(0)).alias("lbl")
+    )
+    nb = (
+        edges.join(
+            l0.select(F.col("doc_id").alias("dst"), "lbl"), "dst"
+        )
+        .groupBy("src")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("lbl", "dst"))
+                    ),
+                    lambda s: s["lbl"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+        .withColumnRenamed("src", "doc_id")
+    )
+    wl = l0.join(nb, "doc_id", "left").select(
+        "doc_id",
+        F.col("lbl").alias("lbl0"),
+        F.md5(
+            F.concat(
+                F.col("lbl").cast("string"),
+                F.lit("|"),
+                F.coalesce("sig", F.lit("")),
+            )
+        ).alias("wl1"),
+    )
+    return wl.select(
+        "doc_id",
+        F.col("lbl0").cast("long").alias("indeg_label"),
+        F.substring("wl1", 1, 16).alias("wl1_sig"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("wl1"))
+        .cast("long")
+        .alias("class_size"),
+    ).orderBy("doc_id")
