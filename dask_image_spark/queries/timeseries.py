@@ -3217,3 +3217,290 @@ def boxcox_lambda_grid(spark, sf_dir):
         )
         .orderBy("lam")
     )
+
+
+# EWMA smoothing factor (weight on the current observation). 0.6 keeps
+# the closed-form weights (0.4^-23 ~ 1.4e9 at 24 points/day) far inside
+# double range; shared literal between the pandas recurrence and the
+# oracle's prefix-sum closed form.
+_EWMA_A = 0.6
+
+
+@register(
+    "ewma_recursive_daily",
+    f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             date_trunc('hour', ts) AS hour, AVG(value) AS v
+      FROM events GROUP BY 1, 2, 3),
+    rn AS (
+      SELECT event_type, day, hour, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY hour) - 1 AS i
+      FROM h),
+    z AS (
+      SELECT event_type, day, hour, v, i,
+             v * CASE WHEN i = 0 THEN 1.0 ELSE {_EWMA_A} END
+               * POW({1 - _EWMA_A}, -i) AS z
+      FROM rn)
+    SELECT event_type, hour,
+           ROUND(1.2345e-8 + POW({1 - _EWMA_A}, i)
+             * SUM(z) OVER (PARTITION BY event_type, day ORDER BY i
+                            ROWS UNBOUNDED PRECEDING), 4) AS ewma
+    FROM z ORDER BY event_type, hour
+    """,
+    tags=("timeseries", "smoothing", "arrow-udf"),
+)
+def ewma_recursive_daily(spark, sf_dir):
+    """EXPONENTIALLY WEIGHTED MOVING AVERAGE (recursive, adjust=False):
+    y_0 = x_0, y_t = a*x_t + (1-a)*y_{{t-1}} over each series' hourly
+    means, restarted daily — the classic online smoother ([[
+    kalman_filter_hod]] is its optimal-gain generalization;
+    [[fir_smooth_8tap]] the finite-window cousin). The ENGINE runs the
+    literal recurrence — pandas ``ewm(alpha, adjust=False).mean()``
+    inside one applyInPandas group per (series, day), the textbook
+    stateful-sequential op SQL can't express directly; the ORACLE uses
+    the algebraic closed form y_t = (1-a)^t * prefix_sum(x_i * a_i *
+    (1-a)^(-i)), which telescopes the recurrence into a window sum.
+    Matching the two IS the test that the recurrence was implemented
+    right.
+
+    Plan: ONE groupBy for hourly means, then applyInPandas partitioned
+    by (event_type, day) — bounded 24-row groups, Arrow-batched, no
+    state crosses a day boundary, so at 100 TB the work is
+    embarrassingly parallel across day-partitions (exactly how
+    pandas-on-Spark executes ewm)."""
+    import pandas as pd  # noqa: F401 (ships with the Arrow worker)
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+
+    def ewm(pdf):
+        pdf = pdf.sort_values("hour")
+        pdf["ewma"] = (
+            pdf["v"].ewm(alpha=_EWMA_A, adjust=False).mean()
+        )
+        return pdf[["event_type", "hour", "ewma"]]
+
+    out = h.groupBy("event_type", "day").applyInPandas(
+        ewm, "event_type string, hour timestamp, ewma double"
+    )
+    return out.select(
+        "event_type", "hour", _eps_round("ewma", 4).alias("ewma")
+    ).orderBy("event_type", "hour")
+
+
+@register(
+    "gap_interp_linear",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, AVG(value) AS v
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, hour, v,
+             CAST(epoch_us(hour) / 3600000000 AS BIGINT) AS hi
+      FROM h),
+    anchors AS (SELECT * FROM idx WHERE hi % 3 = 0),
+    bounds AS (
+      SELECT event_type, MIN(hi) AS lo, MAX(hi) AS hi2
+      FROM anchors GROUP BY event_type),
+    grid AS (
+      SELECT b.event_type, g.hi
+      FROM bounds b, UNNEST(generate_series(b.lo, b.hi2)) AS g(hi)),
+    j AS (
+      SELECT g.event_type, g.hi, a.v,
+             CASE WHEN a.v IS NOT NULL THEN g.hi END AS ahi
+      FROM grid g LEFT JOIN anchors a
+        ON a.event_type = g.event_type AND a.hi = g.hi),
+    fb AS (
+      SELECT event_type, hi, v,
+             LAST_VALUE(v IGNORE NULLS) OVER w AS pv,
+             LAST_VALUE(ahi IGNORE NULLS) OVER w AS ph,
+             FIRST_VALUE(v IGNORE NULLS) OVER w2 AS nv,
+             FIRST_VALUE(ahi IGNORE NULLS) OVER w2 AS nh
+      FROM j
+      WINDOW w AS (PARTITION BY event_type ORDER BY hi
+                   ROWS UNBOUNDED PRECEDING),
+             w2 AS (PARTITION BY event_type ORDER BY hi
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, hi AS hour_index,
+           ROUND(1.2345e-8 + CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN nh = ph THEN pv
+             ELSE pv + (nv - pv) * (hi - ph) / (nh - ph) END, 4)
+             AS v_interp,
+           CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated
+    FROM fb ORDER BY event_type, hour_index
+    """,
+    tags=("timeseries", "interpolation"),
+)
+def gap_interp_linear(spark, sf_dir):
+    """LINEAR GAP INTERPOLATION — densify each series to every hour
+    between its first and last anchor and fill the holes on the
+    straight line between surrounding anchors (anchors = every 3rd
+    hour index, a deterministic sparsification both engines derive).
+    The upsampling complement of [[gap_fill_hours]] (zero-fill) and
+    the preprocessing step before any fixed-step model; emits the
+    interpolated flag so downstream can weight real vs imputed points.
+
+    Plan: grid = per-series bounds + ``sequence`` explode (broadcast
+    territory); the fill is two IGNORE-NULLS window passes over the
+    SAME (series, hour) sort — one forward, one backward — which Spark
+    executes as one sort + two frame scans, no extra shuffle. At
+    100 TB: one groupBy + one sort per series partition; series are
+    independent."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    idx = h.select(
+        "event_type",
+        "v",
+        (F.unix_micros("hour") / 3600000000).cast("long").alias("hi"),
+    )
+    anchors = idx.filter(F.col("hi") % 3 == 0)
+    bounds = anchors.groupBy("event_type").agg(
+        F.min("hi").alias("lo"), F.max("hi").alias("hi2")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi2")).alias("hi"),
+    )
+    j = grid.join(anchors, ["event_type", "hi"], "left").select(
+        "event_type",
+        "hi",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("hi")).alias("ahi"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w2 = (
+        Window.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    fb = j.select(
+        "event_type",
+        "hi",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("pv"),
+        F.last("ahi", ignorenulls=True).over(w).alias("ph"),
+        F.first("v", ignorenulls=True).over(w2).alias("nv"),
+        F.first("ahi", ignorenulls=True).over(w2).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("nh") == F.col("ph"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hi") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return fb.select(
+        "event_type",
+        F.col("hi").alias("hour_index"),
+        _eps_round(interp, 4).alias("v_interp"),
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).alias(
+            "interpolated"
+        ),
+    ).orderBy("event_type", "hour_index")
+
+
+@register(
+    "interval_coverage_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e
+      FROM events),
+    mx AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM mx),
+    agg AS (
+      SELECT user_id, island,
+             MIN(s) AS s0, MAX(e) AS e1
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(e1 - s0) // 1000000 AS BIGINT) AS covered_seconds
+    FROM agg GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries", "intervals", "gaps-and-islands"),
+)
+def interval_coverage_merge(spark, sf_dir):
+    """INTERVAL COVERAGE (merge overlapping intervals) — each event
+    claims a 10-minute activity window; per user, merge every
+    overlapping/touching claim and report merged-segment count and
+    total covered seconds: the canonical gaps-and-islands problem
+    (uptime/billing/utilization semantics). Distinct from
+    [[max_concurrent_sessions]] (peak overlap) and [[sessionize]]
+    (gap-based ids on points): this measures the union LENGTH of
+    interval sets. All arithmetic in integer microseconds — the result
+    is EXACT (BIGINT seconds), no float policy needed.
+
+    Plan: one sort per user partition drives both window passes
+    (running max-end, then running island counter — same ordering, one
+    Sort), then two partial aggs. At 100 TB users are independent
+    hash partitions; the merged-island agg moves one row per island,
+    not per event."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 600000000).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mx = iv.withColumn("prev_max", F.max("e").over(w))
+    isl = mx.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    agg = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    return (
+        agg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.floor(F.sum(F.col("e1") - F.col("s0")) / 1000000)
+            .cast("long")
+            .alias("covered_seconds"),
+        )
+        .orderBy("user_id")
+    )
