@@ -1293,3 +1293,90 @@ def register_shift_fft(spark, sf_dir):
         .applyInPandas(correlate, "dy int, dx int, score long")
         .select("dy", "dx", "score")
     )
+
+
+@register(
+    "interp_zoom_order1",
+    with_pixel_ctes(
+        """
+        SELECT o.yo, o.xo,
+               ROUND(1.2345e-8 + SUM(c.w * p.value), 4) AS v
+        FROM (
+          SELECT gy.yo, gx.xo,
+                 gy.yo * 63.0 / 127.0 AS fy, gx.xo * 63.0 / 127.0 AS fx
+          FROM (SELECT UNNEST(generate_series(0, 127)) AS yo) gy
+          CROSS JOIN (SELECT UNNEST(generate_series(0, 127)) AS xo) gx) o
+        CROSS JOIN LATERAL (
+          SELECT CASE WHEN cy = 0 THEN CAST(FLOOR(o.fy) AS INT)
+                      ELSE LEAST(CAST(FLOOR(o.fy) AS INT) + 1, 63) END AS sy,
+                 CASE WHEN cx = 0 THEN CAST(FLOOR(o.fx) AS INT)
+                      ELSE LEAST(CAST(FLOOR(o.fx) AS INT) + 1, 63) END AS sx,
+                 (CASE WHEN cy = 0 THEN 1 - (o.fy - FLOOR(o.fy))
+                       ELSE o.fy - FLOOR(o.fy) END)
+                 * (CASE WHEN cx = 0 THEN 1 - (o.fx - FLOOR(o.fx))
+                         ELSE o.fx - FLOOR(o.fx) END) AS w
+          FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) corners(cy, cx)) c
+        JOIN pixels p ON p.y = c.sy AND p.x = c.sx
+        GROUP BY o.yo, o.xo
+        """,
+    ),
+    tags=("imaging", "ndinterp", "zoom"),
+)
+def interp_zoom_order1(spark, sf_dir):
+    """ZOOM x2, order-1 (scipy ``ndimage.zoom(a, 2, order=1)``): bilinear
+    upsampling of the 64x64 grid to 128x128 under scipy's
+    endpoint-aligned mapping (grid_mode=False): src = out * (in-1)/
+    (out-1), so corners map to corners exactly and every source coord
+    stays in range. The one resampling surface the affine family
+    doesn't cover — the OUTPUT grid is larger than the input grid, so
+    the query builds the destination lattice itself (sequence explode)
+    instead of iterating input pixels like
+    [[affine_order1]]. Corner reads past the last row/column only ever
+    carry weight 0 (src hits the endpoint exactly there); they're
+    clamped so both engines gather 4 real pixels per output cell.
+
+    Plan: destination lattice (broadcast-scale here; at a real image it
+    is generated per tile), x4 broadcast corner fan-out, ONE shuffle
+    join against the source pixels on (sy, sx), ONE partial-agg
+    groupBy of the 4 weighted corners per output pixel — the identical
+    two-exchange shape as the affine gather, independent of the zoom
+    factor. Upsampling 100 TB means 4x the rows out of the join; the
+    gather keys stay uniformly distributed, no skew."""
+    px = pixel_grid(spark, sf_dir)
+    yo = spark.range(128).select(F.col("id").cast("int").alias("yo"))
+    xo = spark.range(128).select(F.col("id").cast("int").alias("xo"))
+    o = yo.crossJoin(xo).select(
+        "yo", "xo",
+        (F.col("yo") * 63.0 / 127.0).alias("fy"),
+        (F.col("xo") * 63.0 / 127.0).alias("fx"),
+    )
+    corners = values_df(
+        spark, "cy, cx", [(0, 0), (0, 1), (1, 0), (1, 1)]
+    )
+    j = o.crossJoin(F.broadcast(corners)).select(
+        "yo", "xo",
+        F.when(
+            F.col("cy") == 0, F.floor("fy").cast("int")
+        ).otherwise(
+            F.least(F.floor("fy").cast("int") + 1, F.lit(63))
+        ).alias("sy"),
+        F.when(
+            F.col("cx") == 0, F.floor("fx").cast("int")
+        ).otherwise(
+            F.least(F.floor("fx").cast("int") + 1, F.lit(63))
+        ).alias("sx"),
+        (
+            F.when(F.col("cy") == 0, 1 - (F.col("fy") - F.floor("fy")))
+            .otherwise(F.col("fy") - F.floor("fy"))
+            * F.when(F.col("cx") == 0, 1 - (F.col("fx") - F.floor("fx")))
+            .otherwise(F.col("fx") - F.floor("fx"))
+        ).alias("w"),
+    )
+    src = px.select(
+        F.col("y").alias("sy"), F.col("x").alias("sx"), "value"
+    )
+    return (
+        j.join(src, ["sy", "sx"])
+        .groupBy("yo", "xo")
+        .agg(_eps_round(F.sum(F.col("w") * F.col("value")), 4).alias("v"))
+    )

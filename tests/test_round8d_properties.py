@@ -1,0 +1,233 @@
+"""Property tests for the third round-8 continuation batch: independent
+numpy/pure-Python references for the formulas the new graded queries embed
+(bilinear zoom mapping, L-inf two-phase distance decomposition, EWMA
+closed form vs recurrence, Kendall tau-b vs merge-count, interval-merge
+coverage vs sweep line). No Spark — these check the math the Spark and
+DuckDB sides share, on arbitrary inputs the fixture can't cover."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# ---- endpoint-aligned bilinear zoom -----------------------------------------
+
+
+def _zoom_bilinear(a: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Reference: scipy-style grid_mode=False mapping src = out*(in-1)/(out-1),
+    computed per-pixel with explicit corner weights (the query's formula)."""
+    in_h, in_w = a.shape
+    out = np.empty((out_h, out_w))
+    for yo in range(out_h):
+        fy = yo * (in_h - 1) / (out_h - 1)
+        y0 = int(np.floor(fy))
+        y1 = min(y0 + 1, in_h - 1)
+        ty = fy - y0
+        for xo in range(out_w):
+            fx = xo * (in_w - 1) / (out_w - 1)
+            x0 = int(np.floor(fx))
+            x1 = min(x0 + 1, in_w - 1)
+            tx = fx - x0
+            out[yo, xo] = (
+                (1 - ty) * (1 - tx) * a[y0, x0]
+                + (1 - ty) * tx * a[y0, x1]
+                + ty * (1 - tx) * a[y1, x0]
+                + ty * tx * a[y1, x1]
+            )
+    return out
+
+
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=50, deadline=None)
+def test_zoom_preserves_corners_and_interpolates_linearly(h, w, seed):
+    """Two invariants any correct endpoint-aligned bilinear zoom holds:
+    the four corners are reproduced exactly, and a bilinear (plane)
+    input is reproduced exactly everywhere (order-1 interpolation is
+    exact on order-1 signals)."""
+    rng = np.random.RandomState(seed)
+    a = rng.rand(h, w)
+    z = _zoom_bilinear(a, 2 * h, 2 * w)
+    assert z[0, 0] == a[0, 0]
+    assert z[0, -1] == a[0, -1]
+    assert z[-1, 0] == a[-1, 0]
+    assert z[-1, -1] == a[-1, -1]
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    plane = 0.3 * yy + 0.7 * xx + 1.25
+    zp = _zoom_bilinear(plane, 2 * h, 2 * w)
+    yo, xo = np.mgrid[0 : 2 * h, 0 : 2 * w]
+    expect = (
+        0.3 * yo * (h - 1) / (2 * h - 1)
+        + 0.7 * xo * (w - 1) / (2 * w - 1)
+        + 1.25
+    )
+    assert np.allclose(zp, expect, atol=1e-12)
+
+
+# ---- L-inf distance transform two-phase decomposition ------------------------
+
+
+@given(
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_chessboard_two_phase_equals_brute_force(h, w, seed):
+    """The graded query's decomposition — vertical L1 pass then per-row
+    min over max(|dx|, D1) — must equal brute-force min over mask of
+    max(|dy|, |dx|) on ANY mask (at least one seed pixel)."""
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(h, w) < 0.3
+    if not mask.any():
+        mask[rng.randint(h), rng.randint(w)] = True
+    ys, xs = np.nonzero(mask)
+
+    # brute force
+    yy, xx = np.mgrid[0:h, 0:w]
+    brute = np.min(
+        np.maximum(
+            np.abs(yy[..., None] - ys[None, None, :]),
+            np.abs(xx[..., None] - xs[None, None, :]),
+        ),
+        axis=2,
+    )
+
+    # two-phase
+    INF = 1 << 20
+    d1 = np.full((h, w), INF)
+    for x in range(w):
+        rows = np.nonzero(mask[:, x])[0]
+        if len(rows):
+            d1[:, x] = np.min(
+                np.abs(np.arange(h)[:, None] - rows[None, :]), axis=1
+            )
+    two = np.empty((h, w), dtype=int)
+    for y in range(h):
+        for x in range(w):
+            two[y, x] = min(
+                max(abs(x - xp), d1[y, xp]) for xp in range(w)
+            )
+    assert np.array_equal(two, brute)
+
+
+# ---- EWMA closed form vs recurrence ------------------------------------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ewma_closed_form_matches_recurrence(xs):
+    """The oracle's telescoped prefix-sum form (1-a)^t * sum(x_i * a_i *
+    (1-a)^-i) must equal the engine's literal recurrence y_t = a x_t +
+    (1-a) y_{t-1} on any bounded series."""
+    a = 0.6
+    y = xs[0]
+    rec = [y]
+    for x in xs[1:]:
+        y = a * x + (1 - a) * y
+        rec.append(y)
+    oma = 1 - a
+    acc = 0.0
+    closed = []
+    for i, x in enumerate(xs):
+        coef = 1.0 if i == 0 else a
+        acc += x * coef * oma ** (-i)
+        closed.append(oma**i * acc)
+    assert np.allclose(rec, closed, rtol=1e-9, atol=1e-9)
+
+
+# ---- Kendall tau-b pair counting ---------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_kendall_tau_b_matches_definition(pairs):
+    """The query's (C - D)/sqrt((n0-tx)(n0-ty)) with tx/ty counting ALL
+    x-tied / y-tied pairs must equal the textbook tau-b computed from
+    tie-group counts: denominator sqrt((n0 - sum tx_g)(n0 - sum ty_g))."""
+    from collections import Counter
+
+    n = len(pairs)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pairs[i][0] - pairs[j][0]
+            dy = pairs[i][1] - pairs[j][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    gx = sum(t * (t - 1) // 2 for t in Counter(p[0] for p in pairs).values())
+    gy = sum(t * (t - 1) // 2 for t in Counter(p[1] for p in pairs).values())
+    assert tx == gx and ty == gy
+    if n0 > gx and n0 > gy:
+        tau_query = (c - d) / np.sqrt((n0 - tx) * (n0 - ty))
+        tau_text = (c - d) / np.sqrt((n0 - gx) * (n0 - gy))
+        assert abs(tau_query - tau_text) < 1e-12
+        assert -1.0 - 1e-12 <= tau_query <= 1.0 + 1e-12
+
+
+# ---- interval merge coverage ---------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1000),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_interval_merge_coverage_matches_sweep(starts, length):
+    """The gaps-and-islands window formulation (island breaks where
+    start > running max end) must produce the same total coverage and
+    island count as a direct boolean sweep over the covered line."""
+    iv = sorted((s, s + length) for s in starts)
+    # window formulation
+    islands = []
+    cur_s, cur_e = iv[0]
+    n_isl = 1
+    for s, e in iv[1:]:
+        if s > cur_e:
+            islands.append((cur_s, cur_e))
+            cur_s, cur_e = s, e
+            n_isl += 1
+        else:
+            cur_e = max(cur_e, e)
+    islands.append((cur_s, cur_e))
+    cov = sum(e - s for s, e in islands)
+    # boolean sweep
+    line = np.zeros(max(e for _, e in iv) + 1, dtype=bool)
+    for s, e in iv:
+        line[s:e] = True
+    assert cov == int(line.sum())
+    # island count == runs of True
+    runs = int(np.diff(np.concatenate(([0], line.view(np.int8), [0]))).clip(min=0).sum())
+    assert n_isl == runs
