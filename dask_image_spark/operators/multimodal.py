@@ -1128,3 +1128,86 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, list[int]]:
     if len(indices) < w * h:
         raise ValueError("truncated GIF pixel stream")
     return w, h, [palette[i] for i in indices[:w * h]]
+
+
+def encode_ppm(rgb, width: int, height: int) -> bytes:
+    """Encode 8-bit RGB pixels (row-major iterable of (r, g, b)) as binary
+    PPM (netpbm P6) — the color sibling of :func:`encode_pgm`, written
+    from scratch; a comment line exercises the parser's comment skip."""
+    header = f"P6\n# dask_image_spark fixture\n{width} {height}\n255\n"
+    body = bytearray()
+    for r, g, b in rgb:
+        body += bytes((r, g, b))
+    return header.encode("ascii") + bytes(body)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Decode binary PPM (P6): (width, height, [(r, g, b)] row-major).
+    Shares the netpbm tokenizer discipline of :func:`decode_pgm` —
+    whitespace/comment-separated header ints, then 3 raw bytes/pixel."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = payload[pos : pos + 3 * width * height]
+    if len(data) != 3 * width * height:
+        raise ValueError("truncated PPM payload")
+    return width, height, [
+        (data[i], data[i + 1], data[i + 2]) for i in range(0, len(data), 3)
+    ]
+
+
+def encode_pgm_ascii(pixels, width: int, height: int) -> bytes:
+    """Encode 8-bit grayscale pixels as ASCII PGM (netpbm P2) — the
+    plain-text variant: decimal tokens, a 70-char line discipline, and
+    an embedded comment. A genuinely different byte layout from P5 that
+    exercises token-based (not offset-based) pixel parsing."""
+    lines = [f"P2", "# ascii variant", f"{width} {height}", "255"]
+    row: list[str] = []
+    count = 0
+    for p in pixels:
+        row.append(str(int(p)))
+        count += 1
+        if count % width == 0:
+            lines.append(" ".join(row))
+            row = []
+    if row:
+        lines.append(" ".join(row))
+    return ("\n".join(lines) + "\n").encode("ascii")
+
+
+def decode_pgm_ascii(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode ASCII PGM (P2): all whitespace-separated decimal tokens
+    after the magic, comments stripped line-wise per the netpbm spec."""
+    if not payload.startswith(b"P2"):
+        raise ValueError("not an ASCII PGM (P2) payload")
+    text = payload[2:].decode("ascii")
+    tokens: list[int] = []
+    for line in text.splitlines():
+        hash_at = line.find("#")
+        if hash_at != -1:
+            line = line[:hash_at]
+        tokens.extend(int(t) for t in line.split())
+    if len(tokens) < 3:
+        raise ValueError("truncated P2 header")
+    width, height, maxval = tokens[:3]
+    if maxval > 255:
+        raise ValueError("16-bit PGM not supported")
+    px = tokens[3 : 3 + width * height]
+    if len(px) != width * height:
+        raise ValueError("truncated P2 pixel stream")
+    return width, height, px

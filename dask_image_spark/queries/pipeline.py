@@ -5823,3 +5823,180 @@ def audio_spectral_centroid(spark, sf_dir):
         )
         .orderBy("clip")
     )
+
+
+@register(
+    "imread_ppm_rgb",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS img,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(4096 AS INT) AS n_px,
+           CAST(SUM((event_id * 5 + 1) % 256) % 65536 AS INT) AS sum_r,
+           CAST(SUM((event_id * 9 + 2) % 256) % 65536 AS INT) AS sum_g,
+           CAST(SUM((event_id * 3 + 5) % 256) % 65536 AS INT) AS sum_b
+    FROM events WHERE event_id < 8192
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema=(
+        "img int, width int, height int, n_px int,"
+        " sum_r int, sum_g int, sum_b int"
+    ),
+)
+def imread_ppm_rgb(spark, sf_dir):
+    """COLOR netpbm ingest (PPM P6) through the real imread path: derive
+    two 64x64 RGB images (three deterministic per-channel ramps), encode
+    each as a binary P6 file — from scratch, with a header comment to
+    exercise the tokenizer's comment skip — land them, re-scan via
+    ``binaryFile``, decode in mapInPandas, and emit per-CHANNEL checksums
+    (a channel-interleave bug flips sum_r/sum_g/sum_b, which the
+    grayscale [[imread_pgm]] checksum could never see). Completes the
+    netpbm matrix with [[imread_pgm]] (P5) and [[imread_pgm_ascii]]
+    (P2); the oracle recomputes the channel sums straight from events.
+
+    Plan: per-image encode groups in applyInPandas, partition-parallel
+    binaryFile decode — the [[imread_pgm]] distributed shape."""
+    import os
+
+    from dask_image_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/ppm_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("img"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 5 + 1, F.lit(256)).cast("int").alias("r"),
+        F.pmod(F.col("event_id") * 9 + 2, F.lit(256)).cast("int").alias("g"),
+        F.pmod(F.col("event_id") * 3 + 5, F.lit(256)).cast("int").alias("b"),
+    )
+
+    def write_image(pdf):
+        import numpy as np
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        # Zero-pad partial groups at tiny sf (see imread_pgm.write_image).
+        rgb = np.zeros((4096, 3), dtype="uint8")
+        pos = pdf["pos"].to_numpy()
+        for ci, cname in enumerate(("r", "g", "b")):
+            rgb[pos, ci] = pdf[cname].to_numpy().astype("uint8")
+        payload = encode_ppm([tuple(p) for p in rgb], 64, 64)
+        path = f"{out_dir}/img_{img}.ppm"
+        with open(path, "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.ppm")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "img": [], "width": [], "height": [], "n_px": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, rgb = decode_ppm(bytes(content))
+                rows["img"].append(
+                    int(path.rsplit("img_", 1)[1].split(".")[0])
+                )
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(rgb))
+                rows["sum_r"].append(sum(p[0] for p in rgb) % 65536)
+                rows["sum_g"].append(sum(p[1] for p in rgb) % 65536)
+                rows["sum_b"].append(sum(p[2] for p in rgb) % 65536)
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode,
+        "img int, width int, height int, n_px int,"
+        " sum_r int, sum_g int, sum_b int",
+    )
+
+
+@register(
+    "imread_pgm_ascii",
+    """
+    SELECT CAST(event_id // 4096 AS INT) AS img,
+           CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+           CAST(4096 AS INT) AS n_px,
+           CAST(SUM((event_id * 17 + 3) % 256) % 65536 AS INT) AS checksum
+    FROM events WHERE event_id < 8192
+    GROUP BY 1
+    """,
+    tags=("pipeline", "multimodal", "imread", "io-write"),
+    schema="img int, width int, height int, n_px int, checksum int",
+)
+def imread_pgm_ascii(spark, sf_dir):
+    """ASCII netpbm ingest (PGM P2): same imread roundtrip as
+    [[imread_pgm]] but through the PLAIN-TEXT variant — decimal pixel
+    tokens, line-comment stripping, no fixed byte offsets — so the
+    parser under test is token-based, a genuinely different failure
+    surface from the P5 offset math (a whitespace/comment bug here
+    cannot be caught by any binary codec test). Oracle recomputes the
+    checksum from events as always.
+
+    Plan: identical distributed shape to [[imread_pgm]] — per-image
+    applyInPandas encode, partition-parallel binaryFile + mapInPandas
+    decode."""
+    import os
+
+    from dask_image_spark.operators.multimodal import (
+        decode_pgm_ascii,
+        encode_pgm_ascii,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out_dir = f"/tmp/dask_image_spark_io/pgm_ascii_{tag}"
+    _fresh_dir(out_dir)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
+    px = ev.select(
+        (F.col("event_id") / 4096).cast("int").alias("img"),
+        F.pmod(F.col("event_id"), F.lit(4096)).cast("int").alias("pos"),
+        F.pmod(F.col("event_id") * 17 + 3, F.lit(256)).cast("int").alias("px"),
+    )
+
+    def write_image(pdf):
+        import numpy as np
+        import pandas as pd
+
+        img = int(pdf["img"].iloc[0])
+        # Zero-pad partial groups at tiny sf (see imread_pgm.write_image).
+        ordered = np.zeros(4096, dtype="uint8")
+        ordered[pdf["pos"].to_numpy()] = pdf["px"].to_numpy().astype("uint8")
+        payload = encode_pgm_ascii(ordered, 64, 64)
+        with open(f"{out_dir}/img_{img}.pgm", "wb") as f:
+            f.write(payload)
+        return pd.DataFrame({"img": [img], "n_bytes": [len(payload)]})
+
+    px.groupBy("img").applyInPandas(write_image, "img int, n_bytes int").collect()
+
+    scanned = spark.read.format("binaryFile").load(f"{out_dir}/*.pgm")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"img": [], "width": [], "height": [], "n_px": [], "checksum": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                w, h, pixels = decode_pgm_ascii(bytes(content))
+                rows["img"].append(
+                    int(path.rsplit("img_", 1)[1].split(".")[0])
+                )
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(pixels))
+                rows["checksum"].append(sum(pixels) % 65536)
+            yield pd.DataFrame(rows)
+
+    return scanned.select("path", "content").mapInPandas(
+        decode, "img int, width int, height int, n_px int, checksum int"
+    )

@@ -676,3 +676,63 @@ def test_gif_decoder_rejects_bad_payloads():
     struct.pack_into("<HH", short, 13 + 768 + 5, 3, 3)
     with pytest.raises(ValueError, match="truncated GIF pixel"):
         decode_gif_gray(bytes(short))
+
+
+def test_ppm_codec_roundtrip():
+    """P6 color roundtrip preserves every channel in order; the header
+    comment must be skipped by the tokenizer."""
+    from dask_image_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    rgb = [((i * 5) % 256, (i * 9) % 256, (i * 3) % 256) for i in range(12)]
+    payload = encode_ppm(rgb, 4, 3)
+    assert payload.startswith(b"P6")
+    assert b"#" in payload.split(b"255")[0]  # comment line survived
+    w, h, out = decode_ppm(payload)
+    assert (w, h) == (4, 3)
+    assert out == rgb
+
+
+def test_ppm_codec_rejects_bad_payloads():
+    import pytest
+
+    from dask_image_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    good = encode_ppm([(1, 2, 3)], 1, 1)
+    with pytest.raises(ValueError, match="truncated PPM"):
+        decode_ppm(good[:-1])
+
+
+def test_pgm_ascii_codec_roundtrip_and_comments():
+    """P2 tokens roundtrip; comments and arbitrary whitespace are both
+    legal separators per the netpbm spec."""
+    from dask_image_spark.operators.multimodal import (
+        decode_pgm_ascii,
+        encode_pgm_ascii,
+    )
+
+    px = [(i * 17) % 256 for i in range(20)]
+    payload = encode_pgm_ascii(px, 5, 4)
+    assert payload.startswith(b"P2")
+    w, h, out = decode_pgm_ascii(payload)
+    assert (w, h, out) == (5, 4, px)
+    # inject a mid-stream comment and fold whitespace: still decodes
+    mangled = payload.replace(b"\n255\n", b"\n255\n# mid comment\n")
+    assert decode_pgm_ascii(mangled)[2] == px
+
+
+def test_pgm_ascii_rejects_bad_payloads():
+    import pytest
+
+    from dask_image_spark.operators.multimodal import (
+        decode_pgm_ascii,
+        encode_pgm_ascii,
+    )
+
+    with pytest.raises(ValueError, match="not an ASCII PGM"):
+        decode_pgm_ascii(b"P5\n1 1\n255\n\x00")
+    good = encode_pgm_ascii([7, 8], 2, 1)
+    truncated = good.rsplit(b" ", 1)[0] + b"\n"
+    with pytest.raises(ValueError, match="truncated P2 pixel"):
+        decode_pgm_ascii(truncated)
