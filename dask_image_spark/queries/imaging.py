@@ -4286,3 +4286,51 @@ def distance_transform_chessboard(spark, sf_dir):
         ).cast("int").alias("dist")
     )
     return out
+
+
+def _grey_open_close_oracle(kind: str) -> str:
+    ctes: list[str] = []
+    if kind == "open":
+        passes = [(_BOX3, "MIN({v})", REFL, 0.0), (_BOX3, "MAX({v})", REFL, 0.0)]
+    else:
+        passes = [(_BOX3, "MAX({v})", REFL, 0.0), (_BOX3, "MIN({v})", REFL, 0.0)]
+    c = _chain(ctes, "goc", "pixels", passes)
+    body = (
+        f"SELECT y, x, ROUND(1.2345e-8 + value, 4) AS v FROM {c}"
+    )
+    return with_pixel_ctes(body, extra=ctes)
+
+
+@register("morph_grey_opening", _grey_open_close_oracle("open"),
+          tags=("imaging", "ndmorph", "greyscale"))
+def morph_grey_opening(spark, sf_dir):
+    """GREY OPENING (scipy ``grey_opening``, flat 3x3): erosion then
+    dilation — suppresses bright structures smaller than the element
+    while preserving larger geometry (anti-extensive, idempotent). The
+    named scipy surface behind [[morph_tophat_white]]'s inner
+    composition, graded directly so the opening itself (not just its
+    residual) carries oracle evidence. Two chained single-shuffle
+    stencils; each pass's groupBy keys equal the next pass's join keys,
+    so the second stencil reuses the first's hash partitioning."""
+    px = pixel_grid(spark, sf_dir)
+    return _round_v(
+        ndfilters.maximum_filter(
+            _as_value(ndfilters.minimum_filter(px, 3, SHAPE)), 3, SHAPE
+        )
+    )
+
+
+@register("morph_grey_closing", _grey_open_close_oracle("close"),
+          tags=("imaging", "ndmorph", "greyscale"))
+def morph_grey_closing(spark, sf_dir):
+    """GREY CLOSING (scipy ``grey_closing``, flat 3x3): dilation then
+    erosion — fills dark gaps smaller than the element (extensive,
+    idempotent), the dual of [[morph_grey_opening]] and the inner
+    composition of [[morph_tophat_black]]. Same two-pass chained
+    stencil plan."""
+    px = pixel_grid(spark, sf_dir)
+    return _round_v(
+        ndfilters.minimum_filter(
+            _as_value(ndfilters.maximum_filter(px, 3, SHAPE)), 3, SHAPE
+        )
+    )
