@@ -29,6 +29,8 @@ repo-wide EPS+round policy (queries/base.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -4103,4 +4105,239 @@ def log_loss_binary(spark, sf_dir):
             ),
             4,
         ).alias("baseline_log_loss"),
+    )
+
+
+# GMM EM fixture: deterministic 2-component init shared verbatim by both
+# engines (means bracket the value distribution, equal spherical variance
+# and weights). TWO_PI as an explicit literal — the kernel-constant rule.
+_GMM_MU1, _GMM_MU2, _GMM_V, _TWO_PI = 30.0, 70.0, 100.0, 6.283185307179586
+# ln(pi_k) - 0.5 ln(2 pi V): the constant part of the log-density, computed
+# ONCE in Python and inlined verbatim into both engines (the kernel-constant
+# rule) so neither engine re-derives it with its own ln().
+_GMM_LOGC = math.log(0.5) - 0.5 * math.log(_TWO_PI * _GMM_V)
+
+
+@register(
+    "gmm_em_1step",
+    f"""
+    WITH x AS (SELECT value AS v FROM events),
+    g AS (
+      SELECT v,
+             -(v - 30.0) * (v - 30.0) / (2 * 100.0) AS g1,
+             -(v - 70.0) * (v - 70.0) / (2 * 100.0) AS g2
+      FROM x),
+    r AS (
+      SELECT v,
+             1.0 / (1.0 + EXP(g2 - g1)) AS r1,
+             1.0 / (1.0 + EXP(g1 - g2)) AS r2,
+             {_GMM_LOGC!r}
+               + GREATEST(g1, g2)
+               + LN(EXP(g1 - GREATEST(g1, g2))
+                    + EXP(g2 - GREATEST(g1, g2))) AS ll
+      FROM g),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(ll) AS loglik,
+             SUM(r1) AS n1, SUM(r2) AS n2,
+             SUM(r1 * v) AS s1, SUM(r2 * v) AS s2,
+             SUM(r1 * v * v) AS q1, SUM(r2 * v * v) AS q2
+      FROM r)
+    SELECT comp,
+           ROUND(1.2345e-8 + CASE comp WHEN 1 THEN n1 / n ELSE n2 / n END, 4)
+             AS pi_new,
+           ROUND(1.2345e-8 + CASE comp WHEN 1 THEN s1 / n1 ELSE s2 / n2 END, 4)
+             AS mu_new,
+           ROUND(1.2345e-8 + CASE comp
+             WHEN 1 THEN q1 / n1 - (s1 / n1) * (s1 / n1)
+             ELSE q2 / n2 - (s2 / n2) * (s2 / n2) END, 4) AS sigma2_new,
+           ROUND(1.2345e-8 + loglik, 2) AS loglik0
+    FROM m CROSS JOIN (VALUES (1), (2)) c(comp)
+    ORDER BY comp
+    """,
+    tags=("curation", "ml", "em"),
+)
+def gmm_em_1step(spark, sf_dir):
+    """GAUSSIAN MIXTURE EM, one exact step — 2 spherical components on
+    `value` from a deterministic init (means 30/70, variance 100,
+    weights 1/2): E-step responsibilities r_k = pi_k N(x|mu_k, v) /
+    sum_j pi_j N_j, M-step pi' = mean(r), mu' = sum(r x)/sum(r),
+    sigma2' = sum(r x^2)/sum(r) - mu'^2, plus the pre-step
+    log-likelihood (the quantity EM provably increases — a convergence
+    loop is this block iterated, the [[kmeans_lloyd_2iter]] /
+    [[logreg_gd_2step]] fixed-iteration precedent; k-means is this
+    with hard assignments and frozen variances). Log-lik rounds at 2
+    decimals: it is a SUM over rows (magnitude ~1e4-1e5), so 4-decimal
+    rounding would demand ~1e-9 relative float reproducibility across
+    engines — the same sum-magnitude policy as the TPC-H revenue
+    aggregates.
+
+    Plan: E-step is pure map-side scalar math; the M-step is ONE
+    partial-agg scan emitting 8 sufficient statistics (1 row out) —
+    the textbook distributed-EM shape where only sufficient statistics
+    cross the wire, never responsibilities. Optimal at any scale."""
+    from dask_image_spark.functions.localrel import values_df
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("v")
+    # Log-domain throughout: raw densities underflow to 0 for values far
+    # from both means (the fixture reaches ~490, 42 sigma out), which ANSI
+    # mode turns into a divide-by-zero. Responsibilities become logistic
+    # functions of the log-density gap (exp overflow saturates to +inf ->
+    # r = 0 exactly, correct limit) and the log-lik uses log-sum-exp.
+    g1 = -(v - _GMM_MU1) * (v - _GMM_MU1) / (2 * _GMM_V)
+    g2 = -(v - _GMM_MU2) * (v - _GMM_MU2) / (2 * _GMM_V)
+    e = ev.select(F.col("value").alias("v")).select(
+        "v", g1.alias("g1"), g2.alias("g2")
+    )
+    gmax = F.greatest(F.col("g1"), F.col("g2"))
+    r = e.select(
+        "v",
+        (1.0 / (1.0 + F.exp(F.col("g2") - F.col("g1")))).alias("r1"),
+        (1.0 / (1.0 + F.exp(F.col("g1") - F.col("g2")))).alias("r2"),
+        (
+            F.lit(_GMM_LOGC)
+            + gmax
+            + F.log(
+                F.exp(F.col("g1") - gmax) + F.exp(F.col("g2") - gmax)
+            )
+        ).alias("ll"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("ll").alias("loglik"),
+        F.sum("r1").alias("n1"),
+        F.sum("r2").alias("n2"),
+        F.sum(F.col("r1") * F.col("v")).alias("s1"),
+        F.sum(F.col("r2") * F.col("v")).alias("s2"),
+        F.sum(F.col("r1") * F.col("v") * F.col("v")).alias("q1"),
+        F.sum(F.col("r2") * F.col("v") * F.col("v")).alias("q2"),
+    )
+    comps = values_df(spark, "comp", [(1,), (2,)])
+    j = m.crossJoin(F.broadcast(comps))
+    pick = lambda a, b: F.when(F.col("comp") == 1, a).otherwise(b)  # noqa: E731
+    mu = pick(F.col("s1") / F.col("n1"), F.col("s2") / F.col("n2"))
+    q_over_n = pick(F.col("q1") / F.col("n1"), F.col("q2") / F.col("n2"))
+    return j.select(
+        "comp",
+        _eps_round(pick(F.col("n1"), F.col("n2")) / F.col("n"), 4).alias(
+            "pi_new"
+        ),
+        _eps_round(mu, 4).alias("mu_new"),
+        _eps_round(q_over_n - mu * mu, 4).alias("sigma2_new"),
+        _eps_round("loglik", 2).alias("loglik0"),
+    ).orderBy("comp")
+
+
+@register(
+    "collocation_llr",
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t
+      FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+      FROM toks),
+    bcnt AS (
+      SELECT p.a AS tok_a, p.b AS tok_b, CAST(COUNT(*) AS DOUBLE) AS k11
+      FROM bi WHERE p.a <> '' AND p.b <> '' GROUP BY p.a, p.b),
+    ma AS (SELECT tok_a, SUM(k11) AS ra FROM bcnt GROUP BY tok_a),
+    mb AS (SELECT tok_b, SUM(k11) AS cb FROM bcnt GROUP BY tok_b),
+    tot AS (SELECT SUM(k11) AS n FROM bcnt),
+    cells AS (
+      SELECT bc.tok_a, bc.tok_b, bc.k11,
+             ma.ra - bc.k11 AS k12, mb.cb - bc.k11 AS k21,
+             t.n - ma.ra - mb.cb + bc.k11 AS k22,
+             ma.ra AS ra, mb.cb AS cb, t.n AS n
+      FROM bcnt bc JOIN ma ON ma.tok_a = bc.tok_a
+                   JOIN mb ON mb.tok_b = bc.tok_b
+                   CROSS JOIN tot t
+      WHERE bc.k11 >= 5)
+    SELECT tok_a, tok_b, CAST(k11 AS BIGINT) AS n_pair,
+           ROUND(1.2345e-8 + 2 * (
+             CASE WHEN k11 > 0 THEN k11 * LN(k11 * n / (ra * cb)) ELSE 0 END
+           + CASE WHEN k12 > 0 THEN k12 * LN(k12 * n / (ra * (n - cb)))
+                  ELSE 0 END
+           + CASE WHEN k21 > 0 THEN k21 * LN(k21 * n / ((n - ra) * cb))
+                  ELSE 0 END
+           + CASE WHEN k22 > 0
+                  THEN k22 * LN(k22 * n / ((n - ra) * (n - cb)))
+                  ELSE 0 END), 4) AS llr
+    FROM cells
+    ORDER BY llr DESC, tok_a, tok_b LIMIT 20
+    """,
+    tags=("pipeline", "curation", "collocation"),
+)
+def collocation_llr(spark, sf_dir):
+    """DUNNING LOG-LIKELIHOOD RATIO collocations — the G^2 test over the
+    bigram contingency table (Dunning 1993), the collocation ranker
+    that, unlike [[token_pmi_bigrams]], does not over-reward rare
+    pairs: G^2 = 2 * sum_ij k_ij ln(k_ij N / (R_i C_j)) with the
+    0*ln(0)=0 convention, marginals taken over the bigram table (first
+    and second token positions). Support >= 5, top-20, EPS-rounded
+    before ordering with token tie-breaks — the [[token_pmi_bigrams]]
+    rank-determinism rule.
+
+    Plan: bigram counts are ONE partial agg; both marginals are
+    re-aggregations of that (vocab-sized) table, not corpus re-scans;
+    the totals broadcast; the final top-20 is TakeOrderedAndProject.
+    At 100 TB the corpus scan dominates and everything downstream is
+    vocab-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+    bcnt = persist_tracked(
+        bi.groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("k11"))
+    )
+    ma = bcnt.groupBy("tok_a").agg(F.sum("k11").alias("ra"))
+    mb = bcnt.groupBy("tok_b").agg(F.sum("k11").alias("cb"))
+    tot = bcnt.agg(F.sum("k11").alias("n"))
+    cells = (
+        bcnt.filter(F.col("k11") >= 5)
+        .join(ma, "tok_a")
+        .join(mb, "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a", "tok_b", "k11", "ra", "cb", "n",
+            (F.col("ra") - F.col("k11")).alias("k12"),
+            (F.col("cb") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("ra") - F.col("cb") + F.col("k11")).alias(
+                "k22"
+            ),
+        )
+    )
+
+    def term(k, num_r, num_c):
+        return F.when(
+            k > 0, k * F.log(k * F.col("n") / (num_r * num_c))
+        ).otherwise(0.0)
+
+    ra, cb, n = F.col("ra"), F.col("cb"), F.col("n")
+    llr = 2 * (
+        term(F.col("k11"), ra, cb)
+        + term(F.col("k12"), ra, n - cb)
+        + term(F.col("k21"), n - ra, cb)
+        + term(F.col("k22"), n - ra, n - cb)
+    )
+    return (
+        cells.select(
+            "tok_a", "tok_b",
+            F.col("k11").cast("long").alias("n_pair"),
+            _eps_round(llr, 4).alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "tok_a", "tok_b")
+        .limit(20)
     )

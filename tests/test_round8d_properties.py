@@ -231,3 +231,54 @@ def test_interval_merge_coverage_matches_sweep(starts, length):
     # island count == runs of True
     runs = int(np.diff(np.concatenate(([0], line.view(np.int8), [0]))).clip(min=0).sum())
     assert n_isl == runs
+
+
+# ---- GMM EM step --------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+        min_size=5,
+        max_size=200,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_gmm_em_step_increases_loglik_and_matches_direct(xs):
+    """The query's sufficient-statistics M-step (log-domain logistic
+    responsibilities, q/n - mu^2 variance) must match a direct numpy
+    EM step, and one EM step must not decrease the log-likelihood
+    (the EM monotonicity guarantee) given non-degenerate updates."""
+    x = np.array(xs)
+    mu = np.array([30.0, 70.0])
+    V = 100.0
+    g = -((x[:, None] - mu[None, :]) ** 2) / (2 * V)
+    r = 1.0 / (1.0 + np.exp(g[:, ::-1] - g))  # logistic form, as the query
+    r_direct = np.exp(g) / np.exp(g).sum(axis=1, keepdims=True)
+    with np.errstate(invalid="ignore"):
+        # where exp(g) underflows both ways the direct form is nan; the
+        # logistic form still yields the correct saturated limit
+        mask = ~np.isnan(r_direct).any(axis=1)
+    assert np.allclose(r[mask], r_direct[mask], atol=1e-12)
+    assert np.allclose(r.sum(axis=1), 1.0, atol=1e-12)
+
+    n_k = r.sum(axis=0)
+    if (n_k > 1e-9).all():
+        pi_new = n_k / len(x)
+        mu_new = (r * x[:, None]).sum(axis=0) / n_k
+        q_over_n = (r * x[:, None] ** 2).sum(axis=0) / n_k
+        v_new = q_over_n - mu_new**2
+        # suff-stat variance equals direct weighted central moment
+        v_direct = (r * (x[:, None] - mu_new[None, :]) ** 2).sum(axis=0) / n_k
+        assert np.allclose(v_new, v_direct, atol=1e-6)
+
+        def loglik(mus, vs, pis):
+            gg = -((x[:, None] - mus[None, :]) ** 2) / (2 * vs[None, :])
+            c = np.log(pis[None, :]) - 0.5 * np.log(2 * np.pi * vs[None, :])
+            m = (gg + c).max(axis=1, keepdims=True)
+            return (m[:, 0] + np.log(np.exp(gg + c - m).sum(axis=1))).sum()
+
+        if (v_new > 1e-6).all():
+            l0 = loglik(mu, np.array([V, V]), np.array([0.5, 0.5]))
+            l1 = loglik(mu_new, v_new, pi_new)
+            assert l1 >= l0 - 1e-7
