@@ -4341,3 +4341,258 @@ def collocation_llr(spark, sf_dir):
         .orderBy(F.desc("llr"), "tok_a", "tok_b")
         .limit(20)
     )
+
+
+# AdaBoost candidate grid: fixed literal thresholds per feature (value
+# deciles-ish, hour-of-day quarters), each usable with either polarity.
+# A literal grid keeps the argmin domain identical on both engines.
+_ADA_VALUE_THRS = (10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0)
+_ADA_HOD_THRS = (4.0, 8.0, 12.0, 16.0, 20.0)
+
+
+def _ada_cand_sql() -> str:
+    rows = []
+    cid = 0
+    for feat, thrs in (("value", _ADA_VALUE_THRS), ("hod", _ADA_HOD_THRS)):
+        for thr in thrs:
+            for pol in (1, -1):
+                rows.append(f"({cid}, '{feat}', {thr!r}, {pol})")
+                cid += 1
+    return ", ".join(rows)
+
+
+@register(
+    "adaboost_2stumps",
+    f"""
+    WITH pts AS (
+      SELECT value AS value, CAST(hour(ts) AS DOUBLE) AS hod,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1 ELSE -1 END AS y
+      FROM events),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pts),
+    cands AS (
+      SELECT * FROM (VALUES {_ada_cand_sql()}) c(cid, feat, thr, pol)),
+    p1 AS (
+      SELECT c.cid, c.feat, c.thr, c.pol,
+             CAST(SUM(CASE WHEN (CASE WHEN
+                 (CASE WHEN c.feat = 'value' THEN p.value ELSE p.hod END)
+                 > c.thr THEN c.pol ELSE -c.pol END) <> p.y
+               THEN 1 ELSE 0 END) AS BIGINT) AS errs
+      FROM pts p CROSS JOIN cands c
+      GROUP BY c.cid, c.feat, c.thr, c.pol),
+    b1 AS (
+      SELECT * FROM p1 ORDER BY errs, cid LIMIT 1),
+    a1 AS (
+      SELECT b1.*, errs / n.n AS eps,
+             0.5 * LN((1 - errs / n.n) / (errs / n.n)) AS alpha
+      FROM b1 CROSS JOIN n),
+    m1 AS (
+      SELECT p.value, p.hod, p.y,
+             (CASE WHEN (CASE WHEN a.feat = 'value' THEN p.value
+                         ELSE p.hod END) > a.thr
+                   THEN a.pol ELSE -a.pol END) AS h1,
+             a.alpha AS alpha1
+      FROM pts p CROSS JOIN a1 a),
+    w2 AS (
+      SELECT value, hod, y, h1, alpha1,
+             CASE WHEN h1 <> y THEN EXP(alpha1) ELSE EXP(-alpha1) END AS w
+      FROM m1),
+    p2 AS (
+      SELECT c.cid, c.feat, c.thr, c.pol,
+             SUM(CASE WHEN (CASE WHEN
+                 (CASE WHEN c.feat = 'value' THEN p.value ELSE p.hod END)
+                 > c.thr THEN c.pol ELSE -c.pol END) <> p.y
+               THEN p.w ELSE 0 END) / SUM(p.w) AS eps
+      FROM w2 p CROSS JOIN cands c
+      GROUP BY c.cid, c.feat, c.thr, c.pol),
+    b2 AS (
+      SELECT *, 0.5 * LN((1 - eps) / eps) AS alpha
+      FROM p2 ORDER BY ROUND(1.2345e-8 + eps, 9), cid LIMIT 1),
+    fin AS (
+      SELECT CAST(SUM(CASE WHEN
+               (CASE WHEN w.alpha1 * w.h1 + b.alpha *
+                 (CASE WHEN (CASE WHEN b.feat = 'value' THEN w.value
+                             ELSE w.hod END) > b.thr
+                       THEN b.pol ELSE -b.pol END) > 0
+                 THEN 1 ELSE -1 END) <> w.y THEN 1 ELSE 0 END) AS BIGINT)
+               AS ens_errs
+      FROM w2 w CROSS JOIN b2 b)
+    SELECT rnd, feat, CAST(thr AS DOUBLE) AS thr, pol,
+           ROUND(1.2345e-8 + eps, 4) AS eps,
+           ROUND(1.2345e-8 + alpha, 4) AS alpha,
+           ROUND(1.2345e-8 + ens_err_rate, 4) AS ens_err_rate
+    FROM (
+      SELECT 1 AS rnd, a.feat, a.thr, a.pol, a.eps, a.alpha,
+             f.ens_errs / n.n AS ens_err_rate
+      FROM a1 a CROSS JOIN fin f CROSS JOIN n
+      UNION ALL
+      SELECT 2, b.feat, b.thr, b.pol, b.eps, b.alpha, f.ens_errs / n.n
+      FROM b2 b CROSS JOIN fin f CROSS JOIN n)
+    ORDER BY rnd
+    """,
+    tags=("curation", "ml", "boosting"),
+)
+def adaboost_2stumps(spark, sf_dir):
+    """ADABOOST, two exact rounds of decision stumps — the discrete
+    AdaBoost.M1 recipe (Freund & Schapire) on the click/purchase
+    outcome with two features (value, hour-of-day) and a FIXED literal
+    threshold/polarity grid (28 candidates), so the weak-learner argmin
+    is exact and both engines search the identical hypothesis space:
+    round 1 picks the min-error stump under uniform weights (integer
+    error counts — exact), alpha = 0.5 ln((1-eps)/eps), weights update
+    multiplicatively (only TWO distinct weight values after round 1 —
+    the update is a function of the h1-vs-y flag), round 2 re-ranks
+    candidates by weighted error, and the 2-stump ensemble
+    sign(a1 h1 + a2 h2) is scored on the training set. Extends the
+    single-stump [[decision_stump_infogain]] to the boosted setting;
+    round-2 argmin orders by eps rounded at 1e-9 (far above
+    cross-engine sum noise, far below real candidate gaps) with cid
+    tie-break, the rank-determinism rule applied to model selection.
+
+    Plan: each round is ONE fact x broadcast-candidate-grid partial agg
+    (28 rows out); stump selection is a 28-row sort; the weight
+    'table' never materializes — it is a scalar CASE on the h1 flag.
+    At 100 TB: two scans, two 28-row shuffles, textbook distributed
+    boosting where only (candidate, weighted-error) statistics move."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("value"),
+        F.hour("ts").cast("double").alias("hod"),
+        F.when(F.col("event_type").isin("click", "purchase"), 1)
+        .otherwise(-1)
+        .alias("y"),
+    )
+    n = pts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    cand_rows = []
+    cid = 0
+    for feat, thrs in (("value", _ADA_VALUE_THRS), ("hod", _ADA_HOD_THRS)):
+        for thr in thrs:
+            for pol in (1, -1):
+                cand_rows.append((cid, feat, thr, pol))
+                cid += 1
+    from dask_image_spark.functions.localrel import values_df
+
+    cands = values_df(spark, "cid, feat, thr, pol", cand_rows)
+
+    def h_expr(feat, thr, pol):
+        fval = F.when(feat == "value", F.col("value")).otherwise(
+            F.col("hod")
+        )
+        return F.when(fval > thr, pol).otherwise(-pol)
+
+    p1 = (
+        pts.crossJoin(F.broadcast(cands))
+        .groupBy("cid", "feat", "thr", "pol")
+        .agg(
+            F.sum(
+                F.when(
+                    h_expr(F.col("feat"), F.col("thr"), F.col("pol"))
+                    != F.col("y"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("errs")
+        )
+    )
+    b1 = p1.orderBy("errs", "cid").limit(1)
+    a1 = b1.crossJoin(F.broadcast(n)).select(
+        "feat", "thr", "pol",
+        (F.col("errs") / F.col("n")).alias("eps"),
+        (
+            0.5
+            * F.log(
+                (1 - F.col("errs") / F.col("n"))
+                / (F.col("errs") / F.col("n"))
+            )
+        ).alias("alpha"),
+    )
+    m1 = pts.crossJoin(F.broadcast(a1)).select(
+        "value", "hod", "y",
+        h_expr(F.col("feat"), F.col("thr"), F.col("pol")).alias("h1"),
+        F.col("alpha").alias("alpha1"),
+    )
+    w2 = m1.withColumn(
+        "w",
+        F.when(
+            F.col("h1") != F.col("y"), F.exp(F.col("alpha1"))
+        ).otherwise(F.exp(-F.col("alpha1"))),
+    )
+    p2 = (
+        w2.crossJoin(F.broadcast(cands))
+        .groupBy("cid", "feat", "thr", "pol")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        h_expr(F.col("feat"), F.col("thr"), F.col("pol"))
+                        != F.col("y"),
+                        F.col("w"),
+                    ).otherwise(0.0)
+                )
+                / F.sum("w")
+            ).alias("eps")
+        )
+    )
+    b2 = (
+        p2.withColumn(
+            "alpha",
+            0.5 * F.log((1 - F.col("eps")) / F.col("eps")),
+        )
+        .orderBy(F.round(F.col("eps") + F.lit(1.2345e-8), 9), "cid")
+        .limit(1)
+    )
+    b2b = F.broadcast(
+        b2.select(
+            F.col("feat").alias("feat2"), F.col("thr").alias("thr2"),
+            F.col("pol").alias("pol2"), F.col("eps").alias("eps2"),
+            F.col("alpha").alias("alpha2"),
+        )
+    )
+    fin = (
+        w2.crossJoin(b2b)
+        .agg(
+            F.sum(
+                F.when(
+                    F.when(
+                        F.col("alpha1") * F.col("h1")
+                        + F.col("alpha2")
+                        * h_expr(
+                            F.col("feat2"), F.col("thr2"), F.col("pol2")
+                        )
+                        > 0,
+                        1,
+                    ).otherwise(-1)
+                    != F.col("y"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ens_errs")
+        )
+    )
+    r1 = (
+        a1.crossJoin(F.broadcast(fin))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit(1).alias("rnd"), "feat", "thr", "pol",
+            _eps_round("eps", 4).alias("eps"),
+            _eps_round("alpha", 4).alias("alpha"),
+            _eps_round(F.col("ens_errs") / F.col("n"), 4).alias(
+                "ens_err_rate"
+            ),
+        )
+    )
+    r2 = (
+        b2.crossJoin(F.broadcast(fin))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit(2).alias("rnd"), "feat", "thr", "pol",
+            _eps_round("eps", 4).alias("eps"),
+            _eps_round("alpha", 4).alias("alpha"),
+            _eps_round(F.col("ens_errs") / F.col("n"), 4).alias(
+                "ens_err_rate"
+            ),
+        )
+    )
+    return r1.unionByName(r2).orderBy("rnd")

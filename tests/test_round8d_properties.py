@@ -282,3 +282,33 @@ def test_gmm_em_step_increases_loglik_and_matches_direct(xs):
             l0 = loglik(mu, np.array([V, V]), np.array([0.5, 0.5]))
             l1 = loglik(mu_new, v_new, pi_new)
             assert l1 >= l0 - 1e-7
+
+
+# ---- AdaBoost weight algebra ---------------------------------------------------
+
+
+@given(
+    st.lists(st.booleans(), min_size=4, max_size=200).filter(
+        lambda b: 0 < sum(b) < len(b)
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_adaboost_round2_two_weight_identity(misses):
+    """After round 1, AdaBoost weights take exactly TWO values
+    (exp(+a)/Z on h1-misses, exp(-a)/Z elsewhere), and the
+    normalization Z cancels in any weighted-error RATIO — the identity
+    that lets the query keep weights as a scalar CASE instead of a
+    materialized column. Also: the round-1 stump's own weighted error
+    under the updated weights is exactly 1/2 (the boosting
+    orthogonality property)."""
+    m = np.array(misses)
+    n = len(m)
+    eps = m.mean()
+    alpha = 0.5 * np.log((1 - eps) / eps)
+    w = np.where(m, np.exp(alpha), np.exp(-alpha))
+    wn = w / w.sum()
+    # ratio form (unnormalized) == normalized form
+    sel = np.arange(n) % 3 == 0  # arbitrary candidate-error subset
+    assert abs(w[sel].sum() / w.sum() - wn[sel].sum()) < 1e-12
+    # h1's re-weighted error is exactly 1/2
+    assert abs(wn[m].sum() - 0.5) < 1e-12
