@@ -3504,3 +3504,318 @@ def interval_coverage_merge(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# Holt smoothing factors (level, trend): shared literals, engine recurrence
+# vs oracle recursive-CTE — both run the SAME recurrence, implemented in
+# genuinely different execution models.
+_HOLT_A, _HOLT_G = 0.5, 0.3
+
+
+@register(
+    "holt_linear_smoothing",
+    f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             date_trunc('hour', ts) AS hour, AVG(value) AS v
+      FROM events GROUP BY 1, 2, 3),
+    rn AS (
+      SELECT event_type, day, hour, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                ORDER BY hour) AS i,
+             COUNT(*) OVER (PARTITION BY event_type, day) AS cnt
+      FROM h),
+    ok AS (SELECT * FROM rn WHERE cnt >= 2),
+    rec AS (
+      WITH RECURSIVE r(event_type, day, i, l, b) AS (
+        SELECT o1.event_type, o1.day, 2,
+               {_HOLT_A} * o2.v + (1 - {_HOLT_A}) * (o1.v + (o2.v - o1.v)),
+               {_HOLT_G} * (({_HOLT_A} * o2.v + (1 - {_HOLT_A})
+                 * (o1.v + (o2.v - o1.v))) - o1.v)
+                 + (1 - {_HOLT_G}) * (o2.v - o1.v)
+        FROM ok o1 JOIN ok o2
+          ON o2.event_type = o1.event_type AND o2.day = o1.day
+         AND o1.i = 1 AND o2.i = 2
+        UNION ALL
+        SELECT r.event_type, r.day, r.i + 1,
+               {_HOLT_A} * o.v + (1 - {_HOLT_A}) * (r.l + r.b),
+               {_HOLT_G} * (({_HOLT_A} * o.v + (1 - {_HOLT_A})
+                 * (r.l + r.b)) - r.l) + (1 - {_HOLT_G}) * r.b
+        FROM r JOIN ok o
+          ON o.event_type = r.event_type AND o.day = r.day
+         AND o.i = r.i + 1)
+      SELECT * FROM r),
+    last AS (
+      SELECT rec.event_type, rec.day, rec.l, rec.b
+      FROM rec JOIN (
+        SELECT event_type, day, MAX(i) AS mi
+        FROM rec GROUP BY event_type, day) mx
+        ON mx.event_type = rec.event_type AND mx.day = rec.day
+       AND rec.i = mx.mi)
+    SELECT event_type, CAST(day AS DATE) AS day,
+           ROUND(1.2345e-8 + l, 4) AS level,
+           ROUND(1.2345e-8 + b, 4) AS trend,
+           ROUND(1.2345e-8 + l + b, 4) AS forecast_1
+    FROM last ORDER BY event_type, day
+    """,
+    tags=("timeseries", "smoothing", "arrow-udf"),
+)
+def holt_linear_smoothing(spark, sf_dir):
+    """HOLT'S LINEAR (double exponential) SMOOTHING — level+trend
+    recurrence l_t = a x_t + (1-a)(l+b), b_t = g(l_t-l) + (1-g) b per
+    series-day over hourly means, init l_1 = x_1, b_1 = x_2 - x_1;
+    emits the final state and the 1-step-ahead forecast l+b. The trend
+    extension of [[ewma_recursive_daily]] (and the deterministic
+    sibling of [[forecast_eval_mase]]'s naive baselines). The ENGINE
+    runs the literal recurrence in one Arrow group per (series, day);
+    the ORACLE replays it as a RECURSIVE CTE stepping i -> i+1 — two
+    genuinely different execution models required to produce
+    bit-compatible state trajectories.
+
+    Plan: hourly partial agg, then applyInPandas over bounded 24-row
+    groups — state never crosses day boundaries, embarrassingly
+    parallel at 100 TB; the recursion depth is the day length, not the
+    corpus size."""
+    import pandas as pd  # noqa: F401
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+
+    def holt(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("hour")
+        x = pdf["v"].to_numpy()
+        if len(x) < 2:
+            return pd.DataFrame(
+                {"event_type": [], "day": [], "level": [], "trend": []}
+            )
+        l, b = x[0], x[1] - x[0]
+        for t in range(1, len(x)):
+            l_new = _HOLT_A * x[t] + (1 - _HOLT_A) * (l + b)
+            b = _HOLT_G * (l_new - l) + (1 - _HOLT_G) * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "day": [pdf["day"].iloc[0].date()],
+                "level": [l],
+                "trend": [b],
+            }
+        )
+
+    out = h.groupBy("event_type", "day").applyInPandas(
+        holt, "event_type string, day date, level double, trend double"
+    )
+    return out.select(
+        "event_type", "day",
+        _eps_round("level", 4).alias("level"),
+        _eps_round("trend", 4).alias("trend"),
+        _eps_round(F.col("level") + F.col("trend"), 4).alias("forecast_1"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "runs_test_wald_wolfowitz",
+    """
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med
+      FROM events GROUP BY event_type),
+    s AS (
+      SELECT e.event_type,
+             CASE WHEN e.value > m.med THEN 1 ELSE 0 END AS sgn,
+             e.ts, e.event_id
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      WHERE e.value <> m.med),
+    runs AS (
+      SELECT event_type, sgn,
+             CASE WHEN LAG(sgn) OVER w IS NULL
+                    OR LAG(sgn) OVER w <> sgn THEN 1 ELSE 0 END AS brk
+      FROM s WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(brk) AS DOUBLE) AS r,
+             CAST(SUM(sgn) AS DOUBLE) AS n1,
+             CAST(COUNT(*) - SUM(sgn) AS DOUBLE) AS n2
+      FROM runs GROUP BY event_type)
+    SELECT event_type, CAST(r AS BIGINT) AS n_runs,
+           CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           ROUND(1.2345e-8 +
+             (r - (2 * n1 * n2 / (n1 + n2) + 1))
+             / SQRT(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                    / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 4) AS z
+    FROM agg ORDER BY event_type
+    """,
+    tags=("timeseries", "statistics", "randomness"),
+)
+def runs_test_wald_wolfowitz(spark, sf_dir):
+    """WALD-WOLFOWITZ RUNS TEST per series — is the above/below-median
+    sign sequence random in TIME ORDER? Counts maximal runs R and
+    compares to E[R] = 2 n1 n2/(n1+n2) + 1 with the exact variance, the
+    classic residual-randomness / regime-clustering screen
+    ([[cusum_changepoint]]'s hypothesis-test cousin; [[acf_hourly]]
+    measures the same clustering parametrically). Median-equal values
+    drop (the standard convention), so both engines test the identical
+    sign sequence; ties in ts break on event_id.
+
+    Plan: per-series median (one agg), broadcast back, ONE window lag
+    over the (series, ts) sort counting run breaks, ONE partial agg of
+    (runs, n1, n2). The sort-within-series is the only non-partial
+    step — series are independent partitions at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("median(value)").alias("med")
+    )
+    s = (
+        ev.join(F.broadcast(med), "event_type")
+        .filter(F.col("value") != F.col("med"))
+        .select(
+            "event_type",
+            F.when(F.col("value") > F.col("med"), 1).otherwise(0).alias(
+                "sgn"
+            ),
+            "ts",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    runs = s.withColumn(
+        "brk",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("brk").cast("double").alias("r"),
+        F.sum("sgn").cast("double").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("double").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        "event_type",
+        r.cast("long").alias("n_runs"),
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        _eps_round((r - mu) / F.sqrt(var), 4).alias("z"),
+    ).orderBy("event_type")
+
+
+@register(
+    "fdr_benjamini_hochberg",
+    """
+    WITH cells AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             CAST(COUNT(*) AS DOUBLE) AS n, AVG(value) AS m
+      FROM events GROUP BY 1, 2),
+    gstats AS (
+      SELECT event_type, AVG(value) AS gm, STDDEV_POP(value) AS gs
+      FROM events GROUP BY event_type),
+    z AS (
+      SELECT c.event_type, c.hod,
+             (c.m - g.gm) * SQRT(c.n) / g.gs AS z
+      FROM cells c JOIN gstats g ON g.event_type = c.event_type),
+    p AS (
+      SELECT event_type, hod, z,
+             2.0 / (1.0 + EXP(1.702 * ABS(z))) AS p
+      FROM z),
+    rk AS (
+      SELECT event_type, hod, z, p,
+             ROW_NUMBER() OVER (ORDER BY ROUND(1.2345e-8 + p, 9),
+                                event_type, hod) AS rnk,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS m
+      FROM p),
+    keep AS (
+      SELECT *, MAX(CASE WHEN p <= rnk * 0.10 / m THEN rnk ELSE 0 END)
+               OVER () AS kmax
+      FROM rk)
+    SELECT event_type, hod,
+           ROUND(1.2345e-8 + z, 4) AS z,
+           ROUND(1.2345e-8 + p, 6) AS p,
+           CAST(rnk AS BIGINT) AS rnk,
+           ROUND(1.2345e-8 + rnk * 0.10 / m, 6) AS bh_cutoff,
+           CASE WHEN rnk <= kmax THEN 1 ELSE 0 END AS rejected
+    FROM keep ORDER BY rnk
+    """,
+    tags=("timeseries", "statistics", "multiple-testing"),
+)
+def fdr_benjamini_hochberg(spark, sf_dir):
+    """BENJAMINI-HOCHBERG FDR CONTROL over the (series, hour-of-day)
+    hypothesis family — the multiple-testing correction every
+    mass-metric monitoring pipeline needs once it runs one test per
+    cell: rank p ascending, find the largest k with p_(k) <= k q / m
+    (q = 0.10), reject ranks 1..k (the step-up rule: everything below
+    the LAST crossing rejects, including cells above their own
+    cutoff). Per-cell z compares the hour-of-day mean to its series
+    mean (scaled by the series sigma/sqrt(n)); two-sided p uses the
+    logistic approximation of the normal tail 2/(1+exp(1.702 |z|))
+    (|error| < 0.01 uniformly — both engines share the 1.702 constant,
+    so the approximation cancels in the compare). Ranks order by
+    1e-9-rounded p with (series, hod) tie-break — the
+    [[adaboost_2stumps]] model-selection determinism rule.
+
+    Plan: two partial aggs (cells, per-series globals) joined on the
+    series key; the BH step is ONE ordered window over the m=120-cell
+    frame — hypothesis-count scale, not data scale. At 100 TB the
+    fact scans dominate; the testing frame stays tiny by
+    construction."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+    )
+    glob = ev.groupBy("event_type").agg(
+        F.avg("value").alias("gm"), F.stddev_pop("value").alias("gs")
+    )
+    z = cells.join(F.broadcast(glob), "event_type").select(
+        "event_type", "hod",
+        (
+            (F.col("m") - F.col("gm")) * F.sqrt("n") / F.col("gs")
+        ).alias("z"),
+    )
+    p = z.withColumn(
+        "p", 2.0 / (1.0 + F.exp(1.702 * F.abs(F.col("z"))))
+    )
+    w_rank = Window.orderBy(
+        F.round(F.col("p") + F.lit(1.2345e-8), 9), "event_type", "hod"
+    )
+    w_all = Window.partitionBy()
+    rk = p.select(
+        "event_type", "hod", "z", "p",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).cast("double").alias("m"),
+    )
+    keep = rk.withColumn(
+        "kmax",
+        F.max(
+            F.when(
+                F.col("p") <= F.col("rnk") * 0.10 / F.col("m"),
+                F.col("rnk"),
+            ).otherwise(0)
+        ).over(w_all),
+    )
+    return keep.select(
+        "event_type", "hod",
+        _eps_round("z", 4).alias("z"),
+        _eps_round("p", 6).alias("p"),
+        F.col("rnk").cast("long").alias("rnk"),
+        _eps_round(F.col("rnk") * 0.10 / F.col("m"), 6).alias("bh_cutoff"),
+        F.when(F.col("rnk") <= F.col("kmax"), 1).otherwise(0).alias(
+            "rejected"
+        ),
+    ).orderBy("rnk")
