@@ -3819,3 +3819,106 @@ def fdr_benjamini_hochberg(spark, sf_dir):
             "rejected"
         ),
     ).orderBy("rnk")
+
+
+@register(
+    "seasonal_decompose_ma",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(hour(ts) AS INT) AS hod, AVG(value) AS v
+      FROM events GROUP BY 1, 2, 3),
+    tr AS (
+      SELECT event_type, hour, hod, v,
+             (SUM(v) OVER w25 - 0.5 * FIRST_VALUE(v) OVER w25
+                            - 0.5 * LAST_VALUE(v) OVER w25) / 24.0
+               AS trend,
+             COUNT(*) OVER w25 AS win_n
+      FROM h
+      WINDOW w25 AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    det AS (
+      SELECT event_type, hour, hod, v, trend, v - trend AS dt
+      FROM tr WHERE win_n = 25),
+    seas0 AS (
+      SELECT event_type, hod, AVG(dt) AS s0
+      FROM det GROUP BY event_type, hod),
+    seas AS (
+      SELECT s.event_type, s.hod,
+             s.s0 - AVG(s.s0) OVER (PARTITION BY s.event_type) AS seasonal
+      FROM seas0 s)
+    SELECT d.event_type, d.hour,
+           ROUND(1.2345e-8 + d.trend, 4) AS trend,
+           ROUND(1.2345e-8 + se.seasonal, 4) AS seasonal,
+           ROUND(1.2345e-8 + d.v - d.trend - se.seasonal, 4) AS residual
+    FROM det d JOIN seas se
+      ON se.event_type = d.event_type AND se.hod = d.hod
+    ORDER BY d.event_type, d.hour
+    """,
+    tags=("timeseries", "decomposition"),
+)
+def seasonal_decompose_ma(spark, sf_dir):
+    """CLASSICAL ADDITIVE DECOMPOSITION (the statsmodels
+    ``seasonal_decompose`` recipe, period 24): trend = the textbook
+    even-period centered moving average (25-hour window with half
+    weights at both ends — realized as full-window SUM minus half the
+    two endpoint values, two frames over one sort), seasonal = the
+    hour-of-day mean of the DETRENDED series re-centered to sum to
+    zero, residual = the rest. Interior hours only (full 25-hour
+    windows), so every emitted row has all three components defined.
+    [[seasonal_residual_anomaly]] is the deployable shortcut (profile
+    only); this is the full trend+seasonal+remainder split that feeds
+    [[cusum_changepoint]]-style residual monitoring.
+
+    Plan: hourly partial agg -> one sort per series drives the
+    centered-MA frames -> seasonal is a 24-row-per-series re-agg
+    broadcast back. Series partition independently at any scale; the
+    MA never re-shuffles the sorted frame."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.avg("value").alias("v"))
+    w25 = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-12, 12)
+    )
+    tr = h.select(
+        "event_type", "hour", "hod", "v",
+        (
+            (
+                F.sum("v").over(w25)
+                - 0.5 * F.first("v").over(w25)
+                - 0.5 * F.last("v").over(w25)
+            )
+            / 24.0
+        ).alias("trend"),
+        F.count(F.lit(1)).over(w25).alias("win_n"),
+    )
+    det = tr.filter(F.col("win_n") == 25).withColumn(
+        "dt", F.col("v") - F.col("trend")
+    )
+    seas0 = det.groupBy("event_type", "hod").agg(
+        F.avg("dt").alias("s0")
+    )
+    seas = seas0.select(
+        "event_type", "hod",
+        (
+            F.col("s0")
+            - F.avg("s0").over(Window.partitionBy("event_type"))
+        ).alias("seasonal"),
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type", "hour",
+            _eps_round("trend", 4).alias("trend"),
+            _eps_round("seasonal", 4).alias("seasonal"),
+            _eps_round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -312,3 +312,84 @@ def test_adaboost_round2_two_weight_identity(misses):
     assert abs(w[sel].sum() / w.sum() - wn[sel].sum()) < 1e-12
     # h1's re-weighted error is exactly 1/2
     assert abs(wn[m].sum() - 0.5) < 1e-12
+
+
+# ---- Euler number quad counting ------------------------------------------------
+
+
+def _euler_quads(mask: np.ndarray) -> tuple[float, float]:
+    h, w = mask.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    q1 = q3 = qd = 0
+    for y in range(h + 1):
+        for x in range(w + 1):
+            q = pad[y : y + 2, x : x + 2]
+            n = int(q.sum())
+            if n == 1:
+                q1 += 1
+            elif n == 3:
+                q3 += 1
+            elif n == 2 and q[0, 0] == q[1, 1]:
+                qd += 1
+    return (q1 - q3 + 2 * qd) / 4.0, (q1 - q3 - 2 * qd) / 4.0
+
+
+def _euler_label(mask: np.ndarray, conn8: bool) -> int:
+    """chi = components - holes via BFS labeling of fg (given conn) and
+    of bg holes (dual connectivity), the topology definition."""
+    from collections import deque
+
+    h, w = mask.shape
+
+    def comps(grid, conn8_):
+        seen = np.zeros_like(grid, dtype=bool)
+        n = 0
+        nbrs = (
+            [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+            if conn8_
+            else [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        )
+        for y in range(grid.shape[0]):
+            for x in range(grid.shape[1]):
+                if grid[y, x] and not seen[y, x]:
+                    n += 1
+                    dq = deque([(y, x)])
+                    seen[y, x] = True
+                    while dq:
+                        cy, cx = dq.popleft()
+                        for dy, dx in nbrs:
+                            ny, nx = cy + dy, cx + dx
+                            if (
+                                0 <= ny < grid.shape[0]
+                                and 0 <= nx < grid.shape[1]
+                                and grid[ny, nx]
+                                and not seen[ny, nx]
+                            ):
+                                seen[ny, nx] = True
+                                dq.append((ny, nx))
+        return n
+
+    n_fg = comps(mask, conn8)
+    # holes: bg components (dual connectivity) not touching the border
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    bg = ~pad
+    n_bg = comps(bg, not conn8)
+    return n_fg - (n_bg - 1)
+
+
+@given(
+    st.integers(min_value=2, max_value=7),
+    st.integers(min_value=2, max_value=7),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_euler_quad_counts_match_topology(h, w, seed):
+    """Gray's quad-count formulas must equal components-minus-holes from
+    an actual labeling, for BOTH connectivities, on arbitrary masks."""
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(h, w) < 0.45
+    e4, e8 = _euler_quads(mask)
+    assert e4 == _euler_label(mask, conn8=False)
+    assert e8 == _euler_label(mask, conn8=True)
