@@ -780,3 +780,74 @@ def test_acf_single_window_sort_feeds_all_lags(spark, sf_dir):
     (event_type, hour) sort — six lag projections, not six sorts."""
     p = _plan(spark, sf_dir, "acf_hourly")
     assert p.count("Window") - p.count("WindowGroupLimit") <= 2  # lag window + none extra per lag
+
+
+def test_adaboost_candidate_grids_broadcast(spark, sf_dir):
+    """Both boosting rounds must evaluate the 28-candidate grid as a
+    BROADCAST nested-loop fan-out of the fact scan (a 28-row dim can
+    never justify a shuffle), and stump selection must be a
+    TakeOrderedAndProject heap, never a global sort of candidates."""
+    plan = _plan(spark, sf_dir, "adaboost_2stumps")
+    for bad in ("SortMergeJoin", "CartesianProduct", "ShuffledHashJoin"):
+        assert bad not in plan, f"adaboost plan grew a {bad}:\n{plan[:2000]}"
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_zoom_gather_is_one_shuffle_join_one_agg(spark, sf_dir):
+    """The x2 bilinear zoom must be: corner fan-out via broadcast, ONE
+    join against the source pixels, ONE corner-sum aggregate — the
+    destination lattice must never cartesian with the pixel table."""
+    plan = _plan(spark, sf_dir, "interp_zoom_order1")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    tree = plan.split("\n\n")[0]
+    # corners (and the tiny range lattice) broadcast; the pixel gather is
+    # the only possibly-shuffled join
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") <= 1, tree
+
+
+def test_chessboard_phase2_join_stays_on_row_key(spark, sf_dir):
+    """L-inf DT: phase 1 is the windowed column pass, phase 2 joins on
+    the ROW key only — the plan must contain the window frames and no
+    cartesian blowup."""
+    plan = _plan(spark, sf_dir, "distance_transform_chessboard")
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" in plan
+    tree = plan.split("\n\n")[0]
+    # both join branches re-derive the masked grid, each carrying the
+    # 1-row threshold broadcast — two BNLJs max, never a pixel cartesian
+    assert tree.count("BroadcastNestedLoopJoin") <= 2, tree
+
+
+def test_gmm_em_is_single_sufficient_statistics_aggregate(spark, sf_dir):
+    """The EM step must move ONLY sufficient statistics: one
+    partial+final aggregate over the mapped responsibilities, no
+    Window, no join before the 2-row component fan-out."""
+    plan = _plan(spark, sf_dir, "gmm_em_1step")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in tree, f"gmm plan grew a {bad}:\n{tree[:2000]}"
+
+
+def test_euler_scatter_is_two_partial_aggregates(spark, sf_dir):
+    """Quad counting must be scatter (broadcast 4-row offsets) ->
+    groupBy(quad) -> 1-row rollup: two map-side-combinable aggregates,
+    no window, no fact-to-fact join."""
+    plan = _plan(spark, sf_dir, "measure_euler_number")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in tree, f"euler plan grew a {bad}:\n{tree[:2000]}"
+
+
+def test_interval_coverage_single_sort_drives_both_windows(spark, sf_dir):
+    """Gaps-and-islands: the running-max-end and island-counter windows
+    share one (user, start) sort — exactly one Sort above the
+    micros projection, then two partial aggs."""
+    plan = _plan(spark, sf_dir, "interval_coverage_merge")
+    tree = plan.split("\n\n")[0]
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert bad not in tree, f"coverage plan grew a {bad}:\n{tree[:2000]}"
+    # windows collapse onto one sort: at most one Exchange feeds them
+    assert tree.count("Window") <= 2, tree
