@@ -4596,3 +4596,203 @@ def adaboost_2stumps(spark, sf_dir):
         )
     )
     return r1.unionByName(r2).orderBy("rnd")
+
+
+# DBSCAN neighborhood parameters: eps-grid blocking makes the neighbor
+# count a 9-cell equi-join instead of an all-pairs product.
+_DBSCAN_EPS, _DBSCAN_MINPTS = 0.08, 10
+
+
+@register(
+    "dbscan_core_points",
+    f"""
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    cells AS (
+      SELECT vec_id, x, y,
+             CAST(FLOOR(x / {_DBSCAN_EPS}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_DBSCAN_EPS}) AS BIGINT) AS cy
+      FROM pts),
+    probes AS (
+      SELECT c.vec_id, c.x, c.y, c.cx + d.dx AS px, c.cy + d.dy AS py
+      FROM cells c CROSS JOIN (
+        VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+        d(dx, dy)),
+    nb AS (
+      SELECT p.vec_id, CAST(COUNT(*) AS BIGINT) AS n_nb
+      FROM probes p JOIN cells b ON b.cx = p.px AND b.cy = p.py
+      WHERE (p.x - b.x) * (p.x - b.x) + (p.y - b.y) * (p.y - b.y)
+            <= {_DBSCAN_EPS} * {_DBSCAN_EPS}
+      GROUP BY p.vec_id)
+    SELECT c.vec_id, COALESCE(nb.n_nb, 0) AS n_neighbors,
+           CASE WHEN COALESCE(nb.n_nb, 0) >= {_DBSCAN_MINPTS}
+                THEN 1 ELSE 0 END AS is_core
+    FROM cells c LEFT JOIN nb ON nb.vec_id = c.vec_id
+    ORDER BY c.vec_id
+    """,
+    tags=("curation", "clustering", "density"),
+)
+def dbscan_core_points(spark, sf_dir):
+    """DBSCAN CORE-POINT DETECTION with eps-grid blocking — the
+    density-clustering primitive (a point is core iff >= minPts
+    neighbors within eps, self included) computed WITHOUT an all-pairs
+    distance product: points bucket into eps-sized grid cells, each
+    point probes its 9-cell neighborhood (any eps-ball fits inside),
+    and the neighbor count is an EQUI-join on cell keys with the exact
+    distance filter applied after — the same blocked-candidates
+    discipline as [[dedup_levenshtein]] (prefix blocks) and
+    [[knn_graph_lsh]]. Full DBSCAN is core detection + connected
+    components over the core graph ([[label_cc]]'s machinery);
+    the core/noise split is the per-point deliverable. Points are the
+    first two embedding dims (cast float->double identically on both
+    engines).
+
+    Plan: ONE broadcast 9-offset fan-out, ONE equi-join on (cell_x,
+    cell_y) — both sides hash-partition by cell, so density work
+    distributes by spatial locality — ONE partial-agg count. At 100 TB
+    the cell histogram bounds the worst task: a pathological hot cell
+    salts like any skewed key ([[join_salted_skew]])."""
+    from dask_image_spark.functions.localrel import values_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    cells = pts.select(
+        "vec_id", "x", "y",
+        F.floor(F.col("x") / _DBSCAN_EPS).alias("cx"),
+        F.floor(F.col("y") / _DBSCAN_EPS).alias("cy"),
+    )
+    offs = values_df(
+        spark, "dx, dy",
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+    )
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        "vec_id", "x", "y",
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+    )
+    b = cells.select(
+        F.col("cx").alias("px"), F.col("cy").alias("py"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    nb = (
+        probes.join(b, ["px", "py"])
+        .filter(d2 <= F.lit(_DBSCAN_EPS * _DBSCAN_EPS))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nb"))
+    )
+    return (
+        cells.join(nb, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_nb", F.lit(0)).cast("long").alias("n_neighbors"),
+            F.when(
+                F.coalesce("n_nb", F.lit(0)) >= _DBSCAN_MINPTS, 1
+            ).otherwise(0).alias("is_core"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# Fellegi-Sunter field weights: ln(m/u) agreement / ln((1-m)/(1-u))
+# disagreement log-odds, driver-computed literals shared by both engines.
+_FS_SEG_M, _FS_SEG_U = 0.9, 0.2
+_FS_BAL_M, _FS_BAL_U = 0.85, 0.1
+_FS_W = {
+    "seg_a": math.log(_FS_SEG_M / _FS_SEG_U),
+    "seg_d": math.log((1 - _FS_SEG_M) / (1 - _FS_SEG_U)),
+    "bal_a": math.log(_FS_BAL_M / _FS_BAL_U),
+    "bal_d": math.log((1 - _FS_BAL_M) / (1 - _FS_BAL_U)),
+}
+_FS_UPPER, _FS_LOWER = 2.0, 0.0
+
+
+@register(
+    "record_linkage_fs_scores",
+    f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer),
+    pr AS (
+      SELECT a.c_nationkey AS nation,
+             (CASE WHEN a.c_mktsegment = b.c_mktsegment
+                   THEN {_FS_W["seg_a"]!r} ELSE {_FS_W["seg_d"]!r} END)
+           + (CASE WHEN a.band = b.band
+                   THEN {_FS_W["bal_a"]!r} ELSE {_FS_W["bal_d"]!r} END)
+               AS score
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_custkey < b.c_custkey),
+    cl AS (
+      SELECT nation, score,
+             CASE WHEN score >= {_FS_UPPER!r} THEN 'match'
+                  WHEN score < {_FS_LOWER!r} THEN 'non-match'
+                  ELSE 'possible' END AS decision
+      FROM pr)
+    SELECT nation, decision, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(1.2345e-8 + AVG(score), 4) AS avg_score
+    FROM cl GROUP BY nation, decision
+    ORDER BY nation, decision
+    """,
+    tags=("curation", "entity-resolution", "linkage"),
+)
+def record_linkage_fs_scores(spark, sf_dir):
+    """FELLEGI-SUNTER RECORD LINKAGE scoring — the probabilistic
+    entity-resolution framework (agreement log-odds ln(m/u) per field,
+    disagreement ln((1-m)/(1-u)), sum -> match / possible / non-match
+    by thresholds) over nation-BLOCKED customer pairs, comparing
+    market segment and account-balance band. The principled scoring
+    layer that [[fuzzy_join_tokens]] (candidate generation) and
+    [[golden_record_survivorship]] (post-match merge) bracket; m/u
+    weights are driver-computed double literals shared verbatim (the
+    kernel-constant rule). Emits the per-block decision histogram
+    with mean scores — the review-queue summary an ER pipeline ships.
+
+    Plan: blocked self-join on the nation key (pairs never leave their
+    block's hash partition; block sizes are the quadratic cost driver,
+    exactly as in [[dedup_levenshtein]]'s prefix blocks), then ONE
+    partial agg on (block, decision). At 100 TB blocking choice IS the
+    scalability lever; the scoring adds zero shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("band"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    score = F.when(
+        F.col("a.c_mktsegment") == F.col("b.c_mktsegment"),
+        F.lit(_FS_W["seg_a"]),
+    ).otherwise(F.lit(_FS_W["seg_d"])) + F.when(
+        F.col("a.band") == F.col("b.band"), F.lit(_FS_W["bal_a"])
+    ).otherwise(F.lit(_FS_W["bal_d"]))
+    pr = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_nationkey").alias("nation"), score.alias("score")
+    )
+    cl = pr.withColumn(
+        "decision",
+        F.when(F.col("score") >= _FS_UPPER, "match")
+        .when(F.col("score") < _FS_LOWER, "non-match")
+        .otherwise("possible"),
+    )
+    return (
+        cl.groupBy("nation", "decision")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            _eps_round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("nation", "decision")
+    )
