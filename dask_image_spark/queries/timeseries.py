@@ -3922,3 +3922,116 @@ def seasonal_decompose_ma(spark, sf_dir):
         )
         .orderBy("event_type", "hour")
     )
+
+
+# Two-state burst automaton: state-1 rate multiplier and the 0->1
+# transition cost, shared literals (Kleinberg's s and gamma).
+_BURST_S, _BURST_GAMMA = 2.0, 1.0
+
+
+@register(
+    "burst_detection_2state",
+    f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    rate AS (
+      SELECT event_type, AVG(x) AS p0 FROM h GROUP BY event_type),
+    rn AS (
+      SELECT h.event_type, h.hour, h.x, r.p0, {_BURST_S} * r.p0 AS p1,
+             ROW_NUMBER() OVER (PARTITION BY h.event_type
+                                ORDER BY h.hour) AS i
+      FROM h JOIN rate r ON r.event_type = h.event_type),
+    rec AS (
+      WITH RECURSIVE v(event_type, i, c0, c1) AS (
+        SELECT event_type, 1,
+               p0 - x * LN(p0),
+               p1 - x * LN(p1) + {_BURST_GAMMA}
+        FROM rn WHERE i = 1
+        UNION ALL
+        SELECT o.event_type, o.i,
+               (o.p0 - o.x * LN(o.p0)) + LEAST(v.c0, v.c1),
+               (o.p1 - o.x * LN(o.p1))
+                 + LEAST(v.c0 + {_BURST_GAMMA}, v.c1)
+        FROM v JOIN rn o
+          ON o.event_type = v.event_type AND o.i = v.i + 1)
+      SELECT * FROM v)
+    SELECT rn.event_type, rn.hour,
+           ROUND(1.2345e-8 + rec.c0 - rec.c1, 4) AS burst_margin,
+           CASE WHEN rec.c1 < rec.c0 THEN 1 ELSE 0 END AS bursting
+    FROM rec JOIN rn ON rn.event_type = rec.event_type AND rn.i = rec.i
+    ORDER BY rn.event_type, rn.hour
+    """,
+    tags=("timeseries", "burst", "arrow-udf"),
+)
+def burst_detection_2state(spark, sf_dir):
+    """KLEINBERG-STYLE 2-STATE BURST DETECTION (online/forward form) —
+    hourly counts per series run through a two-state automaton (base
+    rate p0 = series mean, burst rate p1 = s*p0) with Poisson
+    negative-log-likelihood emission costs p - x ln p and a gamma cost
+    on the 0->1 transition; the Viterbi FORWARD cost recurrence
+    c_t(s) = emit + min over s' (c_(t-1)(s') + trans) yields a
+    per-hour burst margin c0 - c1 (positive => the best path into the
+    burst state is cheaper) and flag — the streaming-decision variant
+    that needs no backtrack, so every hour's output depends only on
+    the past (contrast [[cusum_changepoint]]'s one-sided drift sum;
+    this is the HMM-cost version). ENGINE: literal recurrence per
+    series in one Arrow group; ORACLE: recursive CTE stepping i->i+1 —
+    the [[holt_linear_smoothing]] dual-implementation pattern. The
+    margin is bounded (|margin| <= gamma + local terms) even though
+    the costs grow, so 4-decimal rounding keeps full signal.
+
+    Plan: hourly partial agg + per-series mean broadcast, then
+    applyInPandas per series — state is 2 doubles, series are
+    independent; at 100 TB you shard long series at day boundaries
+    and stitch costs, or run the same recurrence in
+    applyInPandasWithState on the live stream."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    rate = h.groupBy("event_type").agg(F.avg("x").alias("p0"))
+    j = h.join(F.broadcast(rate), "event_type")
+
+    def viterbi(pdf):
+        import math as _m
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        p0 = float(pdf["p0"].iloc[0])
+        p1 = _BURST_S * p0
+        c0 = c1 = None
+        margins, flags = [], []
+        for x in pdf["x"]:
+            e0 = p0 - x * _m.log(p0)
+            e1 = p1 - x * _m.log(p1)
+            if c0 is None:
+                c0, c1 = e0, e1 + _BURST_GAMMA
+            else:
+                c0, c1 = (
+                    e0 + min(c0, c1),
+                    e1 + min(c0 + _BURST_GAMMA, c1),
+                )
+            margins.append(c0 - c1)
+            flags.append(1 if c1 < c0 else 0)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "hour": pdf["hour"],
+                "burst_margin": margins,
+                "bursting": flags,
+            }
+        )
+
+    out = j.groupBy("event_type").applyInPandas(
+        viterbi,
+        "event_type string, hour timestamp, burst_margin double,"
+        " bursting int",
+    )
+    return out.select(
+        "event_type", "hour",
+        _eps_round("burst_margin", 4).alias("burst_margin"),
+        "bursting",
+    ).orderBy("event_type", "hour")

@@ -393,3 +393,32 @@ def test_euler_quad_counts_match_topology(h, w, seed):
     e4, e8 = _euler_quads(mask)
     assert e4 == _euler_label(mask, conn8=False)
     assert e8 == _euler_label(mask, conn8=True)
+
+
+# ---- Shapley efficiency axiom --------------------------------------------------
+
+
+@given(
+    st.integers(min_value=2, max_value=5),
+    st.integers(min_value=2, max_value=5),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_shapley_two_player_efficiency(nv, nh, seed):
+    """The interventional two-player closed form must satisfy the
+    efficiency axiom phi_v + phi_h = f(cell) - baseline EXACTLY for
+    any cell table and any marginal weights."""
+    rng = np.random.RandomState(seed)
+    f = rng.rand(nv, nh)
+    wv = rng.rand(nv)
+    wv /= wv.sum()
+    wh = rng.rand(nh)
+    wh /= wh.sum()
+    fv = f @ wh            # f(v, .)
+    fh = wv @ f            # f(., h)
+    f0 = wv @ f @ wh       # f(., .)
+    for i in range(nv):
+        for j in range(nh):
+            phi_v = 0.5 * (f[i, j] - fh[j]) + 0.5 * (fv[i] - f0)
+            phi_h = 0.5 * (f[i, j] - fv[i]) + 0.5 * (fh[j] - f0)
+            assert abs(phi_v + phi_h - (f[i, j] - f0)) < 1e-12
