@@ -70,6 +70,15 @@ SAMPLE = [
     "imread_gif",                # GIF LZW dialect at the full fixture
     "granulometry_openings",     # 12 chained passes on the 10x-mass mask
     "image_register_shift",      # correlation argmax margins at 10x values
+    # third round-8 continuation
+    "kendall_tau_b",             # bounded pair-sample size scales 10x
+    "adaboost_2stumps",          # stump argmin margins at 10x weights
+    "gmm_em_1step",              # log-domain tails at the 10x value range
+    "ewma_recursive_daily",      # recurrence vs closed form at 10x groups
+    "burst_detection_2state",    # 720-step recursion parity at 10x counts
+    "fdr_benjamini_hochberg",    # p-rank ties across the 10x cell means
+    "interval_coverage_merge",   # island boundaries exact at 10x density
+    "measure_euler_number",      # quad counts on the 10x-mass mask
 ]
 
 
