@@ -4915,3 +4915,247 @@ def shapley_2feature_exact(spark, sf_dir):
         )
         .orderBy("vb", "hb")
     )
+
+
+@register(
+    "adjusted_rand_index",
+    """
+    WITH yp AS (
+      SELECT label AS y,
+             list_position(embedding[1:10],
+                           list_max(embedding[1:10])) - 1 AS p
+      FROM embeddings),
+    cells AS (
+      SELECT y, p, CAST(COUNT(*) AS DOUBLE) AS nij
+      FROM yp GROUP BY y, p),
+    a AS (SELECT y, SUM(nij) AS ai FROM cells GROUP BY y),
+    b AS (SELECT p, SUM(nij) AS bj FROM cells GROUP BY p),
+    s AS (
+      SELECT (SELECT SUM(nij * (nij - 1) / 2) FROM cells) AS sc,
+             (SELECT SUM(ai * (ai - 1) / 2) FROM a) AS sa,
+             (SELECT SUM(bj * (bj - 1) / 2) FROM b) AS sb,
+             (SELECT SUM(nij) FROM cells) AS n)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(1.2345e-8 + sc, 2) AS sum_comb_cells,
+           ROUND(1.2345e-8 +
+             (sc - sa * sb / (n * (n - 1) / 2))
+             / (0.5 * (sa + sb) - sa * sb / (n * (n - 1) / 2)), 4)
+             AS ari
+    FROM s
+    """,
+    tags=("curation", "evaluation", "clustering"),
+)
+def adjusted_rand_index(spark, sf_dir):
+    """ADJUSTED RAND INDEX between the true labels and the argmax
+    linear-probe clustering (the [[f1_macro_multiclass]] predictor
+    read as a partition): pair-counting agreement corrected for
+    chance — ARI = (sum C(nij,2) - E) / (max - E) with E = sum
+    C(ai,2) sum C(bj,2) / C(n,2). The permutation-invariant partner
+    of [[mutual_information]]'s NMI: F1 needs aligned class ids, ARI
+    and NMI do not, which is why clustering papers report them.
+
+    Plan: ONE map-side argmax + ONE (y, p) contingency partial agg
+    (at most k^2 = 100 cells); marginals and the four scalars are
+    arithmetic on that broadcast-scale table. Single fact scan at any
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    yp = emb.select(
+        F.col("label").alias("y"),
+        (
+            F.expr(
+                "array_position(slice(embedding, 1, 10),"
+                " array_max(slice(embedding, 1, 10)))"
+            )
+            - 1
+        ).alias("p"),
+    )
+    cells = yp.groupBy("y", "p").agg(
+        F.count(F.lit(1)).cast("double").alias("nij")
+    )
+    a = cells.groupBy("y").agg(F.sum("nij").alias("ai"))
+    b = cells.groupBy("p").agg(F.sum("nij").alias("bj"))
+    sc = cells.agg(
+        F.sum(F.col("nij") * (F.col("nij") - 1) / 2).alias("sc"),
+        F.sum("nij").alias("n"),
+    )
+    sa = a.agg(F.sum(F.col("ai") * (F.col("ai") - 1) / 2).alias("sa"))
+    sb = b.agg(F.sum(F.col("bj") * (F.col("bj") - 1) / 2).alias("sb"))
+    s = (
+        sc.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+    )
+    half = F.col("n") * (F.col("n") - 1) / 2
+    e = F.col("sa") * F.col("sb") / half
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        _eps_round("sc", 2).alias("sum_comb_cells"),
+        _eps_round(
+            (F.col("sc") - e) / (0.5 * (F.col("sa") + F.col("sb")) - e), 4
+        ).alias("ari"),
+    )
+
+
+@register(
+    "mcnemar_paired_test",
+    """
+    WITH yp AS (
+      SELECT CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS pa,
+             CASE WHEN hour(ts) BETWEEN 8 AND 20 THEN 1 ELSE 0 END AS pb
+      FROM events),
+    d AS (
+      SELECT CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS b,
+             CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c,
+             CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_right,
+             CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_wrong
+      FROM yp)
+    SELECT CAST(b AS BIGINT) AS a_only_right,
+           CAST(c AS BIGINT) AS b_only_right,
+           both_right, both_wrong,
+           ROUND(1.2345e-8 +
+             (ABS(b - c) - 1) * (ABS(b - c) - 1) / (b + c), 4)
+             AS chi2_cc
+    FROM d
+    """,
+    tags=("curation", "evaluation", "hypothesis-test"),
+)
+def mcnemar_paired_test(spark, sf_dir):
+    """McNEMAR'S TEST for PAIRED classifiers — do the value-threshold
+    and business-hours predictors differ on the SAME examples? Only
+    the discordant cells matter: chi2 = (|b - c| - 1)^2/(b + c) with
+    the Edwards continuity correction, the correct test when
+    comparing two models on one test set (a two-proportion z over the
+    pooled accuracies — [[abtest_conversion_z]] — is wrong there
+    because the errors are paired). Emits the full 2x2
+    agreement table so the discordance structure is auditable.
+
+    Plan: ONE conditional-count aggregate. Optimal trivially."""
+    ev = load_table(spark, sf_dir, "events")
+    yp = ev.select(
+        F.when(F.col("event_type").isin("click", "purchase"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("pa"),
+        F.when(F.hour("ts").between(8, 20), 1).otherwise(0).alias("pb"),
+    )
+    d = yp.agg(
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1).otherwise(0)
+        ).cast("double").alias("b"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1).otherwise(0)
+        ).cast("double").alias("c"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y")), 1).otherwise(0)
+        ).cast("long").alias("both_right"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y")), 1).otherwise(0)
+        ).cast("long").alias("both_wrong"),
+    )
+    babs = F.abs(F.col("b") - F.col("c"))
+    return d.select(
+        F.col("b").cast("long").alias("a_only_right"),
+        F.col("c").cast("long").alias("b_only_right"),
+        "both_right", "both_wrong",
+        _eps_round(
+            (babs - 1) * (babs - 1) / (F.col("b") + F.col("c")), 4
+        ).alias("chi2_cc"),
+    )
+
+
+@register(
+    "lift_gain_deciles",
+    """
+    WITH p AS (
+      SELECT event_id,
+             1.0 / (1.0 + EXP(-(value - 50.0) / 25.0)) AS score,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM events),
+    dec AS (
+      SELECT y, NTILE(10) OVER (ORDER BY score DESC, event_id) AS decile
+      FROM p),
+    g AS (
+      SELECT decile, CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS pos
+      FROM dec GROUP BY decile),
+    c AS (
+      SELECT decile, n, pos,
+             SUM(n) OVER w AS cum_n, SUM(pos) OVER w AS cum_pos,
+             SUM(n) OVER () AS tot_n, SUM(pos) OVER () AS tot_pos
+      FROM g WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+    SELECT decile, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           ROUND(1.2345e-8 + cum_pos / tot_pos, 4) AS gain,
+           ROUND(1.2345e-8 + (cum_pos / tot_pos) / (cum_n / tot_n), 4)
+             AS cum_lift,
+           ROUND(1.2345e-8 + (pos / n) / (tot_pos / tot_n), 4)
+             AS decile_lift
+    FROM c ORDER BY decile
+    """,
+    tags=("curation", "evaluation", "ranking"),
+)
+def lift_gain_deciles(spark, sf_dir):
+    """CUMULATIVE GAINS / LIFT TABLE — rank by model score, cut into
+    score deciles (NTILE over the (score DESC, event_id) order — the
+    id tiebreak makes equal scores land deterministically on both
+    engines), and report the captured-positive fraction (gains), the
+    cumulative lift vs random targeting, and each decile's own lift:
+    the campaign-targeting readout that [[roc_auc_exact]] summarizes
+    to one number and [[ece_calibration_bins]] views through the
+    calibration lens. Same deterministic logistic score as those two,
+    so the three evals describe ONE model.
+
+    Plan: one global sort feeds NTILE (rank is sort-based and spills;
+    at 100 TB a quantile-sketch decile cut replaces the sort with one
+    scan at epsilon rank error), then ONE 10-row partial agg and
+    frame windows on the 10-row result. The sort is the only
+    data-scale step."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id",
+        (
+            1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))
+        ).alias("score"),
+        F.when(F.col("event_type").isin("click", "purchase"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    dec = p.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), "event_id"))
+        .alias("decile"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = g.select(
+        "decile", "n", "pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("pos").over(w).alias("cum_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.sum("pos").over(wall).alias("tot_pos"),
+    )
+    return c.select(
+        "decile",
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        _eps_round(F.col("cum_pos") / F.col("tot_pos"), 4).alias("gain"),
+        _eps_round(
+            (F.col("cum_pos") / F.col("tot_pos"))
+            / (F.col("cum_n") / F.col("tot_n")),
+            4,
+        ).alias("cum_lift"),
+        _eps_round(
+            (F.col("pos") / F.col("n"))
+            / (F.col("tot_pos") / F.col("tot_n")),
+            4,
+        ).alias("decile_lift"),
+    ).orderBy("decile")
