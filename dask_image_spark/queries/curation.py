@@ -4939,8 +4939,8 @@ def shapley_2feature_exact(spark, sf_dir):
            ROUND(1.2345e-8 + sc, 2) AS sum_comb_cells,
            ROUND(1.2345e-8 +
              (sc - sa * sb / (n * (n - 1) / 2))
-             / (0.5 * (sa + sb) - sa * sb / (n * (n - 1) / 2)), 4)
-             AS ari
+             / (0.5 * (sa + sb) - sa * sb / (n * (n - 1) / 2)), 4) + 0.0
+             AS ari  -- +0.0 canonicalizes IEEE -0.0 (embedding_dim_stats rule)
     FROM s
     """,
     tags=("curation", "evaluation", "clustering"),
@@ -4989,8 +4989,13 @@ def adjusted_rand_index(spark, sf_dir):
     return s.select(
         F.col("n").cast("long").alias("n"),
         _eps_round("sc", 2).alias("sum_comb_cells"),
-        _eps_round(
-            (F.col("sc") - e) / (0.5 * (F.col("sa") + F.col("sb")) - e), 4
+        (
+            _eps_round(
+                (F.col("sc") - e)
+                / (0.5 * (F.col("sa") + F.col("sb")) - e),
+                4,
+            )
+            + 0.0  # -0.0 canonicalization, the embedding_dim_stats rule
         ).alias("ari"),
     )
 
