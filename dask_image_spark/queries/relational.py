@@ -5698,3 +5698,99 @@ def dp_noisy_counts(spark, sf_dir):
         F.col("n").cast("long").alias("true_n"),
         _eps_round(F.col("n") - noise, 4).alias("noisy_n"),
     ).orderBy("c_nationkey")
+
+
+@register(
+    "sql_scripting_block",
+    """
+    WITH ks AS (SELECT unnest(generate_series(0, 12)) AS k),
+    cnt AS (
+      SELECT k.k, POW(2, k.k) AS thr,
+             (SELECT COUNT(*) FROM events e WHERE e.value > POW(2, k.k))
+               AS n_above
+      FROM ks k),
+    pick AS (
+      SELECT * FROM cnt WHERE n_above < 100 ORDER BY k LIMIT 1)
+    SELECT CAST(k AS INT) AS k,
+           ROUND(1.2345e-8 + thr, 1) AS threshold,
+           CAST(n_above AS BIGINT) AS n_above
+    FROM pick
+    """,
+    tags=("relational", "sql-surface", "scripting"),
+)
+def sql_scripting_block(spark, sf_dir):
+    """SQL SCRIPTING (Spark 4 ``BEGIN ... END`` procedural blocks): a
+    DECLARE/WHILE/SET script doubles a threshold until fewer than 100
+    events exceed it, then SELECTs the found (k, 2^k, count) — the
+    ISO/IEC 9075-4 stored-procedure subset Spark 4 ships
+    (session-variable state, loops, per-iteration scalar subqueries),
+    the migration surface for warehouse procedures. The ORACLE states
+    the declarative equivalent — the minimal k over the candidate
+    ladder — so the grade certifies the script's control flow
+    terminates at the same fixpoint. The loop runs <= 13 aggregate
+    queries, each a single partial-agg scan.
+
+    Scale note: procedural scripts orchestrate; each statement inside
+    still plans through Catalyst, so the 100-TB posture is that of the
+    inner aggregates (one scan per iteration here — a production
+    script would bisect or precompute the count-by-power histogram in
+    ONE scan, which is exactly what the oracle's form does)."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "ev_scripting_block"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE k INT DEFAULT 0;
+          DECLARE n_above BIGINT DEFAULT 0;
+          SET n_above = (SELECT COUNT(*) FROM ev_scripting_block
+                         WHERE value > 1.0);
+          WHILE n_above >= 100 AND k < 12 DO
+            SET k = k + 1;
+            SET n_above = (SELECT COUNT(*) FROM ev_scripting_block
+                           WHERE value > POW(2, k));
+          END WHILE;
+          SELECT CAST(k AS INT) AS k,
+                 ROUND(POW(2, k) + 1.2345e-8, 1) AS threshold,
+                 CAST(n_above AS BIGINT) AS n_above;
+        END
+        """
+    )
+
+
+@register(
+    "sql_execute_immediate",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + AVG(value), 4) AS avg_value
+    FROM events WHERE value > 50.0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("relational", "sql-surface", "dynamic-sql"),
+)
+def sql_execute_immediate(spark, sf_dir):
+    """DYNAMIC SQL via ``EXECUTE IMMEDIATE ... USING`` (Spark 4): the
+    query text is a runtime STRING with a named parameter marker
+    (:thr), bound positionally at execution — the injection-safe
+    dynamic-SQL surface (vs string concatenation) that migration
+    tooling and multi-tenant report builders rely on. The oracle
+    states the fully-bound static query; the grade certifies the
+    parameter binding and dynamic compilation produce the identical
+    plan and result.
+
+    Plan: after binding, this IS the static aggregate — one
+    partial-agg scan; EXECUTE IMMEDIATE adds zero runtime cost."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "ev_exec_immediate"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  ROUND(AVG(value) + 1.2345e-8, 4) AS avg_value
+           FROM ev_exec_immediate WHERE value > :thr
+           GROUP BY event_type ORDER BY event_type'
+          USING 50.0 AS thr
+        """
+    )
