@@ -5794,3 +5794,43 @@ def sql_execute_immediate(spark, sf_dir):
           USING 50.0 AS thr
         """
     )
+
+
+@register(
+    "scan_agg_pushdown",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    """,
+    tags=("relational", "scan", "pushdown"),
+)
+def scan_agg_pushdown(spark, sf_dir):
+    """PARQUET AGGREGATE PUSHDOWN — COUNT/MIN/MAX answered from footer
+    STATISTICS, never decoding a single data page: the DSv2 scan
+    reports ``PushedAggregation: [COUNT(*), MIN(..), MAX(..)]`` and
+    the job reads row-group metadata only. THE metadata-query pattern
+    at 100 TB (a full-table COUNT becomes thousands of footer reads
+    instead of a 100-TB decode — minutes to sub-second). Requires the
+    V2 parquet source; the V1 list conf is flipped for THIS read and
+    restored immediately (the relation captures the choice), so
+    sibling queries in the same session are untouched. The plan pin
+    asserts the PushedAggregation marker.
+
+    Note events is read RAW here (event_id stats only, no ts
+    normalization needed — the normalizer would add a projection that
+    defeats pushdown; that trade-off is the query's documentation)."""
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+    return agg

@@ -851,3 +851,13 @@ def test_interval_coverage_single_sort_drives_both_windows(spark, sf_dir):
         assert bad not in tree, f"coverage plan grew a {bad}:\n{tree[:2000]}"
     # windows collapse onto one sort: at most one Exchange feeds them
     assert tree.count("Window") <= 2, tree
+
+
+def test_count_min_max_pushed_to_parquet_footer(spark, sf_dir):
+    """scan_agg_pushdown must answer from row-group statistics: the DSv2
+    BatchScan carries the PushedAggregation marker, and no HashAggregate
+    input column references the data pages (the scan output IS the
+    pushed aggregate)."""
+    plan = _plan(spark, sf_dir, "scan_agg_pushdown")
+    assert "PushedAggregation: [COUNT(*), MIN(event_id), MAX(event_id)]" in plan, plan[:2000]
+    assert "BatchScan" in plan
