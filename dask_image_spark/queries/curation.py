@@ -5164,3 +5164,197 @@ def lift_gain_deciles(spark, sf_dir):
             4,
         ).alias("decile_lift"),
     ).orderBy("decile")
+
+
+@register(
+    "diff_in_diff",
+    """
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS INT) AS treat,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS DOUBLE) AS n, AVG(value) AS m,
+             (SUM(value * value) - COUNT(*) * AVG(value) * AVG(value))
+               / (COUNT(*) - 1) AS v
+      FROM events GROUP BY 1, 2),
+    wide AS (
+      SELECT MAX(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m_t1,
+             MAX(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m_t0,
+             MAX(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m_c1,
+             MAX(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m_c0,
+             SUM(v / n) AS var_sum,
+             CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells)
+    SELECT n_total,
+           ROUND(1.2345e-8 + m_t1 - m_t0, 4) AS delta_treat,
+           ROUND(1.2345e-8 + m_c1 - m_c0, 4) AS delta_control,
+           ROUND(1.2345e-8 + (m_t1 - m_t0) - (m_c1 - m_c0), 4) AS did,
+           ROUND(1.2345e-8 +
+             ((m_t1 - m_t0) - (m_c1 - m_c0)) / SQRT(var_sum), 4)
+             AS t_stat
+    FROM wide
+    """,
+    tags=("curation", "statistics", "causal"),
+)
+def diff_in_diff(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse quasi-experimental
+    estimator: treatment-arm change minus control-arm change across
+    the mid-month cutover, with the four-cell-variance standard error
+    (SE^2 = sum of v_cell/n_cell — the 2x2 saturated-regression form).
+    Controls for both the level difference between arms AND the
+    common time trend that a naive before/after ([[welch_ttest]] on
+    post vs pre) would absorb into the effect. Arms derive from
+    user_id parity, the [[abtest_conversion_z]] convention.
+
+    Plan: ONE partial-agg scan to the 2x2 (treat, post) cell table,
+    scalar arithmetic after. Optimal at any scale — the causal
+    contrast costs exactly one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+            1,
+        ).otherwise(0).alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        (
+            (
+                F.sum(F.col("value") * F.col("value"))
+                - F.count(F.lit(1)) * F.avg("value") * F.avg("value")
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("v"),
+    )
+
+    def cell(t, p):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col("m"))
+        )
+
+    wide = cells.agg(
+        cell(1, 1).alias("m_t1"),
+        cell(1, 0).alias("m_t0"),
+        cell(0, 1).alias("m_c1"),
+        cell(0, 0).alias("m_c0"),
+        F.sum(F.col("v") / F.col("n")).alias("var_sum"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    did = (F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0"))
+    return wide.select(
+        "n_total",
+        _eps_round(F.col("m_t1") - F.col("m_t0"), 4).alias("delta_treat"),
+        _eps_round(F.col("m_c1") - F.col("m_c0"), 4).alias(
+            "delta_control"
+        ),
+        _eps_round(did, 4).alias("did"),
+        _eps_round(did / F.sqrt(F.col("var_sum")), 4).alias("t_stat"),
+    )
+
+
+# SPRT design: H0 p=0.25 vs H1 p=0.35 on the value>75 indicator,
+# alpha = beta = 0.05 -> symmetric log thresholds +/- ln(19).
+_SPRT_P0, _SPRT_P1 = 0.25, 0.35
+_SPRT_A = math.log(19.0)
+_SPRT_LLR_POS = math.log(_SPRT_P1 / _SPRT_P0)
+_SPRT_LLR_NEG = math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+
+
+@register(
+    "sprt_decision",
+    f"""
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN value > 75.0 THEN {_SPRT_LLR_POS!r}
+                  ELSE {_SPRT_LLR_NEG!r} END AS llr
+      FROM events),
+    c AS (
+      SELECT event_type, ts, event_id,
+             SUM(llr) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS i
+      FROM s),
+    hit AS (
+      SELECT event_type, i, cum,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY i) AS r
+      FROM c WHERE cum >= {_SPRT_A!r} OR cum <= {-_SPRT_A!r}),
+    first_hit AS (SELECT * FROM hit WHERE r = 1),
+    tot AS (SELECT event_type, MAX(i) AS n, MAX(cum) AS dummy FROM c
+            GROUP BY event_type)
+    SELECT t.event_type,
+           CAST(COALESCE(f.i, t.n) AS BIGINT) AS n_at_decision,
+           CASE WHEN f.i IS NULL THEN 'continue'
+                WHEN f.cum >= {_SPRT_A!r} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           ROUND(1.2345e-8 + COALESCE(f.cum, 0.0), 4) AS llr_at_decision
+    FROM tot t LEFT JOIN first_hit f ON f.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+    tags=("curation", "statistics", "sequential-testing"),
+)
+def sprt_decision(spark, sf_dir):
+    """WALD'S SEQUENTIAL PROBABILITY RATIO TEST — the optimal
+    early-stopping test behind every 'peek-safe' A/B platform: the
+    running log-likelihood ratio for H1 (p=0.35) vs H0 (p=0.25) on
+    the value>75 indicator walks until it exits (-ln 19, +ln 19)
+    (alpha = beta = 0.05), per series in event order. Emits where each
+    series' walk FIRST crossed, the verdict, and the LLR there —
+    guaranteeing the error rates a fixed-horizon [[abtest_conversion_z]]
+    only has if nobody peeks. The LLR increments are two driver-
+    computed literals (kernel-constant rule), so the walk is one
+    conditional cumsum — no recurrence needed (contrast
+    [[burst_detection_2state]], whose min() makes it one).
+
+    Plan: ONE window cumsum per series partition (sort is per-series),
+    then a first-crossing rank filter and a per-series rollup — rows
+    after the crossing are filtered, not processed, which at stream
+    scale is the point: state is one double per series in
+    [[streaming_stateful]] form."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type", "ts", "event_id",
+        F.when(
+            F.col("value") > 75.0, F.lit(_SPRT_LLR_POS)
+        ).otherwise(F.lit(_SPRT_LLR_NEG)).alias("llr"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = s.select(
+        "event_type",
+        F.sum("llr").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.row_number().over(w).alias("i"),
+    )
+    hit = (
+        c.filter(
+            (F.col("cum") >= _SPRT_A) | (F.col("cum") <= -_SPRT_A)
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("i")
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type", F.col("i").alias("fi"), F.col("cum").alias("fc")
+        )
+    )
+    tot = c.groupBy("event_type").agg(F.max("i").alias("n"))
+    return (
+        tot.join(F.broadcast(hit), "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("fi", "n").cast("long").alias("n_at_decision"),
+            F.when(F.col("fi").isNull(), "continue")
+            .when(F.col("fc") >= _SPRT_A, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+            _eps_round(F.coalesce("fc", F.lit(0.0)), 4).alias(
+                "llr_at_decision"
+            ),
+        )
+        .orderBy("event_type")
+    )

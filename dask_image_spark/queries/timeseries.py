@@ -4035,3 +4035,121 @@ def burst_detection_2state(spark, sf_dir):
         _eps_round("burst_margin", 4).alias("burst_margin"),
         "bursting",
     ).orderBy("event_type", "hour")
+
+
+@register(
+    "viterbi_best_path_2state",
+    f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+      GROUP BY 1, 2),
+    rate AS (
+      SELECT event_type, AVG(x) AS p0 FROM h GROUP BY event_type),
+    rn AS (
+      SELECT h.event_type, h.hour, h.x, r.p0, {_BURST_S} * r.p0 AS p1,
+             ROW_NUMBER() OVER (PARTITION BY h.event_type
+                                ORDER BY h.hour) AS i
+      FROM h JOIN rate r ON r.event_type = h.event_type),
+    rec AS (
+      WITH RECURSIVE v(event_type, i, c0, c1, path0, path1) AS (
+        SELECT event_type, 1,
+               p0 - x * LN(p0),
+               p1 - x * LN(p1) + {_BURST_GAMMA},
+               '0', '1'
+        FROM rn WHERE i = 1
+        UNION ALL
+        SELECT o.event_type, o.i,
+               (o.p0 - o.x * LN(o.p0)) + LEAST(v.c0, v.c1),
+               (o.p1 - o.x * LN(o.p1))
+                 + LEAST(v.c0 + {_BURST_GAMMA}, v.c1),
+               (CASE WHEN v.c0 <= v.c1 THEN v.path0 ELSE v.path1 END)
+                 || '0',
+               (CASE WHEN v.c0 + {_BURST_GAMMA} <= v.c1
+                     THEN v.path0 ELSE v.path1 END) || '1'
+        FROM v JOIN rn o
+          ON o.event_type = v.event_type AND o.i = v.i + 1),
+      mx AS (SELECT event_type, MAX(i) AS mi FROM v GROUP BY event_type)
+      SELECT v.event_type,
+             CASE WHEN v.c0 <= v.c1 THEN v.path0 ELSE v.path1 END AS path
+      FROM v JOIN mx ON mx.event_type = v.event_type AND v.i = mx.mi)
+    SELECT r.event_type, r.hour,
+           CAST(substring(rec.path, CAST(r.i AS INT), 1) AS INT) AS state
+    FROM rn r JOIN rec ON rec.event_type = r.event_type
+    ORDER BY r.event_type, r.hour
+    """,
+    tags=("timeseries", "hmm", "arrow-udf"),
+)
+def viterbi_best_path_2state(spark, sf_dir):
+    """VITERBI DECODING with BACKTRACK — the full min-cost state PATH
+    through the [[burst_detection_2state]] automaton (first 3 days, so
+    the oracle's path strings stay compact): the ENGINE runs the
+    classic forward-pointers-then-backtrack in one Arrow group per
+    series; the ORACLE carries BOTH candidate path strings through the
+    recursive CTE (path_s = chosen predecessor's path || state digit)
+    and unwinds nothing — path reconstruction by string accumulation,
+    the trick that makes backtracking SQL-expressible. Tie rule is
+    'prefer state 0' (c0 <= c1) in BOTH implementations; since both
+    execute the identical fp operations in the identical order, the
+    comparisons agree bit-for-bit. Complements the forward-margin
+    query: THIS is the smoothed (offline) segmentation, that is the
+    online decision.
+
+    Plan: identical to the forward pass — series-keyed Arrow groups,
+    bounded state; the backtrack is O(T) driver-free work inside each
+    group. At 100 TB shard long series at natural boundaries and
+    stitch with the standard overlap-window trick, or keep series-days as
+    the unit like the smoothing family."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    rate = h.groupBy("event_type").agg(F.avg("x").alias("p0"))
+    j = h.join(F.broadcast(rate), "event_type")
+
+    def decode(pdf):
+        import math as _m
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("hour").reset_index(drop=True)
+        p0 = float(pdf["p0"].iloc[0])
+        p1 = _BURST_S * p0
+        xs = pdf["x"].tolist()
+        c0 = p0 - xs[0] * _m.log(p0)
+        c1 = p1 - xs[0] * _m.log(p1) + _BURST_GAMMA
+        ptr0, ptr1 = [], []  # predecessor of state s at step t (t>=1)
+        for x in xs[1:]:
+            e0 = p0 - x * _m.log(p0)
+            e1 = p1 - x * _m.log(p1)
+            pre0 = 0 if c0 <= c1 else 1
+            pre1 = 0 if c0 + _BURST_GAMMA <= c1 else 1
+            c0n = e0 + min(c0, c1)
+            c1n = e1 + min(c0 + _BURST_GAMMA, c1)
+            ptr0.append(pre0)
+            ptr1.append(pre1)
+            c0, c1 = c0n, c1n
+        state = 0 if c0 <= c1 else 1
+        path = [state]
+        for t in range(len(ptr0) - 1, -1, -1):
+            state = ptr0[t] if state == 0 else ptr1[t]
+            path.append(state)
+        path.reverse()
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "hour": pdf["hour"],
+                "state": path,
+            }
+        )
+
+    return (
+        j.groupBy("event_type")
+        .applyInPandas(
+            decode, "event_type string, hour timestamp, state int"
+        )
+        .orderBy("event_type", "hour")
+    )
