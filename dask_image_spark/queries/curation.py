@@ -5358,3 +5358,203 @@ def sprt_decision(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "conformal_prediction_interval",
+    """
+    WITH base AS (
+      SELECT event_id, value,
+             CAST(hour(ts) AS INT) AS hod,
+             CASE WHEN ('0x' || substr(md5('conf:' ||
+                        CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'cal' ELSE 'test' END AS split
+      FROM events),
+    prof AS (
+      SELECT hod, AVG(value) AS pred
+      FROM base WHERE split = 'cal' GROUP BY hod),
+    resid AS (
+      SELECT ABS(b.value - p.pred) AS r
+      FROM base b JOIN prof p ON p.hod = b.hod
+      WHERE b.split = 'cal'),
+    nq AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(CEIL(0.9 * (COUNT(*) + 1)) AS BIGINT) AS k
+      FROM resid),
+    qhat AS (
+      SELECT MIN(r) AS q FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rk FROM resid) t
+      CROSS JOIN nq WHERE t.rk = nq.k),
+    cov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             AVG(CASE WHEN ABS(b.value - p.pred) <= q.q
+                      THEN 1.0 ELSE 0.0 END) AS coverage
+      FROM base b JOIN prof p ON p.hod = b.hod CROSS JOIN qhat q
+      WHERE b.split = 'test')
+    SELECT nq.n_cal, cov.n_test,
+           ROUND(1.2345e-8 + qhat.q, 4) AS q_hat,
+           ROUND(1.2345e-8 + cov.coverage, 4) AS coverage
+    FROM nq CROSS JOIN qhat CROSS JOIN cov
+    """,
+    tags=("curation", "statistics", "conformal"),
+)
+def conformal_prediction_interval(spark, sf_dir):
+    """SPLIT-CONFORMAL PREDICTION INTERVAL — the distribution-free
+    coverage guarantee: fit on the calibration half (here the
+    hour-of-day mean predictor; the split is a salted-md5 coin, the
+    [[split_group_hash]] discipline), take q_hat = the
+    ceil(0.9(n+1))-th smallest absolute residual (the finite-sample
+    corrected order statistic, an EXACT rank — not an approximate
+    quantile), and the interval pred +/- q_hat covers fresh points
+    with probability >= 90% regardless of the residual distribution.
+    The emitted test-half coverage is the empirical validation of the
+    marginal-coverage theorem. The uncertainty layer
+    [[ece_calibration_bins]] (probabilities) and
+    [[bootstrap_ci_mean]] (parameters) do not provide: per-PREDICTION
+    intervals.
+
+    Plan: profile + residuals are partial aggs off one scan; the
+    order statistic is one sort-rank over the calibration residuals
+    (at 100 TB: a GK sketch with rank error << 1/(n+1) replaces the
+    sort); coverage is a broadcast-join scan of the test half."""
+    ev = load_table(spark, sf_dir, "events")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("conf:"), F.col("event_id").cast("string"))
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 2
+    )
+    base = ev.select(
+        "event_id", "value",
+        F.hour("ts").cast("int").alias("hod"),
+        F.when(coin == 0, "cal").otherwise("test").alias("split"),
+    )
+    prof = (
+        base.filter(F.col("split") == "cal")
+        .groupBy("hod")
+        .agg(F.avg("value").alias("pred"))
+    )
+    resid = (
+        base.filter(F.col("split") == "cal")
+        .join(F.broadcast(prof), "hod")
+        .select(F.abs(F.col("value") - F.col("pred")).alias("r"))
+    )
+    nq = resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.ceil(0.9 * (F.count(F.lit(1)) + 1)).cast("long").alias("k"),
+    )
+    ranked = resid.select(
+        "r", F.row_number().over(Window.orderBy("r")).alias("rk")
+    )
+    qhat = (
+        ranked.crossJoin(F.broadcast(nq))
+        .filter(F.col("rk") == F.col("k"))
+        .agg(F.min("r").alias("q"))
+    )
+    cov = (
+        base.filter(F.col("split") == "test")
+        .join(F.broadcast(prof), "hod")
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.avg(
+                F.when(
+                    F.abs(F.col("value") - F.col("pred")) <= F.col("q"),
+                    1.0,
+                ).otherwise(0.0)
+            ).alias("coverage"),
+        )
+    )
+    return (
+        nq.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            "n_cal", "n_test",
+            _eps_round("q", 4).alias("q_hat"),
+            _eps_round("coverage", 4).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "cuped_adjustment",
+    """
+    WITH u AS (
+      SELECT user_id,
+             AVG(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN value END) AS x_pre,
+             AVG(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                      THEN value END) AS y
+      FROM events GROUP BY user_id
+      HAVING x_pre IS NOT NULL AND y IS NOT NULL),
+    theta AS (
+      SELECT COVAR_POP(y, x_pre) / VAR_POP(x_pre) AS th,
+             AVG(x_pre) AS mx, VAR_POP(y) AS vy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM u),
+    adj AS (
+      SELECT VAR_POP(u.y - t.th * (u.x_pre - t.mx)) AS v_adj,
+             MAX(t.vy) AS v_raw, MAX(t.th) AS th, MAX(t.n) AS n
+      FROM u CROSS JOIN theta t)
+    SELECT n AS n_users,
+           ROUND(1.2345e-8 + th, 4) AS theta,
+           ROUND(1.2345e-8 + v_raw, 4) AS var_raw,
+           ROUND(1.2345e-8 + v_adj, 4) AS var_cuped,
+           ROUND(1.2345e-8 + 1.0 - v_adj / v_raw, 4) AS var_reduction
+    FROM adj
+    """,
+    tags=("curation", "statistics", "experimentation"),
+)
+def cuped_adjustment(spark, sf_dir):
+    """CUPED VARIANCE REDUCTION — the pre-experiment-covariate
+    adjustment every large experimentation platform applies before
+    the t-test: y_adj = y - theta (x_pre - E[x_pre]) with
+    theta = cov(y, x_pre)/var(x_pre), which shrinks metric variance
+    by exactly rho^2 (the theoretical floor). Here x_pre / y are each
+    user's pre/post mid-month mean values; the emitted variance
+    reduction is what converts directly into experiment runtime saved
+    ([[welch_ttest]] / [[diff_in_diff]] run on y_adj in production).
+
+    Plan: ONE per-user conditional-avg partial agg (the only
+    fact-scale shuffle), then two scalar aggregates over the user
+    frame with theta broadcast between them. Linear scans all the
+    way; nothing quadratic, nothing iterative."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("ts") < cut, F.col("value"))).alias("x_pre"),
+            F.avg(F.when(F.col("ts") >= cut, F.col("value"))).alias("y"),
+        )
+        .filter(F.col("x_pre").isNotNull() & F.col("y").isNotNull())
+    )
+    theta = u.agg(
+        (F.covar_pop("y", "x_pre") / F.var_pop("x_pre")).alias("th"),
+        F.avg("x_pre").alias("mx"),
+        F.var_pop("y").alias("vy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    adj = u.crossJoin(F.broadcast(theta)).agg(
+        F.var_pop(
+            F.col("y") - F.col("th") * (F.col("x_pre") - F.col("mx"))
+        ).alias("v_adj"),
+        F.max("vy").alias("v_raw"),
+        F.max("th").alias("th"),
+        F.max("n").alias("n"),
+    )
+    return adj.select(
+        F.col("n").alias("n_users"),
+        _eps_round("th", 4).alias("theta"),
+        _eps_round("v_raw", 4).alias("var_raw"),
+        _eps_round("v_adj", 4).alias("var_cuped"),
+        _eps_round(1.0 - F.col("v_adj") / F.col("v_raw"), 4).alias(
+            "var_reduction"
+        ),
+    )
