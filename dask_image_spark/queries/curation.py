@@ -5558,3 +5558,240 @@ def cuped_adjustment(spark, sf_dir):
             "var_reduction"
         ),
     )
+
+
+# Randomized response: answer truthfully with prob RR_P, else flip — the
+# Warner design. epsilon = ln(RR_P/(1-RR_P)) per response.
+_RR_P = 0.75
+
+
+@register(
+    "ldp_randomized_response",
+    f"""
+    WITH t AS (
+      SELECT CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN ('0x' || substr(md5('rr3:' ||
+                        CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+                  < 65536 * {_RR_P!r} THEN 1 ELSE 0 END AS truthful
+      FROM events),
+    r AS (
+      SELECT y, CASE WHEN truthful = 1 THEN y ELSE 1 - y END AS resp
+      FROM t),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             AVG(CAST(resp AS DOUBLE)) AS obs,
+             AVG(CAST(y AS DOUBLE)) AS true_rate
+      FROM r)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(1.2345e-8 + obs, 4) AS observed_rate,
+           ROUND(1.2345e-8 +
+             (obs - (1 - {_RR_P!r})) / (2 * {_RR_P!r} - 1), 4)
+             AS debiased_rate,
+           ROUND(1.2345e-8 + true_rate, 4) AS true_rate,
+           ROUND(1.2345e-8 + LN({_RR_P!r} / (1 - {_RR_P!r})), 4)
+             AS epsilon
+    FROM agg
+    """,
+    tags=("curation", "privacy", "local-dp"),
+)
+def ldp_randomized_response(spark, sf_dir):
+    """LOCAL DIFFERENTIAL PRIVACY via RANDOMIZED RESPONSE (Warner
+    design): each record reports its click/purchase bit truthfully
+    with probability p=0.75, flipped otherwise — the coin is a
+    salted-md5 uniform (the [[dp_noisy_counts]] seeded-randomness
+    discipline, applied to the LOCAL model where the curator never
+    sees raw bits). The unbiased estimate (obs - (1-p))/(2p - 1)
+    debiases the aggregate; per-response privacy is
+    epsilon = ln(p/(1-p)). Emitting the true rate beside it shows the
+    estimator landing on target — the privacy/utility readout.
+
+    Plan: map-only response mechanism + ONE aggregate. The point at
+    100 TB is organizational, not computational: the `resp` column is
+    the ONLY one that needs to leave the data owner."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rr3:"), F.col("event_id").cast("string"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    t = ev.select(
+        F.when(F.col("event_type").isin("click", "purchase"), 1)
+        .otherwise(0)
+        .alias("y"),
+        F.when(u < 65536 * _RR_P, 1).otherwise(0).alias("truthful"),
+    )
+    r = t.select(
+        "y",
+        F.when(F.col("truthful") == 1, F.col("y"))
+        .otherwise(1 - F.col("y"))
+        .alias("resp"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.col("resp").cast("double")).alias("obs"),
+        F.avg(F.col("y").cast("double")).alias("true_rate"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        _eps_round("obs", 4).alias("observed_rate"),
+        _eps_round(
+            (F.col("obs") - (1 - _RR_P)) / (2 * _RR_P - 1), 4
+        ).alias("debiased_rate"),
+        _eps_round("true_rate", 4).alias("true_rate"),
+        _eps_round(F.lit(math.log(_RR_P / (1 - _RR_P))), 4).alias(
+            "epsilon"
+        ),
+    )
+
+
+@register(
+    "entropy_rate_markov",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events),
+    tr AS (
+      SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM seq WHERE b IS NOT NULL GROUP BY a, b),
+    row_tot AS (SELECT a, SUM(c) AS ra FROM tr GROUP BY a),
+    tot AS (SELECT SUM(c) AS n FROM tr),
+    terms AS (
+      SELECT tr.a, tr.b, tr.c, rt.ra, t.n,
+             (rt.ra / t.n) * (tr.c / rt.ra) * LN(tr.c / rt.ra) AS term
+      FROM tr JOIN row_tot rt ON rt.a = tr.a CROSS JOIN tot t)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_transitions,
+           ROUND(1.2345e-8 - SUM(term), 4) AS entropy_rate_nats,
+           ROUND(1.2345e-8 - SUM(term) / LN(2), 4) AS entropy_rate_bits
+    FROM terms
+    """,
+    tags=("curation", "information-theory", "markov"),
+)
+def entropy_rate_markov(spark, sf_dir):
+    """MARKOV ENTROPY RATE of the per-user event-type chain — H =
+    -sum_i pi_i sum_j P_ij ln P_ij with the empirical stationary
+    weights pi_i = row mass / total: the bits-per-event compressibility
+    of user behavior, the information-theoretic summary that
+    [[event_transition_matrix]] (the P_ij estimates) and
+    [[quality_entropy]] (marginal entropy) bracket — marginal entropy
+    ignores sequence structure, the rate prices it.
+
+    Plan: one LAG/LEAD window per user partition (the
+    [[sessionize]] sort), ONE transition partial agg (k^2 = 25 cells),
+    then arithmetic on the cell table. Single fact-scale sort, tiny
+    everything after."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    tr = seq.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    row_tot = tr.groupBy("a").agg(F.sum("c").alias("ra"))
+    tot = tr.agg(F.sum("c").alias("n"))
+    terms = (
+        tr.join(F.broadcast(row_tot), "a")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (
+                (F.col("ra") / F.col("n"))
+                * (F.col("c") / F.col("ra"))
+                * F.log(F.col("c") / F.col("ra"))
+            ).alias("term"),
+        )
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_transitions"),
+        _eps_round(-F.sum("term") + F.lit(0.0), 4).alias(
+            "entropy_rate_nats"
+        ),
+        _eps_round(-F.sum("term") / math.log(2), 4).alias(
+            "entropy_rate_bits"
+        ),
+    )
+
+
+@register(
+    "causal_ipw_ate",
+    """
+    WITH pts AS (
+      SELECT CAST(user_id % 2 AS INT) AS tr, value AS y,
+             1.0 / (1.0 + EXP(-(CAST(hour(ts) AS DOUBLE) - 12.0) / 6.0))
+               AS e
+      FROM events),
+    w AS (
+      SELECT tr, y,
+             CASE WHEN tr = 1 THEN 1.0 / e ELSE 1.0 / (1.0 - e) END AS w
+      FROM pts),
+    h AS (
+      SELECT SUM(CASE WHEN tr = 1 THEN w * y ELSE 0 END)
+               / SUM(CASE WHEN tr = 1 THEN w ELSE 0 END) AS mu1,
+             SUM(CASE WHEN tr = 0 THEN w * y ELSE 0 END)
+               / SUM(CASE WHEN tr = 0 THEN w ELSE 0 END) AS mu0,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(w) AS w_max
+      FROM w)
+    SELECT n,
+           ROUND(1.2345e-8 + mu1, 4) AS mu_treated,
+           ROUND(1.2345e-8 + mu0, 4) AS mu_control,
+           ROUND(1.2345e-8 + mu1 - mu0, 4) AS ate_hajek,
+           ROUND(1.2345e-8 + w_max, 4) AS max_weight
+    FROM h
+    """,
+    tags=("curation", "statistics", "causal"),
+)
+def causal_ipw_ate(spark, sf_dir):
+    """INVERSE-PROPENSITY-WEIGHTED ATE (Hajek/stabilized estimator) —
+    the observational-causal workhorse when treatment isn't
+    randomized: weight each unit by 1/e(x) (treated) or 1/(1-e(x))
+    (control) under a deterministic hour-of-day propensity model
+    (logistic((hod-12)/6) — both engines derive it identically), and
+    the self-normalized weighted means difference estimates the ATE.
+    Emits max_weight, the positivity-violation diagnostic every IPW
+    user checks first. Completes the causal trio with
+    [[diff_in_diff]] (panel) and [[cuped_adjustment]] (variance) —
+    three estimators, one partial-agg shape.
+
+    Plan: map-only weights + ONE conditional-sum aggregate. Single
+    scan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("tr"),
+        F.col("value").alias("y"),
+        (
+            1.0
+            / (1.0 + F.exp(-(F.hour("ts").cast("double") - 12.0) / 6.0))
+        ).alias("e"),
+    )
+    w = pts.select(
+        "tr", "y",
+        F.when(F.col("tr") == 1, 1.0 / F.col("e"))
+        .otherwise(1.0 / (1.0 - F.col("e")))
+        .alias("w"),
+    )
+    h = w.agg(
+        (
+            F.sum(F.when(F.col("tr") == 1, F.col("w") * F.col("y")).otherwise(0.0))
+            / F.sum(F.when(F.col("tr") == 1, F.col("w")).otherwise(0.0))
+        ).alias("mu1"),
+        (
+            F.sum(F.when(F.col("tr") == 0, F.col("w") * F.col("y")).otherwise(0.0))
+            / F.sum(F.when(F.col("tr") == 0, F.col("w")).otherwise(0.0))
+        ).alias("mu0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("w").alias("w_max"),
+    )
+    return h.select(
+        "n",
+        _eps_round("mu1", 4).alias("mu_treated"),
+        _eps_round("mu0", 4).alias("mu_control"),
+        _eps_round(F.col("mu1") - F.col("mu0"), 4).alias("ate_hajek"),
+        _eps_round("w_max", 4).alias("max_weight"),
+    )
