@@ -73,6 +73,11 @@ HEADLINE = [
     ("q21", "q21_suppliers_kept_waiting"),
     ("q9_4x", "__q9_4x__"),
     ("q21_4x", "__q21_4x__"),
+    # third round-8 continuation: the blocked-DBSCAN neighbor count on an
+    # 8x-augmented point set (16k points at sf0.1) — the eps-grid 9-cell
+    # equi-join vs the stock all-pairs product
+    # (scripts/baseline_stock.py::dbscan_allpairs_8x)
+    ("dbscan_8x", "__dbscan_8x__"),
 ]
 
 BASELINE_K = [
@@ -245,6 +250,38 @@ def q21_4x(spark, sf_dir):
     return q21_waiting_over(spark, sf_dir, lineitem_x4(spark, sf_dir))
 
 
+def emb_x8(spark, sf_dir):
+    """8x-augmented 2-D point set from embeddings: copy k shifts x by
+    k*0.11 (preserves per-stripe density — stripes barely overlap at
+    eps=0.08, so the blocked plan's cell histogram stays realistic).
+    Used identically by the engine and stock DBSCAN twins."""
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    n = base.count()
+    copies = spark.range(8).select(F.col("id").cast("int").alias("k"))
+    return base.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") + F.col("k") * n).alias("vec_id"),
+        (F.col("x") + F.col("k") * 0.11).alias("x"),
+        "y",
+    )
+
+
+def dbscan_8x(spark, sf_dir):
+    """The graded query's blocked plan (queries/curation.py::
+    dbscan_core_counts) over the 8x point set."""
+    from dask_image_spark.queries.curation import dbscan_core_counts
+
+    return dbscan_core_counts(emb_x8(spark, sf_dir))
+
+
 def main() -> None:
     from dask_image_spark import queries as q
     from dask_image_spark.session import get_spark
@@ -271,6 +308,7 @@ def main() -> None:
                 "__minhash_lsh_16x__": minhash_lsh_16x,
                 "__q9_4x__": q9_4x,
                 "__q21_4x__": q21_4x,
+                "__dbscan_8x__": dbscan_8x,
             }
             # registry[name]: a KeyError names the missing query, instead
             # of the opaque NoneType-not-callable a .get fallback produced

@@ -4603,6 +4603,50 @@ def adaboost_2stumps(spark, sf_dir):
 _DBSCAN_EPS, _DBSCAN_MINPTS = 0.08, 10
 
 
+def dbscan_core_counts(pts):
+    """Blocked neighbor counting for (vec_id, x, y) points: 9-cell
+    eps-grid probe join + exact distance filter. Shared by the graded
+    query and the bench slope point (which runs it on an 8x-augmented
+    frame) so the benched plan IS the graded plan."""
+    from dask_image_spark.functions.localrel import values_df
+
+    spark = pts.sparkSession
+    cells = pts.select(
+        "vec_id", "x", "y",
+        F.floor(F.col("x") / _DBSCAN_EPS).alias("cx"),
+        F.floor(F.col("y") / _DBSCAN_EPS).alias("cy"),
+    )
+    offs = values_df(
+        spark, "dx, dy",
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+    )
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        "vec_id", "x", "y",
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+    )
+    b = cells.select(
+        F.col("cx").alias("px"), F.col("cy").alias("py"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    nb = (
+        probes.join(b, ["px", "py"])
+        .filter(d2 <= F.lit(_DBSCAN_EPS * _DBSCAN_EPS))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nb"))
+    )
+    return cells.join(nb, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("n_nb", F.lit(0)).cast("long").alias("n_neighbors"),
+        F.when(
+            F.coalesce("n_nb", F.lit(0)) >= _DBSCAN_MINPTS, 1
+        ).otherwise(0).alias("is_core"),
+    )
+
+
 @register(
     "dbscan_core_points",
     f"""
@@ -4655,52 +4699,13 @@ def dbscan_core_points(spark, sf_dir):
     distributes by spatial locality — ONE partial-agg count. At 100 TB
     the cell histogram bounds the worst task: a pathological hot cell
     salts like any skewed key ([[join_salted_skew]])."""
-    from dask_image_spark.functions.localrel import values_df
-
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
         "vec_id",
         F.col("embedding").getItem(0).cast("double").alias("x"),
         F.col("embedding").getItem(1).cast("double").alias("y"),
     )
-    cells = pts.select(
-        "vec_id", "x", "y",
-        F.floor(F.col("x") / _DBSCAN_EPS).alias("cx"),
-        F.floor(F.col("y") / _DBSCAN_EPS).alias("cy"),
-    )
-    offs = values_df(
-        spark, "dx, dy",
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
-    )
-    probes = cells.crossJoin(F.broadcast(offs)).select(
-        "vec_id", "x", "y",
-        (F.col("cx") + F.col("dx")).alias("px"),
-        (F.col("cy") + F.col("dy")).alias("py"),
-    )
-    b = cells.select(
-        F.col("cx").alias("px"), F.col("cy").alias("py"),
-        F.col("x").alias("bx"), F.col("y").alias("by"),
-    )
-    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
-        F.col("y") - F.col("by")
-    ) * (F.col("y") - F.col("by"))
-    nb = (
-        probes.join(b, ["px", "py"])
-        .filter(d2 <= F.lit(_DBSCAN_EPS * _DBSCAN_EPS))
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_nb"))
-    )
-    return (
-        cells.join(nb, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce("n_nb", F.lit(0)).cast("long").alias("n_neighbors"),
-            F.when(
-                F.coalesce("n_nb", F.lit(0)) >= _DBSCAN_MINPTS, 1
-            ).otherwise(0).alias("is_core"),
-        )
-        .orderBy("vec_id")
-    )
+    return dbscan_core_counts(pts).orderBy("vec_id")
 
 
 # Fellegi-Sunter field weights: ln(m/u) agreement / ln((1-m)/(1-u))

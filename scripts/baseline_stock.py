@@ -584,6 +584,30 @@ def global_index(spark):
     )
 
 
+def dbscan_allpairs_8x(spark):
+    # stock DBSCAN core counting: the naive all-pairs distance product
+    # (16k x 16k at sf0.1) filtered to eps — no blocking. The engine twin
+    # (bench.py::dbscan_8x) runs the SAME augmented points through the
+    # 9-cell eps-grid equi-join; augmentation imported from bench.py so
+    # the two sides can never de-pair.
+    import bench as engine_bench
+    from dask_image_spark.queries.curation import _DBSCAN_EPS, _DBSCAN_MINPTS
+
+    pts = engine_bench.emb_x8(spark, SF_DIR)
+    pts.createOrReplaceTempView("dbscan_pts_8x")
+    return spark.sql(
+        f"""
+        SELECT a.vec_id, COUNT(*) AS n_neighbors,
+               CASE WHEN COUNT(*) >= {_DBSCAN_MINPTS} THEN 1 ELSE 0 END
+                 AS is_core
+        FROM dbscan_pts_8x a JOIN dbscan_pts_8x b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {_DBSCAN_EPS * _DBSCAN_EPS}
+        GROUP BY a.vec_id
+        """
+    )
+
+
 SUITE = [
     ("q1", q1),
     ("q3", q3),
@@ -607,6 +631,7 @@ SUITE = [
     ("q21", q21),
     ("q9_4x", q9_4x),
     ("q21_4x", q21_4x),
+    ("dbscan_8x", dbscan_allpairs_8x),
     # global_index deliberately NOT in the suite: the warm best-of-3
     # protocol reuses the materialized single-partition exchange, hiding
     # the bottleneck the comparison exists to show (see bench.py
