@@ -5834,3 +5834,113 @@ def scan_agg_pushdown(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old)
     return agg
+
+
+@register(
+    "scan_xml_roundtrip",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("relational", "scan", "sink", "xml"),
+)
+def scan_xml_roundtrip(spark, sf_dir):
+    """XML sink + scan (Spark 4's NATIVE xml data source — the former
+    spark-xml package, now built in): write (doc_id, lang, n_chars)
+    as row-tagged XML documents, read them back with an explicit
+    schema and rowTag, aggregate. The enterprise-interchange format
+    the CSV/JSON/ORC roundtrip family was missing; values must
+    survive element encoding exactly (the parquet oracle checks).
+
+    Plan: the XML source splits by files like json — write-side
+    shard count controls read parallelism; schema is explicit
+    (inference off, the scale-safe discipline of
+    [[scan_csv_roundtrip]])."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/dask_image_spark_io/xml_{tag}"
+    (
+        d.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(path)
+    )
+    back = (
+        spark.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(path)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "sql_collation_surface",
+    """
+    WITH noised AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               AS src
+      FROM documents),
+    dim AS (SELECT DISTINCT upper(source) AS dsrc FROM documents)
+    SELECT lower(d.dsrc) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST((SELECT COUNT(DISTINCT lower(src)) FROM noised) AS BIGINT)
+             AS n_distinct_ci
+    FROM noised n JOIN dim d ON lower(n.src) = lower(d.dsrc)
+    GROUP BY d.dsrc ORDER BY source
+    """,
+    tags=("relational", "sql-surface", "collation"),
+)
+def sql_collation_surface(spark, sf_dir):
+    """STRING COLLATIONS (Spark 4's engine-level collation support): a
+    case-NOISED fact column (every even doc_id upper-cased) joins a
+    dimension of upper-cased sources under ``COLLATE UTF8_LCASE``
+    equality — no lower() wrapping on the engine side; the collation
+    IS the comparison semantics, applied by the join operator itself
+    — and the distinct-source count runs under the same collation.
+    The oracle states the lower()-normalized equivalent, certifying
+    the collated join/distinct semantics equal explicit folding. The
+    surface matters at scale because collated comparisons keep
+    codegen (no per-row lower() materialization) and let the
+    optimizer reason about the collation key.
+
+    Plan: broadcast dim join + one partial agg; the scalar
+    count-distinct is a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    noised = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper("source")
+        ).otherwise(F.col("source")).alias("src"),
+    )
+    dim = d.select(F.upper("source").alias("dsrc")).distinct()
+    noised.createOrReplaceTempView("coll_noised")
+    dim.createOrReplaceTempView("coll_dim")
+    return spark.sql(
+        """
+        SELECT lower(d.dsrc) AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               CAST((SELECT COUNT(DISTINCT src COLLATE UTF8_LCASE)
+                     FROM coll_noised) AS BIGINT) AS n_distinct_ci
+        FROM coll_noised n JOIN coll_dim d
+          ON n.src COLLATE UTF8_LCASE = d.dsrc COLLATE UTF8_LCASE
+        GROUP BY d.dsrc ORDER BY source
+        """
+    )
