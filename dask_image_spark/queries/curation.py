@@ -5800,3 +5800,102 @@ def causal_ipw_ate(spark, sf_dir):
         _eps_round(F.col("mu1") - F.col("mu0"), 4).alias("ate_hajek"),
         _eps_round("w_max", 4).alias("max_weight"),
     )
+
+
+# Dirichlet smoothing mass for the query-likelihood LM scorer.
+_QL_MU = 200.0
+
+
+@register(
+    "query_likelihood_dirichlet",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE text IS NOT NULL),
+    dl AS (SELECT doc_id, len(t) AS dl FROM d),
+    toks AS (SELECT doc_id, unnest(t) AS tok FROM d),
+    ctot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cn FROM toks
+             WHERE tok <> ''),
+    cf AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cf
+      FROM toks WHERE tok IN {_BM25_TERMS!r} GROUP BY tok),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks WHERE tok IN {_BM25_TERMS!r} GROUP BY doc_id, tok),
+    grid AS (
+      SELECT dl.doc_id, dl.dl, cf.tok, cf.cf, ctot.cn
+      FROM dl CROSS JOIN cf CROSS JOIN ctot),
+    scored AS (
+      SELECT g.doc_id,
+             SUM(LN((COALESCE(tf.tf, 0) + {_QL_MU} * g.cf / g.cn)
+                    / (g.dl + {_QL_MU}))) AS score
+      FROM grid g LEFT JOIN tf
+        ON tf.doc_id = g.doc_id AND tf.tok = g.tok
+      GROUP BY g.doc_id)
+    SELECT doc_id, ROUND(1.2345e-8 + score, 4) AS ql
+    FROM scored
+    ORDER BY ROUND(1.2345e-8 + score, 4) DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("pipeline", "curation", "ir"),
+)
+def query_likelihood_dirichlet(spark, sf_dir):
+    """QUERY-LIKELIHOOD retrieval with DIRICHLET SMOOTHING (mu=200) —
+    the language-modeling ranking function (Ponte-Croft / Zhai-Lafferty),
+    BM25's principled rival and the scorer behind most 'LM-based IR'
+    baselines: score(d) = sum over query terms of
+    ln((tf + mu p(w|C)) / (|d| + mu)). SAME 3-term query as
+    [[bm25_search]], so the two rankers are directly comparable on
+    identical postings. Unlike BM25, ABSENT terms still contribute
+    (the smoothed collection probability), so the score grid is
+    docs x query-terms with a left join on the sparse tf table — the
+    structural difference between the two scorers made explicit in
+    the plan.
+
+    Plan: collection stats (cf, total) are tiny broadcast aggregates;
+    the dense doc x 3-term grid is a broadcast fan-out of the doc-
+    length table; tf left-joins in on (doc, term); final score is one
+    partial agg + TakeOrderedAndProject top-20. At 100 TB the
+    postings store is pre-built and the grid fan-out stays 3x the doc
+    count — linear."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks_arr = d.select("doc_id", F.split("text", " ").alias("t"))
+    dl = toks_arr.select("doc_id", F.size("t").alias("dl"))
+    toks = toks_arr.select(
+        "doc_id", F.explode("t").alias("tok")
+    )
+    ctot = toks.filter(F.col("tok") != "").agg(
+        F.count(F.lit(1)).cast("double").alias("cn")
+    )
+    qterms = toks.filter(F.col("tok").isin(*_BM25_TERMS))
+    cf = qterms.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("cf")
+    )
+    tf = qterms.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    grid = dl.crossJoin(F.broadcast(cf)).crossJoin(F.broadcast(ctot))
+    scored = (
+        grid.join(tf, ["doc_id", "tok"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (
+                        F.coalesce("tf", F.lit(0.0))
+                        + _QL_MU * F.col("cf") / F.col("cn")
+                    )
+                    / (F.col("dl") + _QL_MU)
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", _eps_round("score", 4).alias("ql")
+        )
+        .orderBy(F.desc("ql"), "doc_id")
+        .limit(20)
+    )
