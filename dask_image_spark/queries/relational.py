@@ -5944,3 +5944,65 @@ def sql_collation_surface(spark, sf_dir):
         GROUP BY d.dsrc ORDER BY source
         """
     )
+
+
+@register(
+    "observe_metrics_surface",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           ROUND(1.2345e-8 + AVG(value), 4) AS avg_value,
+           ROUND(1.2345e-8 + MAX(value), 4) AS max_value
+    FROM events
+    """,
+    tags=("relational", "observability", "io-write"),
+    schema="n_rows bigint, n_high bigint, avg_value double, max_value double",
+)
+def observe_metrics_surface(spark, sf_dir):
+    """``df.observe()`` — Spark's zero-cost pipeline observability API:
+    named aggregate metrics attach to a DataFrame and are computed AS
+    A SIDE EFFECT of whatever action runs (no second scan, no separate
+    job) — the mechanism behind every production data-quality monitor
+    that can't afford [[dq_expectations]]-style re-reads. The query
+    attaches row-count / threshold-violation / mean / distinct-type
+    metrics to a pass-through projection, drives one action, and
+    returns the OBSERVED values as the result frame — the oracle
+    recomputes them directly, certifying the observation channel
+    reports exactly what a first-class aggregate would.
+
+    Plan: the observation is a map-side accumulator merged on the
+    driver — zero extra shuffles at any scale; that IS the API's
+    value over a separate metrics query."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("dq")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value") > 90, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+        F.avg("value").alias("avg_value"),
+        # DISTINCT aggregates are rejected in observed metrics (they
+        # can't be computed as accumulator merges) — max stands in
+        F.max("value").alias("max_value"),
+    )
+    observed.count()  # the action that populates the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_high"],
+                float(m["avg_value"]),
+                float(m["max_value"]),
+            )
+        ],
+        "n_rows long, n_high long, avg_value double, max_value double",
+    ).select(
+        "n_rows", "n_high",
+        _eps_round("avg_value", 4).alias("avg_value"),
+        _eps_round("max_value", 4).alias("max_value"),
+    )
