@@ -5899,3 +5899,104 @@ def query_likelihood_dirichlet(spark, sf_dir):
         .orderBy(F.desc("ql"), "doc_id")
         .limit(20)
     )
+
+
+# Huber tuning constant (the 95%-efficiency convention is 1.345*sigma;
+# here c is set on the raw-residual scale shared by both engines).
+_HUBER_C = 20.0
+
+
+@register(
+    "huber_irls_1step",
+    f"""
+    WITH pts AS (
+      SELECT CAST(hour(ts) AS DOUBLE) AS x, value AS y FROM events),
+    ols AS (
+      SELECT COVAR_POP(y, x) / VAR_POP(x) AS b1,
+             AVG(y) - COVAR_POP(y, x) / VAR_POP(x) * AVG(x) AS b0
+      FROM pts),
+    w AS (
+      SELECT p.x, p.y,
+             LEAST(1.0, {_HUBER_C} / ABS(p.y - o.b0 - o.b1 * p.x)) AS w
+      FROM pts p CROSS JOIN ols o
+      WHERE ABS(p.y - o.b0 - o.b1 * p.x) > 1e-12),
+    wols AS (
+      SELECT (SUM(w * x * y) - SUM(w * x) * SUM(w * y) / SUM(w))
+               / (SUM(w * x * x) - SUM(w * x) * SUM(w * x) / SUM(w))
+               AS b1,
+             SUM(w) AS sw, SUM(w * x) AS swx, SUM(w * y) AS swy,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(CASE WHEN w < 1.0 THEN 1.0 ELSE 0.0 END) AS frac_damped
+      FROM w)
+    SELECT n,
+           ROUND(1.2345e-8 + (SELECT b1 FROM ols), 4) AS slope_ols,
+           ROUND(1.2345e-8 + b1, 4) AS slope_huber,
+           ROUND(1.2345e-8 + (swy - b1 * swx) / sw, 4) AS intercept_huber,
+           ROUND(1.2345e-8 + frac_damped, 4) AS frac_damped
+    FROM wols
+    """,
+    tags=("curation", "statistics", "robust"),
+)
+def huber_irls_1step(spark, sf_dir):
+    """HUBER ROBUST REGRESSION, one IRLS step — ordinary least squares
+    (value on hour-of-day), then reweight every point by the Huber
+    psi-weight min(1, c/|r|) and re-fit weighted least squares: the
+    iteratively-reweighted scheme that M-estimators run to
+    convergence, exactly one SQL-replayable step (the
+    [[gmm_em_1step]] / [[logreg_gd_2step]] fixed-iteration
+    precedent; [[theilsen_slope_per_user]] is the rank-based
+    alternative). Emits both slopes and the damped fraction — the
+    outlier-influence diagnostic. Near-zero residuals (|r| < 1e-12)
+    drop rather than divide (w would be 1 there anyway; the guard
+    keeps ANSI division happy identically on both engines).
+
+    Plan: TWO partial-agg scans (OLS moments, then weighted moments
+    with the 1-row OLS broadcast between) — IRLS costs one scan per
+    iteration and nothing else at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    ols = pts.agg(
+        (F.covar_pop("y", "x") / F.var_pop("x")).alias("b1"),
+        (
+            F.avg("y")
+            - F.covar_pop("y", "x") / F.var_pop("x") * F.avg("x")
+        ).alias("b0"),
+    )
+    r = F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
+    w = (
+        pts.crossJoin(F.broadcast(ols))
+        .filter(F.abs(r) > 1e-12)
+        .select(
+            "x", "y",
+            F.least(F.lit(1.0), _HUBER_C / F.abs(r)).alias("w"),
+        )
+    )
+    sw = F.sum("w")
+    swx = F.sum(F.col("w") * F.col("x"))
+    swy = F.sum(F.col("w") * F.col("y"))
+    swxy = F.sum(F.col("w") * F.col("x") * F.col("y"))
+    swxx = F.sum(F.col("w") * F.col("x") * F.col("x"))
+    wols = w.agg(
+        ((swxy - swx * swy / sw) / (swxx - swx * swx / sw)).alias("b1"),
+        sw.alias("sw"),
+        swx.alias("swx"),
+        swy.alias("swy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.when(F.col("w") < 1.0, 1.0).otherwise(0.0)).alias(
+            "frac_damped"
+        ),
+    )
+    return wols.crossJoin(
+        F.broadcast(ols.select(F.col("b1").alias("b1_ols")))
+    ).select(
+        "n",
+        _eps_round("b1_ols", 4).alias("slope_ols"),
+        _eps_round("b1", 4).alias("slope_huber"),
+        _eps_round(
+            (F.col("swy") - F.col("b1") * F.col("swx")) / F.col("sw"), 4
+        ).alias("intercept_huber"),
+        _eps_round("frac_damped", 4).alias("frac_damped"),
+    )

@@ -4153,3 +4153,123 @@ def viterbi_best_path_2state(spark, sf_dir):
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "haar_dwt_2level",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, AVG(value) AS v
+      FROM events GROUP BY 1, 2),
+    rn AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hour) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h),
+    ok AS (SELECT * FROM rn WHERE i < n - n % 4),
+    l1 AS (
+      SELECT event_type, CAST(i // 2 AS BIGINT) AS j,
+             SUM(CASE WHEN i % 2 = 0 THEN v ELSE 0 END) AS e,
+             SUM(CASE WHEN i % 2 = 1 THEN v ELSE 0 END) AS o
+      FROM ok GROUP BY event_type, i // 2),
+    l1c AS (
+      SELECT event_type, j, (e + o) / 1.4142135623730951 AS a,
+             (e - o) / 1.4142135623730951 AS d
+      FROM l1),
+    l2 AS (
+      SELECT event_type, CAST(j // 2 AS BIGINT) AS k,
+             SUM(CASE WHEN j % 2 = 0 THEN a ELSE 0 END) AS e,
+             SUM(CASE WHEN j % 2 = 1 THEN a ELSE 0 END) AS o,
+             SUM(d * d) AS d1_energy_part
+      FROM l1c GROUP BY event_type, j // 2),
+    l2c AS (
+      SELECT event_type, k, (e + o) / 1.4142135623730951 AS a2,
+             (e - o) / 1.4142135623730951 AS d2,
+             d1_energy_part
+      FROM l2)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           ROUND(1.2345e-8 + SUM(a2 * a2), 2) AS approx_energy,
+           ROUND(1.2345e-8 + SUM(d2 * d2), 2) AS detail2_energy,
+           ROUND(1.2345e-8 + SUM(d1_energy_part), 2) AS detail1_energy
+    FROM l2c GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("timeseries", "wavelet", "dsp"),
+)
+def haar_dwt_2level(spark, sf_dir):
+    """2-LEVEL HAAR WAVELET TRANSFORM per series — orthonormal pairwise
+    (sum, difference)/sqrt(2) cascaded twice over the hourly means
+    (series truncated to a multiple of 4 so both levels pair
+    cleanly), reported as the energy split across (approximation,
+    level-2 detail, level-1 detail) — the multi-resolution energy
+    decomposition that complements [[audio_spectral_centroid]]'s
+    Fourier view with time-localized scales, and the Parseval sum of
+    the three energies equals the truncated series' energy (the
+    property test). sqrt(2) is an explicit shared literal (the
+    kernel-constant rule).
+
+    Plan: each level is ONE parity-split partial agg on the halved
+    index — map-side combinable, no windows after the initial
+    ROW_NUMBER sort; L levels cost L tiny aggs over
+    geometrically-shrinking frames. The dyadic cascade is exactly how
+    distributed wavelet pyramids run ([[pyramid_coarsen_2x]]'s 1-D
+    sibling with the orthonormal filter pair)."""
+    SQRT2 = 1.4142135623730951
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    wrn = Window.partitionBy("event_type").orderBy("hour")
+    wall = Window.partitionBy("event_type")
+    rn = h.select(
+        "event_type", "v",
+        (F.row_number().over(wrn) - 1).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    ok = rn.filter(F.col("i") < F.col("n") - F.col("n") % 4)
+    l1 = (
+        ok.groupBy(
+            "event_type", F.floor(F.col("i") / 2).alias("j")
+        )
+        .agg(
+            F.sum(F.when(F.col("i") % 2 == 0, F.col("v")).otherwise(0.0)).alias("e"),
+            F.sum(F.when(F.col("i") % 2 == 1, F.col("v")).otherwise(0.0)).alias("o"),
+        )
+        .select(
+            "event_type", "j",
+            ((F.col("e") + F.col("o")) / SQRT2).alias("a"),
+            ((F.col("e") - F.col("o")) / SQRT2).alias("d"),
+        )
+    )
+    l2 = (
+        l1.groupBy(
+            "event_type", F.floor(F.col("j") / 2).alias("k")
+        )
+        .agg(
+            F.sum(F.when(F.col("j") % 2 == 0, F.col("a")).otherwise(0.0)).alias("e"),
+            F.sum(F.when(F.col("j") % 2 == 1, F.col("a")).otherwise(0.0)).alias("o"),
+            F.sum(F.col("d") * F.col("d")).alias("d1_energy_part"),
+        )
+        .select(
+            "event_type",
+            ((F.col("e") + F.col("o")) / SQRT2).alias("a2"),
+            ((F.col("e") - F.col("o")) / SQRT2).alias("d2"),
+            "d1_energy_part",
+        )
+    )
+    return (
+        l2.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+            _eps_round(F.sum(F.col("a2") * F.col("a2")), 2).alias(
+                "approx_energy"
+            ),
+            _eps_round(F.sum(F.col("d2") * F.col("d2")), 2).alias(
+                "detail2_energy"
+            ),
+            _eps_round(F.sum("d1_energy_part"), 2).alias(
+                "detail1_energy"
+            ),
+        )
+        .orderBy("event_type")
+    )

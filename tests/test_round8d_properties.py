@@ -422,3 +422,32 @@ def test_shapley_two_player_efficiency(nv, nh, seed):
             phi_v = 0.5 * (f[i, j] - fh[j]) + 0.5 * (fv[i] - f0)
             phi_h = 0.5 * (f[i, j] - fv[i]) + 0.5 * (fh[j] - f0)
             assert abs(phi_v + phi_h - (f[i, j] - f0)) < 1e-12
+
+
+# ---- Haar DWT Parseval --------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=4,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_haar_two_level_preserves_energy(xs):
+    """The orthonormal pairwise cascade must satisfy Parseval exactly:
+    approx2 + detail2 + detail1 energies == energy of the truncated
+    input (the invariant the graded query's three columns carry)."""
+    n = len(xs) - len(xs) % 4
+    x = np.array(xs[:n])
+    if n == 0:
+        return
+    s2 = np.sqrt(2.0)
+    a1 = (x[0::2] + x[1::2]) / s2
+    d1 = (x[0::2] - x[1::2]) / s2
+    a2 = (a1[0::2] + a1[1::2]) / s2
+    d2 = (a1[0::2] - a1[1::2]) / s2
+    lhs = float((a2**2).sum() + (d2**2).sum() + (d1**2).sum())
+    rhs = float((x**2).sum())
+    assert abs(lhs - rhs) <= 1e-9 * max(1.0, rhs)
