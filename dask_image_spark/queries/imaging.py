@@ -4427,3 +4427,114 @@ def measure_euler_number(spark, sf_dir):
         F.round((q1 - q3 + 2 * qd) / 4.0, 2).alias("euler_4"),
         F.round((q1 - q3 - 2 * qd) / 4.0, 2).alias("euler_8"),
     )
+
+
+# SLIC parameters: S = grid interval (16 px -> 16 superpixels on the
+# 64x64 fixture), m = compactness weight.
+_SLIC_S, _SLIC_M = 16, 10.0
+
+
+def _slic_oracle() -> str:
+    extra = [
+        """centers AS (
+          SELECT CAST((y // {S}) * 4 + (x // {S}) AS INT) AS c,
+                 AVG(CAST(y AS DOUBLE)) AS cy, AVG(CAST(x AS DOUBLE)) AS cx,
+                 AVG(value) AS cv
+          FROM pixels GROUP BY 1)""".format(S=_SLIC_S),
+        """cand AS (
+          SELECT p.y, p.x, p.value, ce.c,
+                 (p.value - ce.cv) * (p.value - ce.cv)
+                 + {MM} / {SS}
+                   * ((p.y - ce.cy) * (p.y - ce.cy)
+                      + (p.x - ce.cx) * (p.x - ce.cx)) AS d2
+          FROM pixels p JOIN centers ce
+            ON ABS(p.y // {S} - ce.c // 4) <= 1
+           AND ABS(p.x // {S} - ce.c % 4) <= 1)""".format(
+            S=_SLIC_S, MM=_SLIC_M * _SLIC_M, SS=float(_SLIC_S * _SLIC_S)),
+        """assign AS (
+          SELECT y, x, value,
+                 MIN_BY(c, ROUND(d2 + 1.2345e-8, 9) * 100 + c) AS c
+          FROM cand GROUP BY y, x, value)""",
+    ]
+    body = """
+        SELECT c AS superpixel, CAST(COUNT(*) AS BIGINT) AS n_px,
+               ROUND(1.2345e-8 + AVG(CAST(y AS DOUBLE)), 4) AS cy,
+               ROUND(1.2345e-8 + AVG(CAST(x AS DOUBLE)), 4) AS cx,
+               ROUND(1.2345e-8 + AVG(value), 4) AS mean_v
+        FROM assign GROUP BY c ORDER BY c
+    """
+    return with_pixel_ctes(body, extra=extra)
+
+
+@register(
+    "slic_superpixels_1iter",
+    _slic_oracle(),
+    tags=("imaging", "segmentation", "slic"),
+)
+def slic_superpixels_1iter(spark, sf_dir):
+    """SLIC SUPERPIXELS, one exact assignment+update iteration — the
+    k-means-in-(value, y, x) segmentation (Achanta et al.) with the
+    defining locality restriction: each pixel considers ONLY centers
+    in its 3x3 grid-block neighborhood (window 2S), so assignment is
+    a BLOCKED equi-join like [[dbscan_core_points]]'s eps grid, never
+    pixels x all-centers. Distance D^2 = dv^2 + (m^2/S^2) ds^2 with
+    the compactness weight as a shared literal; centers initialize as
+    block means ([[labeled_grid]]'s 16 blocks) and the argmin ties
+    break by (1e-9-rounded D^2, center id) — the
+    [[adaboost_2stumps]] model-selection determinism rule. Emits each
+    superpixel's size, centroid, and mean intensity after the update
+    — iteration 2 would re-run the same two joins.
+
+    Plan: center init is ONE partial agg (16 rows, broadcast); the
+    candidate join fans each pixel to <= 9 centers; argmin is one
+    min_by groupBy; the update another partial agg. Two fact-scale
+    shuffles per iteration, both on pixel keys — at 100 TB the block
+    structure keeps candidate lists O(9) regardless of image size."""
+    px = pixel_grid(spark, sf_dir)
+    centers = px.groupBy(
+        (
+            F.floor(F.col("y") / _SLIC_S) * 4
+            + F.floor(F.col("x") / _SLIC_S)
+        ).cast("int").alias("c")
+    ).agg(
+        F.avg(F.col("y").cast("double")).alias("cy"),
+        F.avg(F.col("x").cast("double")).alias("cx"),
+        F.avg("value").alias("cv"),
+    )
+    cand = px.join(
+        F.broadcast(centers),
+        (
+            F.abs(
+                F.floor(F.col("y") / _SLIC_S) - F.floor(F.col("c") / 4)
+            )
+            <= 1
+        )
+        & (
+            F.abs(F.floor(F.col("x") / _SLIC_S) - F.col("c") % 4) <= 1
+        ),
+    ).select(
+        "y", "x", "value", "c",
+        (
+            (F.col("value") - F.col("cv")) * (F.col("value") - F.col("cv"))
+            + (_SLIC_M * _SLIC_M / float(_SLIC_S * _SLIC_S))
+            * (
+                (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+                + (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+            )
+        ).alias("d2"),
+    )
+    assign = cand.groupBy("y", "x", "value").agg(
+        F.expr(
+            "min_by(c, round(d2 + 1.2345e-8, 9) * 100 + c)"
+        ).alias("c")
+    )
+    return (
+        assign.groupBy(F.col("c").alias("superpixel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_px"),
+            _eps_round(F.avg(F.col("y").cast("double")), 4).alias("cy"),
+            _eps_round(F.avg(F.col("x").cast("double")), 4).alias("cx"),
+            _eps_round(F.avg("value"), 4).alias("mean_v"),
+        )
+        .orderBy("superpixel")
+    )

@@ -6006,3 +6006,62 @@ def observe_metrics_surface(spark, sf_dir):
         _eps_round("avg_value", 4).alias("avg_value"),
         _eps_round("max_value", 4).alias("max_value"),
     )
+
+
+@register(
+    "xpath_extract_surface",
+    """
+    WITH x AS (
+      SELECT doc_id,
+             '<doc><id>' || CAST(doc_id AS VARCHAR) || '</id><lang>'
+               || lang || '</lang><len>' || CAST(n_chars AS VARCHAR)
+               || '</len></doc>' AS xml
+      FROM documents),
+    parsed AS (
+      SELECT doc_id,
+             regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS lang,
+             CAST(regexp_extract(xml, '<len>([0-9]+)</len>', 1)
+                  AS BIGINT) AS n_chars
+      FROM x)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM parsed GROUP BY lang ORDER BY lang
+    """,
+    tags=("relational", "sql-surface", "xml"),
+)
+def xpath_extract_surface(spark, sf_dir):
+    """XPATH SCALAR FUNCTIONS — Spark's ``xpath_string`` /
+    ``xpath_long`` evaluate real XPath expressions against XML string
+    columns (the in-row companion of the [[scan_xml_roundtrip]] file
+    source; ETL over message-bus XML payloads lives on these). The
+    engine builds an XML fragment per document and extracts fields
+    through genuine XPath node queries; the oracle states the
+    regexp-extraction equivalent over the same generated fragments —
+    passing certifies the XPath engine's extraction semantics on this
+    schema, not merely string math.
+
+    Plan: map-only string construction + XPath evaluation (JVM-side,
+    codegen'd), then one partial agg — a pure scalar-function
+    surface, single scan at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><id>"), F.col("doc_id").cast("string"),
+        F.lit("</id><lang>"), F.col("lang"),
+        F.lit("</lang><len>"), F.col("n_chars").cast("string"),
+        F.lit("</len></doc>"),
+    )
+    parsed = (
+        d.select("doc_id", xml.alias("xml"))
+        .select(
+            F.expr("xpath_string(xml, '/doc/lang/text()')").alias("lang"),
+            F.expr("xpath_long(xml, '/doc/len/text()')").alias("n_chars"),
+        )
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
