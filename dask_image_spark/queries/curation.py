@@ -6000,3 +6000,218 @@ def huber_irls_1step(spark, sf_dir):
         ).alias("intercept_huber"),
         _eps_round("frac_damped", 4).alias("frac_damped"),
     )
+
+
+@register(
+    "platt_scaling_2newton",
+    """
+    WITH pts AS (
+      SELECT (value - 50.0) / 25.0 AS s,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM events),
+    g1 AS (
+      SELECT SUM((1.0 / (1.0 + EXP(-(1.0 * s + 0.0))) - y) * s) AS ga,
+             SUM(1.0 / (1.0 + EXP(-(1.0 * s + 0.0))) - y) AS gb,
+             SUM(1.0 / (1.0 + EXP(-(1.0 * s + 0.0)))
+                 * (1 - 1.0 / (1.0 + EXP(-(1.0 * s + 0.0)))) * s * s)
+               AS haa,
+             SUM(1.0 / (1.0 + EXP(-(1.0 * s + 0.0)))
+                 * (1 - 1.0 / (1.0 + EXP(-(1.0 * s + 0.0)))) * s) AS hab,
+             SUM(1.0 / (1.0 + EXP(-(1.0 * s + 0.0)))
+                 * (1 - 1.0 / (1.0 + EXP(-(1.0 * s + 0.0))))) AS hbb
+      FROM pts),
+    t1 AS (
+      SELECT 1.0 - (hbb * ga - hab * gb) / (haa * hbb - hab * hab) AS a,
+             0.0 - (haa * gb - hab * ga) / (haa * hbb - hab * hab) AS b
+      FROM g1),
+    g2 AS (
+      SELECT t1.a AS a0, t1.b AS b0,
+             SUM((1.0 / (1.0 + EXP(-(t1.a * s + t1.b))) - y) * s) AS ga,
+             SUM(1.0 / (1.0 + EXP(-(t1.a * s + t1.b))) - y) AS gb,
+             SUM(1.0 / (1.0 + EXP(-(t1.a * s + t1.b)))
+                 * (1 - 1.0 / (1.0 + EXP(-(t1.a * s + t1.b)))) * s * s)
+               AS haa,
+             SUM(1.0 / (1.0 + EXP(-(t1.a * s + t1.b)))
+                 * (1 - 1.0 / (1.0 + EXP(-(t1.a * s + t1.b)))) * s) AS hab,
+             SUM(1.0 / (1.0 + EXP(-(t1.a * s + t1.b)))
+                 * (1 - 1.0 / (1.0 + EXP(-(t1.a * s + t1.b))))) AS hbb
+      FROM pts CROSS JOIN t1 GROUP BY t1.a, t1.b)
+    SELECT ROUND(1.2345e-8 + a0
+             - (hbb * ga - hab * gb) / (haa * hbb - hab * hab), 4) AS a,
+           ROUND(1.2345e-8 + b0
+             - (haa * gb - hab * ga) / (haa * hbb - hab * hab), 4) AS b
+    FROM g2
+    """,
+    tags=("curation", "ml", "calibration"),
+)
+def platt_scaling_2newton(spark, sf_dir):
+    """PLATT SCALING, two exact Newton-Raphson steps — fit the
+    calibration sigmoid p = sigma(a s + b) on the standardized score
+    by Newton on the logistic NLL from (a, b) = (1, 0): gradient
+    (sum (p - y) s, sum (p - y)), Hessian the 2x2 weighted moment
+    matrix, inverted in closed form. The PARAMETRIC calibrator next
+    to [[isotonic_calibration_pava]] (nonparametric) and the
+    diagnosis tools [[ece_calibration_bins]] / [[log_loss_binary]];
+    two steps make it SQL-replayable per the [[gmm_em_1step]]
+    convention (Newton on this 2-parameter concave problem is
+    near-converged by then anyway).
+
+    Plan: each Newton step is ONE partial-agg scan producing 5
+    sufficient sums; the solve is 1-row closed-form arithmetic.
+    Two scans total, nothing grows with data but the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        ((F.col("value") - 50.0) / 25.0).alias("s"),
+        F.when(F.col("event_type").isin("click", "purchase"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+
+    def newton(pts_df, a_col, b_col):
+        p = 1.0 / (1.0 + F.exp(-(a_col * F.col("s") + b_col)))
+        w = p * (1 - p)
+        g = pts_df.agg(
+            F.sum((p - F.col("y")) * F.col("s")).alias("ga"),
+            F.sum(p - F.col("y")).alias("gb"),
+            F.sum(w * F.col("s") * F.col("s")).alias("haa"),
+            F.sum(w * F.col("s")).alias("hab"),
+            F.sum(w).alias("hbb"),
+        )
+        det = F.col("haa") * F.col("hbb") - F.col("hab") * F.col("hab")
+        da = (F.col("hbb") * F.col("ga") - F.col("hab") * F.col("gb")) / det
+        db = (F.col("haa") * F.col("gb") - F.col("hab") * F.col("ga")) / det
+        return g, da, db
+
+    g1, da1, db1 = newton(pts, F.lit(1.0), F.lit(0.0))
+    t1 = g1.select(
+        (F.lit(1.0) - da1).alias("a"), (F.lit(0.0) - db1).alias("b")
+    )
+    pts2 = pts.crossJoin(F.broadcast(t1))
+    g2 = pts2.groupBy("a", "b").agg(
+        F.sum(
+            (
+                1.0 / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b"))))
+                - F.col("y")
+            )
+            * F.col("s")
+        ).alias("ga"),
+        F.sum(
+            1.0 / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b"))))
+            - F.col("y")
+        ).alias("gb"),
+        F.sum(
+            (1.0 / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b")))))
+            * (
+                1
+                - 1.0
+                / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b"))))
+            )
+            * F.col("s")
+            * F.col("s")
+        ).alias("haa"),
+        F.sum(
+            (1.0 / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b")))))
+            * (
+                1
+                - 1.0
+                / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b"))))
+            )
+            * F.col("s")
+        ).alias("hab"),
+        F.sum(
+            (1.0 / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b")))))
+            * (
+                1
+                - 1.0
+                / (1.0 + F.exp(-(F.col("a") * F.col("s") + F.col("b"))))
+            )
+        ).alias("hbb"),
+    )
+    det = F.col("haa") * F.col("hbb") - F.col("hab") * F.col("hab")
+    return g2.select(
+        _eps_round(
+            F.col("a")
+            - (F.col("hbb") * F.col("ga") - F.col("hab") * F.col("gb"))
+            / det,
+            4,
+        ).alias("a"),
+        _eps_round(
+            F.col("b")
+            - (F.col("haa") * F.col("gb") - F.col("hab") * F.col("ga"))
+            / det,
+            4,
+        ).alias("b"),
+    )
+
+
+@register(
+    "pca_2d_closed_form",
+    """
+    WITH pts AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    c AS (
+      SELECT VAR_POP(x) AS a, COVAR_POP(x, y) AS b, VAR_POP(y) AS cc,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts),
+    eig AS (
+      SELECT n, a, b, cc,
+             (a + cc) / 2 + SQRT((a - cc) * (a - cc) / 4 + b * b) AS l1,
+             (a + cc) / 2 - SQRT((a - cc) * (a - cc) / 4 + b * b) AS l2
+      FROM c)
+    SELECT n,
+           ROUND(1.2345e-8 + l1, 6) AS lambda1,
+           ROUND(1.2345e-8 + l2, 6) AS lambda2,
+           ROUND(1.2345e-8 + l1 / (l1 + l2), 4) AS explained_ratio,
+           ROUND(1.2345e-8 + DEGREES(ATAN2(l1 - a, b)), 4) AS angle_deg
+    FROM eig
+    """,
+    tags=("curation", "ml", "pca"),
+)
+def pca_2d_closed_form(spark, sf_dir):
+    """EXACT 2-D PCA — closed-form eigendecomposition of the 2x2
+    covariance of the first two embedding dims: lambda_{1,2} =
+    (a+c)/2 +/- sqrt(((a-c)/2)^2 + b^2), principal axis angle
+    atan2(lambda1 - a, b) — no iteration at all, the analytic
+    complement of [[embedding_pca_power]]'s power method (which this
+    certifies: the power iterate must converge toward this lambda1).
+    Explained-variance ratio is the 2-D screeplot in one number.
+
+    Plan: ONE partial-agg scan for the three co-moments, scalar
+    closed-form after. The d=2 special case of 'PCA is one scan +
+    a driver-scale eigensolve when d is small' — the posture that
+    holds to d ~ thousands before power iteration earns its keep."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    c = pts.agg(
+        F.var_pop("x").alias("a"),
+        F.covar_pop("x", "y").alias("b"),
+        F.var_pop("y").alias("cc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    half = (F.col("a") + F.col("cc")) / 2
+    rad = F.sqrt(
+        (F.col("a") - F.col("cc")) * (F.col("a") - F.col("cc")) / 4
+        + F.col("b") * F.col("b")
+    )
+    eig = c.select(
+        "n", "a", "b",
+        (half + rad).alias("l1"),
+        (half - rad).alias("l2"),
+    )
+    return eig.select(
+        "n",
+        _eps_round("l1", 6).alias("lambda1"),
+        _eps_round("l2", 6).alias("lambda2"),
+        _eps_round(F.col("l1") / (F.col("l1") + F.col("l2")), 4).alias(
+            "explained_ratio"
+        ),
+        _eps_round(
+            F.degrees(F.atan2(F.col("l1") - F.col("a"), F.col("b"))), 4
+        ).alias("angle_deg"),
+    )
