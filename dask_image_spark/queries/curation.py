@@ -6215,3 +6215,201 @@ def pca_2d_closed_form(spark, sf_dir):
             F.degrees(F.atan2(F.col("l1") - F.col("a"), F.col("b"))), 4
         ).alias("angle_deg"),
     )
+
+
+@register(
+    "silhouette_score",
+    """
+    WITH pts AS (
+      SELECT vec_id, label AS c,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    pd AS (
+      SELECT a.vec_id, a.c AS ca, b.c AS cb,
+             SQRT((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y)) AS d
+      FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
+    pc AS (
+      SELECT vec_id, ca, cb, AVG(d) AS md, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pd GROUP BY vec_id, ca, cb),
+    ab AS (
+      SELECT vec_id, ca,
+             MAX(CASE WHEN cb = ca THEN md END) AS a,
+             MIN(CASE WHEN cb <> ca THEN md END) AS b
+      FROM pc GROUP BY vec_id, ca),
+    sil AS (
+      SELECT vec_id, ca,
+             (b - a) / GREATEST(a, b) AS s
+      FROM ab WHERE a IS NOT NULL AND b IS NOT NULL)
+    SELECT ca AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + AVG(s), 4) AS mean_silhouette,
+           ROUND(1.2345e-8 + (SELECT AVG(s) FROM sil), 4)
+             AS overall_silhouette
+    FROM sil GROUP BY ca ORDER BY cluster
+    """,
+    tags=("curation", "evaluation", "clustering"),
+)
+def silhouette_score(spark, sf_dir):
+    """SILHOUETTE SCORE of the true-label partition on the 2-D
+    embedding projection — s(i) = (b - a)/max(a, b) with a = mean
+    intra-cluster distance and b = the nearest other cluster's mean
+    distance: the geometric clustering diagnostic beside
+    [[adjusted_rand_index]] (pair counting vs a reference) and
+    [[mutual_information]] (information) — silhouette needs NO
+    reference partition, which is why it's the k-selection criterion.
+    Exact all-pairs form on the bounded point set; per-(point,
+    cluster) mean distances collapse the pair table before the
+    min/max step.
+
+    Plan: the pair join is the cost — exact here (n^2 bounded), and
+    at corpus scale the standard move is EXACTLY [[dbscan_core_points]]'s
+    grid blocking (a and b only need distances within the
+    neighborhood radius that dominates the means) or
+    [[dedup_semantic]]-style per-cluster sampling; the rest is two
+    partial aggs over (point, cluster) keys."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("label").alias("c"),
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pd_ = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.c").alias("ca"),
+        F.col("b.c").alias("cb"),
+        F.sqrt(
+            (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+            + (F.col("a.y") - F.col("b.y"))
+            * (F.col("a.y") - F.col("b.y"))
+        ).alias("d"),
+    )
+    pc = pd_.groupBy("vec_id", "ca", "cb").agg(F.avg("d").alias("md"))
+    ab = pc.groupBy("vec_id", "ca").agg(
+        F.max(F.when(F.col("cb") == F.col("ca"), F.col("md"))).alias("a"),
+        F.min(F.when(F.col("cb") != F.col("ca"), F.col("md"))).alias("b"),
+    )
+    sil = ab.filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).select(
+        "vec_id", "ca",
+        (
+            (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+        ).alias("s"),
+    )
+    overall = sil.agg(F.avg("s").alias("os"))
+    return (
+        sil.groupBy(F.col("ca").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _eps_round(F.avg("s"), 4).alias("mean_silhouette"),
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "cluster", "n", "mean_silhouette",
+            _eps_round("os", 4).alias("overall_silhouette"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "davies_bouldin_index",
+    """
+    WITH pts AS (
+      SELECT label AS c,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    cent AS (
+      SELECT c, AVG(x) AS cx, AVG(y) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts GROUP BY c),
+    scat AS (
+      SELECT p.c,
+             AVG(SQRT((p.x - ce.cx) * (p.x - ce.cx)
+                      + (p.y - ce.cy) * (p.y - ce.cy))) AS s
+      FROM pts p JOIN cent ce ON ce.c = p.c GROUP BY p.c),
+    rij AS (
+      SELECT a.c AS ci,
+             MAX((sa.s + sb.s)
+                 / SQRT((a.cx - b.cx) * (a.cx - b.cx)
+                        + (a.cy - b.cy) * (a.cy - b.cy))) AS r
+      FROM cent a JOIN cent b ON a.c <> b.c
+      JOIN scat sa ON sa.c = a.c JOIN scat sb ON sb.c = b.c
+      GROUP BY a.c)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           ROUND(1.2345e-8 + AVG(r), 4) AS davies_bouldin
+    FROM rij
+    """,
+    tags=("curation", "evaluation", "clustering"),
+)
+def davies_bouldin_index(spark, sf_dir):
+    """DAVIES-BOULDIN INDEX — mean over clusters of the worst
+    scatter-to-separation ratio max_j (s_i + s_j)/d(c_i, c_j): the
+    cheap internal clustering validity index (lower = better) that,
+    unlike [[silhouette_score]], needs NO pairwise point distances —
+    only centroids and within-cluster mean scatter, which makes it
+    the one you can afford at every iteration of a clustering loop.
+
+    Plan: centroid partial agg + one scatter pass (centroid broadcast
+    back) + a k x k centroid-pair frame (k = 10 — driver-scale).
+    Two fact scans, zero quadratic point work: the structural
+    contrast to silhouette IS the lesson."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("label").alias("c"),
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    cent = pts.groupBy("c").agg(
+        F.avg("x").alias("cx"),
+        F.avg("y").alias("cy"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    scat = (
+        pts.join(F.broadcast(cent), "c")
+        .groupBy("c")
+        .agg(
+            F.avg(
+                F.sqrt(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                    + (F.col("y") - F.col("cy"))
+                    * (F.col("y") - F.col("cy"))
+                )
+            ).alias("s")
+        )
+    )
+    a = cent.select(
+        F.col("c").alias("ci"), F.col("cx").alias("ax"),
+        F.col("cy").alias("ay"),
+    ).join(
+        scat.select(F.col("c").alias("ci"), F.col("s").alias("si")), "ci"
+    )
+    b2 = cent.select(
+        F.col("c").alias("cj"), F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    ).join(
+        scat.select(F.col("c").alias("cj"), F.col("s").alias("sj")), "cj"
+    )
+    rij = (
+        a.join(F.broadcast(b2), F.col("ci") != F.col("cj"))
+        .groupBy("ci")
+        .agg(
+            F.max(
+                (F.col("si") + F.col("sj"))
+                / F.sqrt(
+                    (F.col("ax") - F.col("bx"))
+                    * (F.col("ax") - F.col("bx"))
+                    + (F.col("ay") - F.col("by"))
+                    * (F.col("ay") - F.col("by"))
+                )
+            ).alias("r")
+        )
+    )
+    return rij.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        _eps_round(F.avg("r"), 4).alias("davies_bouldin"),
+    )
