@@ -6413,3 +6413,166 @@ def davies_bouldin_index(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("k"),
         _eps_round(F.avg("r"), 4).alias("davies_bouldin"),
     )
+
+
+_LOF_K = 5
+
+
+@register(
+    "local_outlier_factor",
+    f"""
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    cells AS (
+      SELECT vec_id, x, y,
+             CAST(FLOOR(x / {_DBSCAN_EPS}) AS BIGINT) AS cx,
+             CAST(FLOOR(y / {_DBSCAN_EPS}) AS BIGINT) AS cy
+      FROM pts),
+    cand AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             SQRT((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y)) AS d
+      FROM cells a JOIN cells b
+        ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
+       AND a.vec_id <> b.vec_id),
+    knn AS (
+      SELECT ia, ib, d,
+             ROW_NUMBER() OVER (PARTITION BY ia
+                                ORDER BY ROUND(d + 1.2345e-8, 9), ib)
+               AS rk
+      FROM cand),
+    nbr AS (SELECT ia, ib, d FROM knn WHERE rk <= {_LOF_K}),
+    kd AS (SELECT ia, MAX(d) AS kdist,
+                  CAST(COUNT(*) AS BIGINT) AS nn
+           FROM nbr GROUP BY ia),
+    full_pts AS (SELECT * FROM kd WHERE nn = {_LOF_K}),
+    reach AS (
+      SELECT n.ia, n.ib, GREATEST(kb.kdist, n.d) AS rd
+      FROM nbr n JOIN full_pts ka ON ka.ia = n.ia
+      JOIN full_pts kb ON kb.ia = n.ib),
+    lrd AS (
+      SELECT ia, {_LOF_K} / SUM(rd) AS lrd,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM reach GROUP BY ia),
+    lof AS (
+      SELECT n.ia, AVG(lb.lrd) / MAX(la.lrd) AS lof,
+             MAX(la.lrd) AS lrd, CAST(COUNT(*) AS BIGINT) AS m
+      FROM nbr n
+      JOIN lrd la ON la.ia = n.ia AND la.m = {_LOF_K}
+      JOIN lrd lb ON lb.ia = n.ib AND lb.m = {_LOF_K}
+      GROUP BY n.ia
+      HAVING COUNT(*) = {_LOF_K})
+    SELECT ia AS vec_id,
+           ROUND(1.2345e-8 + lrd, 4) AS lrd,
+           ROUND(1.2345e-8 + lof, 4) AS lof
+    FROM lof
+    ORDER BY ROUND(1.2345e-8 + lof, 4) DESC, vec_id
+    LIMIT 25
+    """,
+    tags=("curation", "anomaly", "density"),
+)
+def local_outlier_factor(spark, sf_dir):
+    """LOCAL OUTLIER FACTOR (Breunig et al.) — the density-RATIO
+    anomaly score that catches points anomalous relative to their
+    NEIGHBORHOOD where global z-scores ([[anomaly_mad_zscore]]) see
+    nothing: k-NN within the [[dbscan_core_points]] eps-grid (k=5),
+    k-distance, reachability rd(a,b) = max(kdist(b), d(a,b)), local
+    reachability density lrd = k/sum(rd), LOF = mean(lrd of
+    neighbors)/lrd(self) — ~1 inlier, >>1 outlier. Top-25 by rounded
+    score with id tiebreaks. Grid-bounded form: neighbors come from
+    the 3x3 cell ring (exact whenever kdist < eps — the standard
+    blocked-LOF contract, stated rather than hidden; points whose
+    ring can't fill k neighbors drop at each stage on BOTH engines
+    via the count guards).
+
+    Plan: the candidate join is the dbscan cell equi-join; k-NN is a
+    per-point window rank over <= 9-cell candidates (bounded list,
+    partitioned by point); the lrd and LOF stages are two more joins
+    on point keys carrying 3 doubles/row. Four key-partitioned
+    shuffles total, no all-pairs anywhere — THE scalable LOF shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    cells = pts.select(
+        "vec_id", "x", "y",
+        F.floor(F.col("x") / _DBSCAN_EPS).alias("cx"),
+        F.floor(F.col("y") / _DBSCAN_EPS).alias("cy"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cand = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("ia"),
+        F.col("b.vec_id").alias("ib"),
+        F.sqrt(
+            (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+            + (F.col("a.y") - F.col("b.y"))
+            * (F.col("a.y") - F.col("b.y"))
+        ).alias("d"),
+    )
+    wk = Window.partitionBy("ia").orderBy(
+        F.round(F.col("d") + F.lit(1.2345e-8), 9), "ib"
+    )
+    nbr = cand.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= _LOF_K
+    ).select("ia", "ib", "d")
+    kd = nbr.groupBy("ia").agg(
+        F.max("d").alias("kdist"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    full_pts = kd.filter(F.col("nn") == _LOF_K)
+    reach = (
+        nbr.join(
+            full_pts.select(F.col("ia")), "ia"
+        )
+        .join(
+            full_pts.select(
+                F.col("ia").alias("ib"), F.col("kdist").alias("kb")
+            ),
+            "ib",
+        )
+        .select(
+            "ia", "ib",
+            F.greatest(F.col("kb"), F.col("d")).alias("rd"),
+        )
+    )
+    lrd = reach.groupBy("ia").agg(
+        (F.lit(float(_LOF_K)) / F.sum("rd")).alias("lrd"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    lof = (
+        nbr.join(
+            lrd.filter(F.col("m") == _LOF_K).select("ia", "lrd"), "ia"
+        )
+        .join(
+            lrd.filter(F.col("m") == _LOF_K).select(
+                F.col("ia").alias("ib"), F.col("lrd").alias("lrd_b")
+            ),
+            "ib",
+        )
+        .groupBy("ia")
+        .agg(
+            (F.avg("lrd_b") / F.max("lrd")).alias("lof"),
+            F.max("lrd").alias("lrd"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .filter(F.col("m") == _LOF_K)
+    )
+    return (
+        lof.select(
+            F.col("ia").alias("vec_id"),
+            _eps_round("lrd", 4).alias("lrd"),
+            _eps_round("lof", 4).alias("lof"),
+        )
+        .orderBy(F.desc("lof"), "vec_id")
+        .limit(25)
+    )
