@@ -4538,3 +4538,105 @@ def slic_superpixels_1iter(spark, sf_dir):
         )
         .orderBy("superpixel")
     )
+
+
+def _seam_oracle() -> str:
+    """Unrolled DP oracle: energy = |horizontal gradient|; row r's CTE
+    holds the 64 cumulative-min seam costs ending at (r, x). 63 chained
+    64-row self-joins — the [[dtw_alignment_distance]] unroll pattern
+    on the image's row axis."""
+    ctes = [
+        """e AS MATERIALIZED (
+          SELECT p.y, p.x,
+                 ABS(p.value - COALESCE(q.value, p.value)) AS en
+          FROM pixels p LEFT JOIN pixels q
+            ON q.y = p.y AND q.x = p.x + 1)""",
+        "m0 AS MATERIALIZED (SELECT x, en AS cost FROM e WHERE y = 0)",
+    ]
+    for r in range(1, 64):
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+              SELECT e.x, e.en + MIN(p.cost) AS cost
+              FROM e JOIN m{r - 1} p ON ABS(p.x - e.x) <= 1
+              WHERE e.y = {r} GROUP BY e.x, e.en)"""
+        )
+    body = """
+        SELECT x AS bottom_x, ROUND(1.2345e-8 + cost, 4) AS seam_cost
+        FROM m63 ORDER BY bottom_x
+    """
+    return with_pixel_ctes(body, extra=ctes)
+
+
+@register(
+    "seam_carving_dp",
+    _seam_oracle(),
+    tags=("imaging", "dp", "arrow-udf"),
+)
+def seam_carving_dp(spark, sf_dir):
+    """SEAM CARVING cost table (Avidan-Shamir content-aware resizing):
+    the vertical-seam DP M(y, x) = e(y, x) + min(M(y-1, x-1..x+1))
+    over the |horizontal-gradient| energy, emitting the full bottom
+    row — the minimum over it is the seam the resize would remove,
+    and every per-column cost grades the whole DP table's last
+    anti-chain. ENGINE: the literal row sweep in ONE Arrow group
+    (the [[dtw_alignment_distance]] posture — distribute across
+    images, never across DP cells); ORACLE: 63 chained MATERIALIZED 64-row
+    min-join CTEs, the row-unrolled materialization of the same
+    recurrence.
+
+    Plan: energy is one self-join stencil (shift by 1 in x); the DP
+    runs inside applyInPandas per image — at a 100-TB image corpus
+    seams parallelize across images/strips exactly like the R2 tile
+    family, with strip-boundary stitching the known extension."""
+    import numpy as np  # noqa: F401
+
+    px = pixel_grid(spark, sf_dir)
+    right = px.select(
+        F.col("y").alias("ry"),
+        (F.col("x") - 1).alias("rx"),
+        F.col("value").alias("rv"),
+    )
+    e = (
+        px.join(
+            right,
+            (F.col("y") == F.col("ry")) & (F.col("x") == F.col("rx")),
+            "left",
+        )
+        .select(
+            "y", "x",
+            F.abs(
+                F.col("value") - F.coalesce("rv", F.col("value"))
+            ).alias("en"),
+        )
+    )
+
+    def sweep(pdf):
+        import numpy as np
+        import pandas as pd
+
+        grid = np.zeros((64, 64))
+        grid[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf[
+            "en"
+        ].to_numpy()
+        m = grid[0].copy()
+        for r in range(1, 64):
+            prev = np.minimum(
+                np.minimum(
+                    np.roll(m, 1), m
+                ),
+                np.roll(m, -1),
+            )
+            # roll wraps — endpoints must only see their 2 real neighbors
+            prev[0] = min(m[0], m[1])
+            prev[-1] = min(m[-2], m[-1])
+            m = grid[r] + prev
+        return pd.DataFrame({"bottom_x": np.arange(64), "seam_cost": m})
+
+    out = (
+        e.withColumn("img", F.lit(0))
+        .groupBy("img")
+        .applyInPandas(sweep, "bottom_x int, seam_cost double")
+    )
+    return out.select(
+        "bottom_x", _eps_round("seam_cost", 4).alias("seam_cost")
+    ).orderBy("bottom_x")
