@@ -6576,3 +6576,154 @@ def local_outlier_factor(spark, sf_dir):
         .orderBy(F.desc("lof"), "vec_id")
         .limit(25)
     )
+
+
+@register(
+    "ecod_outlier_scores",
+    """
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pts),
+    rk AS (
+      SELECT vec_id,
+             RANK() OVER (ORDER BY x)
+               + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+             RANK() OVER (ORDER BY y)
+               + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+      FROM pts),
+    sc AS (
+      SELECT rk.vec_id,
+             -LN(LEAST(rk.rx / n.n, 1 - rk.rx / n.n + 1 / n.n))
+             - LN(LEAST(rk.ry / n.n, 1 - rk.ry / n.n + 1 / n.n)) AS score
+      FROM rk CROSS JOIN n)
+    SELECT vec_id, ROUND(1.2345e-8 + score, 4) AS ecod_score
+    FROM sc
+    ORDER BY ROUND(1.2345e-8 + score, 4) DESC, vec_id
+    LIMIT 25
+    """,
+    tags=("curation", "anomaly", "rank-based"),
+)
+def ecod_outlier_scores(spark, sf_dir):
+    """ECOD OUTLIER SCORES (empirical-CDF outlier detection, Li et al.
+    2022) — per dimension, a point's outlyingness is the smaller
+    empirical tail probability min(F(x), 1-F(x)+1/n) (fractional
+    ranks for ties, the [[spearman_corr]] convention), and the score
+    is the summed negative log tail across dimensions: entirely
+    parameter-free and rank-based, the modern screening default
+    before density methods ([[local_outlier_factor]]) are paid for.
+    Top-25 by rounded score, id tiebreak.
+
+    Plan: one window rank per dimension (both over the same global
+    sort domain, independent sorts), then map arithmetic — no joins,
+    no pairs, no k-NN: the whole point of ECOD at scale; at 100 TB
+    the ranks become one GK-sketch pass per dimension."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    n = pts.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    rx = F.rank().over(Window.orderBy("x")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("x")) - 1
+    ) / 2.0
+    ry = F.rank().over(Window.orderBy("y")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("y")) - 1
+    ) / 2.0
+    rk = pts.select("vec_id", rx.alias("rx"), ry.alias("ry"))
+    sc = rk.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        (
+            -F.log(
+                F.least(
+                    F.col("rx") / F.col("n"),
+                    1 - F.col("rx") / F.col("n") + 1 / F.col("n"),
+                )
+            )
+            - F.log(
+                F.least(
+                    F.col("ry") / F.col("n"),
+                    1 - F.col("ry") / F.col("n") + 1 / F.col("n"),
+                )
+            )
+        ).alias("score"),
+    )
+    return (
+        sc.select(
+            "vec_id", _eps_round("score", 4).alias("ecod_score")
+        )
+        .orderBy(F.desc("ecod_score"), "vec_id")
+        .limit(25)
+    )
+
+
+@register(
+    "mahalanobis_outlier_2d",
+    """
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    mo AS (
+      SELECT AVG(x) AS mx, AVG(y) AS my,
+             VAR_POP(x) AS a, COVAR_POP(x, y) AS b, VAR_POP(y) AS c
+      FROM pts),
+    d AS (
+      SELECT p.vec_id,
+             (mo.c * (p.x - mo.mx) * (p.x - mo.mx)
+              - 2 * mo.b * (p.x - mo.mx) * (p.y - mo.my)
+              + mo.a * (p.y - mo.my) * (p.y - mo.my))
+             / (mo.a * mo.c - mo.b * mo.b) AS d2
+      FROM pts p CROSS JOIN mo)
+    SELECT vec_id, ROUND(1.2345e-8 + SQRT(d2), 4) AS mahalanobis
+    FROM d
+    ORDER BY ROUND(1.2345e-8 + SQRT(d2), 4) DESC, vec_id
+    LIMIT 25
+    """,
+    tags=("curation", "anomaly", "parametric"),
+)
+def mahalanobis_outlier_2d(spark, sf_dir):
+    """MAHALANOBIS DISTANCE outliers — the parametric (elliptical)
+    anomaly score: d^2 = (p - mu)^T Sigma^-1 (p - mu) with the 2x2
+    covariance inverted in closed form (adj/det — the
+    [[pca_2d_closed_form]] algebra put to work), top-25 by distance.
+    Completes the anomaly triptych: parametric ellipse (this),
+    rank tails ([[ecod_outlier_scores]]), local density
+    ([[local_outlier_factor]]) — three assumptions, three shapes of
+    miss.
+
+    Plan: ONE partial-agg scan for the five moments, broadcast back,
+    map arithmetic, TakeOrderedAndProject top-25. Two scans, no
+    pairs; d > 2 generalizes with a driver-side matrix inverse and a
+    dot-product fan-out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    mo = pts.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_pop("x").alias("a"),
+        F.covar_pop("x", "y").alias("b"),
+        F.var_pop("y").alias("c"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("a") * F.col("c") - F.col("b") * F.col("b")
+    d2 = (
+        F.col("c") * dx * dx - 2 * F.col("b") * dx * dy + F.col("a") * dy * dy
+    ) / det
+    return (
+        pts.crossJoin(F.broadcast(mo))
+        .select(
+            "vec_id", _eps_round(F.sqrt(d2), 4).alias("mahalanobis")
+        )
+        .orderBy(F.desc("mahalanobis"), "vec_id")
+        .limit(25)
+    )
