@@ -6727,3 +6727,202 @@ def mahalanobis_outlier_2d(spark, sf_dir):
         .orderBy(F.desc("mahalanobis"), "vec_id")
         .limit(25)
     )
+
+
+# mSPRT mixing variance (tau^2): the prior width over the effect size.
+_MSPRT_TAU2 = 25.0
+_MSPRT_MU0 = 50.0
+
+
+@register(
+    "msprt_always_valid_p",
+    f"""
+    WITH s AS (
+      SELECT event_type, ts, event_id, value AS v FROM events),
+    sig AS (
+      SELECT event_type, VAR_POP(v) AS s2 FROM s GROUP BY event_type),
+    c AS (
+      SELECT s.event_type, s.ts, s.event_id, sig.s2,
+             SUM(s.v - {_MSPRT_MU0}) OVER w AS st,
+             ROW_NUMBER() OVER w AS t
+      FROM s JOIN sig ON sig.event_type = s.event_type
+      WINDOW w AS (PARTITION BY s.event_type ORDER BY s.ts, s.event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    lam AS (
+      SELECT event_type, t,
+             0.5 * LN(2 * {_MSPRT_TAU2}
+                      / (2 * {_MSPRT_TAU2} + t * s2))
+             + st * st * {_MSPRT_TAU2}
+               / (2 * s2 * (2 * {_MSPRT_TAU2} + t * s2)) AS log_lam
+      FROM c),
+    run AS (
+      SELECT event_type, t, log_lam,
+             MAX(log_lam) OVER (PARTITION BY event_type ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS best
+      FROM lam),
+    fin AS (
+      SELECT event_type, MAX(t) AS n,
+             MAX(best) AS best_log_lam,
+             MIN(CASE WHEN best > LN(20.0) THEN t END) AS first_reject_t
+      FROM run GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(1.2345e-8 + LEAST(1.0, EXP(-best_log_lam)), 6)
+             AS always_valid_p,
+           CAST(first_reject_t AS BIGINT) AS first_reject_t
+    FROM fin ORDER BY event_type
+    """,
+    tags=("curation", "statistics", "sequential-testing"),
+)
+def msprt_always_valid_p(spark, sf_dir):
+    """MIXTURE SPRT / ALWAYS-VALID p-VALUES (Johari et al. — the
+    'peeking problem' machinery production A/B platforms ship):
+    testing mean = mu0 with a normal mixture prior tau^2 over the
+    effect, the mixture likelihood ratio has the closed form
+    Lambda_t = sqrt(2tau^2/(2tau^2 + t sigma^2)) * exp(S_t^2 tau^2 /
+    (2 sigma^2 (2tau^2 + t sigma^2))) — a pure function of the
+    running sum, so the whole always-valid process is ONE cumsum +
+    map arithmetic + a running max; p_t = min(1, 1/max Lambda).
+    Emits each series' final always-valid p and the first time it
+    dropped below 1/20 — the continuous-monitoring complement of the
+    binary-outcome [[sprt_decision]] (whose fixed simple-vs-simple
+    LLR this mixture generalizes).
+
+    Plan: per-series variance broadcast, one window cumsum + one
+    running max over the same (series, ts) sort (one Sort total),
+    then a per-series rollup. Exactly the [[sprt_decision]] shape —
+    sequential statistics without sequential execution."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("event_type", "ts", "event_id", F.col("value").alias("v"))
+    sig = s.groupBy("event_type").agg(F.var_pop("v").alias("s2"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    c = s.join(F.broadcast(sig), "event_type").select(
+        "event_type",
+        "s2",
+        F.sum(F.col("v") - _MSPRT_MU0)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("st"),
+        F.row_number().over(w).alias("t"),
+    )
+    denom = 2 * _MSPRT_TAU2 + F.col("t") * F.col("s2")
+    lam = c.select(
+        "event_type", "t",
+        (
+            0.5 * F.log(2 * _MSPRT_TAU2 / denom)
+            + F.col("st") * F.col("st") * _MSPRT_TAU2
+            / (2 * F.col("s2") * denom)
+        ).alias("log_lam"),
+    )
+    run = lam.withColumn(
+        "best",
+        F.max("log_lam").over(
+            Window.partitionBy("event_type")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    fin = run.groupBy("event_type").agg(
+        F.max("t").alias("n"),
+        F.max("best").alias("best_log_lam"),
+        F.min(
+            F.when(F.col("best") > math.log(20.0), F.col("t"))
+        ).alias("first_reject_t"),
+    )
+    return fin.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _eps_round(
+            F.least(F.lit(1.0), F.exp(-F.col("best_log_lam"))), 6
+        ).alias("always_valid_p"),
+        F.col("first_reject_t").cast("long").alias("first_reject_t"),
+    ).orderBy("event_type")
+
+
+@register(
+    "eb_shrunk_ctr",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CASE WHEN event_type IN ('click', 'purchase')
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS k
+      FROM events GROUP BY user_id),
+    r AS (SELECT user_id, n, k, k / n AS raw FROM u),
+    mom AS (
+      SELECT AVG(raw) AS m, VAR_POP(raw) AS v, AVG(n) AS nbar FROM r),
+    prior AS (
+      SELECT m, v,
+             CASE WHEN v > m * (1 - m) / nbar
+               THEN m * (m * (1 - m) / (v - m * (1 - m) / nbar) - 1)
+               ELSE m * 50.0 END AS alpha,
+             CASE WHEN v > m * (1 - m) / nbar
+               THEN (1 - m) * (m * (1 - m) / (v - m * (1 - m) / nbar) - 1)
+               ELSE (1 - m) * 50.0 END AS beta
+      FROM mom)
+    SELECT r.user_id, CAST(r.n AS BIGINT) AS n,
+           ROUND(1.2345e-8 + r.raw, 4) AS raw_rate,
+           ROUND(1.2345e-8 +
+             (p.alpha + r.k) / (p.alpha + p.beta + r.n), 4)
+             AS shrunk_rate,
+           ROUND(1.2345e-8 + p.alpha, 4) AS prior_alpha,
+           ROUND(1.2345e-8 + p.beta, 4) AS prior_beta
+    FROM r CROSS JOIN prior p
+    ORDER BY r.user_id
+    """,
+    tags=("curation", "statistics", "empirical-bayes"),
+)
+def eb_shrunk_ctr(spark, sf_dir):
+    """EMPIRICAL-BAYES SHRINKAGE of per-user conversion rates — fit a
+    Beta(alpha, beta) prior to the population of raw rates by the
+    method of moments (the moment-matched overdispersion estimate,
+    with a wide fallback prior when the between-user variance doesn't
+    exceed sampling noise), then report each user's posterior mean
+    (alpha + k)/(alpha + beta + n): small-n users shrink hard toward
+    the population rate, high-n users keep their data — the fix for
+    every 'user with 1 event has 100% CTR' ranking artifact that
+    [[wilson_ctr_rank]] bounds and this one smooths. The same
+    machinery behind [[target_encode_loo]]'s regularization,
+    surfaced as the explicit Bayesian estimator.
+
+    Plan: per-user partial agg, 1-row moment frame, broadcast prior
+    back — two scans of user-level data, nothing quadratic."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(
+            F.when(F.col("event_type").isin("click", "purchase"), 1)
+            .otherwise(0)
+        ).cast("double").alias("k"),
+    )
+    r = u.withColumn("raw", F.col("k") / F.col("n"))
+    mom = r.agg(
+        F.avg("raw").alias("m"),
+        F.var_pop("raw").alias("v"),
+        F.avg("n").alias("nbar"),
+    )
+    excess = F.col("v") - F.col("m") * (1 - F.col("m")) / F.col("nbar")
+    strength = F.col("m") * (1 - F.col("m")) / excess - 1
+    prior = mom.select(
+        F.when(
+            F.col("v") > F.col("m") * (1 - F.col("m")) / F.col("nbar"),
+            F.col("m") * strength,
+        ).otherwise(F.col("m") * 50.0).alias("alpha"),
+        F.when(
+            F.col("v") > F.col("m") * (1 - F.col("m")) / F.col("nbar"),
+            (1 - F.col("m")) * strength,
+        ).otherwise((1 - F.col("m")) * 50.0).alias("beta"),
+    )
+    return (
+        r.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            _eps_round("raw", 4).alias("raw_rate"),
+            _eps_round(
+                (F.col("alpha") + F.col("k"))
+                / (F.col("alpha") + F.col("beta") + F.col("n")),
+                4,
+            ).alias("shrunk_rate"),
+            _eps_round("alpha", 4).alias("prior_alpha"),
+            _eps_round("beta", 4).alias("prior_beta"),
+        )
+        .orderBy("user_id")
+    )
