@@ -6926,3 +6926,158 @@ def eb_shrunk_ctr(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# Facility-location RBF bandwidth (similarity = exp(-d^2 / 2 sigma^2)).
+_FL_SIGMA2 = 0.02
+_FL_ROUNDS = 5
+
+
+def _fl_oracle() -> str:
+    """Greedy facility-location selection, 5 rounds unrolled as
+    MATERIALIZED CTEs (the [[seam_carving_dp]] discipline): each round
+    picks the candidate maximizing the coverage gain given the running
+    per-point best similarity."""
+    ctes = [
+        """pts AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(embedding[1] AS DOUBLE) AS x,
+                 CAST(embedding[2] AS DOUBLE) AS y
+          FROM embeddings)""",
+        f"""sim AS MATERIALIZED (
+          SELECT a.vec_id AS cand, b.vec_id AS pt,
+                 EXP(-((a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y))
+                     / (2 * {_FL_SIGMA2})) AS s
+          FROM pts a JOIN pts b ON 1 = 1)""",
+        """best0 AS MATERIALIZED (
+          SELECT vec_id AS pt, 0.0 AS best FROM pts)""",
+    ]
+    prev_sel = None
+    for r in range(1, _FL_ROUNDS + 1):
+        not_prev = (
+            f"AND sim.cand NOT IN (SELECT cand FROM sel{r - 1})"
+            if prev_sel
+            else ""
+        )
+        ctes.append(
+            f"""gain{r} AS MATERIALIZED (
+              SELECT sim.cand,
+                     SUM(GREATEST(sim.s - b.best, 0.0)) AS gain
+              FROM sim JOIN best{r - 1} b ON b.pt = sim.pt
+              WHERE 1 = 1 {not_prev}
+              GROUP BY sim.cand)"""
+        )
+        ctes.append(
+            f"""pick{r} AS MATERIALIZED (
+              SELECT cand, gain FROM gain{r}
+              ORDER BY ROUND(gain + 1.2345e-8, 9) DESC, cand LIMIT 1)"""
+        )
+        ctes.append(
+            f"""sel{r} AS MATERIALIZED (
+              SELECT cand FROM pick{r}"""
+            + (f" UNION ALL SELECT cand FROM sel{r - 1})" if prev_sel else ")")
+        )
+        ctes.append(
+            f"""best{r} AS MATERIALIZED (
+              SELECT b.pt,
+                     GREATEST(b.best, COALESCE(s2.s, 0.0)) AS best
+              FROM best{r - 1} b LEFT JOIN (
+                SELECT sim.pt, sim.s FROM sim JOIN pick{r} p
+                  ON p.cand = sim.cand) s2 ON s2.pt = b.pt)"""
+        )
+        prev_sel = True
+    picks = " UNION ALL ".join(
+        f"SELECT {r} AS round, cand, ROUND(1.2345e-8 + gain, 4) AS gain "
+        f"FROM pick{r}"
+        for r in range(1, _FL_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT round, cand AS vec_id, gain "
+        f"FROM ({picks}) ORDER BY round"
+    )
+
+
+@register(
+    "facility_location_greedy",
+    _fl_oracle(),
+    tags=("curation", "subset-selection", "submodular"),
+)
+def facility_location_greedy(spark, sf_dir):
+    """GREEDY FACILITY-LOCATION SELECTION — pick 5 exemplars maximizing
+    sum over points of max-similarity-to-selected (RBF kernel on the
+    2-D embedding projection): the submodular coverage objective
+    behind representative-subset data pruning, where the greedy
+    algorithm carries the (1 - 1/e) guarantee. Each round is ONE
+    marginal-gain aggregate given the running per-point best
+    similarity — the argmax uses 1e-9-rounded gains with candidate-id
+    tiebreaks ([[adaboost_2stumps]] rule), and the oracle unrolls the
+    5 rounds as MATERIALIZED CTEs. [[mmr_rerank_top3]] trades
+    relevance vs redundancy on a candidate list; THIS selects for
+    corpus-wide coverage.
+
+    Plan: the kernel matrix is the one quadratic object — bounded
+    here, and at 100 TB it sparsifies through exactly the
+    [[dbscan_core_points]] grid (RBF is negligible past a few sigma,
+    so gains only need near-cell pairs); each round is then a
+    key-partitioned join + partial agg, with the 1-row pick
+    broadcast into the next round's best-similarity update."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    sim = persist_tracked(
+        a.crossJoin(b).select(
+            F.col("a.vec_id").alias("cand"),
+            F.col("b.vec_id").alias("pt"),
+            F.exp(
+                -(
+                    (F.col("a.x") - F.col("b.x"))
+                    * (F.col("a.x") - F.col("b.x"))
+                    + (F.col("a.y") - F.col("b.y"))
+                    * (F.col("a.y") - F.col("b.y"))
+                )
+                / (2 * _FL_SIGMA2)
+            ).alias("s"),
+        )
+    )
+    best = pts.select(F.col("vec_id").alias("pt"), F.lit(0.0).alias("best"))
+    chosen: list = []
+    rows = []
+    for r in range(1, _FL_ROUNDS + 1):
+        g = sim.join(best, "pt")
+        if chosen:
+            g = g.filter(~F.col("cand").isin(chosen))
+        pick = (
+            g.groupBy("cand")
+            .agg(
+                F.sum(
+                    F.greatest(F.col("s") - F.col("best"), F.lit(0.0))
+                ).alias("gain")
+            )
+            .orderBy(
+                F.round(F.col("gain") + F.lit(1.2345e-8), 9).desc(), "cand"
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(pick["cand"])
+        rows.append((r, pick["cand"], pick["gain"]))
+        upd = sim.filter(F.col("cand") == pick["cand"]).select(
+            "pt", F.col("s").alias("s_new")
+        )
+        best = best.join(upd, "pt", "left").select(
+            "pt",
+            F.greatest(
+                F.col("best"), F.coalesce("s_new", F.lit(0.0))
+            ).alias("best"),
+        )
+    spark_rows = spark.createDataFrame(
+        rows, "round int, vec_id long, gain double"
+    )
+    return spark_rows.select(
+        "round", "vec_id", _eps_round("gain", 4).alias("gain")
+    ).orderBy("round")
