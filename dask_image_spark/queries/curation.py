@@ -7081,3 +7081,154 @@ def facility_location_greedy(spark, sf_dir):
     return spark_rows.select(
         "round", "vec_id", _eps_round("gain", 4).alias("gain")
     ).orderBy("round")
+
+
+# Sinkhorn entropic regularization (epsilon) for the 5x5 type-transport.
+_SK_EPS = 0.5
+
+
+@register(
+    "sinkhorn_2iter",
+    f"""
+    WITH idx AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS i
+      FROM (SELECT DISTINCT event_type FROM events)),
+    half AS (
+      SELECT e.event_type,
+             CASE WHEN e.ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'a' ELSE 'b' END AS h,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events e GROUP BY 1, 2),
+    dist AS (
+      SELECT i.i, h.h,
+             h.c / SUM(h.c) OVER (PARTITION BY h.h) AS p
+      FROM half h JOIN idx i ON i.event_type = h.event_type),
+    a AS (SELECT i, p FROM dist WHERE h = 'a'),
+    b AS (SELECT i, p FROM dist WHERE h = 'b'),
+    k AS (
+      SELECT a.i AS i, b.i AS j,
+             EXP(-ABS(a.i - b.i) / {_SK_EPS}) AS kij
+      FROM a CROSS JOIN b),
+    v1 AS (
+      SELECT b.i AS j, b.p / SUM(k.kij) AS v
+      FROM b JOIN k ON k.j = b.i GROUP BY b.i, b.p),
+    u1 AS (
+      SELECT a.i, a.p / SUM(k.kij * v1.v) AS u
+      FROM a JOIN k ON k.i = a.i JOIN v1 ON v1.j = k.j
+      GROUP BY a.i, a.p),
+    v2 AS (
+      SELECT b.i AS j, b.p / SUM(k.kij * u1.u) AS v
+      FROM b JOIN k ON k.j = b.i JOIN u1 ON u1.i = k.i
+      GROUP BY b.i, b.p),
+    u2 AS (
+      SELECT a.i, a.p / SUM(k.kij * v2.v) AS u
+      FROM a JOIN k ON k.i = a.i JOIN v2 ON v2.j = k.j
+      GROUP BY a.i, a.p),
+    plan AS (
+      SELECT k.i, k.j, u2.u * k.kij * v2.v AS pij
+      FROM k JOIN u2 ON u2.i = k.i JOIN v2 ON v2.j = k.j)
+    SELECT i, j, ROUND(1.2345e-8 + pij, 6) AS mass,
+           ROUND(1.2345e-8 +
+             (SELECT SUM(p2.pij * ABS(p2.i - p2.j)) FROM plan p2), 4)
+             AS transport_cost
+    FROM plan ORDER BY i, j
+    """,
+    tags=("curation", "optimal-transport"),
+)
+def sinkhorn_2iter(spark, sf_dir):
+    """SINKHORN MATRIX SCALING, two exact iterations — entropic optimal
+    transport between the first-half and second-half event-type
+    distributions under the |i - j| line cost (epsilon = 0.5):
+    alternately scale rows and columns of the Gibbs kernel
+    K = exp(-C/eps) to match the marginals (v = b / K^T u,
+    u = a / K v), emit the resulting transport plan and its cost.
+    The entropic generalization of [[emd_source_drift]]'s exact 1-D
+    EMD — and at two iterations, SQL-replayable like every iterative
+    op here ([[gmm_em_1step]] convention). The marginals derive from
+    the same mid-month split as [[diff_in_diff]].
+
+    Plan: everything after the two count aggregates is k x k = 25-cell
+    arithmetic — alternate scaling is two tiny join-aggregates per
+    iteration. At scale the cost matrix stays distribution-sized
+    (k x k), never data-sized: Sinkhorn's entire appeal."""
+    ev = load_table(spark, sf_dir, "events")
+    idx = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (
+                F.row_number().over(Window.orderBy("event_type")) - 1
+            ).alias("i"),
+        )
+    )
+    half = ev.groupBy(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+            "a",
+        ).otherwise("b").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    dist = half.join(F.broadcast(idx), "event_type").select(
+        "i", "h",
+        (
+            F.col("c") / F.sum("c").over(Window.partitionBy("h"))
+        ).alias("p"),
+    )
+    a = dist.filter(F.col("h") == "a").select("i", "p")
+    b = dist.filter(F.col("h") == "b").select(
+        F.col("i").alias("j"), "p"
+    )
+    k = (
+        a.select(F.col("i"))
+        .crossJoin(b.select("j"))
+        .select(
+            "i", "j",
+            F.exp(-F.abs(F.col("i") - F.col("j")) / _SK_EPS).alias("kij"),
+        )
+    )
+
+    def col_scale(km, u_df):
+        return (
+            b.join(km, "j")
+            .join(u_df, "i")
+            .groupBy("j", "p")
+            .agg(F.sum(F.col("kij") * F.col("u")).alias("s"))
+            .select("j", (F.col("p") / F.col("s")).alias("v"))
+        )
+
+    def row_scale(km, v_df):
+        return (
+            a.join(km, "i")
+            .join(v_df, "j")
+            .groupBy("i", "p")
+            .agg(F.sum(F.col("kij") * F.col("v")).alias("s"))
+            .select("i", (F.col("p") / F.col("s")).alias("u"))
+        )
+
+    u0 = a.select("i", F.lit(1.0).alias("u"))
+    v1 = col_scale(k, u0)
+    u1 = row_scale(k, v1)
+    v2 = col_scale(k, u1)
+    u2 = row_scale(k, v2)
+    plan = (
+        k.join(u2, "i")
+        .join(v2, "j")
+        .select(
+            "i", "j",
+            (F.col("u") * F.col("kij") * F.col("v")).alias("pij"),
+        )
+    )
+    cost = plan.agg(
+        F.sum(F.col("pij") * F.abs(F.col("i") - F.col("j"))).alias("tc")
+    )
+    return (
+        plan.crossJoin(F.broadcast(cost))
+        .select(
+            "i", "j",
+            _eps_round("pij", 6).alias("mass"),
+            _eps_round("tc", 4).alias("transport_cost"),
+        )
+        .orderBy("i", "j")
+    )
