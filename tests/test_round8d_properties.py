@@ -451,3 +451,136 @@ def test_haar_two_level_preserves_energy(xs):
     lhs = float((a2**2).sum() + (d2**2).sum() + (d1**2).sum())
     rhs = float((x**2).sum())
     assert abs(lhs - rhs) <= 1e-9 * max(1.0, rhs)
+
+
+# ---- Sinkhorn scaling ---------------------------------------------------------
+
+
+@given(
+    st.lists(st.floats(min_value=0.1, max_value=10, allow_nan=False),
+             min_size=3, max_size=6),
+    st.lists(st.floats(min_value=0.1, max_value=10, allow_nan=False),
+             min_size=3, max_size=6),
+)
+@settings(max_examples=100, deadline=None)
+def test_sinkhorn_column_marginal_exact_after_col_scale(aw, bw):
+    """After a column scaling the plan's COLUMN marginals match b
+    exactly (the alternating-projection invariant the query's v-steps
+    rely on); more iterations shrink the row-marginal error."""
+    k = min(len(aw), len(bw))
+    a = np.array(aw[:k]); a /= a.sum()
+    b = np.array(bw[:k]); b /= b.sum()
+    C = np.abs(np.subtract.outer(np.arange(k), np.arange(k)))
+    K = np.exp(-C / 0.5)
+    u = np.ones(k)
+    v = b / (K.T @ u)
+    u = a / (K @ v)
+    v = b / (K.T @ u)
+    P = u[:, None] * K * v[None, :]
+    assert np.allclose(P.sum(axis=0), b, atol=1e-12)
+    err1 = np.abs(P.sum(axis=1) - a).sum()
+    # one more full iteration cannot increase the row error
+    u2 = a / (K @ v)
+    v2 = b / (K.T @ u2)
+    P2 = u2[:, None] * K * v2[None, :]
+    err2 = np.abs(P2.sum(axis=1) - a).sum()
+    assert err2 <= err1 + 1e-12
+
+
+# ---- facility location submodularity ------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=100, deadline=None)
+def test_facility_location_gains_monotone_nonincreasing(seed):
+    """Greedy marginal gains of the facility-location objective must be
+    non-increasing round over round (submodularity) and non-negative."""
+    rng = np.random.RandomState(seed)
+    pts = rng.rand(40, 2)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    S = np.exp(-d2 / (2 * 0.02))
+    best = np.zeros(len(pts))
+    chosen: list[int] = []
+    gains = []
+    for _ in range(5):
+        cand_gain = np.maximum(S - best[None, :], 0).sum(axis=1)
+        cand_gain[chosen] = -1
+        c = int(np.argmax(cand_gain))
+        gains.append(cand_gain[c])
+        chosen.append(c)
+        best = np.maximum(best, S[c])
+    assert all(g >= 0 for g in gains)
+    assert all(b <= a + 1e-9 for a, b in zip(gains, gains[1:]))
+
+
+# ---- empirical Bayes shrinkage ------------------------------------------------
+
+
+@given(
+    st.floats(min_value=0.5, max_value=50, allow_nan=False),
+    st.floats(min_value=0.5, max_value=50, allow_nan=False),
+    st.integers(min_value=1, max_value=100),
+    st.integers(min_value=0, max_value=100),
+)
+@settings(max_examples=200, deadline=None)
+def test_eb_posterior_between_prior_and_raw(alpha, beta, n, k):
+    """The Beta-Binomial posterior mean must lie between the prior mean
+    and the raw rate, and approach the raw rate as n grows."""
+    k = min(k, n)
+    prior = alpha / (alpha + beta)
+    raw = k / n
+    post = (alpha + k) / (alpha + beta + n)
+    lo, hi = min(prior, raw), max(prior, raw)
+    assert lo - 1e-12 <= post <= hi + 1e-12
+    post_big = (alpha + 100 * k) / (alpha + beta + 100 * n)
+    assert abs(post_big - raw) <= abs(post - raw) + 1e-12
+
+
+# ---- Mahalanobis affine invariance --------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=100, deadline=None)
+def test_mahalanobis_invariant_under_affine_map(seed):
+    """d^2 computed with the closed-form 2x2 inverse must be invariant
+    under any invertible affine transform of the data — the defining
+    property (and a direct check of the adj/det algebra)."""
+    rng = np.random.RandomState(seed)
+    X = rng.randn(200, 2) * [2.0, 0.5] + [1.0, -3.0]
+    A = rng.randn(2, 2)
+    while abs(np.linalg.det(A)) < 0.1:
+        A = rng.randn(2, 2)
+    Y = X @ A.T + rng.randn(2)
+
+    def d2(Z):
+        mu = Z.mean(axis=0)
+        c = np.cov(Z.T, bias=True)
+        a, b, cc = c[0, 0], c[0, 1], c[1, 1]
+        det = a * cc - b * b
+        dx = Z[:, 0] - mu[0]
+        dy = Z[:, 1] - mu[1]
+        return (cc * dx * dx - 2 * b * dx * dy + a * dy * dy) / det
+
+    assert np.allclose(d2(X), d2(Y), atol=1e-8)
+
+
+# ---- LOF inlier baseline ------------------------------------------------------
+
+
+def test_lof_uniform_grid_scores_near_one():
+    """On a perfectly regular grid every interior point's LOF must be
+    ~1 (the inlier fixed point of the density ratio)."""
+    xs, ys = np.mgrid[0:12, 0:12]
+    pts = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(float)
+    k = 5
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    idx = np.argsort(d, axis=1)[:, :k]
+    kdist = d[np.arange(len(pts))[:, None], idx].max(axis=1)
+    reach = np.maximum(kdist[idx], d[np.arange(len(pts))[:, None], idx])
+    lrd = k / reach.sum(axis=1)
+    lof = lrd[idx].mean(axis=1) / lrd
+    interior = (
+        (pts[:, 0] > 2) & (pts[:, 0] < 9) & (pts[:, 1] > 2) & (pts[:, 1] < 9)
+    )
+    assert np.all(np.abs(lof[interior] - 1.0) < 1e-9)
