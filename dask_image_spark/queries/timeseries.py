@@ -13,6 +13,8 @@ normalizer guarantees LTZ input.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -4273,3 +4275,231 @@ def haar_dwt_2level(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# Euler-Mascheroni constant for the Gumbel moment fit (shared literal).
+_EULER_GAMMA = 0.5772156649015329
+
+
+@register(
+    "gumbel_block_maxima",
+    f"""
+    WITH bm AS (
+      SELECT date_trunc('day', ts) AS day, MAX(value) AS mx
+      FROM events GROUP BY 1),
+    mom AS (
+      SELECT AVG(mx) AS m, STDDEV_POP(mx) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM bm),
+    fit AS (
+      SELECT n_blocks, m, s,
+             s * 2.449489742783178 / 3.141592653589793 AS beta_h,
+             m - {_EULER_GAMMA}
+               * (s * 2.449489742783178 / 3.141592653589793) AS mu_h
+      FROM mom)
+    SELECT n_blocks,
+           ROUND(1.2345e-8 + mu_h, 4) AS mu,
+           ROUND(1.2345e-8 + beta_h, 4) AS beta,
+           ROUND(1.2345e-8 + mu_h - beta_h * LN(-LN(1 - 1.0 / 30)), 4)
+             AS return_level_30d,
+           ROUND(1.2345e-8 + mu_h - beta_h * LN(-LN(1 - 1.0 / 365)), 4)
+             AS return_level_365d
+    FROM fit
+    """,
+    tags=("timeseries", "extreme-value"),
+)
+def gumbel_block_maxima(spark, sf_dir):
+    """GUMBEL EXTREME-VALUE FIT on daily block maxima — the
+    Fisher-Tippett type-I limit for light-tailed maxima, fit by the
+    method of moments (beta = s sqrt(6)/pi, mu = m - gamma beta with
+    the Euler-Mascheroni constant as a shared literal) and inverted
+    into 30-day / 365-day RETURN LEVELS x_T = mu - beta ln(-ln(1-1/T))
+    — the 'what daily max should we provision for' number capacity
+    planning actually needs, which no mean/quantile query answers
+    ([[agg_quantiles]] interpolates the observed range; return levels
+    extrapolate beyond it). sqrt(6) enters as its double literal
+    2.449... (kernel-constant rule).
+
+    Plan: block maxima = one partial agg; the fit is 1-row closed
+    form. At 100 TB blocks parallelize; the EVT fit cost never grows."""
+    ev = load_table(spark, sf_dir, "events")
+    bm = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.max("value").alias("mx")
+    )
+    mom = bm.agg(
+        F.avg("mx").alias("m"),
+        F.stddev_pop("mx").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    sqrt6_over_pi = 2.449489742783178 / 3.141592653589793
+    beta = F.col("s") * sqrt6_over_pi
+    mu = F.col("m") - _EULER_GAMMA * beta
+    fit = mom.select("n_blocks", mu.alias("mu_h"), beta.alias("beta_h"))
+
+    def rl(days):
+        return F.col("mu_h") - F.col("beta_h") * F.log(
+            -F.log(1 - F.lit(1.0 / days))
+        )
+
+    return fit.select(
+        "n_blocks",
+        _eps_round("mu_h", 4).alias("mu"),
+        _eps_round("beta_h", 4).alias("beta"),
+        _eps_round(rl(30), 4).alias("return_level_30d"),
+        _eps_round(rl(365), 4).alias("return_level_365d"),
+    )
+
+
+@register(
+    "hill_tail_index",
+    """
+    WITH d AS (
+      SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+      WHERE n_chars > 0),
+    rk AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, x) AS r
+      FROM d),
+    ks AS (SELECT unnest([20, 50, 100]) AS k),
+    hill AS (
+      SELECT ks.k,
+             AVG(LN(rk.x)) - MIN(CASE WHEN rk.r = ks.k + 1
+                                      THEN LN(rk.x) END) AS inv_alpha
+      FROM rk JOIN ks ON rk.r <= ks.k + 1
+      GROUP BY ks.k
+      HAVING COUNT(*) = ks.k + 1)
+    SELECT k,
+           ROUND(1.2345e-8 + inv_alpha, 4) AS hill_inv_alpha,
+           ROUND(1.2345e-8 + 1.0 / inv_alpha, 4) AS tail_alpha
+    FROM hill ORDER BY k
+    """,
+    tags=("timeseries", "extreme-value", "heavy-tail"),
+)
+def hill_tail_index(spark, sf_dir):
+    """HILL ESTIMATOR of the power-law tail index over document
+    lengths — 1/alpha_hat = mean over the top-k order statistics of
+    ln(x_(i)) - ln(x_(k+1)), reported at k = 20/50/100 (the Hill
+    'plot' at three points — stability across k IS the diagnostic):
+    the principled version of the eyeballed [[token_zipf]] slope and
+    the quantitative backing for every 'doc lengths are heavy-tailed'
+    design note ([[kruskal_wallis]] chose ranks for exactly this
+    reason). Order statistics rank DESC with a deterministic
+    tie-second key.
+
+    Plan: one global sort-rank restricted to the top-101 rows (at
+    100 TB: TakeOrderedAndProject of k+1 rows — a heap, never a full
+    sort), then per-k aggregates over <= 101 rows."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    d = docs.select(F.col("n_chars").cast("double").alias("x"))
+    rk = d.select(
+        "x",
+        F.row_number().over(Window.orderBy(F.desc("x"), "x")).alias("r"),
+    ).filter(F.col("r") <= 101)
+    from dask_image_spark.functions.localrel import values_df
+
+    ks = values_df(spark, "k", [(20,), (50,), (100,)])
+    hill = (
+        rk.join(F.broadcast(ks), F.col("r") <= F.col("k") + 1)
+        .groupBy("k")
+        .agg(
+            (
+                F.avg(F.log("x"))
+                - F.min(
+                    F.when(
+                        F.col("r") == F.col("k") + 1, F.log("x")
+                    )
+                )
+            ).alias("inv_alpha"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") == F.col("k") + 1)
+    )
+    return hill.select(
+        "k",
+        _eps_round("inv_alpha", 4).alias("hill_inv_alpha"),
+        _eps_round(1.0 / F.col("inv_alpha"), 4).alias("tail_alpha"),
+    ).orderBy("k")
+
+
+# Shewhart chart constants for subgroup size n=24 (hourly subgroups):
+# d2 (mean of the range of 24 std-normal draws) from the published
+# control-chart tables; A2 = 3/(d2 sqrt(n)), D3/D4 = 1 -/+ 3 d3/d2.
+_SPC_D2_24, _SPC_D3_24 = 3.895, 0.712
+
+
+@register(
+    "spc_xbar_chart",
+    f"""
+    WITH sub AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             AVG(value) AS xbar, MAX(value) - MIN(value) AS rng,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    lim AS (
+      SELECT event_type, AVG(xbar) AS xbb, AVG(rng) AS rbar
+      FROM sub GROUP BY event_type)
+    SELECT s.event_type, CAST(s.day AS DATE) AS day,
+           ROUND(1.2345e-8 + s.xbar, 4) AS xbar,
+           ROUND(1.2345e-8 + s.rng, 4) AS rng,
+           ROUND(1.2345e-8 + l.xbb
+             + 3.0 / ({_SPC_D2_24} * SQRT(24.0)) * l.rbar, 4) AS ucl_x,
+           ROUND(1.2345e-8 + l.xbb
+             - 3.0 / ({_SPC_D2_24} * SQRT(24.0)) * l.rbar, 4) AS lcl_x,
+           CASE WHEN s.xbar > l.xbb
+                    + 3.0 / ({_SPC_D2_24} * SQRT(24.0)) * l.rbar
+                 OR s.xbar < l.xbb
+                    - 3.0 / ({_SPC_D2_24} * SQRT(24.0)) * l.rbar
+                THEN 1 ELSE 0 END AS out_of_control,
+           CASE WHEN s.rng > (1 + 3 * {_SPC_D3_24} / {_SPC_D2_24}) * l.rbar
+                THEN 1 ELSE 0 END AS range_violation
+    FROM sub s JOIN lim l ON l.event_type = s.event_type
+    ORDER BY s.event_type, day
+    """,
+    tags=("timeseries", "spc", "monitoring"),
+)
+def spc_xbar_chart(spark, sf_dir):
+    """SHEWHART X-BAR / R CONTROL CHART — daily subgroups per series
+    (subgroup size ~24 hourly readings): center line = grand mean,
+    control limits xbb +/- A2 * Rbar with A2 = 3/(d2 sqrt(n)) and the
+    published d2/d3 constants for n=24 as shared literals — the
+    1920s-vintage monitoring chart that is still what 'is this metric
+    in control' means on a factory floor or an SLO dashboard, and the
+    fixed-limit complement of the sequential [[cusum_changepoint]]
+    (CUSUM catches small persistent shifts; Shewhart catches big
+    ones instantly). Emits each subgroup's mean/range, the limits,
+    and both violation flags.
+
+    Plan: two stacked partial aggs (subgroups, then per-series
+    limits broadcast back) — one fact scan, monitoring-frame
+    everything else."""
+    ev = load_table(spark, sf_dir, "events")
+    sub = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.avg("value").alias("xbar"),
+        (F.max("value") - F.min("value")).alias("rng"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lim = sub.groupBy("event_type").agg(
+        F.avg("xbar").alias("xbb"), F.avg("rng").alias("rbar")
+    )
+    a2 = 3.0 / (_SPC_D2_24 * math.sqrt(24.0))
+    j = sub.join(F.broadcast(lim), "event_type")
+    ucl = F.col("xbb") + a2 * F.col("rbar")
+    lcl = F.col("xbb") - a2 * F.col("rbar")
+    d4 = 1 + 3 * _SPC_D3_24 / _SPC_D2_24
+    return j.select(
+        "event_type",
+        F.col("day").cast("date").alias("day"),
+        _eps_round("xbar", 4).alias("xbar"),
+        _eps_round("rng", 4).alias("rng"),
+        _eps_round(ucl, 4).alias("ucl_x"),
+        _eps_round(lcl, 4).alias("lcl_x"),
+        F.when((F.col("xbar") > ucl) | (F.col("xbar") < lcl), 1)
+        .otherwise(0)
+        .alias("out_of_control"),
+        F.when(F.col("rng") > d4 * F.col("rbar"), 1)
+        .otherwise(0)
+        .alias("range_violation"),
+    ).orderBy("event_type", "day")
