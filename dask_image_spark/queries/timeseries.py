@@ -4503,3 +4503,115 @@ def spc_xbar_chart(spark, sf_dir):
         .otherwise(0)
         .alias("range_violation"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "cox_ph_1newton",
+    f"""
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1,
+             MIN(CASE WHEN event_type = 'error' THEN ts END) AS te
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT user_id,
+             CAST((epoch_us(COALESCE(te, t1)) - epoch_us(t0))
+                  // {_HOUR_US} AS BIGINT) AS dur,
+             CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS observed,
+             CAST(user_id % 2 AS DOUBLE) AS z
+      FROM u),
+    t AS (
+      SELECT dur,
+             CAST(SUM(observed) AS DOUBLE) AS deaths,
+             SUM(observed * z) AS dz,
+             CAST(COUNT(*) AS DOUBLE) AS n_users,
+             SUM(z) AS sz
+      FROM d GROUP BY dur),
+    rs AS (
+      SELECT dur, deaths, dz,
+             SUM(n_users) OVER w AS s0,
+             SUM(sz) OVER w AS s1
+      FROM t
+      WINDOW w AS (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    sc AS (
+      SELECT SUM(dz - deaths * s1 / s0) AS u_score,
+             SUM(deaths * (s1 / s0 - (s1 / s0) * (s1 / s0))) AS info,
+             CAST(SUM(deaths) AS BIGINT) AS n_events
+      FROM rs WHERE deaths > 0)
+    SELECT n_events,
+           ROUND(1.2345e-8 + u_score, 4) AS score_u,
+           ROUND(1.2345e-8 + info, 4) AS fisher_info,
+           ROUND(1.2345e-8 + u_score / info, 4) AS beta_1step,
+           ROUND(1.2345e-8 + EXP(u_score / info), 4) AS hazard_ratio
+    FROM sc
+    """,
+    tags=("timeseries", "survival", "regression"),
+)
+def cox_ph_1newton(spark, sf_dir):
+    """COX PROPORTIONAL HAZARDS, one Newton step from beta=0 (Breslow
+    ties) — the survival REGRESSION the nonparametric curves can't
+    give: over the same duration fixture as [[survival_km]] /
+    [[survival_nelson_aalen]] (first 'error' = event, else censored)
+    with the binary user-parity covariate, the partial-likelihood
+    score U = sum over event times of (z-sum of deaths - d S1/S0) and
+    information I = sum d (S2/S0 - (S1/S0)^2) evaluate in closed form
+    at beta=0 (z binary => S2 = S1), and beta_1 = U/I with
+    exp(beta_1) the hazard ratio. Risk-set sums S0/S1 are the SAME
+    reverse-cumulative window as KM's at_risk — Cox at beta=0 is one
+    more column through that window.
+
+    Plan: per-user rollup, per-time partial agg, ONE descending-dur
+    window pass, 1-row score aggregate. The iteration-to-convergence
+    runs this shape per step with exp(beta z) weights in the
+    cumulative sums — same plan, new constants each pass."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        ).alias("te"),
+    )
+    d = u.select(
+        "user_id",
+        F.floor(
+            (
+                F.unix_micros(F.coalesce("te", "t1"))
+                - F.unix_micros("t0")
+            )
+            / _HOUR_US
+        ).alias("dur"),
+        F.when(F.col("te").isNotNull(), 1).otherwise(0).alias("observed"),
+        (F.col("user_id") % 2).cast("double").alias("z"),
+    )
+    t = d.groupBy("dur").agg(
+        F.sum("observed").cast("double").alias("deaths"),
+        F.sum(F.col("observed") * F.col("z")).alias("dz"),
+        F.count(F.lit(1)).cast("double").alias("n_users"),
+        F.sum("z").alias("sz"),
+    )
+    w = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rs = t.select(
+        "dur", "deaths", "dz",
+        F.sum("n_users").over(w).alias("s0"),
+        F.sum("sz").over(w).alias("s1"),
+    )
+    ratio = F.col("s1") / F.col("s0")
+    sc = rs.filter(F.col("deaths") > 0).agg(
+        F.sum(F.col("dz") - F.col("deaths") * ratio).alias("u_score"),
+        F.sum(F.col("deaths") * (ratio - ratio * ratio)).alias("info"),
+        F.sum("deaths").cast("long").alias("n_events"),
+    )
+    return sc.select(
+        "n_events",
+        _eps_round("u_score", 4).alias("score_u"),
+        _eps_round("info", 4).alias("fisher_info"),
+        _eps_round(F.col("u_score") / F.col("info"), 4).alias(
+            "beta_1step"
+        ),
+        _eps_round(F.exp(F.col("u_score") / F.col("info")), 4).alias(
+            "hazard_ratio"
+        ),
+    )
