@@ -4615,3 +4615,180 @@ def cox_ph_1newton(spark, sf_dir):
             "hazard_ratio"
         ),
     )
+
+
+@register(
+    "negbin_moment_fit",
+    """
+    WITH grid AS (
+      SELECT e.event_type, g.hr
+      FROM (SELECT DISTINCT event_type FROM events) e
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+          (SELECT MIN(date_trunc('hour', ts)) FROM events),
+          (SELECT MAX(date_trunc('hour', ts)) FROM events),
+          INTERVAL 1 HOUR)) AS hr) g),
+    cnt AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events GROUP BY 1, 2),
+    h AS (
+      SELECT g.event_type, COALESCE(cnt.c, 0) AS c
+      FROM grid g LEFT JOIN cnt
+        ON cnt.event_type = g.event_type AND cnt.hr = g.hr),
+    mom AS (
+      SELECT event_type, AVG(c) AS m, VAR_POP(c) AS v,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM h GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(1.2345e-8 + m, 4) AS mean_count,
+           ROUND(1.2345e-8 + v, 4) AS var_count,
+           ROUND(1.2345e-8 + v / m, 4) AS dispersion,
+           ROUND(1.2345e-8 + CASE WHEN v > m
+             THEN m * m / (v - m) END, 4) AS nb_r,
+           ROUND(1.2345e-8 + CASE WHEN v > m
+             THEN m / v END, 4) AS nb_p
+    FROM mom ORDER BY event_type
+    """,
+    tags=("timeseries", "count-model"),
+)
+def negbin_moment_fit(spark, sf_dir):
+    """NEGATIVE-BINOMIAL MOMENT FIT per series — hourly event counts
+    on the FULL hour grid (zero hours included via the
+    [[gap_fill_hours]] densification — skipping empty cells biases
+    both moments) fit by moments: dispersion v/m, r = m^2/(v - m),
+    p = m/v, NULL when counts are under-dispersed (Poisson or
+    better). The overdispersion question every count model starts
+    with — [[burst_detection_2state]] ASSUMED Poisson rates; this
+    measures how wrong that is per series.
+
+    Plan: hour grid = min/max + sequence (broadcast), one count
+    partial agg left-joined against it, one moment agg. Two scans'
+    worth of work, series-parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    h = grid.join(cnt, ["event_type", "hr"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    mom = h.groupBy("event_type").agg(
+        F.avg("c").alias("m"),
+        F.var_pop("c").alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    over = F.col("v") > F.col("m")
+    return mom.select(
+        "event_type", "n",
+        _eps_round("m", 4).alias("mean_count"),
+        _eps_round("v", 4).alias("var_count"),
+        _eps_round(F.col("v") / F.col("m"), 4).alias("dispersion"),
+        _eps_round(
+            F.when(over, F.col("m") * F.col("m") / (F.col("v") - F.col("m"))),
+            4,
+        ).alias("nb_r"),
+        _eps_round(F.when(over, F.col("m") / F.col("v")), 4).alias("nb_p"),
+    ).orderBy("event_type")
+
+
+@register(
+    "zero_inflation_score_test",
+    """
+    WITH grid AS (
+      SELECT u.user_id, g.hr
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+          (SELECT MIN(date_trunc('day', ts)) FROM events),
+          (SELECT MAX(date_trunc('day', ts)) FROM events),
+          INTERVAL 1 DAY)) AS hr) g),
+    cnt AS (
+      SELECT user_id, date_trunc('day', ts) AS hr,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    h AS (
+      SELECT g.user_id, COALESCE(cnt.c, 0) AS c
+      FROM grid g LEFT JOIN cnt
+        ON cnt.user_id = g.user_id AND cnt.hr = g.hr),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(c) AS lam,
+             CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS n0
+      FROM h)
+    SELECT CAST(n AS BIGINT) AS n_cells,
+           ROUND(1.2345e-8 + lam, 4) AS lambda_hat,
+           CAST(n0 AS BIGINT) AS observed_zeros,
+           ROUND(1.2345e-8 + n * EXP(-lam), 4) AS expected_zeros,
+           ROUND(1.2345e-8 +
+             (n0 - n * EXP(-lam))
+             / SQRT(n * EXP(-lam) * (1 - EXP(-lam))
+                    - n * lam * EXP(-2 * lam)), 4) AS score_z
+    FROM s
+    """,
+    tags=("timeseries", "count-model", "hypothesis-test"),
+)
+def zero_inflation_score_test(spark, sf_dir):
+    """ZERO-INFLATION SCORE TEST (van den Broek) — are there more
+    zero-purchase user-days than a Poisson(lambda_hat) allows? z =
+    (n0 - n e^-lam)/sqrt(n e^-lam (1 - e^-lam) - n lam e^-2lam),
+    the standard pre-test before reaching for a ZIP/hurdle model —
+    and the distributional sibling of [[negbin_moment_fit]]
+    (overdispersion can come from fat counts OR excess zeros; the two
+    tests separate them). The user x day grid densifies zeros
+    explicitly, the same discipline as the NB fit.
+
+    Plan: grid explode (users x 31 days — broadcast day spine), one
+    left-joined count agg, 1-row score arithmetic. Linear."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("hr"),
+    )
+    cnt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    h = grid.join(cnt, ["user_id", "hr"], "left").select(
+        F.coalesce("c", F.lit(0.0)).alias("c")
+    )
+    s = h.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("c").alias("lam"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n0"),
+    )
+    ez = F.col("n") * F.exp(-F.col("lam"))
+    return s.select(
+        F.col("n").cast("long").alias("n_cells"),
+        _eps_round("lam", 4).alias("lambda_hat"),
+        F.col("n0").cast("long").alias("observed_zeros"),
+        _eps_round(ez, 4).alias("expected_zeros"),
+        _eps_round(
+            (F.col("n0") - ez)
+            / F.sqrt(
+                ez * (1 - F.exp(-F.col("lam")))
+                - F.col("n") * F.col("lam") * F.exp(-2 * F.col("lam"))
+            ),
+            4,
+        ).alias("score_z"),
+    )
