@@ -7232,3 +7232,290 @@ def sinkhorn_2iter(spark, sf_dir):
         )
         .orderBy("i", "j")
     )
+
+
+@register(
+    "map_mean_avg_precision",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlab,
+             CAST(embedding[1] AS DOUBLE) AS qx,
+             CAST(embedding[2] AS DOUBLE) AS qy,
+             CAST(embedding[3] AS DOUBLE) AS qz
+      FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (
+      SELECT vec_id, label,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y,
+             CAST(embedding[3] AS DOUBLE) AS z
+      FROM embeddings),
+    scored AS (
+      SELECT q.qid, q.qlab, c.vec_id, c.label,
+             q.qx * c.x + q.qy * c.y + q.qz * c.z AS s
+      FROM q JOIN c ON c.vec_id <> q.qid),
+    rk AS (
+      SELECT qid, qlab, label, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY ROUND(s + 1.2345e-8, 9) DESC, vec_id) AS r
+      FROM scored),
+    top AS (SELECT * FROM rk WHERE r <= 20),
+    hits AS (
+      SELECT qid, r,
+             SUM(CASE WHEN label = qlab THEN 1 ELSE 0 END)
+               OVER (PARTITION BY qid ORDER BY r
+                     ROWS UNBOUNDED PRECEDING) AS cum_rel,
+             CASE WHEN label = qlab THEN 1 ELSE 0 END AS rel
+      FROM top),
+    ap AS (
+      SELECT qid,
+             CASE WHEN SUM(rel) > 0
+               THEN SUM(CASE WHEN rel = 1
+                        THEN CAST(cum_rel AS DOUBLE) / r ELSE 0 END)
+                    / SUM(rel)
+               ELSE 0.0 END AS ap,
+             CAST(SUM(rel) AS BIGINT) AS n_rel
+      FROM hits GROUP BY qid)
+    SELECT qid, n_rel,
+           ROUND(1.2345e-8 + ap, 4) AS avg_precision,
+           ROUND(1.2345e-8 + (SELECT AVG(ap) FROM ap), 4) AS map
+    FROM ap ORDER BY qid
+    """,
+    tags=("curation", "evaluation", "retrieval"),
+)
+def map_mean_avg_precision(spark, sf_dir):
+    """MEAN AVERAGE PRECISION @20 — the remaining standard retrieval
+    metric beside [[ndcg_at_10]] (graded positions), [[retrieval_mrr_hit]]
+    (first hit), and [[pr_auc_average_precision]] (classification AP):
+    deterministic query set (every 50th vector), candidates ranked by
+    3-dim dot product with 1e-9-rounded score + id tiebreaks, AP =
+    mean of precision at each relevant rank (same-label = relevant),
+    MAP the query mean. The per-query AP column keeps the
+    distribution visible, not just the mean.
+
+    Plan: query set broadcasts against the corpus (the brute-force
+    scoring baseline every ANN variant here is measured against);
+    per-query ranking is a bounded window; AP is one running-sum
+    window plus a per-query agg. At 100 TB the scoring join is the
+    [[similarity_ivf_topk]] candidate-pruned form instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "label",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+        F.col("embedding").getItem(2).cast("double").alias("z"),
+    )
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlab"),
+        F.col("x").alias("qx"), F.col("y").alias("qy"),
+        F.col("z").alias("qz"),
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid", "qlab", "vec_id", "label",
+        (
+            F.col("qx") * F.col("x")
+            + F.col("qy") * F.col("y")
+            + F.col("qz") * F.col("z")
+        ).alias("s"),
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.round(F.col("s") + F.lit(1.2345e-8), 9).desc(), "vec_id"
+    )
+    top = scored.withColumn("r", F.row_number().over(wr)).filter(
+        F.col("r") <= 20
+    )
+    rel = F.when(F.col("label") == F.col("qlab"), 1).otherwise(0)
+    wc = Window.partitionBy("qid").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hits = top.select(
+        "qid", "r", rel.alias("rel"),
+        F.sum(rel).over(wc).alias("cum_rel"),
+    )
+    ap = hits.groupBy("qid").agg(
+        F.when(
+            F.sum("rel") > 0,
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.col("cum_rel").cast("double") / F.col("r"),
+                ).otherwise(0.0)
+            )
+            / F.sum("rel"),
+        ).otherwise(0.0).alias("ap"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    m = ap.agg(F.avg("ap").alias("map"))
+    return (
+        ap.crossJoin(F.broadcast(m))
+        .select(
+            "qid", "n_rel",
+            _eps_round("ap", 4).alias("avg_precision"),
+            _eps_round("map", 4).alias("map"),
+        )
+        .orderBy("qid")
+    )
+
+
+@register(
+    "cochran_armitage_trend",
+    """
+    WITH g AS (
+      SELECT LEAST(CAST(FLOOR(value / 20) AS INT), 4) AS dose,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM events),
+    cells AS (
+      SELECT dose, CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS r
+      FROM g GROUP BY dose),
+    tot AS (
+      SELECT SUM(n) AS nn, SUM(r) AS rr,
+             SUM(n * dose) / SUM(n) AS tbar
+      FROM cells),
+    parts AS (
+      SELECT SUM(c.r * (c.dose - t.tbar)) AS num,
+             MAX(t.rr / t.nn) AS p,
+             SUM(c.n * (c.dose - t.tbar) * (c.dose - t.tbar)) AS den_t,
+             MAX(t.nn) AS nn, MAX(t.rr) AS rr
+      FROM cells c CROSS JOIN tot t)
+    SELECT CAST(nn AS BIGINT) AS n,
+           ROUND(1.2345e-8 + num, 4) AS trend_num,
+           ROUND(1.2345e-8 +
+             num / SQRT(p * (1 - p) * den_t), 4) AS z_trend
+    FROM parts
+    """,
+    tags=("curation", "statistics", "trend-test"),
+)
+def cochran_armitage_trend(spark, sf_dir):
+    """COCHRAN-ARMITAGE TREND TEST — is the conversion PROPORTION
+    monotone in the ordered dose (value quintile buckets)? z =
+    sum r_i (t_i - tbar) / sqrt(p(1-p) sum n_i (t_i - tbar)^2), the
+    1-df ordered alternative that beats the omnibus
+    [[chisq_independence]] whenever the effect is a trend — the
+    dose-response test epidemiology and funnel analysis share.
+
+    Plan: ONE 5-cell partial agg + scalar arithmetic. Single scan."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        F.least(F.floor(F.col("value") / 20).cast("int"), F.lit(4)).alias(
+            "dose"
+        ),
+        F.when(F.col("event_type").isin("click", "purchase"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    cells = g.groupBy("dose").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("r"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        (F.sum(F.col("n") * F.col("dose")) / F.sum("n")).alias("tbar"),
+    )
+    parts = cells.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.col("r") * (F.col("dose") - F.col("tbar"))).alias("num"),
+        F.max(F.col("rr") / F.col("nn")).alias("p"),
+        F.sum(
+            F.col("n")
+            * (F.col("dose") - F.col("tbar"))
+            * (F.col("dose") - F.col("tbar"))
+        ).alias("den_t"),
+        F.max("nn").alias("nn"),
+    )
+    return parts.select(
+        F.col("nn").cast("long").alias("n"),
+        _eps_round("num", 4).alias("trend_num"),
+        _eps_round(
+            F.col("num")
+            / F.sqrt(
+                F.col("p") * (1 - F.col("p")) * F.col("den_t")
+            ),
+            4,
+        ).alias("z_trend"),
+    )
+
+
+@register(
+    "friedman_test",
+    """
+    WITH cell AS (
+      SELECT date_trunc('day', ts) AS blk, event_type,
+             AVG(value) AS v
+      FROM events GROUP BY 1, 2),
+    full_blocks AS (
+      SELECT blk FROM cell GROUP BY blk
+      HAVING COUNT(*) = (SELECT COUNT(DISTINCT event_type) FROM events)),
+    rk AS (
+      SELECT c.blk, c.event_type,
+             RANK() OVER (PARTITION BY c.blk ORDER BY c.v)
+               + (COUNT(*) OVER (PARTITION BY c.blk, c.v) - 1) / 2.0
+               AS r
+      FROM cell c JOIN full_blocks fb ON fb.blk = c.blk),
+    sums AS (
+      SELECT event_type, SUM(r) AS rj,
+             CAST(COUNT(*) AS DOUBLE) AS n_blk
+      FROM rk GROUP BY event_type),
+    stat AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS k, MAX(n_blk) AS n,
+             SUM(rj * rj) AS srr
+      FROM sums)
+    SELECT CAST(k AS BIGINT) AS k_treatments, CAST(n AS BIGINT) AS n_blocks,
+           ROUND(1.2345e-8 +
+             12.0 / (n * k * (k + 1)) * srr - 3.0 * n * (k + 1), 4)
+             AS friedman_chi2
+    FROM stat
+    """,
+    tags=("curation", "statistics", "rank-test"),
+)
+def friedman_test(spark, sf_dir):
+    """FRIEDMAN TEST — the repeated-measures rank ANOVA: within each
+    day (block), rank the five event types by their daily mean, and
+    test whether the rank sums differ — chi2_F = 12/(nk(k+1)) sum
+    R_j^2 - 3n(k+1). The within-block ranking removes day-level
+    shifts entirely, which is what [[kruskal_wallis]] (pooled ranks)
+    cannot do — the paired-vs-unpaired distinction of
+    [[mcnemar_paired_test]], lifted to k treatments. Fractional
+    ranks on ties; only complete blocks enter (every treatment
+    present).
+
+    Plan: day x type cell agg, per-block window rank (blocks are
+    independent partitions), per-treatment rank sums, 1-row
+    statistic. One fact scan + block-local sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.date_trunc("day", "ts").alias("blk"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    k_types = ev.select("event_type").distinct().count()
+    full_blocks = (
+        cell.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == k_types)
+        .select("blk")
+    )
+    r = F.rank().over(Window.partitionBy("blk").orderBy("v")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("blk", "v")) - 1
+    ) / 2.0
+    rk = cell.join(F.broadcast(full_blocks), "blk").select(
+        "blk", "event_type", r.alias("r")
+    )
+    sums = rk.groupBy("event_type").agg(
+        F.sum("r").alias("rj"),
+        F.count(F.lit(1)).cast("double").alias("n_blk"),
+    )
+    stat = sums.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.max("n_blk").alias("n"),
+        F.sum(F.col("rj") * F.col("rj")).alias("srr"),
+    )
+    return stat.select(
+        F.col("k").cast("long").alias("k_treatments"),
+        F.col("n").cast("long").alias("n_blocks"),
+        _eps_round(
+            12.0 / (F.col("n") * F.col("k") * (F.col("k") + 1))
+            * F.col("srr")
+            - 3.0 * F.col("n") * (F.col("k") + 1),
+            4,
+        ).alias("friedman_chi2"),
+    )
