@@ -7519,3 +7519,227 @@ def friedman_test(spark, sf_dir):
             4,
         ).alias("friedman_chi2"),
     )
+
+
+@register(
+    "psm_att_nearest",
+    """
+    WITH pts AS (
+      SELECT event_id, CAST(user_id % 2 AS INT) AS tr, value AS y,
+             1.0 / (1.0 + EXP(-(CAST(hour(ts) AS DOUBLE) - 12.0) / 6.0))
+               AS e
+      FROM events),
+    t AS (SELECT event_id, y, e FROM pts WHERE tr = 1),
+    c AS (SELECT event_id, y, e FROM pts WHERE tr = 0),
+    cs AS (
+      SELECT e, MIN(y) AS y_rep, MIN(event_id) AS cid
+      FROM c GROUP BY e),
+    uni AS (
+      SELECT event_id, y, e, 1 AS is_t, CAST(NULL AS DOUBLE) AS cy FROM t
+      UNION ALL
+      SELECT cid, y_rep, e, 0, y_rep FROM cs),
+    nn AS (
+      SELECT event_id, y, e, is_t,
+             LAST_VALUE(cy IGNORE NULLS) OVER
+               (ORDER BY e, is_t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_cy,
+             LAST_VALUE(CASE WHEN is_t = 0 THEN e END IGNORE NULLS) OVER
+               (ORDER BY e, is_t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_e,
+             FIRST_VALUE(cy IGNORE NULLS) OVER
+               (ORDER BY e, is_t, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_cy,
+             FIRST_VALUE(CASE WHEN is_t = 0 THEN e END IGNORE NULLS) OVER
+               (ORDER BY e, is_t, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_e
+      FROM uni),
+    m AS (
+      SELECT event_id, y,
+             CASE
+               WHEN prev_e IS NULL THEN next_cy
+               WHEN next_e IS NULL THEN prev_cy
+               WHEN e - prev_e <= next_e - e THEN prev_cy
+               ELSE next_cy END AS y_match
+      FROM nn WHERE is_t = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+           ROUND(1.2345e-8 + AVG(y), 4) AS mean_treated,
+           ROUND(1.2345e-8 + AVG(y_match), 4) AS mean_matched_control,
+           ROUND(1.2345e-8 + AVG(y - y_match), 4) AS att
+    FROM m
+    """,
+    tags=("curation", "statistics", "causal"),
+)
+def psm_att_nearest(spark, sf_dir):
+    """PROPENSITY-SCORE MATCHING ATT — each treated unit matches the
+    control with the NEAREST propensity score (with replacement;
+    controls sharing a score collapse to one deterministic
+    representative first, min-y/min-id, so 'nearest' is well defined
+    on both engines), estimating the average treatment effect on the
+    treated as mean(y_t - y_matched). The matching estimator that
+    completes the causal set: [[causal_ipw_ate]] reweights,
+    [[diff_in_diff]] differences, THIS pairs. Nearest-by-score is the
+    [[asof_join_nearest]] pattern on the propensity axis: interleave
+    both arms in ONE score-ordered sort, carry the last/next control
+    outcome with IGNORE NULLS frames, pick the closer side.
+
+    Plan: one global sort on the score (per-strata at scale), two
+    IGNORE-NULLS window passes over it, one aggregate. No join at
+    all — matching as a sort-merge, the classic trick."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("user_id") % 2).cast("int").alias("tr"),
+        F.col("value").alias("y"),
+        (
+            1.0
+            / (1.0 + F.exp(-(F.hour("ts").cast("double") - 12.0) / 6.0))
+        ).alias("e"),
+    )
+    t = pts.filter(F.col("tr") == 1).select(
+        "event_id", "y", "e", F.lit(1).alias("is_t"),
+        F.lit(None).cast("double").alias("cy"),
+    )
+    cs = (
+        pts.filter(F.col("tr") == 0)
+        .groupBy("e")
+        .agg(F.min("y").alias("y_rep"), F.min("event_id").alias("cid"))
+        .select(
+            F.col("cid").alias("event_id"),
+            F.col("y_rep").alias("y"),
+            "e",
+            F.lit(0).alias("is_t"),
+            F.col("y_rep").alias("cy"),
+        )
+    )
+    both = t.unionByName(cs)
+    w_prev = Window.orderBy("e", "is_t", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_next = Window.orderBy("e", "is_t", "event_id").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    ctrl_e = F.when(F.col("is_t") == 0, F.col("e"))
+    nn = both.select(
+        "event_id", "y", "e", "is_t",
+        F.last("cy", ignorenulls=True).over(w_prev).alias("prev_cy"),
+        F.last(ctrl_e, ignorenulls=True).over(w_prev).alias("prev_e"),
+        F.first("cy", ignorenulls=True).over(w_next).alias("next_cy"),
+        F.first(ctrl_e, ignorenulls=True).over(w_next).alias("next_e"),
+    )
+    y_match = (
+        F.when(F.col("prev_e").isNull(), F.col("next_cy"))
+        .when(F.col("next_e").isNull(), F.col("prev_cy"))
+        .when(
+            F.col("e") - F.col("prev_e") <= F.col("next_e") - F.col("e"),
+            F.col("prev_cy"),
+        )
+        .otherwise(F.col("next_cy"))
+    )
+    m = nn.filter(F.col("is_t") == 1).select(
+        "y", y_match.alias("y_match")
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_treated"),
+        _eps_round(F.avg("y"), 4).alias("mean_treated"),
+        _eps_round(F.avg("y_match"), 4).alias("mean_matched_control"),
+        _eps_round(F.avg(F.col("y") - F.col("y_match")), 4).alias("att"),
+    )
+
+
+@register(
+    "qini_uplift_deciles",
+    """
+    WITH pts AS (
+      SELECT event_id, CAST(user_id % 2 AS INT) AS tr,
+             CASE WHEN event_type IN ('click', 'purchase')
+                  THEN 1.0 ELSE 0.0 END AS y,
+             1.0 / (1.0 + EXP(-(value - 50.0) / 25.0)) AS score
+      FROM events),
+    dec AS (
+      SELECT tr, y,
+             NTILE(10) OVER (ORDER BY score DESC, event_id) AS decile
+      FROM pts),
+    g AS (
+      SELECT decile,
+             SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS yt,
+             SUM(CASE WHEN tr = 1 THEN 1.0 ELSE 0 END) AS nt,
+             SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS yc,
+             SUM(CASE WHEN tr = 0 THEN 1.0 ELSE 0 END) AS nc
+      FROM dec GROUP BY decile),
+    c AS (
+      SELECT decile,
+             SUM(yt) OVER w AS cyt, SUM(nt) OVER w AS cnt_t,
+             SUM(yc) OVER w AS cyc, SUM(nc) OVER w AS cnt_c
+      FROM g WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+    SELECT decile,
+           CAST(cnt_t AS BIGINT) AS n_treat, CAST(cnt_c AS BIGINT)
+             AS n_ctrl,
+           ROUND(1.2345e-8 + cyt - cyc * cnt_t / cnt_c, 4) AS qini,
+           ROUND(1.2345e-8 + cyt / cnt_t - cyc / cnt_c, 4)
+             AS cum_uplift
+    FROM c ORDER BY decile
+    """,
+    tags=("curation", "evaluation", "uplift"),
+)
+def qini_uplift_deciles(spark, sf_dir):
+    """QINI CURVE / CUMULATIVE UPLIFT by score decile — rank everyone
+    by the model score, then per cumulative decile compare treated vs
+    control conversions: Qini = Y_t - Y_c * N_t/N_c (incremental
+    conversions vs targeting nobody) and the rate-difference uplift.
+    THE uplift-model evaluation ([[lift_gain_deciles]] measures
+    response; this measures CAUSED response — a model can have great
+    lift and zero uplift), over the [[abtest_conversion_z]]
+    user-parity arms. NTILE uses the (score DESC, id) deterministic
+    order.
+
+    Plan: one global score sort for NTILE (sketch-cut at scale, as
+    lift_gain documents), ONE 10-row conditional agg, frame windows
+    on the decile table. Sort-bound, single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("user_id") % 2).cast("int").alias("tr"),
+        F.when(F.col("event_type").isin("click", "purchase"), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        (
+            1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 25.0))
+        ).alias("score"),
+    )
+    dec = pts.select(
+        "tr", "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), "event_id"))
+        .alias("decile"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0.0)).alias("yt"),
+        F.sum(F.when(F.col("tr") == 1, 1.0).otherwise(0.0)).alias("nt"),
+        F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0.0)).alias("yc"),
+        F.sum(F.when(F.col("tr") == 0, 1.0).otherwise(0.0)).alias("nc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "decile",
+        F.sum("yt").over(w).alias("cyt"),
+        F.sum("nt").over(w).alias("cnt_t"),
+        F.sum("yc").over(w).alias("cyc"),
+        F.sum("nc").over(w).alias("cnt_c"),
+    )
+    return c.select(
+        "decile",
+        F.col("cnt_t").cast("long").alias("n_treat"),
+        F.col("cnt_c").cast("long").alias("n_ctrl"),
+        _eps_round(
+            F.col("cyt") - F.col("cyc") * F.col("cnt_t") / F.col("cnt_c"),
+            4,
+        ).alias("qini"),
+        _eps_round(
+            F.col("cyt") / F.col("cnt_t") - F.col("cyc") / F.col("cnt_c"),
+            4,
+        ).alias("cum_uplift"),
+    ).orderBy("decile")
