@@ -7743,3 +7743,156 @@ def qini_uplift_deciles(spark, sf_dir):
             4,
         ).alias("cum_uplift"),
     ).orderBy("decile")
+
+
+@register(
+    "partial_correlation",
+    """
+    WITH pts AS (
+      SELECT value AS x, CAST(hour(ts) AS DOUBLE) AS y,
+             CAST(epoch_us(ts) AS DOUBLE) / 1e12 AS z
+      FROM events),
+    c AS (
+      SELECT CORR(x, y) AS rxy, CORR(x, z) AS rxz, CORR(y, z) AS ryz,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pts)
+    SELECT n,
+           ROUND(1.2345e-8 + rxy, 4) AS r_xy,
+           ROUND(1.2345e-8 + rxz, 4) AS r_xz,
+           ROUND(1.2345e-8 + ryz, 4) AS r_yz,
+           ROUND(1.2345e-8 +
+             (rxy - rxz * ryz)
+             / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 4)
+             AS r_xy_given_z
+    FROM c
+    """,
+    tags=("curation", "statistics", "correlation"),
+)
+def partial_correlation(spark, sf_dir):
+    """PARTIAL CORRELATION — the association between value and
+    hour-of-day with calendar time partialed out: r_xy.z =
+    (r_xy - r_xz r_yz)/sqrt((1-r_xz^2)(1-r_yz^2)), the first-order
+    deconfounding identity (equivalent to correlating the two OLS
+    residuals on z). The question [[corr_matrix]] can't answer —
+    whether a pairwise correlation survives controlling a third
+    variable — in one closed form; the parametric sibling of what
+    [[causal_ipw_ate]] does by weighting.
+
+    Plan: ONE partial-agg scan computing the three CORRs (each a
+    co-moment set — all map-side combinable in the same pass), 1-row
+    arithmetic. Single scan."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("value").alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+        (F.unix_micros("ts").cast("double") / 1e12).alias("z"),
+    )
+    c = pts.agg(
+        F.corr("x", "y").alias("rxy"),
+        F.corr("x", "z").alias("rxz"),
+        F.corr("y", "z").alias("ryz"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return c.select(
+        "n",
+        _eps_round("rxy", 4).alias("r_xy"),
+        _eps_round("rxz", 4).alias("r_xz"),
+        _eps_round("ryz", 4).alias("r_yz"),
+        _eps_round(
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz"))
+                * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+            4,
+        ).alias("r_xy_given_z"),
+    )
+
+
+@register(
+    "variance_components",
+    """
+    WITH g AS (
+      SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n, AVG(value) AS m,
+             SUM(value * value) AS ss, SUM(value) AS s
+      FROM events GROUP BY user_id),
+    tot AS (
+      SELECT SUM(s) / SUM(n) AS gm, SUM(n) AS nn,
+             CAST(COUNT(*) AS DOUBLE) AS k,
+             SUM(n * n) AS sn2
+      FROM g),
+    ms AS (
+      SELECT MAX(t.k) AS k, MAX(t.nn) AS nn,
+             SUM(g.n * (g.m - t.gm) * (g.m - t.gm)) / (MAX(t.k) - 1)
+               AS msb,
+             SUM(g.ss - g.n * g.m * g.m) / (MAX(t.nn) - MAX(t.k)) AS msw,
+             (MAX(t.nn) - MAX(t.sn2) / MAX(t.nn)) / (MAX(t.k) - 1)
+               AS n0
+      FROM g CROSS JOIN tot t)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n,
+           ROUND(1.2345e-8 + msw, 4) AS sigma2_within,
+           ROUND(1.2345e-8 + GREATEST((msb - msw) / n0, 0.0), 4)
+             AS sigma2_between,
+           ROUND(1.2345e-8 +
+             GREATEST((msb - msw) / n0, 0.0)
+             / (GREATEST((msb - msw) / n0, 0.0) + msw), 4) AS icc
+    FROM ms
+    """,
+    tags=("curation", "statistics", "variance-components"),
+)
+def variance_components(spark, sf_dir):
+    """ONE-WAY VARIANCE COMPONENTS (random effects) — split metric
+    variance into between-user and within-user components by the
+    ANOVA method-of-moments: sigma2_b = (MSB - MSW)/n0 with the
+    unbalanced-design effective group size n0 = (N - sum n_i^2/N)/
+    (k-1), clipped at zero; the intraclass correlation
+    sigma2_b/(sigma2_b + sigma2_w) is THE number behind cluster-
+    randomized experiment design effects (and why
+    [[abtest_conversion_z]] randomizes users, not events). The
+    random-effects reading of [[anova_f_oneway]]'s fixed-effects
+    arithmetic — same sufficient statistics, different question.
+
+    Plan: per-user partial agg + 1-row rollup + scalar moments —
+    single fact scan, the anova shape."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.sum("value").alias("s"),
+    )
+    tot = g.agg(
+        (F.sum("s") / F.sum("n")).alias("gm"),
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    ms = g.crossJoin(F.broadcast(tot)).agg(
+        F.max("k").alias("k"),
+        F.max("nn").alias("nn"),
+        (
+            F.sum(
+                F.col("n")
+                * (F.col("m") - F.col("gm"))
+                * (F.col("m") - F.col("gm"))
+            )
+            / (F.max("k") - 1)
+        ).alias("msb"),
+        (
+            F.sum(F.col("ss") - F.col("n") * F.col("m") * F.col("m"))
+            / (F.max("nn") - F.max("k"))
+        ).alias("msw"),
+        (
+            (F.max("nn") - F.max("sn2") / F.max("nn")) / (F.max("k") - 1)
+        ).alias("n0"),
+    )
+    s2b = F.greatest(
+        (F.col("msb") - F.col("msw")) / F.col("n0"), F.lit(0.0)
+    )
+    return ms.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nn").cast("long").alias("n"),
+        _eps_round("msw", 4).alias("sigma2_within"),
+        _eps_round(s2b, 4).alias("sigma2_between"),
+        _eps_round(s2b / (s2b + F.col("msw")), 4).alias("icc"),
+    )
