@@ -4792,3 +4792,118 @@ def zero_inflation_score_test(spark, sf_dir):
             4,
         ).alias("score_z"),
     )
+
+
+@register(
+    "ljung_box_q",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, AVG(value) AS v
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, hour, v,
+             AVG(v) OVER (PARTITION BY event_type) AS m,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM h),
+    lags AS (
+      SELECT c.event_type, c.n, k.k,
+             (c.v - c.m) *
+             (LAG(c.v, k.k) OVER (PARTITION BY c.event_type, k.k
+                                  ORDER BY c.hour) - c.m) AS num_t,
+             (c.v - c.m) * (c.v - c.m) AS den_t
+      FROM c CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS k) k),
+    rho AS (
+      SELECT event_type, k, MAX(n) AS n,
+             SUM(num_t) / SUM(den_t) AS rho_k
+      FROM lags GROUP BY event_type, k),
+    terms AS (
+      SELECT event_type, k, n, rho_k,
+             rho_k * rho_k / (n - k) AS term
+      FROM rho)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(1.2345e-8 + MAX(CASE WHEN k = 1 THEN rho_k END), 4)
+             AS rho_1,
+           ROUND(1.2345e-8 + MAX(n) * (MAX(n) + 2) * SUM(term), 4)
+             AS q_stat
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("timeseries", "statistics", "portmanteau"),
+)
+def ljung_box_q(spark, sf_dir):
+    """LJUNG-BOX PORTMANTEAU TEST — joint whiteness of the first 6
+    autocorrelations of each hourly series: Q = n(n+2) sum rho_k^2 /
+    (n-k), ~chi2(6) under independence; THE residual diagnostic run
+    after any fit ([[acf_hourly]] shows the lags; this tests them
+    jointly, [[runs_test_wald_wolfowitz]] is its sign-only cousin).
+    ACF uses the standard biased estimator (global denominator) over
+    the OBSERVED hourly sequence (row lags, not calendar lags — gaps
+    collapse, the statsmodels convention), so Q matches the textbook
+    form exactly.
+
+    Plan: the 6 lags CROSS JOIN a tiny k-spine and share ONE
+    (series, hour) sort via the (series, k) window partition; one
+    partial agg per (series, k), 5x6 rows after. Sort-bound,
+    series-parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.avg("value").alias("v"))
+    wp = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type", "hour", "v",
+        F.avg("v").over(wp).alias("m"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hour"))
+        .alias("rn"),
+    )
+    from dask_image_spark.functions.localrel import values_df
+
+    ks = values_df(spark, "k", [(k,) for k in range(1, 7)])
+    # per-k variable lag: lag() needs a constant offset, so the k-lagged
+    # value comes from an exact self-join on the hour-offset key instead
+    lhs = c.crossJoin(F.broadcast(ks)).select(
+        "event_type", "k", "rn", "v", "m", "n"
+    )
+    rhs = c.select(
+        F.col("event_type").alias("event_type_l"),
+        F.col("rn").alias("rn_l"),
+        F.col("v").alias("v_l"),
+    )
+    lags = lhs.alias("a").join(
+        rhs.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type_l"))
+        & (F.col("b.rn_l") == F.col("a.rn") - F.col("a.k")),
+        "left",
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.k").alias("k"),
+        F.col("a.n").alias("n"),
+        ((F.col("a.v") - F.col("a.m")) * (F.col("b.v_l") - F.col("a.m"))).alias(
+            "num_t"
+        ),
+        ((F.col("a.v") - F.col("a.m")) * (F.col("a.v") - F.col("a.m"))).alias(
+            "den_t"
+        ),
+    )
+    rho = lags.groupBy("event_type", "k").agg(
+        F.max("n").alias("n"),
+        (F.sum("num_t") / F.sum("den_t")).alias("rho_k"),
+    )
+    terms = rho.withColumn(
+        "term",
+        F.col("rho_k") * F.col("rho_k") / (F.col("n") - F.col("k")),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            _eps_round(
+                F.max(F.when(F.col("k") == 1, F.col("rho_k"))), 4
+            ).alias("rho_1"),
+            _eps_round(
+                F.max("n") * (F.max("n") + 2) * F.sum("term"), 4
+            ).alias("q_stat"),
+        )
+        .orderBy("event_type")
+    )
