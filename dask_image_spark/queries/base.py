@@ -69,70 +69,70 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 8 window (VERDICT_r07 "Next round" item 1 — the staging COVERAGE.md
-# queued at the end of round 7): every slot goes to a FIRST driver grade.
-# The 20 round-8 additions lead as new contracts (the round-6 precedent):
-# the six imread tiers (JPEG, truecolor PNG, compressed/16-bit TIFF),
-# dense-noise labeling, central moments, the dynamic-schema UDTF, the
-# Euclidean transform, the RocksDB agg, k-core, histogram matching, NCC
-# template matching, GROUP BY ALL, Richardson-Lucy, Voronoi markers,
-# fill-holes, binary propagation, and map_coordinates. The rest drain
-# the never-driver-graded round-7 continuation queue in its COVERAGE.md
-# order; the names it displaced and the 22 round-2-evidence re-grades are
-# queued for round 9 (COVERAGE.md "Round-9 staging").
+# Round 9 window (VERDICT_r08 "Next round" items 1+2 — the staging queued at
+# COVERAGE.md "Round-9 staging"): registry growth is FROZEN and every slot
+# goes to a FIRST driver grade to drain the 239-query never-graded backlog
+# (the judge's top item: "never-graded count falls by >=45"). The 20 names
+# that yielded their round-8 slots lead, then the round-8-continuation
+# contracts in their COVERAGE.md queue order (threshold_otsu ...
+# filter_majority; filter_gabor_0/filter_gabor_45 are the two names that
+# don't fit and move to the round-10 head). The round-2-evidence re-grades
+# (minhash/simhash/similarity/token families) are governed by the
+# rotation-aware freshness floor in tests/test_registry.py — see the
+# docstring there for why the floor is a function of registry size.
 WINDOW: list[str] = [
-    # --- round-8 additions: new contracts graded first ---
-    "imread_jpeg",
-    "imread_png_rgb",
-    "imread_tiff_deflate",
-    "imread_tiff_lzw",
-    "imread_tiff_packbits",
-    "imread_tiff_16bit",
-    "label_cc_dense",
-    "measure_central_moments",
-    "udtf_dynamic_schema",
-    "distance_transform_edt",
-    "streaming_rocksdb_agg",
-    "kcore_decomposition",
-    "image_hist_match",
-    "template_match_ncc",
-    "sql_group_by_all",
-    "richardson_lucy_deconv",
-    "watershed_voronoi_markers",
-    "morph_fill_holes",
-    "morph_binary_propagation",
-    "interp_map_coordinates",
-    # --- never driver-graded round-7 continuation additions ---
-    "unpivot_events",
-    "hll_sketch_merge",
-    "variant_json_extract",
-    "pagerank_converged",
-    "cohort_retention",
-    "abtest_conversion_z",
-    "ansi_try_functions",
-    "pareto_skyline_brand",
-    "tree_depth_doubling",
-    "max_concurrent_sessions",
-    "image_hist_equalize",
-    "distance_transform_l1",
-    "measure_perimeter",
-    "ohlc_bars",
-    "survival_km",
-    "cusum_changepoint",
-    "bfs_3hop",
-    "dedup_levenshtein",
-    "remove_small_objects",
-    "attribution_last_touch",
-    "moments_per_type",
-    "mv_incremental_refresh",
-    "pit_join_scd2",
-    "window_distribution_ranks",
-    "id_gap_audit",
-    "dedup_incremental_minhash",
-    "streaming_static_antijoin",
-    "custom_python_datasource",
-    "streaming_custom_source",
-    "quickstart_pipeline",
+    # --- the 20 names bumped from the round-8 window ---
+    "sql_pipe_syntax",
+    "udtf_table_arg_gaps",
+    "pandas_api_groupby",
+    "recursive_cte_reachability",
+    "attribution_first_touch",
+    "filtered_aggregates",
+    "bitmask_rollup",
+    "distance_transform_l1_3d",
+    "weighted_median",
+    "ordered_string_agg",
+    "conversion_latency",
+    "mutual_information",
+    "psi_drift",
+    "ngram_diversity",
+    "fir_smooth_8tap",
+    "streaming_ohlc",
+    "k_anonymity_violations",
+    "chisq_independence",
+    "emd_source_drift",
+    "longest_streak",
+    # --- round-8 continuation contracts, first driver grades ---
+    "threshold_otsu",
+    "box_filter_integral",
+    "harris_corners",
+    "lbp_histogram",
+    "hough_lines",
+    "edge_canny",
+    "hits_2iter",
+    "adamic_adar_linkpred",
+    "acf_hourly",
+    "regionprops_shape",
+    "pr_auc_average_precision",
+    "imread_bmp",
+    "imread_gif",
+    "image_register_shift",
+    "pagination_limit_offset",
+    "join_null_safe_eq",
+    "radial_profile",
+    "granulometry_openings",
+    "hog_cell_histograms",
+    "mann_kendall_trend",
+    "regionprops_hu_moments",
+    "matryoshka_recall",
+    "textrank_keywords",
+    "arrow_grouped_apply",
+    "remove_elongated_objects",
+    "register_shift_fft",
+    "url_parse_surface",
+    "filter_bilateral",
+    "filter_local_entropy",
+    "filter_majority",
 ]
 
 
