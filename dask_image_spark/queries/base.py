@@ -69,70 +69,73 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 9 window (VERDICT_r08 "Next round" items 1+2 — the staging queued at
-# COVERAGE.md "Round-9 staging"): registry growth is FROZEN and every slot
-# goes to a FIRST driver grade to drain the 239-query never-graded backlog
-# (the judge's top item: "never-graded count falls by >=45"). The 20 names
-# that yielded their round-8 slots lead, then the round-8-continuation
-# contracts in their COVERAGE.md queue order (threshold_otsu ...
-# filter_majority; filter_gabor_0/filter_gabor_45 are the two names that
-# don't fit and move to the round-10 head). The round-2-evidence re-grades
-# (minhash/simhash/similarity/token families) are governed by the
-# rotation-aware freshness floor in tests/test_registry.py — see the
+# Round 10 window (VERDICT_r09 "Next round" items 1-3 — the staging queued
+# at COVERAGE.md "Round-10 staging"): registry growth stays FROZEN and every
+# slot is a FIRST driver grade, draining the 189-query never-graded backlog
+# to 139. Head: the two gabor names deferred from round 9, then the three
+# CHANGED contracts this round (the round-6 "changed contracts first"
+# precedent) — measure_euler_number (Gray quad condition corrected to
+# diag IN (0, 2) on BOTH engines), sql_scripting_block (no-solution exit
+# path mirrored in the oracle + scripting conf restored), scan_agg_pushdown
+# (aggregatePushdown conf restored) — then the backlog in registration
+# order (bootstrap_ci_mean ... entropy_rate_markov). The round-2-evidence
+# re-grades (minhash/simhash/similarity/token families) remain governed by
+# the rotation-aware freshness floor in tests/test_registry.py — see the
 # docstring there for why the floor is a function of registry size.
 WINDOW: list[str] = [
-    # --- the 20 names bumped from the round-8 window ---
-    "sql_pipe_syntax",
-    "udtf_table_arg_gaps",
-    "pandas_api_groupby",
-    "recursive_cte_reachability",
-    "attribution_first_touch",
-    "filtered_aggregates",
-    "bitmask_rollup",
-    "distance_transform_l1_3d",
-    "weighted_median",
-    "ordered_string_agg",
-    "conversion_latency",
-    "mutual_information",
-    "psi_drift",
-    "ngram_diversity",
-    "fir_smooth_8tap",
-    "streaming_ohlc",
-    "k_anonymity_violations",
-    "chisq_independence",
-    "emd_source_drift",
-    "longest_streak",
-    # --- round-8 continuation contracts, first driver grades ---
-    "threshold_otsu",
-    "box_filter_integral",
-    "harris_corners",
-    "lbp_histogram",
-    "hough_lines",
-    "edge_canny",
-    "hits_2iter",
-    "adamic_adar_linkpred",
-    "acf_hourly",
-    "regionprops_shape",
-    "pr_auc_average_precision",
-    "imread_bmp",
-    "imread_gif",
-    "image_register_shift",
-    "pagination_limit_offset",
-    "join_null_safe_eq",
-    "radial_profile",
-    "granulometry_openings",
-    "hog_cell_histograms",
-    "mann_kendall_trend",
-    "regionprops_hu_moments",
-    "matryoshka_recall",
-    "textrank_keywords",
-    "arrow_grouped_apply",
-    "remove_elongated_objects",
-    "register_shift_fft",
-    "url_parse_surface",
-    "filter_bilateral",
-    "filter_local_entropy",
-    "filter_majority",
+    # --- deferred from the round-9 window (didn't fit 50 slots) ---
+    "filter_gabor_0",
+    "filter_gabor_45",
+    # --- changed contracts this round, re-grades required ---
+    "measure_euler_number",
+    "sql_scripting_block",
+    "scan_agg_pushdown",
+    # --- never-driver-graded backlog, registration order ---
+    "bootstrap_ci_mean",
+    "l_diversity_audit",
+    "quantile_normalize_sources",
+    "wilson_ctr_rank",
+    "ks_two_sample",
+    "logreg_gd_2step",
+    "golden_record_survivorship",
+    "als_half_step",
+    "target_encode_loo",
+    "brier_calibration",
+    "roc_auc_exact",
+    "threshold_sweep_f1",
+    "spearman_corr",
+    "mannwhitney_u",
+    "anova_f_oneway",
+    "ols_two_feature",
+    "bollinger_breaches",
+    "max_drawdown",
+    "gini_concentration",
+    "naive_bayes_gaussian",
+    "decision_stump_infogain",
+    "kfold_assignment_balance",
+    "isotonic_calibration_pava",
+    "welch_ttest",
+    "kendall_tau_b",
+    "kruskal_wallis",
+    "ece_calibration_bins",
+    "f1_macro_multiclass",
+    "matthews_corrcoef",
+    "log_loss_binary",
+    "gmm_em_1step",
+    "collocation_llr",
+    "adaboost_2stumps",
+    "dbscan_core_points",
+    "record_linkage_fs_scores",
+    "shapley_2feature_exact",
+    "adjusted_rand_index",
+    "mcnemar_paired_test",
+    "lift_gain_deciles",
+    "diff_in_diff",
+    "sprt_decision",
+    "conformal_prediction_interval",
+    "cuped_adjustment",
+    "ldp_randomized_response",
+    "entropy_rate_markov",
 ]
 
 

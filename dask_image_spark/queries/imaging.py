@@ -4336,24 +4336,50 @@ def morph_grey_closing(spark, sf_dir):
     )
 
 
+def euler_quad_class(nfg: int, diag: int) -> str | None:
+    """Gray quad classification SHARED by the engine, the oracle SQL
+    (via ``_EULER_QD_COND``, the textual twin of the ``qd`` branch
+    here), and the topology Hypothesis test
+    (tests/test_round8d_properties.py) — so the three can never drift
+    pairwise again (VERDICT r9 item 1: the old ``diag = 2`` condition
+    counted only main-diagonal pairs; Gray's formula counts BOTH
+    diagonal configurations, and the anti-diagonal pair has diag = 0
+    because neither of its pixels sits on the quad's main diagonal;
+    adjacent two-pixel quads always have diag = 1, so ``diag IN (0,
+    2)`` separates exactly the two diagonal patterns).
+
+    ``nfg`` = foreground pixels in the 2x2 quad, ``diag`` = how many of
+    them lie on the quad's main diagonal (offset (0,0) or (1,1))."""
+    if nfg == 1:
+        return "q1"
+    if nfg == 3:
+        return "q3"
+    if nfg == 2 and diag in (0, 2):
+        return "qd"
+    return None
+
+
+_EULER_QD_COND = "nfg = 2 AND diag IN (0, 2)"
+
+
 @register(
     "measure_euler_number",
     with_pixel_ctes(
-        """
+        f"""
         SELECT qn,
                CAST(SUM(CASE WHEN nfg = 1 THEN 1 ELSE 0 END) AS BIGINT)
                  AS q1,
                CAST(SUM(CASE WHEN nfg = 3 THEN 1 ELSE 0 END) AS BIGINT)
                  AS q3,
-               CAST(SUM(CASE WHEN nfg = 2 AND diag = 2 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN {_EULER_QD_COND} THEN 1 ELSE 0 END)
                  AS BIGINT) AS qd,
                ROUND((SUM(CASE WHEN nfg = 1 THEN 1 ELSE 0 END)
                  - SUM(CASE WHEN nfg = 3 THEN 1 ELSE 0 END)
-                 + 2 * SUM(CASE WHEN nfg = 2 AND diag = 2 THEN 1 ELSE 0 END))
+                 + 2 * SUM(CASE WHEN {_EULER_QD_COND} THEN 1 ELSE 0 END))
                  / 4.0, 2) AS euler_4,
                ROUND((SUM(CASE WHEN nfg = 1 THEN 1 ELSE 0 END)
                  - SUM(CASE WHEN nfg = 3 THEN 1 ELSE 0 END)
-                 - 2 * SUM(CASE WHEN nfg = 2 AND diag = 2 THEN 1 ELSE 0 END))
+                 - 2 * SUM(CASE WHEN {_EULER_QD_COND} THEN 1 ELSE 0 END))
                  / 4.0, 2) AS euler_8
         FROM (
           SELECT 1 AS qn, qy, qx, COUNT(*) AS nfg,
@@ -4417,8 +4443,12 @@ def measure_euler_number(spark, sf_dir):
     )
     q1 = F.sum(F.when(F.col("nfg") == 1, 1).otherwise(0))
     q3 = F.sum(F.when(F.col("nfg") == 3, 1).otherwise(0))
+    # BOTH diagonal patterns per euler_quad_class: main diag -> diag=2,
+    # anti-diag -> diag=0; adjacent pairs -> diag=1 (excluded).
     qd = F.sum(
-        F.when((F.col("nfg") == 2) & (F.col("diag") == 2), 1).otherwise(0)
+        F.when(
+            (F.col("nfg") == 2) & F.col("diag").isin(0, 2), 1
+        ).otherwise(0)
     )
     return quads.withColumn("qn", F.lit(1)).groupBy("qn").agg(
         q1.cast("long").alias("q1"),

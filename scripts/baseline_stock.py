@@ -608,6 +608,73 @@ def dbscan_allpairs_8x(spark):
     )
 
 
+def _label_minprop(spark, side: int):
+    """Stock connected-component labeling: the textbook recursive
+    min-label-propagation join in plain PySpark — every pixel starts as
+    its own label, each round takes the min over the 4-neighbors, loop
+    until a fixpoint. O(component diameter) shuffle rounds (each a 4-way
+    union + groupBy + join over the full pixel set) vs the engine's
+    O(1)-round block-pre-label + boundary-edge merge
+    (bench.py::label_cc_*). The mask fixture is imported from bench.py
+    so the A/B can never silently de-pair. localCheckpoint per round is
+    REQUIRED even for the stock twin (without it the plan doubles every
+    iteration and the comparison measures lineage explosion, not the
+    algorithm)."""
+    import bench as engine_bench
+    from pyspark.sql import functions as F
+
+    mask = engine_bench.label_mask(spark, side)
+    lbl = (
+        mask.filter("m")
+        .select("y", "x")
+        .withColumn(
+            "lbl", F.col("y").cast("long") * side + F.col("x")
+        )
+        .localCheckpoint()
+    )
+    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    while True:
+        nbrs = None
+        for dy, dx in offsets:
+            s = lbl.select(
+                (F.col("y") + dy).alias("y"),
+                (F.col("x") + dx).alias("x"),
+                F.col("lbl").alias("nlbl"),
+            )
+            nbrs = s if nbrs is None else nbrs.unionByName(s)
+        best = nbrs.groupBy("y", "x").agg(F.min("nlbl").alias("minn"))
+        new = (
+            lbl.join(best, ["y", "x"], "left")
+            .select(
+                "y",
+                "x",
+                F.least(
+                    F.col("lbl"), F.coalesce("minn", F.col("lbl"))
+                ).alias("lbl"),
+                (F.coalesce("minn", F.col("lbl")) < F.col("lbl")).alias(
+                    "chg"
+                ),
+            )
+            .localCheckpoint()
+        )
+        done = new.filter("chg").limit(1).count() == 0
+        lbl = new.select("y", "x", "lbl")
+        if done:
+            return lbl
+
+
+def label_minprop_1x(spark):
+    return _label_minprop(spark, 512)
+
+
+def label_minprop_4x(spark):
+    return _label_minprop(spark, 1024)
+
+
+def label_minprop_16x(spark):
+    return _label_minprop(spark, 2048)
+
+
 SUITE = [
     ("q1", q1),
     ("q3", q3),
@@ -632,6 +699,12 @@ SUITE = [
     ("q9_4x", q9_4x),
     ("q21_4x", q21_4x),
     ("dbscan_8x", dbscan_allpairs_8x),
+    # round-10: label slope twins. REBUILD protocol (the iterative loop
+    # runs at construction — see bench.py::REBUILD): rebuild + count per
+    # timed iteration, warm once, best-of-3.
+    ("label_cc_1x", label_minprop_1x),
+    ("label_cc_4x", label_minprop_4x),
+    ("label_cc_16x", label_minprop_16x),
     # global_index deliberately NOT in the suite: the warm best-of-3
     # protocol reuses the materialized single-partition exchange, hiding
     # the bottleneck the comparison exists to show (see bench.py
@@ -644,8 +717,22 @@ def main() -> None:
     register(spark)
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
+    import bench as engine_bench
+
     for label, fn in SUITE:
         try:
+            if label in engine_bench.REBUILD:
+                # SINGLE timed rebuild for the stock label rows: the
+                # min-prop loop re-executes everything on every build
+                # (54-250 s per size measured), so warm+best-of-3 would
+                # add ~20 min to every paired session while run-to-run
+                # variance (±10%) is far below the 6-25x engine/stock
+                # separation these rows exist to show. The engine side
+                # (cheap, seconds) keeps the full warm best-of-3.
+                t0 = time.perf_counter()
+                fn(spark).count()
+                results[label] = round(time.perf_counter() - t0, 4)
+                continue
             df = fn(spark)
             df.count()  # warm
             best = float("inf")

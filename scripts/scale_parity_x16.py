@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""Scale-parity sweep ONE TIER ABOVE sf0.1 (VERDICT r9 item 8): the ten
+shuffle-heaviest queries re-graded with the driver-identical
+row/schema/value-hash compare (tests/parity.py) against an AUGMENTED
+table set materialized from sf0.1 —
+
+  lineitem  x4  (relational.py::lineitem_x4 — fact growth, key domain
+                 unchanged: 24M rows at sf0.1 base of 6M)
+  documents x16 (pipeline.py's vowel x consonant rotations, FULL schema:
+                 80k docs; translate() is 1:1 so n_chars stays correct)
+  events    x4  (full schema; event_id offset per copy, ts shifted by
+                 +400 days per copy so copies neither collide nor
+                 interleave; written as TIMESTAMP_NTZ to match the
+                 generator's physical encoding)
+  embeddings x8 (vec_id offset; one dim deterministically perturbed per
+                 copy so copies are near- but not exact duplicates)
+  region/nation/customer/supplier/part/orders copied as-is (dims
+                 constant — the axis a growing fact table moves along)
+
+The augmentation runs ONCE in Spark and is MATERIALIZED to parquet, so
+Spark and DuckDB read byte-identical inputs — the sweep tests the
+ENGINES' execution at ~4-16x the previous ceiling (exchange shapes, float
+accumulation order, tie-breaking under real duplicate mass), not the
+augmentation arithmetic.
+
+Usage: python scripts/scale_parity_x16.py   (prints one JSON line;
+rebuilds the sweep dir only if missing — delete /tmp/dask_image_spark_scale
+to force regeneration). Results recorded in COVERAGE.md + SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/dask_image_spark_scale/x16"
+
+# The ten shuffle-heaviest registered queries (VERDICT r9 plan audit +
+# bench.py HEADLINE): TPC-H heavy aggregation/join chains on the x4 fact,
+# the LSH band self-join and df-pruned postings self-join on the x16
+# corpus, the hash-dedup groupBy, and the three heaviest window/session
+# shapes on the x4 timeline.
+SWEEP = [
+    "q1_pricing_summary",
+    "q3_join_topk",
+    "q9_product_type_profit",
+    "q21_suppliers_kept_waiting",
+    "dedup_minhash_lsh",
+    "tfidf_cosine_pairs",
+    "dedup_exact_groups",
+    "sessionize",
+    "rolling_1h_user_stats",
+    "window_rank",
+]
+
+
+def _write_flat(df, t: str) -> None:
+    """Write a table as a SINGLE parquet FILE named {t}.parquet — the
+    physical layout the parity harness's DuckDB views expect (the
+    generator ships flat files; a Spark part-file directory would match
+    no files under read_parquet('{dir}/{t}.parquet'))."""
+    import glob
+    import shutil
+
+    stage = f"{OUT}/_stage_{t}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.move(part, f"{OUT}/{t}.parquet")
+    shutil.rmtree(stage)
+
+
+def build_sweep_dir(spark) -> None:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.queries.pipeline import X4_OFFSET, X4_ROTS, X16_CROTS
+    from dask_image_spark.queries.relational import lineitem_x4
+    from dask_image_spark.sources.tables import load_table
+
+    os.makedirs(OUT, exist_ok=True)
+
+    # dims: copy as-is (constant-dimension axis)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+        shutil.copyfile(f"{BASE}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+    # lineitem x4 — the registered augmenter, full schema already
+    _write_flat(lineitem_x4(spark, BASE), "lineitem")
+
+    # documents x16 — full schema (docs_x16 selects (doc_id, text) only;
+    # the rotations are 1:1 character maps so lang/source/n_chars replicate
+    # unchanged and stay consistent)
+    d = load_table(spark, BASE, "documents")
+    out = None
+    for c, rot in enumerate(X4_ROTS):
+        for c2, crot in enumerate(X16_CROTS):
+            cp = d.select(
+                (F.col("doc_id") + (c * 4 + c2) * X4_OFFSET).alias("doc_id"),
+                F.translate(
+                    F.translate("text", "aeiou", rot), "rstln", crot
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            out = cp if out is None else out.unionAll(cp)
+    _write_flat(out, "documents")
+
+    # events x4 — copies shifted +400 days (beyond the ~30-day timeline:
+    # no cross-copy session/window interactions) with non-colliding ids;
+    # TIMESTAMP_NTZ on disk to match the generator's physical encoding
+    # (DuckDB must read naive TIMESTAMP, not TIMESTAMPTZ)
+    ev = load_table(spark, BASE, "events")
+    copies = None
+    for k in range(4):
+        cp = ev.select(
+            (F.col("event_id") + k * 100_000_000).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {400 * k} DAYS")).cast(
+                "timestamp_ntz"
+            ).alias("ts"),
+            (F.col("user_id") + k * 10_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        copies = cp if copies is None else copies.unionAll(cp)
+    _write_flat(copies, "events")
+
+    # embeddings x8 — near-duplicate copies (dim 0 perturbed by k*1e-3),
+    # materialized so both engines read the same floats
+    emb = load_table(spark, BASE, "embeddings")
+    ecopies = None
+    for k in range(8):
+        cp = emb.select(
+            (F.col("vec_id") + k * 1_000_000).alias("vec_id"),
+            F.expr(
+                f"transform(embedding, (v, i) -> CASE WHEN i = 0 THEN "
+                f"CAST(v + {k} * 1e-3 AS FLOAT) ELSE v END)"
+            ).alias("embedding"),
+            "label",
+        )
+        ecopies = cp if ecopies is None else ecopies.unionAll(cp)
+    _write_flat(ecopies, "embeddings")
+
+
+def main() -> None:
+    from dask_image_spark import queries as q
+    from dask_image_spark.session import get_spark
+    from tests.parity import compare
+
+    q.load_all()
+    spark = get_spark(
+        app_name="scale-parity-x16",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+    )
+    if not os.path.isfile(f"{OUT}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        build_sweep_dir(spark)
+        print(
+            f"# sweep dir built in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    results: dict[str, str] = {}
+    registry, oracles = q.all_queries(), q.all_oracles()
+    for name in SWEEP:
+        t0 = time.perf_counter()
+        try:
+            problems = compare(registry[name](spark, OUT), oracles[name], OUT)
+            results[name] = (
+                "ok" if not problems else "; ".join(problems)[:300]
+            )
+        except Exception as e:  # noqa: BLE001 — per-query isolation
+            results[name] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            q.release_caches()
+        print(
+            f"# {name}: {results[name][:80]}"
+            f" ({time.perf_counter() - t0:.1f}s)",
+            file=sys.stderr,
+        )
+
+    n_ok = sum(1 for v in results.values() if v == "ok")
+    print(
+        json.dumps(
+            {
+                "metric": "scale_parity_x16",
+                "n_ok": n_ok,
+                "n_total": len(SWEEP),
+                "results": results,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
