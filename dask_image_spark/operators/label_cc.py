@@ -160,6 +160,19 @@ def label_iterative(
     return lbl.withColumnRenamed("lbl", "label")
 
 
+def prelabel_partitions(spark, n_blocks: int) -> int:
+    """Partition count for :func:`label`'s pandas pre-label exchange: one
+    task per block, capped at 4x the session's shuffle width. The cap
+    bounds task-launch overhead at 100-TB block counts (millions of
+    blocks) while keeping the stage CPU-balanced; the floor of 1 covers
+    single-block masks. Kept as its own function so the rule is unit-
+    testable next to the no-AQE-coalesce pin (tests/test_label_cc.py)."""
+    shuffle_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    return max(1, min(n_blocks, shuffle_parts * 4))
+
+
 def label(
     mask: DataFrame, shape: tuple[int, int], block: int = 32,
     mask_col: str = "m", max_driver_edges: int = 2_000_000,
@@ -202,14 +215,10 @@ def label(
     # exactly wrong for a pandas-UDF stage. An EXPLICIT repartition on the
     # block keys is user-specified, so AQE leaves it alone, and its hash
     # partitioning satisfies applyInPandas's required distribution — no
-    # second shuffle. Partition count: one task per block up to 4x the
-    # session's shuffle width (at 100 TB, block count >> cores; the cap
-    # keeps task-launch overhead bounded while staying CPU-balanced).
-    shuffle_parts = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    # second shuffle.
+    blocked = blocked.repartition(
+        prelabel_partitions(spark, nby * nbx), "by", "bx"
     )
-    n_parts = max(1, min(nby * nbx, shuffle_parts * 4))
-    blocked = blocked.repartition(n_parts, "by", "bx")
     area = block * block
 
     def pre_label(pdf: pd.DataFrame) -> pd.DataFrame:

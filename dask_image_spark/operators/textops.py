@@ -267,6 +267,98 @@ def simhash16_sql(text_expr: str = "text") -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def simhash60_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    widen: bool | None = None,
+) -> DataFrame:
+    """(id, h) frame of 60-BIT SimHash signatures — the banding-grade
+    width (Manku/Jain/Das Sarma, WWW'07, use 64 bits; 60 here keeps every
+    2^b term exactly representable as a positive BIGINT/double on both
+    engines). The 16-bit :func:`simhash16` stays as the compact graded
+    signature surface, but it CANNOT back a band self-join at scale: with
+    4 bands of 4 bits there are only 64 bucket keys, so the candidate
+    join is O(N^2/16) — measured as a 20-minute single-task straggler at
+    an 80k-doc corpus (round-10 x16 parity sweep). 4 bands of 15 bits
+    give 32768 keys per band and near-constant buckets.
+
+    Bit i's vote for a token comes from hex digit (i mod 30)+1 of
+    md5(token) for bits 0-29 and of md5('q:' || token) for bits 30-59
+    (digit >= '8' votes +1, else -1 — 8 of 16 hex digits, balanced).
+    Each md5 is computed ONCE per token (projected before the vote
+    transform — the lambda-inlining trap documented on
+    :func:`shingles_of`), the per-token 60-vote array is posexploded and
+    the bit sums reduce with partial aggregation, so the whole signature
+    is two map-side-combinable groupBys — linear in corpus size, no
+    Python. DuckDB twin: :func:`simhash60_sql_ctes`.
+
+    ``widen`` follows :func:`exploded_shingles`: the token fan-out, the
+    2 md5s/token and the 60-vote posexplode all fuse into the SCAN's
+    stage, so an under-split corpus runs the whole signature on a few
+    cores (measured: 6-task stage, 106 s at 85k docs; 31 s after the
+    widen). When the scan under-splits, hash-repartition the documents
+    (tiny rows) by id first; at cluster scale parquet yields enough
+    splits and no extra exchange is paid."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if widen is None:
+        widen = docs.rdd.getNumPartitions() < target
+    if widen:
+        docs = docs.repartition(target, id_col)
+    toks = docs.select(
+        id_col, F.explode(tokens(text_col)).alias("tok")
+    )
+    hx = toks.select(
+        id_col,
+        F.split(F.md5("tok"), "").alias("c1"),
+        F.split(F.md5(F.concat(F.lit("q:"), F.col("tok"))), "").alias("c2"),
+    )
+    vote = lambda c: F.when(c >= "8", 1).otherwise(-1)  # noqa: E731
+    tv = hx.select(
+        id_col,
+        F.concat(
+            F.transform(F.slice("c1", 1, 30), vote),
+            F.transform(F.slice("c2", 1, 30), vote),
+        ).alias("votes"),
+    )
+    vb = tv.select(id_col, F.posexplode("votes").alias("b", "v"))
+    bits = vb.groupBy(id_col, "b").agg(F.sum("v").alias("sv"))
+    return bits.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("sv") > 0, F.pow(F.lit(2.0), F.col("b")))
+            .otherwise(0.0)
+            .cast("long")
+        ).alias("h")
+    )
+
+
+def simhash60_sql_ctes(docs_cte: str = "documents") -> str:
+    """DuckDB CTE chain computing the identical 60-bit SimHash as
+    :func:`simhash60_signatures` (ends with ``sh60(doc_id, h)``)."""
+    return f"""
+    toks60 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM {docs_cte}),
+    hx60 AS (
+      SELECT doc_id, md5(tok) AS h1, md5('q:' || tok) AS h2 FROM toks60),
+    tv60 AS (
+      SELECT doc_id, list_concat(
+        list_transform(generate_series(1, 30),
+          i -> CASE WHEN substr(h1, i, 1) >= '8' THEN 1 ELSE -1 END),
+        list_transform(generate_series(1, 30),
+          i -> CASE WHEN substr(h2, i, 1) >= '8' THEN 1 ELSE -1 END)
+      ) AS votes FROM hx60),
+    vb60 AS (
+      SELECT doc_id, gs.b - 1 AS b, votes[gs.b] AS v
+      FROM tv60 CROSS JOIN (SELECT unnest(generate_series(1, 60)) AS b) gs),
+    bits60 AS (
+      SELECT doc_id, b, SUM(v) AS sv FROM vb60 GROUP BY doc_id, b),
+    sh60 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN sv > 0 THEN CAST(POW(2, b) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS h
+      FROM bits60 GROUP BY doc_id)"""
+
+
 def rolling_fingerprint(text_col: str = "text") -> Column:
     """Polynomial rolling hash over tokens mod 2^31-1
     (token code = 7*len + ascii(first char); fold acc*31 + code)."""

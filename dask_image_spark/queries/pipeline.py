@@ -3455,11 +3455,11 @@ def quality_repetition(spark, sf_dir):
 @register(
     "dedup_simhash_pairs",
     f"""
-    WITH sh AS (
-      SELECT doc_id, {textops.simhash16_sql("text")} AS h
-      FROM documents WHERE text IS NOT NULL),
+    WITH aug AS ({_DUP_AUG_SQL}),
+    {textops.simhash60_sql_ctes("aug")},
+    sh AS (SELECT doc_id, h FROM sh60),
     bands AS (
-      SELECT doc_id, b, (h >> (4 * b)) & 15 AS bv
+      SELECT doc_id, b, (h >> (15 * b)) & 32767 AS bv
       FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -3475,17 +3475,32 @@ def quality_repetition(spark, sf_dir):
 )
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup PAIRS — completes the simhash pipeline the way
-    lsh_band_pairs completes minhash: block on 4 bands of 4 bits (by
+    lsh_band_pairs completes minhash: block on 4 bands of 15 bits (by
     pigeonhole, any pair within hamming 3 shares at least one intact
     band), self-join per band bucket, then the exact hamming <= 3 filter
-    via bit_count(xor). The band shuffle carries (doc_id, band, nibble)
-    only; the O(n^2) pair space never materializes."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    sh = d.select("doc_id", textops.simhash16("text").alias("h"))
+    via bit_count(xor). The band shuffle carries (doc_id, band, band
+    value) only; the O(n^2) pair space never materializes.
+
+    CONTRACT CHANGED round 10 (re-grade queued at the round-11 window
+    head): the original 16-bit signature gave 4 bands of 4 BITS — only
+    16 bucket keys per band, so the "blocked" join was secretly
+    O(N^2/16): fine at the graded 500 docs, a measured 20-minute
+    single-task straggler at the x16 sweep's 80k docs, dead at 100 TB.
+    The banding now runs on the 60-bit ``textops.simhash60_signatures``
+    (4 x 15 bits = 32768 keys/band, near-constant buckets — the
+    Manku-style width), and the corpus is the ``_DUP_AUG_SQL``
+    duplicate-augmented one so the pair set provably contains the
+    hamming-0 clone pairs at every SF (at 60 bits, unrelated docs no
+    longer collide by chance, which would have made the fixture
+    vacuous — the json_corrupt_records lesson)."""
+    aug = _dup_augmented(spark, sf_dir)
+    sh = textops.simhash60_signatures(aug)
     band_vals = F.array(*[
         F.struct(
             F.lit(b).alias("b"),
-            F.shiftright(F.col("h"), 4 * b).bitwiseAND(F.lit(15)).alias("bv"),
+            F.shiftright(F.col("h"), 15 * b)
+            .bitwiseAND(F.lit(32767))
+            .alias("bv"),
         )
         for b in range(4)
     ])

@@ -40,11 +40,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/dask_image_spark_scale/x16"
 
-# The ten shuffle-heaviest registered queries (VERDICT r9 plan audit +
+# The shuffle-heaviest registered queries (VERDICT r9 plan audit +
 # bench.py HEADLINE): TPC-H heavy aggregation/join chains on the x4 fact,
 # the LSH band self-join and df-pruned postings self-join on the x16
-# corpus, the hash-dedup groupBy, and the three heaviest window/session
-# shapes on the x4 timeline.
+# corpus, the hash-dedup groupBy, and the heaviest window/session shapes
+# on the x4 timeline. The first ten are the round-10 core sweep (VERDICT
+# item 8); the rest widen the tier-2 evidence across the dedup/text/
+# graph/retention families at the same augmented scale.
 SWEEP = [
     "q1_pricing_summary",
     "q3_join_topk",
@@ -56,6 +58,22 @@ SWEEP = [
     "sessionize",
     "rolling_1h_user_stats",
     "window_rank",
+    # --- widened tier-2 coverage (same augmented dir) ---
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "dedup_minhash_survivors",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "bm25_search",
+    "token_pmi_bigrams",
+    "quality_entropy",
+    "cohort_retention",
+    "event_transition_matrix",
+    "rfm_scores",
+    "window_distribution_ranks",
+    "max_concurrent_sessions",
 ]
 
 

@@ -189,3 +189,37 @@ def test_label_fallback_on_real_overthreshold_noise_mask(spark):
         for r in label(mdf, (h, w), block=4, max_driver_edges=5).collect()
     }
     assert central == fallback == _bfs_components(mask)
+
+
+def test_prelabel_exchange_not_aqe_coalesced(spark):
+    """The pre-label stage is Python-CPU-bound, so its exchange must keep
+    one task per block (up to the cap) instead of letting AQE's
+    byte-based coalescing pack blocks together (round 10: 64 blocks had
+    coalesced to 8 tasks, 5.4 s of an 8.4 s labeling). The explicit
+    block-key repartition is user-specified, which AQE leaves alone —
+    pinned here by materializing the same exchange shape label() builds
+    and counting its partitions."""
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.operators.label_cc import prelabel_partitions
+
+    # the rule itself
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert prelabel_partitions(spark, 1) == 1
+    assert prelabel_partitions(spark, 64) == min(64, shuffle_parts * 4)
+    assert prelabel_partitions(spark, 10**9) == shuffle_parts * 4
+
+    # the exchange: a 64-block frame must occupy 64 partitions even
+    # though its bytes would AQE-coalesce to far fewer
+    side, block = 512, 64
+    pts = spark.range(side * side).select(
+        (F.col("id") % side).cast("int").alias("y"),
+        (F.col("id") / side).cast("int").alias("x"),
+    )
+    blocked = pts.withColumns(
+        {
+            "by": (F.col("y") / block).cast("int"),
+            "bx": (F.col("x") / block).cast("int"),
+        }
+    ).repartition(prelabel_partitions(spark, 64), "by", "bx")
+    assert blocked.rdd.getNumPartitions() == 64
