@@ -4776,8 +4776,8 @@ def json_corrupt_records(spark, sf_dir):
     """
     WITH cuts AS (
       SELECT event_type,
-             QUANTILE_CONT(value, 0.1) AS p10,
-             QUANTILE_CONT(value, 0.9) AS p90
+             ROUND(1.2345e-8 + QUANTILE_CONT(value, 0.1), 4) AS p10,
+             ROUND(1.2345e-8 + QUANTILE_CONT(value, 0.9), 4) AS p90
       FROM events GROUP BY event_type)
     SELECT e.event_type,
            ROUND(1.2345e-8 + AVG(e.value), 4) AS mean_raw,
@@ -4799,11 +4799,20 @@ def trimmed_mean(spark, sf_dir):
     filtered re-aggregate — the same broadcast-cuts posture as
     ``equidepth_bins``/``psi_drift``, never a global sort. The
     winsorize query clamps; this trims — both robustness flavors are
-    graded."""
+    graded.
+
+    The cuts are EPS-round(4)ed on BOTH engines before the in-bounds
+    comparison (round-10 x16 sweep catch): the interpolated quantile of
+    a heavily-tied column can differ between Spark ``percentile`` and
+    DuckDB ``QUANTILE_CONT`` in the last ulps, and a raw threshold
+    sitting ON a tie group flips the whole group's membership — at the
+    x4-duplicated tier that was 4 rows and a 5e-3 drift in the trimmed
+    mean. Rounded cuts are tie-stable at any scale (the data grid is
+    2-decimal, far coarser than the 1e-4 resolution)."""
     ev = load_table(spark, sf_dir, "events")
     cuts = ev.groupBy(F.col("event_type").alias("ctype")).agg(
-        F.percentile("value", F.lit(0.1)).alias("p10"),
-        F.percentile("value", F.lit(0.9)).alias("p90"),
+        _r(F.percentile("value", F.lit(0.1))).alias("p10"),
+        _r(F.percentile("value", F.lit(0.9))).alias("p90"),
     )
     j = ev.join(
         F.broadcast(cuts), F.col("event_type") == F.col("ctype")

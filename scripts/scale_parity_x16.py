@@ -105,6 +105,35 @@ SWEEP = [
     "cumulative_distinct_users",
     "stable_global_index",
     "theilsen_slope_per_user",
+    # --- fourth batch: time-series / robust-stats (float accumulation
+    # and tie-mass sensitivity on the x4 timeline) ---
+    "acf_hourly",
+    "seasonal_decompose_ma",
+    "forecast_eval_mase",
+    "twap_daily",
+    "rolling_corr_24h",
+    "ewma_recursive_daily",
+    "holt_linear_smoothing",
+    "gap_fill_hours",
+    "mann_kendall_trend",
+    "trend_per_user",
+    "time_decay_score",
+    "seasonal_residual_anomaly",
+    "running_balance_floor",
+    "fifo_allocation",
+    "attribution_last_touch",
+    "attribution_first_touch",
+    "conversion_latency",
+    "longest_streak",
+    "moments_per_type",
+    "abtest_conversion_z",
+    "psi_drift",
+    "ks_two_sample",
+    "benford_digit_test",
+    "winsorize_values",
+    "quantile_normalize_sources",
+    "trimmed_mean",
+    "weighted_median",
 ]
 
 # Queries checked ENGINE-ONLY (row count + clean execution) at this tier:

@@ -79,6 +79,8 @@ SAMPLE = [
     "fdr_benjamini_hochberg",    # p-rank ties across the 10x cell means
     "interval_coverage_merge",   # island boundaries exact at 10x density
     "measure_euler_number",      # quad counts on the 10x-mass mask
+    # round-10 changed contract (60-bit banding fix caught by the x16 sweep)
+    "dedup_simhash_pairs",       # band-bucket population scales with N
 ]
 
 
