@@ -4868,6 +4868,14 @@ def matryoshka_recall(spark, sf_dir):
     qs = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
+    # The scored pass fuses onto the corpus SCAN's splits — one parquet
+    # file = one task doing the whole queries x corpus x 2-cosines work
+    # (measured: a 96 s single-task stage at 16k vectors). Widen by the
+    # corpus key when under-split, exactly like textops' widen idiom; at
+    # cluster scale parquet yields enough splits and this is a no-op.
+    target = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < target:
+        e = e.repartition(target, "vec_id")
     pairs = e.crossJoin(F.broadcast(qs)).filter(
         F.col("vec_id") != F.col("qid")
     )

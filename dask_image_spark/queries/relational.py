@@ -354,10 +354,10 @@ def upsert_latest_wins(spark, sf_dir):
     WITH unioned AS (
       SELECT o_orderkey, o_totalprice AS price, 0 AS version FROM orders
       UNION ALL
-      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2), 1
+      SELECT o_orderkey, ROUND(1.2345e-8 + o_totalprice * 1.1, 2), 1
       FROM orders WHERE o_orderkey % 10 = 3
       UNION ALL
-      SELECT o_orderkey, ROUND(o_totalprice * 1.2, 2), 2
+      SELECT o_orderkey, ROUND(1.2345e-8 + o_totalprice * 1.2, 2), 2
       FROM orders WHERE o_orderkey % 20 = 3),
     hist AS (
       SELECT o_orderkey, version, price,
@@ -381,19 +381,25 @@ def scd2_history(spark, sf_dir):
     the whole history build is a single shuffle on the merge key — and
     with the snapshot bucketed on that key (``join_bucketed``) even that
     exchange disappears; this is what a Delta/Iceberg MERGE does under
-    the hood, expressed as a plain window."""
+    the hood, expressed as a plain window.
+
+    The derived version prices carry the EPS shift inside their
+    ROUND(.., 2) on BOTH engines (round-10 tier-2 catch): price * 1.1
+    can land exactly on a half-cent boundary, where Spark and DuckDB
+    round opposite ways — invisible at the sf0.01 grading rows, one
+    boundary row at sf0.1 (73427.915)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_totalprice").alias("price")
     )
     v0 = o.withColumn("version", F.lit(0))
     v1 = o.filter(F.col("o_orderkey") % 10 == 3).select(
         "o_orderkey",
-        F.round(F.col("price") * 1.1, 2).alias("price"),
+        F.round(F.col("price") * 1.1 + 1.2345e-8, 2).alias("price"),
         F.lit(1).alias("version"),
     )
     v2 = o.filter(F.col("o_orderkey") % 20 == 3).select(
         "o_orderkey",
-        F.round(F.col("price") * 1.2, 2).alias("price"),
+        F.round(F.col("price") * 1.2 + 1.2345e-8, 2).alias("price"),
         F.lit(2).alias("version"),
     )
     w = Window.partitionBy("o_orderkey").orderBy("version")

@@ -134,6 +134,48 @@ SWEEP = [
     "quantile_normalize_sources",
     "trimmed_mean",
     "weighted_median",
+    # --- fifth batch: remaining TPC-H + similarity/ANN + streaming
+    # batch-equivalence + lakehouse ---
+    "q2_min_cost_supplier",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q22_global_sales_opportunity",
+    "similarity_ivf_topk",
+    "similarity_ivf_multiprobe",
+    "ann_recall_ivf",
+    "similarity_lsh_buckets",
+    "similarity_hamming_topk",
+    "ann_recall_hamming_rerank",
+    "knn_graph_lsh",
+    "knn_per_label",
+    "embedding_quantize_int8",
+    "matryoshka_recall",
+    "ivf_kmeans_topk",
+    "streaming_tumbling",
+    "streaming_sliding",
+    "streaming_session_window",
+    "streaming_dedup",
+    "streaming_stateful",
+    "streaming_static_join",
+    "streaming_stream_join",
+    "streaming_ohlc",
+    "streaming_rocksdb_agg",
+    "scd2_history",
+    "mv_incremental_refresh",
+    "dq_expectations",
+    "golden_record_survivorship",
+    "zorder_layout",
 ]
 
 # Queries checked ENGINE-ONLY (row count + clean execution) at this tier:
