@@ -334,18 +334,49 @@ def dedup_semantic(spark, sf_dir):
         load_table(spark, sf_dir, "embeddings"), k=8, iters=2
     ).select("vec_id", "cid")
     withv = asg.join(e, "vec_id")
-    a = withv.select(
-        F.col("vec_id").alias("keep_id"), F.col("cid"), F.col("v").alias("va")
+    # SALT the within-cluster pair join (round-10 tier-2 finding): cid
+    # alone has k=8 distinct values, so the Sum|c|^2-pair cosine stage
+    # could never exceed 8 tasks — and AQE's byte-based coalescing cut
+    # it to 4 (the vectors are small in BYTES; the cosines are the
+    # cost). b carries salt = vec_id % S, a replicates across all S
+    # salts, so every pair still meets exactly once but the join fans
+    # out over k*S keys; the explicit repartitions are user-specified
+    # (AQE leaves them alone) and satisfy the join's required
+    # distribution on both sides. Same pair set, same results —
+    # measured 208 s -> 21 s at 16k vectors. The k~sqrt(N) knob
+    # (SemDeDup's own prescription, see docstring) remains the
+    # asymptotic lever; the salt fixes the PARALLELISM floor a small
+    # fixed k imposes.
+    n_salt = 16
+    width = spark.sparkContext.defaultParallelism
+    a = (
+        withv.select(
+            F.col("vec_id").alias("keep_id"), F.col("cid"),
+            F.col("v").alias("va"),
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.range(n_salt).select(
+                    F.col("id").cast("int").alias("_s")
+                )
+            )
+        )
+        .repartition(width, "cid", "_s")
     )
     b = withv.select(
         F.col("vec_id").alias("drop_id"),
         F.col("cid").alias("cid_b"),
         F.col("v").alias("vb"),
-    )
+        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("_sb"),
+    ).repartition(width, "cid_b", "_sb")
     cos = _eps_round(similarity.cosine(F.col("va"), F.col("vb")), 4)
     dropped = (
-        a.join(b, (F.col("cid") == F.col("cid_b"))
-               & (F.col("keep_id") < F.col("drop_id")))
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("_s") == F.col("_sb"))
+            & (F.col("keep_id") < F.col("drop_id")),
+        )
         .filter(cos >= 0.30)
         .select("drop_id")
         .distinct()

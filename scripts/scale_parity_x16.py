@@ -176,6 +176,48 @@ SWEEP = [
     "dq_expectations",
     "golden_record_survivorship",
     "zorder_layout",
+    # --- sixth batch: join/agg/window surfaces, curation remainder,
+    # text quality, graph remainder ---
+    "join_anti",
+    "join_bucketed",
+    "join_full_outer",
+    "join_left_orders",
+    "join_semi",
+    "join_range_bands",
+    "join_inner_geo",
+    "topk_orders",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_quantiles",
+    "agg_stats",
+    "approx_distinct",
+    "equidepth_bins",
+    "window_frames",
+    "window_range_frame",
+    "window_ranking_family",
+    "window_sliding",
+    "window_tumbling",
+    "window_lag_lead",
+    "pii_redact",
+    "contamination_check",
+    "mix_temperature",
+    "sample_topk_per_stratum",
+    "split_group_hash",
+    "mine_hard_negatives",
+    "dedup_lsh_salted_skew",
+    "dedup_ngram_containment",
+    "dedup_incremental_batch",
+    "dedup_substring_spans",
+    "dedup_semantic",
+    "token_zipf",
+    "tfidf_top_term",
+    "lang_id",
+    "quality_score",
+    "rrf_hybrid_search",
+    "pagerank_converged",
+    "bellman_ford_3round",
+    "clustering_coefficient",
 ]
 
 # Queries checked ENGINE-ONLY (row count + clean execution) at this tier:
