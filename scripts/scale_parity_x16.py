@@ -218,6 +218,48 @@ SWEEP = [
     "pagerank_converged",
     "bellman_ford_3round",
     "clustering_coefficient",
+    # --- seventh batch: classical stats, classifier eval, text fit,
+    # graph centrality remainder ---
+    "bootstrap_ci_mean",
+    "corr_matrix",
+    "chisq_independence",
+    "mutual_information",
+    "emd_source_drift",
+    "kl_source_drift",
+    "anomaly_mad_zscore",
+    "spearman_corr",
+    "mannwhitney_u",
+    "anova_f_oneway",
+    "welch_ttest",
+    "kendall_tau_b",
+    "kruskal_wallis",
+    "roc_auc_exact",
+    "brier_calibration",
+    "pr_auc_average_precision",
+    "threshold_sweep_f1",
+    "ndcg_at_10",
+    "retrieval_mrr_hit",
+    "map_mean_avg_precision",
+    "logreg_gd_2step",
+    "als_half_step",
+    "target_encode_loo",
+    "association_rules",
+    "session_top_paths",
+    "bpe_merge_steps",
+    "heaps_law_fit",
+    "readability_flesch",
+    "collocation_llr",
+    "hits_2iter",
+    "katz_centrality_2iter",
+    "wl_relabel_1iter",
+    "lpa_communities_2iter",
+    "adamic_adar_linkpred",
+    "ppr_seeded_2iter",
+    "ktruss_edge_support",
+    "wilson_ctr_rank",
+    "cohens_kappa",
+    "gini_concentration",
+    "max_drawdown",
 ]
 
 # Queries checked ENGINE-ONLY (row count + clean execution) at this tier:
