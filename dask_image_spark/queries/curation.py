@@ -6535,20 +6535,42 @@ def local_outlier_factor(spark, sf_dir):
         F.floor(F.col("x") / _DBSCAN_EPS).alias("cx"),
         F.floor(F.col("y") / _DBSCAN_EPS).alias("cy"),
     )
-    a, b = cells.alias("a"), cells.alias("b")
-    cand = a.join(
-        b,
-        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("ia"),
-        F.col("b.vec_id").alias("ib"),
-        F.sqrt(
-            (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
-            + (F.col("a.y") - F.col("b.y"))
-            * (F.col("a.y") - F.col("b.y"))
-        ).alias("d"),
+    # 9-offset fan-out -> EQUI-join on cell keys (dbscan_core_counts'
+    # idiom): the |a.cx-b.cx|<=1 AND |a.cy-b.cy|<=1 ring expressed as
+    # equality against (cx+dx, cy+dy) so Catalyst plans a hash join
+    # partitioned by cell instead of a BroadcastNestedLoopJoin that
+    # evaluates the theta predicate against every pair (O(N^2) — a
+    # measured 504 s single-stage straggler at the x8 parity tier,
+    # seconds as an equi-join). Identical candidate set: each b-cell
+    # matches exactly one offset, so no duplicates and no drops.
+    from dask_image_spark.functions.localrel import values_df
+
+    offs = values_df(
+        spark, "dx, dy",
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+    )
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        F.col("vec_id").alias("ia"),
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
+    )
+    bside = cells.select(
+        F.col("cx").alias("px"), F.col("cy").alias("py"),
+        F.col("vec_id").alias("ib"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    cand = (
+        probes.join(bside, ["px", "py"])
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia", "ib",
+            F.sqrt(
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by"))
+                * (F.col("ay") - F.col("by"))
+            ).alias("d"),
+        )
     )
     wk = Window.partitionBy("ia").orderBy(
         F.round(F.col("d") + F.lit(1.2345e-8), 9), "ib"
@@ -7059,7 +7081,15 @@ def facility_location_greedy(spark, sf_dir):
         F.col("embedding").getItem(0).cast("double").alias("x"),
         F.col("embedding").getItem(1).cast("double").alias("y"),
     )
-    a, b = pts.alias("a"), pts.alias("b")
+    # The kernel matrix is CPU-work-vs-byte-size case #5: pts scans as
+    # ONE partition (single flat parquet file), so the cross join's
+    # BroadcastNestedLoopJoin streams all N^2 exp() rows through a
+    # single task (measured 463 s engine-side at the x8 parity tier).
+    # An explicit user repartition on the streamed side spreads the
+    # kernel across the full shuffle width (AQE leaves user-specified
+    # exchanges alone); same rows, same values.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a, b = pts.repartition(width).alias("a"), pts.alias("b")
     sim = persist_tracked(
         a.crossJoin(b).select(
             F.col("a.vec_id").alias("cand"),
@@ -7617,9 +7647,19 @@ def psm_att_nearest(spark, sf_dir):
     both arms in ONE score-ordered sort, carry the last/next control
     outcome with IGNORE NULLS frames, pick the closer side.
 
-    Plan: one global sort on the score (per-strata at scale), two
-    IGNORE-NULLS window passes over it, one aggregate. No join at
-    all — matching as a sort-merge, the classic trick."""
+    Plan: the propensity here is a pure function of hour-of-day, so
+    both arms collapse to <= 24 DISTINCT scores — the nearest-control
+    map is a bounded (distinct-treated x distinct-control) rank
+    (prefer-smaller-distance, then smaller control score: exactly the
+    prev-on-tie rule of the oracle's interleaved-sort formulation),
+    broadcast-joined back onto the treated rows. The previous engine
+    plan WAS the interleaved sort with IGNORE-NULLS frames — correct,
+    but Spark's moving-lower-bound + UNBOUNDED FOLLOWING frame
+    re-scans the tail per row (O(n^2) in one unpartitioned 200k-row
+    partition: a measured multi-minute straggler at the x4 parity
+    tier; DuckDB's incremental frame is fine, so only the engine side
+    changes — values identical). With a continuous score at scale,
+    quantize to strata first and rank within the stratum ring."""
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         "event_id",
@@ -7630,49 +7670,24 @@ def psm_att_nearest(spark, sf_dir):
             / (1.0 + F.exp(-(F.hour("ts").cast("double") - 12.0) / 6.0))
         ).alias("e"),
     )
-    t = pts.filter(F.col("tr") == 1).select(
-        "event_id", "y", "e", F.lit(1).alias("is_t"),
-        F.lit(None).cast("double").alias("cy"),
-    )
+    t = pts.filter(F.col("tr") == 1).select("event_id", "y", "e")
     cs = (
         pts.filter(F.col("tr") == 0)
         .groupBy("e")
-        .agg(F.min("y").alias("y_rep"), F.min("event_id").alias("cid"))
-        .select(
-            F.col("cid").alias("event_id"),
-            F.col("y_rep").alias("y"),
-            "e",
-            F.lit(0).alias("is_t"),
-            F.col("y_rep").alias("cy"),
-        )
+        .agg(F.min("y").alias("y_rep"))
+        .select(F.col("e").alias("ec"), "y_rep")
     )
-    both = t.unionByName(cs)
-    w_prev = Window.orderBy("e", "is_t", "event_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    te = t.select("e").distinct()
+    wk = Window.partitionBy("e").orderBy(
+        F.abs(F.col("e") - F.col("ec")), "ec"
     )
-    w_next = Window.orderBy("e", "is_t", "event_id").rowsBetween(
-        1, Window.unboundedFollowing
+    mmap = (
+        te.crossJoin(F.broadcast(cs))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("e", F.col("y_rep").alias("y_match"))
     )
-    ctrl_e = F.when(F.col("is_t") == 0, F.col("e"))
-    nn = both.select(
-        "event_id", "y", "e", "is_t",
-        F.last("cy", ignorenulls=True).over(w_prev).alias("prev_cy"),
-        F.last(ctrl_e, ignorenulls=True).over(w_prev).alias("prev_e"),
-        F.first("cy", ignorenulls=True).over(w_next).alias("next_cy"),
-        F.first(ctrl_e, ignorenulls=True).over(w_next).alias("next_e"),
-    )
-    y_match = (
-        F.when(F.col("prev_e").isNull(), F.col("next_cy"))
-        .when(F.col("next_e").isNull(), F.col("prev_cy"))
-        .when(
-            F.col("e") - F.col("prev_e") <= F.col("next_e") - F.col("e"),
-            F.col("prev_cy"),
-        )
-        .otherwise(F.col("next_cy"))
-    )
-    m = nn.filter(F.col("is_t") == 1).select(
-        "y", y_match.alias("y_match")
-    )
+    m = t.join(F.broadcast(mmap), "e").select("y", "y_match")
     return m.agg(
         F.count(F.lit(1)).cast("long").alias("n_treated"),
         _eps_round(F.avg("y"), 4).alias("mean_treated"),

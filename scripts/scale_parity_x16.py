@@ -260,6 +260,214 @@ SWEEP = [
     "cohens_kappa",
     "gini_concentration",
     "max_drawdown",
+    # --- eighth batch: curation stats/ML/causal/uncertainty remainder +
+    # the full timeseries remainder (the continuation families — float
+    # fits, rank tests, and iterative half-steps on the x4 timeline /
+    # x4 fact) ---
+    "sample_weighted_gumbel",
+    "k_anonymity_violations",
+    "l_diversity_audit",
+    "ols_two_feature",
+    "naive_bayes_gaussian",
+    "decision_stump_infogain",
+    "kfold_assignment_balance",
+    "isotonic_calibration_pava",
+    "ece_calibration_bins",
+    "f1_macro_multiclass",
+    "matthews_corrcoef",
+    "log_loss_binary",
+    "gmm_em_1step",
+    "adaboost_2stumps",
+    "dbscan_core_points",
+    "record_linkage_fs_scores",
+    "shapley_2feature_exact",
+    "adjusted_rand_index",
+    "mcnemar_paired_test",
+    "lift_gain_deciles",
+    "diff_in_diff",
+    "sprt_decision",
+    "conformal_prediction_interval",
+    "cuped_adjustment",
+    "ldp_randomized_response",
+    "entropy_rate_markov",
+    "causal_ipw_ate",
+    "huber_irls_1step",
+    "platt_scaling_2newton",
+    "pca_2d_closed_form",
+    "silhouette_score",
+    "davies_bouldin_index",
+    "local_outlier_factor",
+    "ecod_outlier_scores",
+    "mahalanobis_outlier_2d",
+    "msprt_always_valid_p",
+    "eb_shrunk_ctr",
+    "facility_location_greedy",
+    "sinkhorn_2iter",
+    "cochran_armitage_trend",
+    "friedman_test",
+    "psm_att_nearest",
+    "qini_uplift_deciles",
+    "partial_correlation",
+    "variance_components",
+    "bollinger_breaches",
+    "session_window_batch",
+    "rolling_1h_median",
+    "fir_smooth_8tap",
+    "asof_join_tolerance",
+    "attribution_linear",
+    "pacf_durbin_levinson",
+    "ccf_lead_lag",
+    "dtw_alignment_distance",
+    "kalman_filter_hod",
+    "asof_join_nearest",
+    "survival_nelson_aalen",
+    "boxcox_lambda_grid",
+    "gap_interp_linear",
+    "interval_coverage_merge",
+    "runs_test_wald_wolfowitz",
+    "fdr_benjamini_hochberg",
+    "burst_detection_2state",
+    "viterbi_best_path_2state",
+    "haar_dwt_2level",
+    "gumbel_block_maxima",
+    "hill_tail_index",
+    "spc_xbar_chart",
+    "cox_ph_1newton",
+    "negbin_moment_fit",
+    "zero_inflation_score_test",
+    "ljung_box_q",
+    # --- ninth batch: the full relational remainder (scan/sink
+    # round-trips incl. io-write fixtures, SQL surfaces, warehouse
+    # governance/audit, function surfaces) + graph pointer-doubling /
+    # recursive-CTE (ranking remainder) ---
+    "filter_project",
+    "scan_binaryfile",
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "scan_partitioned_parquet",
+    "upsert_latest_wins",
+    "profile_table",
+    "approx_quantiles_bounded",
+    "set_ops",
+    "string_funcs",
+    "date_funcs",
+    "json_funcs",
+    "array_funcs",
+    "pivot_events",
+    "scan_orc_roundtrip",
+    "compact_small_files",
+    "sink_dynamic_partition_overwrite",
+    "unpivot_events",
+    "variant_json_extract",
+    "ansi_try_functions",
+    "pareto_skyline_brand",
+    "ordered_string_agg",
+    "bitmask_rollup",
+    "id_gap_audit",
+    "pandas_api_groupby",
+    "custom_python_datasource",
+    "sql_pipe_syntax",
+    "sql_group_by_all",
+    "filtered_aggregates",
+    "array_hof_surface",
+    "map_hof_surface",
+    "grouping_id_surface",
+    "table_checksum_audit",
+    "custom_python_datasink",
+    "nested_schema_pruning",
+    "json_corrupt_records",
+    "ratio_to_parent",
+    "set_ops_all",
+    "not_in_null_semantics",
+    "scan_ignore_corrupt_files",
+    "pagination_limit_offset",
+    "join_null_safe_eq",
+    "url_parse_surface",
+    "lateral_topk_per_key",
+    "gdpr_erasure_cascade",
+    "fk_orphan_audit",
+    "histogram_2d",
+    "ordered_set_regr_surface",
+    "sql_udf_surface",
+    "lateral_column_alias",
+    "bitmap_exact_distinct",
+    "dp_noisy_counts",
+    "sql_scripting_block",
+    "sql_execute_immediate",
+    "scan_agg_pushdown",
+    "scan_xml_roundtrip",
+    "sql_collation_surface",
+    "observe_metrics_surface",
+    "xpath_extract_surface",
+    "tree_depth_doubling",
+    "recursive_cte_reachability",
+    # --- tenth batch: the full pipeline remainder (text/dedup/similarity
+    # non-io, codecs + audio/video io-write fixtures, UDF/UDTF surfaces)
+    # + the streaming remainder (availableNow batch-equivalence) ---
+    "chunk_overlap",
+    "embedding_pca_power",
+    "query_likelihood_dirichlet",
+    "dedup_dropped",
+    "dedup_simhash",
+    "lsh_dedup_recall",
+    "lsh_band_sweep",
+    "similarity_top10",
+    "kmeans_lloyd_2iter",
+    "text_normalize",
+    "token_stats",
+    "token_bpe_count",
+    "token_topk",
+    "quality_lm_bigram",
+    "doc_fingerprint",
+    "udtf_ngrams",
+    "time_rollup_multires",
+    "multimodal_meta",
+    "imread_pgm",
+    "imread_png",
+    "imread_tiff",
+    "imread_tiff_deflate",
+    "imread_tiff_lzw",
+    "imread_tiff_packbits",
+    "imread_png_rgb",
+    "imread_jpeg",
+    "imread_tiff_16bit",
+    "audio_wav_stats",
+    "audio_zcr_rms",
+    "video_y4m_frames",
+    "imread_glob_nframes",
+    "imread_tiff_multipage",
+    "multimodal_resize",
+    "multimodal_frames",
+    "shuffle_shards",
+    "quality_repetition",
+    "udaf_geomean",
+    "video_scene_cuts",
+    "ngram_diversity",
+    "udtf_table_arg_gaps",
+    "udtf_dynamic_schema",
+    "dedup_keep_best",
+    "embedding_dim_stats",
+    "arrow_batch_clip",
+    "imread_bmp",
+    "imread_gif",
+    "textrank_keywords",
+    "arrow_grouped_apply",
+    "cluster_medoid",
+    "mmr_rerank_top3",
+    "pq_codebook_2sub",
+    "jaccard_prefix_filter_join",
+    "audio_spectral_centroid",
+    "imread_ppm_rgb",
+    "imread_pgm_ascii",
+    "streaming_parquet_sink",
+    "streaming_json_source",
+    "streaming_csv_source",
+    "streaming_foreach_batch",
+    "streaming_dedup_watermark",
+    "streaming_session_state",
+    "streaming_static_antijoin",
+    "streaming_custom_source",
+    "streaming_left_outer_join",
 ]
 
 # Queries checked ENGINE-ONLY (row count + clean execution) at this tier:
@@ -383,9 +591,28 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # --only a,b,c  (or --only @/path/to/names.txt, one per line): run a
+    # subset — new batches verify alone without re-running the standing
+    # 200+ already-committed results. The committed SWEEP list stays the
+    # cumulative record; --only is a session-time filter.
+    only: set[str] | None = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        arg = sys.argv[2]
+        if arg.startswith("@"):
+            only = set(open(arg[1:]).read().split())
+        else:
+            only = set(arg.split(","))
+        unknown = only - set(SWEEP) - set(ENGINE_ONLY)
+        if unknown:
+            print(f"# --only names not in SWEEP: {sorted(unknown)}",
+                  file=sys.stderr)
+            sys.exit(2)
+
     results: dict[str, str] = {}
     registry, oracles = q.all_queries(), q.all_oracles()
     for name in ENGINE_ONLY:
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             n = registry[name](spark, OUT).count()
@@ -400,6 +627,8 @@ def main() -> None:
             file=sys.stderr,
         )
     for name in SWEEP:
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             problems = compare(registry[name](spark, OUT), oracles[name], OUT)
@@ -425,7 +654,7 @@ def main() -> None:
             {
                 "metric": "scale_parity_x16",
                 "n_ok": n_ok,
-                "n_total": len(SWEEP) + len(ENGINE_ONLY),
+                "n_total": len(results),
                 "results": results,
             }
         )
