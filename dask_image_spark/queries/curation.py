@@ -7803,12 +7803,12 @@ def qini_uplift_deciles(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS n
       FROM pts)
     SELECT n,
-           ROUND(1.2345e-8 + rxy, 4) AS r_xy,
-           ROUND(1.2345e-8 + rxz, 4) AS r_xz,
-           ROUND(1.2345e-8 + ryz, 4) AS r_yz,
+           ROUND(1.2345e-8 + rxy, 4) + 0.0 AS r_xy,
+           ROUND(1.2345e-8 + rxz, 4) + 0.0 AS r_xz,
+           ROUND(1.2345e-8 + ryz, 4) + 0.0 AS r_yz,
            ROUND(1.2345e-8 +
              (rxy - rxz * ryz)
-             / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 4)
+             / SQRT((1 - rxz * rxz) * (1 - ryz * ryz)), 4) + 0.0
              AS r_xy_given_z
     FROM c
     """,
@@ -7839,18 +7839,26 @@ def partial_correlation(spark, sf_dir):
         F.corr("y", "z").alias("ryz"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+    # the raw correlations sit within EPS of zero on the x4 timeline
+    # (hour-of-day vs calendar time decorrelate by construction), where
+    # the rounding shift can leave a signed -0.0 on one engine only;
+    # "+ 0.0" canonicalizes it (IEEE: -0.0 + 0.0 = +0.0) — caught by
+    # the x16-tier parity sweep, round 10
     return c.select(
         "n",
-        _eps_round("rxy", 4).alias("r_xy"),
-        _eps_round("rxz", 4).alias("r_xz"),
-        _eps_round("ryz", 4).alias("r_yz"),
-        _eps_round(
-            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
-            / F.sqrt(
-                (1 - F.col("rxz") * F.col("rxz"))
-                * (1 - F.col("ryz") * F.col("ryz"))
-            ),
-            4,
+        (_eps_round("rxy", 4) + F.lit(0.0)).alias("r_xy"),
+        (_eps_round("rxz", 4) + F.lit(0.0)).alias("r_xz"),
+        (_eps_round("ryz", 4) + F.lit(0.0)).alias("r_yz"),
+        (
+            _eps_round(
+                (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+                / F.sqrt(
+                    (1 - F.col("rxz") * F.col("rxz"))
+                    * (1 - F.col("ryz") * F.col("ryz"))
+                ),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("r_xy_given_z"),
     )
 

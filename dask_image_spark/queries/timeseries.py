@@ -3141,12 +3141,16 @@ def survival_nelson_aalen(spark, sf_dir):
 
 _BOXCOX_GRID = [-1.0, -0.5, 0.0, 0.5, 1.0]
 
+# Box-Cox is defined for strictly positive x only; the domain filter
+# matters above sf0.01 (sf0.1's events carry 6 exact zeros that made
+# LN(value) error in DuckDB and silently NULL in Spark — caught by the
+# x16-tier parity sweep, round 10).
 _BOXCOX_BRANCHES = " UNION ALL ".join(
     f"""SELECT CAST({lam!r} AS DOUBLE) AS lam,
            {"LN(value)" if lam == 0.0
             else f"(POW(value, {lam!r}) - 1.0) / {lam!r}"} AS y,
            LN(value) AS lx
-      FROM events"""
+      FROM events WHERE value > 0"""
     for lam in _BOXCOX_GRID
 )
 
@@ -3187,7 +3191,7 @@ def boxcox_lambda_grid(spark, sf_dir):
     branch, 5-row epilogue. Grid size scales the plan linearly and
     nothing else; at 100 TB you'd fuse the branches into one
     multi-aggregate pass over a single projection."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     branches = None
     for lam in _BOXCOX_GRID:
         y = (
