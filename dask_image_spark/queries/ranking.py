@@ -738,15 +738,20 @@ def pagerank_converged(spark, sf_dir):
 @register(
     "tree_depth_doubling",
     """
-    WITH RECURSIVE walk AS (
-      SELECT doc_id, doc_id AS cur, 0 AS d FROM documents
+    WITH RECURSIVE
+    r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS v
+      FROM documents),
+    walk AS (
+      SELECT v, v AS cur, 0 AS d FROM r
       UNION ALL
-      SELECT doc_id, (cur - 1) // 2 AS cur, d + 1 FROM walk WHERE cur > 0),
-    depth AS (SELECT doc_id, MAX(d) AS depth FROM walk GROUP BY doc_id)
+      SELECT v, (cur - 1) // 2 AS cur, d + 1 FROM walk WHERE cur > 0),
+    depth AS (SELECT v, MAX(d) AS depth FROM walk GROUP BY v)
     SELECT CAST(depth.depth AS INT) AS depth,
            CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           CAST(SUM(doc.n_chars) AS BIGINT) AS total_chars
-    FROM depth JOIN documents doc ON doc.doc_id = depth.doc_id
+           CAST(SUM(r.n_chars) AS BIGINT) AS total_chars
+    FROM depth JOIN r ON r.v = depth.v
     GROUP BY depth.depth
     ORDER BY depth
     """,
@@ -758,19 +763,41 @@ def tree_depth_doubling(spark, sf_dir):
     walking parent chains at scale (org charts, BOM explosions, category
     trees; a chain of length d costs d joins naively but only ceil(log2
     d) doubling rounds): the ancestor map starts as each node's
-    arithmetic parent in the implicit binary heap over doc_ids
+    arithmetic parent in the implicit binary heap over corpus ORDINALS
     (parent = (v-1)/2) and composes with ITSELF each round, so after k
     rounds every node knows its 2^k-step ancestor and accumulated step
-    count; 4 rounds resolve the corpus tree (depth 8) to the root.
-    Result: nodes and character mass per level — the per-level rollup a
-    hierarchy aggregation produces. The oracle is the sequential
-    recursive-CTE walk, so the logarithmic composition must agree with
-    the linear one exactly. Scale: each round is ONE equi-join of the
-    ancestor map to itself (same key domain, reusable partitioning);
-    depth-10^6 chains cost 20 rounds, not a million."""
+    count. Result: nodes and character mass per level — the per-level
+    rollup a hierarchy aggregation produces. The oracle is the
+    sequential recursive-CTE walk, so the logarithmic composition must
+    agree with the linear one exactly. Scale: each round is ONE
+    equi-join of the ancestor map to itself (same key domain, reusable
+    partitioning); depth-10^6 chains cost 20 rounds, not a million.
+
+    The heap is built over the DENSE RANK of doc_id, not the raw id:
+    pointer doubling requires every chain node to exist in the map,
+    and raw ids only guarantee that when they happen to be dense
+    0..N-1 (the ×16 parity tier's offset id blocks broke the old
+    raw-id form — every offset copy's arithmetic parent fell in an id
+    gap and the inner join silently dropped it; caught round 10). The
+    rank uses the [[stable_global_index]] two-phase zipWithIndex idiom
+    (range-partition, number locally, broadcast per-partition offsets)
+    so no single-partition global sort exists at any scale. On dense
+    ids rank == id, so base-SF results are unchanged."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    v = F.col("doc_id")
-    j = docs.select(
+    s = docs.select("doc_id").repartitionByRange(8, "doc_id")
+    pid = s.withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy("doc_id")
+    local = pid.withColumn("rn", F.row_number().over(wp))
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(wo), F.lit(0))
+    ).select("pid", "off")
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "doc_id", (F.col("off") + F.col("rn") - 1).cast("long").alias("v")
+    )
+    v = F.col("v")
+    j = ranked.select(
         v.alias("v"),
         F.when(v > 0, ((v - 1) / 2).cast("long")).otherwise(F.lit(0)).alias("a"),
         F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).alias("d"),
@@ -791,7 +818,8 @@ def tree_depth_doubling(spark, sf_dir):
             "v", F.col("ra").alias("a"), (F.col("d") + F.col("rd")).alias("d")
         )
     return (
-        j.join(docs, j.v == docs.doc_id)
+        j.join(ranked, "v")
+        .join(docs, "doc_id")
         .groupBy(F.col("d").cast("int").alias("depth"))
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),

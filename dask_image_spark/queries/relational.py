@@ -2256,7 +2256,8 @@ def json_funcs(spark, sf_dir):
     SELECT vec_id, label,
            ROUND(1.2345e-8 + list_aggregate(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm,
-           ROUND(1.2345e-8 + CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+           ROUND(1.2345e-8 + CAST(embedding[1] AS DOUBLE), 4) + 0.0
+             AS first_elem,
            LEN(list_filter(embedding, x -> x > 0)) AS n_positive
     FROM embeddings
     """,
@@ -2264,7 +2265,10 @@ def json_funcs(spark, sf_dir):
 )
 def array_funcs(spark, sf_dir):
     """Higher-order array functions over the embedding vectors — all JVM-side
-    (transform/aggregate/filter), no Python in the loop."""
+    (transform/aggregate/filter), no Python in the loop. first_elem can
+    round to a signed -0.0 on one engine only when embedding[0] sits
+    within EPS of zero (the x16 parity tier's shifted copies); "+ 0.0"
+    canonicalizes it (IEEE: -0.0 + 0.0 = +0.0)."""
     e = load_table(spark, sf_dir, "embeddings")
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -2275,7 +2279,9 @@ def array_funcs(spark, sf_dir):
         "vec_id",
         "label",
         _r(sq).alias("sq_norm"),
-        _r(F.col("embedding").getItem(0).cast("double")).alias("first_elem"),
+        (
+            _r(F.col("embedding").getItem(0).cast("double")) + F.lit(0.0)
+        ).alias("first_elem"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
 

@@ -341,7 +341,12 @@ SWEEP = [
     # governance/audit, function surfaces) + graph pointer-doubling /
     # recursive-CTE (ranking remainder) ---
     "filter_project",
-    "scan_binaryfile",
+    # scan_binaryfile is EXCLUDED: its DuckDB oracle glob is pinned to
+    # /root/testdata/sf0.01 (read_blob takes a literal path and the
+    # registry's oracle strings are static), and the query fails loud
+    # for any other sf_dir by design — it cannot be compared at this
+    # tier. Its binaryFile scan is metadata-only (filename + length),
+    # so there is no scale-variant logic to exercise here anyway.
     "scan_csv_roundtrip",
     "scan_json_roundtrip",
     "scan_partitioned_parquet",
