@@ -556,24 +556,34 @@ _SWEEP_RPB = (1, 2, 4)
 
 
 def _band_sweep_oracle() -> str:
+    """Each expensive CTE (truth, the three candidate sets) is marked
+    MATERIALIZED and referenced exactly ONCE, with every COUNT taken in
+    its own 1-row aggregate CTE that the epilogue cross-joins. The
+    previous form re-referenced truth 7x and each cand 3x through
+    scalar subqueries; DuckDB inlined the full minhash pipeline per
+    reference and the concurrent evaluations spilled >58 GB of temp
+    storage at the x16 parity tier (each pipeline alone is ~6 s /
+    1.3M rows). Same values, one evaluation per pipeline."""
     blocks = ",\n    ".join(
-        f"cand{r} AS ({_minhash_oracle(8, r)}), "
-        f"hit{r} AS (SELECT * FROM truth INTERSECT SELECT * FROM cand{r})"
+        f"cand{r} AS MATERIALIZED ({_minhash_oracle(8, r)}),\n    "
+        f"cn{r} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cand{r}),\n    "
+        f"hn{r} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+        f"(SELECT * FROM truth INTERSECT SELECT * FROM cand{r}) t)"
         for r in _SWEEP_RPB
     )
     rows = "\n    UNION ALL\n    ".join(
         f"""SELECT {r} AS rows_per_band, {8 // r} AS n_bands,
-           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
-           CAST((SELECT COUNT(*) FROM cand{r}) AS BIGINT) AS n_candidates,
-           CAST((SELECT COUNT(*) FROM hit{r}) AS BIGINT) AS n_hit,
-           ROUND(1.2345e-8 + CAST((SELECT COUNT(*) FROM hit{r}) AS DOUBLE)
-                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) AS recall,
-           ROUND(1.2345e-8 + CAST((SELECT COUNT(*) FROM hit{r}) AS DOUBLE)
-                 / NULLIF((SELECT COUNT(*) FROM cand{r}), 0), 4) AS precision"""
+           tn.n AS n_truth, cn{r}.n AS n_candidates, hn{r}.n AS n_hit,
+           ROUND(1.2345e-8 + CAST(hn{r}.n AS DOUBLE)
+                 / NULLIF(tn.n, 0), 4) AS recall,
+           ROUND(1.2345e-8 + CAST(hn{r}.n AS DOUBLE)
+                 / NULLIF(cn{r}.n, 0), 4) AS precision
+    FROM tn, cn{r}, hn{r}"""
         for r in _SWEEP_RPB
     )
     return f"""
-    WITH truth AS ({_NGRAM_TRUTH_SQL}),
+    WITH truth AS MATERIALIZED ({_NGRAM_TRUTH_SQL}),
+    tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM truth),
     {blocks}
     {rows}
     """
@@ -3656,11 +3666,15 @@ def dedup_incremental_batch(spark, sf_dir):
 
 @register(
     "udaf_geomean",
+    # geometric mean is defined for strictly positive x; sf0.1's events
+    # carry 6 exact zeros that error DuckDB's LN and drive the numpy
+    # log-mean to -inf (caught by the x16-tier parity sweep, round 10)
     """
     SELECT event_type,
            ROUND(1.2345e-8 + EXP(AVG(LN(value))), 4) AS geo_mean,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events
+    WHERE value > 0
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -3703,7 +3717,7 @@ def udaf_geomean(spark, sf_dir):
     _cnt.__annotations__ = {"v": pd.Series, "return": int}
     n_rows = pandas_udf(_cnt, "long")
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     return (
         ev.groupBy("event_type")
         .agg(
@@ -5119,26 +5133,52 @@ def cluster_medoid(spark, sf_dir):
     document. Exact within-cluster all-pairs — the textbook O(n_c^2)
     medoid, correct under ties via (avg_cos, vec_id) ordering.
 
-    Plan: the self-join is label-equi so it shuffles BOTH sides on
-    label once and computes pairs within each cluster partition only
-    (never the full corpus cross join); per-candidate averages are a
-    partial agg on the same key, and the argmax is one tiny window.
-    At 100 TB, n_c^2 per cluster is the real cost driver — the scale
+    Plan: the self-join is label-equi so it computes pairs within each
+    cluster only (never the full corpus cross join) — but the label
+    key alone has only ~8 distinct values, a PARALLELISM CEILING for
+    the all-pairs cosine stage (the [[dedup_semantic]] finding: the
+    pairs are tiny in bytes and huge in CPU, so AQE coalesces the
+    8 tasks further). The join is therefore SALTED: b carries
+    salt = vec_id % 16, a replicates across all 16 salts, every
+    ordered pair still meets exactly once, and the explicit
+    user repartitions on (label, salt) spread the n_c^2 work over the
+    full shuffle width (measured 550 s -> tens of seconds at 16k
+    vectors, identical result). Per-candidate averages are a partial
+    agg on (label, vec_id), and the argmax is one tiny window. At
+    100 TB, n_c^2 per cluster is the real cost driver — the scale
     path subsamples candidates per cluster (medoid-of-sample) or
     switches to [[dedup_semantic]]'s centroid when approximation is
     acceptable; the per-cluster independence parallelizes either way."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
+    n_salt = 16
+    width = e.sparkSession.sparkContext.defaultParallelism
+    a = (
+        e.select("label", "vec_id", "embedding")
+        .crossJoin(
+            F.broadcast(
+                e.sparkSession.range(n_salt).select(
+                    F.col("id").cast("int").alias("_s")
+                )
+            )
+        )
+        .repartition(width, "label", "_s")
+    )
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("embedding_b"),
+        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("_sb"),
+    ).repartition(width, "label_b", "_sb")
     pairs = a.join(
         b,
-        (F.col("b.label") == F.col("a.label"))
-        & (F.col("b.vec_id") != F.col("a.vec_id")),
+        (F.col("label_b") == F.col("label"))
+        & (F.col("_sb") == F.col("_s"))
+        & (F.col("vec_id_b") != F.col("vec_id")),
     ).select(
-        F.col("a.label").alias("label"),
-        F.col("a.vec_id").alias("vec_id"),
+        "label",
+        "vec_id",
         similarity.cosine(
-            F.col("a.embedding"), F.col("b.embedding")
+            F.col("embedding"), F.col("embedding_b")
         ).alias("cos"),
     )
     scored = pairs.groupBy("label", "vec_id").agg(
