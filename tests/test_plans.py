@@ -861,3 +861,39 @@ def test_count_min_max_pushed_to_parquet_footer(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scan_agg_pushdown")
     assert "PushedAggregation: [COUNT(*), MIN(event_id), MAX(event_id)]" in plan, plan[:2000]
     assert "BatchScan" in plan
+
+
+def test_lof_candidate_ring_is_equi_join(spark, sf_dir):
+    """local_outlier_factor's 3x3-cell ring must plan as a HASH equi-join
+    on the probed cell key (the 9-offset fan-out), never a theta
+    BroadcastNestedLoopJoin evaluating |a.cx-b.cx|<=1 against every
+    pair — the O(N^2) shape the round-10 x16 sweep measured as a 504 s
+    single-stage straggler. The only nested loop allowed is the 9-row
+    offsets broadcast itself."""
+    plan = _plan(spark, sf_dir, "local_outlier_factor")
+    tree = plan.split("\n\n")[0]
+    # every nested loop must be the 9-row offsets Cross broadcast (the
+    # LOF stages re-expand the candidate subtree, so it appears once
+    # per reference) — never an Inner BNLJ evaluating the theta ring
+    for ln in tree.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross BuildRight" in ln, ln
+    assert "CartesianProduct" not in tree, tree[:2500]
+    # the candidate join itself is a hash equi-join on the cell keys
+    assert "BroadcastHashJoin" in tree, tree[:2500]
+    assert "px" in plan and "py" in plan, plan[:2500]
+
+
+def test_cluster_medoid_join_is_salted(spark, sf_dir):
+    """cluster_medoid's within-cluster all-pairs must meet on the
+    composite (label, salt) key — the salt genuinely in the equi-join
+    keys, so the n_c^2 cosine work spreads over width*k tasks instead
+    of the <=8 label-key ceiling (550 s -> 35 s at the x16 tier). The
+    only nested loop allowed is the 16-row salt-range broadcast."""
+    plan = _plan(spark, sf_dir, "cluster_medoid")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1, tree[:2500]
+    assert "CartesianProduct" not in tree, tree[:2500]
+    # the pair join's key list must include the salt column
+    i = plan.index("Left keys") if "Left keys" in plan else 0
+    assert "_s" in plan[i:i + 300], plan[i:i + 600]
