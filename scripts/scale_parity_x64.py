@@ -40,7 +40,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = "/tmp/dask_image_spark_scale/x64"
 
-# The round-10 core ten (VERDICT r9 item 8's list, one more tier up).
+# The round-10 core ten (VERDICT r9 item 8's list, one more tier up),
+# then a widening set across the same heavy families — including
+# dedup_simhash_pairs, the direct ×4-docs stress test for the round-10
+# 60-bit banding rewrite (320k docs, 32768 keys/band).
 SWEEP = [
     "q1_pricing_summary",
     "q3_join_topk",
@@ -52,6 +55,17 @@ SWEEP = [
     "sessionize",
     "rolling_1h_user_stats",
     "window_rank",
+    # --- widening batch ---
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "dedup_simhash_pairs",
+    "bm25_search",
+    "session_stats",
+    "asof_join",
+    "cohort_retention",
+    "max_concurrent_sessions",
+    "event_transition_matrix",
 ]
 
 # third rotation alphabet: letters present throughout the synthetic
