@@ -29,7 +29,14 @@ _PR_DAMPING = 0.85
 # DuckDB oracle and the Spark builder (via F.expr), so an edit here changes
 # the two sides together (ADVICE r6: it must never be possible to edit one
 # copy and silently diverge).
-_PR_EDGE_SQL = "({src} * {src} * 31 + 7919 * {j}) % {n}"
+# Mod-reduce src BEFORE squaring: (a*b) mod n == ((a mod n)(b mod n))
+# mod n, so the value is IDENTICAL to the naive (src*src*31 + 7919*j)
+# % n at every scale — but the naive form overflows int64 once ids
+# reach ~5.4e8 (src^2*31 > 2^63; the x64 parity tier's 1.26e9 doc_ids
+# hit it, round 10). (n-1)^2 stays < 2^63 for any corpus n < 3e9.
+_PR_EDGE_SQL = (
+    "((({src} % {n}) * ({src} % {n})) % {n} * 31 + 7919 * {j}) % {n}"
+)
 
 
 @register(
@@ -914,7 +921,8 @@ _RECURSIVE_BFS_SQL = """
     n AS (SELECT COUNT(*) AS c FROM nodes),
     edges AS (
       SELECT doc_id AS src,
-             (doc_id * doc_id * 31 + 7919 * j) % n.c AS dst
+             (((doc_id % n.c) * (doc_id % n.c)) % n.c * 31
+              + 7919 * j) % n.c AS dst
       FROM nodes CROSS JOIN n
       CROSS JOIN (VALUES (1), (2), (3)) AS t(j)),
     reach(doc_id, dist) AS (

@@ -66,6 +66,17 @@ SWEEP = [
     "cohort_retention",
     "max_concurrent_sessions",
     "event_transition_matrix",
+    # --- second widening: graph / ANN / spatial / incremental dedup ---
+    "pagerank_2iter",
+    "graph_triangle_count",
+    "kcore_decomposition",
+    "similarity_ivf_topk",
+    "ann_recall_ivf",
+    "dedup_incremental_minhash",
+    "spatial_radius_join",
+    "dedup_ngram_jaccard",
+    "quality_entropy",
+    "funnel_conversion",
 ]
 
 # third rotation alphabet: letters present throughout the synthetic
