@@ -77,6 +77,17 @@ SWEEP = [
     "dedup_ngram_jaccard",
     "quality_entropy",
     "funnel_conversion",
+    # --- third widening: timeseries / embeddings / text heavies ---
+    "acf_hourly",
+    "rolling_corr_24h",
+    "seasonal_decompose_ma",
+    "cusum_changepoint",
+    "asof_join_tolerance",
+    "similarity_hamming_topk",
+    "matryoshka_recall",
+    "embedding_quantize_int8",
+    "token_pmi_bigrams",
+    "token_bpe_count",
 ]
 
 # third rotation alphabet: letters present throughout the synthetic
