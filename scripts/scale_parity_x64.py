@@ -88,6 +88,18 @@ SWEEP = [
     "embedding_quantize_int8",
     "token_pmi_bigrams",
     "token_bpe_count",
+    # --- fourth widening: streaming batch-equivalence on the x16
+    # timeline + lakehouse + blocked-dedup heavies ---
+    "streaming_ohlc",
+    "streaming_dedup_watermark",
+    "streaming_session_state",
+    "streaming_left_outer_join",
+    "session_window_batch",
+    "cdc_snapshot_diff",
+    "merge_three_way",
+    "mv_incremental_refresh",
+    "dedup_levenshtein",
+    "golden_record_survivorship",
 ]
 
 # third rotation alphabet: letters present throughout the synthetic
