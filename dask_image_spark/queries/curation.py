@@ -6447,6 +6447,47 @@ def davies_bouldin_index(spark, sf_dir):
 
 
 _LOF_K = 5
+_LOF_SALT = 16
+
+# The oracle's ring walk, one MATERIALIZED CTE per cell offset, CHAINED so
+# DuckDB evaluates them one at a time. A single window over the full
+# candidate set materializes ~1e9 rows at the x32 parity tier (64k points
+# pack into 84 occupied eps-cells) and DuckDB spills >77 GB of temp before
+# ENOSPC; plain UNION ALL branches don't help, because all nine child
+# window pipelines materialize CONCURRENTLY before the parent consumes
+# (measured: same ENOSPC). Each k{i} therefore carries a constant-true
+# gate `(SELECT COUNT(*) FROM k{i-1}) >= 0` — semantically a no-op, but a
+# real dependency the scheduler must order, so peak memory is ONE branch
+# (~12 GB, in-RAM: measured 111 s with ZERO temp spill at the x32 tier).
+# Exactness is unchanged: for a fixed (dx, dy) each point probes exactly
+# ONE b-cell, so PARTITION BY ia within a branch IS the per-(point, cell)
+# local top-k; every (ia, ib) pair occurs exactly once across branches,
+# the order (rounded d, ib) is total, and global-top-k-of-local-top-ks
+# equals the global top-k (the same two-phase shape the engine uses).
+_LOF_RING_CTES = ",\n".join(
+    f"""    k{i} AS MATERIALIZED (
+      SELECT ia, ib, d FROM (
+        SELECT ia, ib, d,
+               ROW_NUMBER() OVER (PARTITION BY ia
+                                  ORDER BY ROUND(d + 1.2345e-8, 9), ib)
+                 AS rkl
+        FROM (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 SQRT((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) AS d
+          FROM cells a JOIN cells b
+            ON b.cx = a.cx + ({dx}) AND b.cy = a.cy + ({dy})
+           AND a.vec_id <> b.vec_id) off_pairs) off_ranked
+      WHERE rkl <= {_LOF_K}{
+          '' if i == 0 else f' AND (SELECT COUNT(*) FROM k{i - 1}) >= 0'
+      })"""
+    for i, (dx, dy) in enumerate(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    )
+)
+_LOF_RING_UNION = "\n      UNION ALL ".join(
+    f"SELECT * FROM k{i}" for i in range(9)
+)
 
 
 @register(
@@ -6462,19 +6503,15 @@ _LOF_K = 5
              CAST(FLOOR(x / {_DBSCAN_EPS}) AS BIGINT) AS cx,
              CAST(FLOOR(y / {_DBSCAN_EPS}) AS BIGINT) AS cy
       FROM pts),
-    cand AS (
-      SELECT a.vec_id AS ia, b.vec_id AS ib,
-             SQRT((a.x - b.x) * (a.x - b.x)
-                  + (a.y - b.y) * (a.y - b.y)) AS d
-      FROM cells a JOIN cells b
-        ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1
-       AND a.vec_id <> b.vec_id),
+{_LOF_RING_CTES},
+    knl AS (
+      {_LOF_RING_UNION}),
     knn AS (
       SELECT ia, ib, d,
              ROW_NUMBER() OVER (PARTITION BY ia
                                 ORDER BY ROUND(d + 1.2345e-8, 9), ib)
                AS rk
-      FROM cand),
+      FROM knl),
     nbr AS (SELECT ia, ib, d FROM knn WHERE rk <= {_LOF_K}),
     kd AS (SELECT ia, MAX(d) AS kdist,
                   CAST(COUNT(*) AS BIGINT) AS nn
@@ -6519,11 +6556,15 @@ def local_outlier_factor(spark, sf_dir):
     ring can't fill k neighbors drop at each stage on BOTH engines
     via the count guards).
 
-    Plan: the candidate join is the dbscan cell equi-join; k-NN is a
-    per-point window rank over <= 9-cell candidates (bounded list,
-    partitioned by point); the lrd and LOF stages are two more joins
-    on point keys carrying 3 doubles/row. Four key-partitioned
-    shuffles total, no all-pairs anywhere — THE scalable LOF shape."""
+    Plan: the candidate join is the dbscan cell equi-join, SALTED
+    (b by hash(id) % 16, probes replicated) with user-pinned
+    repartitions so neither the occupied-cell count nor AQE byte
+    coalescing caps the width of the ring walk at density; k-NN is a
+    TWO-PHASE rank — local top-k per (cell, salt) inside the join
+    stage (no exchange: the join output partitioning already clusters
+    it), then the global rank over <= 9*16*k survivors per point; the
+    lrd and LOF stages are two more joins on point keys carrying 3
+    doubles/row. No all-pairs anywhere — THE scalable LOF shape."""
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
         "vec_id",
@@ -6543,34 +6584,69 @@ def local_outlier_factor(spark, sf_dir):
     # measured 504 s single-stage straggler at the x8 parity tier,
     # seconds as an equi-join). Identical candidate set: each b-cell
     # matches exactly one offset, so no duplicates and no drops.
+    #
+    # The cell key alone is a PARALLELISM CEILING at density: the x32
+    # parity tier packs ~64k points into 84 occupied cells (~1.2e9 ring
+    # pairs), AQE byte-coalesces the 84-key join to 4 tasks, and one
+    # dense cell becomes a 20+-minute straggler (the seventh measured
+    # instance of the CPU-work-vs-byte-size rule). Standard salted-join
+    # idiom: b salted by hash(vec_id) % {_LOF_SALT}, probes replicated
+    # across salts, explicit user-specified repartitions on both sides
+    # so neither AQE nor the 84-key domain caps the width. Identical
+    # candidate set — each b row matches exactly one (offset, salt).
     from dask_image_spark.functions.localrel import values_df
 
     offs = values_df(
         spark, "dx, dy",
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
     )
-    probes = cells.crossJoin(F.broadcast(offs)).select(
-        F.col("vec_id").alias("ia"),
-        F.col("x").alias("ax"), F.col("y").alias("ay"),
-        (F.col("cx") + F.col("dx")).alias("px"),
-        (F.col("cy") + F.col("dy")).alias("py"),
+    salts = values_df(spark, "salt", [(s,) for s in range(_LOF_SALT)])
+    probes = (
+        cells.crossJoin(F.broadcast(offs))
+        .crossJoin(F.broadcast(salts))
+        .select(
+            F.col("vec_id").alias("ia"),
+            F.col("x").alias("ax"), F.col("y").alias("ay"),
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+            "salt",
+        )
+        .repartition(128, "px", "py", "salt")
     )
     bside = cells.select(
         F.col("cx").alias("px"), F.col("cy").alias("py"),
+        F.pmod(F.hash("vec_id"), F.lit(_LOF_SALT)).alias("salt"),
         F.col("vec_id").alias("ib"),
         F.col("x").alias("bx"), F.col("y").alias("by"),
-    )
+    ).repartition(128, "px", "py", "salt")
     cand = (
-        probes.join(bside, ["px", "py"])
+        probes.join(bside, ["px", "py", "salt"])
         .filter(F.col("ia") != F.col("ib"))
         .select(
-            "ia", "ib",
+            "px", "py", "salt", "ia", "ib",
             F.sqrt(
                 (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
                 + (F.col("ay") - F.col("by"))
                 * (F.col("ay") - F.col("by"))
             ).alias("d"),
         )
+    )
+    # two-phase top-k: local top-k per (cell, salt, ia) FIRST — the join
+    # output is already hash-partitioned by (px, py, salt), a subset of
+    # the local window's keys, so this phase is a sort within the join
+    # stage with NO exchange — then the global rank sees <= 9*SALT*k
+    # rows per point instead of the full ring candidate set (~26x less
+    # shuffle at the x32 tier). Each (ia, ib) pair exists exactly once
+    # and the order (rounded d, ib) is total, so local-then-global
+    # top-k equals global top-k exactly; the oracle mirrors the same
+    # two phases per source cell.
+    w_local = Window.partitionBy("px", "py", "salt", "ia").orderBy(
+        F.round(F.col("d") + F.lit(1.2345e-8), 9), "ib"
+    )
+    cand_local = (
+        cand.withColumn("rkl", F.row_number().over(w_local))
+        .filter(F.col("rkl") <= _LOF_K)
+        .select("ia", "ib", "d")
     )
     wk = Window.partitionBy("ia").orderBy(
         F.round(F.col("d") + F.lit(1.2345e-8), 9), "ib"
@@ -6580,7 +6656,7 @@ def local_outlier_factor(spark, sf_dir):
     # ring join + distance window (measured 93 s -> ~35 s engine-side at
     # the x16 parity tier)
     nbr = persist_tracked(
-        cand.withColumn("rk", F.row_number().over(wk))
+        cand_local.withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= _LOF_K)
         .select("ia", "ib", "d")
     )
@@ -7003,29 +7079,42 @@ def _fl_oracle() -> str:
                  CAST(embedding[1] AS DOUBLE) AS x,
                  CAST(embedding[2] AS DOUBLE) AS y
           FROM embeddings)""",
-        f"""sim AS MATERIALIZED (
-          SELECT a.vec_id AS cand, b.vec_id AS pt,
-                 EXP(-((a.x - b.x) * (a.x - b.x)
-                       + (a.y - b.y) * (a.y - b.y))
-                     / (2 * {_FL_SIGMA2})) AS s
-          FROM pts a JOIN pts b ON 1 = 1)""",
+        # No sim CTE at all, deliberately — the inverse of the
+        # lsh_band_sweep oracle fix: there each CTE reference re-ran an
+        # expensive pipeline with a SMALL result, so materializing once
+        # won; here the kernel is N^2 rows derived from an N-row input
+        # (~100 GB at the x32 parity tier — materializing it is what
+        # ENOSPCed this oracle), while recomputing it per round is a
+        # cheap streaming scan. Each gain round instead fuses the
+        # running best INTO the N-row point side BEFORE the cross
+        # product (the SQL mirror of the engine's broadcast-best join),
+        # so nothing quadratic is ever hashed or buffered. Rule:
+        # materialize small-result/expensive CTEs, inline
+        # large-result/cheap-per-row ones.
         """best0 AS MATERIALIZED (
           SELECT vec_id AS pt, 0.0 AS best FROM pts)""",
     ]
+    kern = (
+        "EXP(-((a.x - bb.x) * (a.x - bb.x)"
+        f" + (a.y - bb.y) * (a.y - bb.y)) / (2 * {_FL_SIGMA2}))"
+    )
     prev_sel = None
     for r in range(1, _FL_ROUNDS + 1):
         not_prev = (
-            f"AND sim.cand NOT IN (SELECT cand FROM sel{r - 1})"
+            f"WHERE a.vec_id NOT IN (SELECT cand FROM sel{r - 1})"
             if prev_sel
             else ""
         )
         ctes.append(
             f"""gain{r} AS MATERIALIZED (
-              SELECT sim.cand,
-                     SUM(GREATEST(sim.s - b.best, 0.0)) AS gain
-              FROM sim JOIN best{r - 1} b ON b.pt = sim.pt
-              WHERE 1 = 1 {not_prev}
-              GROUP BY sim.cand)"""
+              SELECT a.vec_id AS cand,
+                     SUM(GREATEST({kern} - bb.best, 0.0)) AS gain
+              FROM pts a JOIN (
+                SELECT p.vec_id, p.x, p.y, b.best
+                FROM pts p JOIN best{r - 1} b ON b.pt = p.vec_id) bb
+                ON 1 = 1
+              {not_prev}
+              GROUP BY a.vec_id)"""
         )
         ctes.append(
             f"""pick{r} AS MATERIALIZED (
@@ -7042,8 +7131,14 @@ def _fl_oracle() -> str:
               SELECT b.pt,
                      GREATEST(b.best, COALESCE(s2.s, 0.0)) AS best
               FROM best{r - 1} b LEFT JOIN (
-                SELECT sim.pt, sim.s FROM sim JOIN pick{r} p
-                  ON p.cand = sim.cand) s2 ON s2.pt = b.pt)"""
+                SELECT p.vec_id AS pt,
+                       EXP(-((c.x - p.x) * (c.x - p.x)
+                             + (c.y - p.y) * (c.y - p.y))
+                           / (2 * {_FL_SIGMA2})) AS s
+                FROM pts p JOIN (
+                  SELECT p2.x, p2.y FROM pts p2
+                  JOIN pick{r} k ON k.cand = p2.vec_id) c ON 1 = 1) s2
+                ON s2.pt = b.pt)"""
         )
         prev_sel = True
     picks = " UNION ALL ".join(
@@ -7096,26 +7191,39 @@ def facility_location_greedy(spark, sf_dir):
     # exchanges alone); same rows, same values.
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     a, b = pts.repartition(width).alias("a"), pts.alias("b")
-    sim = persist_tracked(
-        a.crossJoin(b).select(
-            F.col("a.vec_id").alias("cand"),
-            F.col("b.vec_id").alias("pt"),
-            F.exp(
-                -(
-                    (F.col("a.x") - F.col("b.x"))
-                    * (F.col("a.x") - F.col("b.x"))
-                    + (F.col("a.y") - F.col("b.y"))
-                    * (F.col("a.y") - F.col("b.y"))
-                )
-                / (2 * _FL_SIGMA2)
-            ).alias("s"),
-        )
+    # NOT persisted, deliberately: the kernel is N^2 rows derived from an
+    # N-row input — persisting it materializes quadratic BYTES (~100 GB
+    # at the x32 parity tier, the measured ENOSPC) to save linear-input
+    # recompute that whole-stage codegen streams in seconds. Each round
+    # re-streams the kernel map-side instead (the per-round pick filter
+    # pushes cand == pick down to a 1 x N slice, so only the gain
+    # aggregate pays the full stream). Same rule as the oracle's NOT
+    # MATERIALIZED sim.
+    sim = a.crossJoin(b).select(
+        F.col("a.vec_id").alias("cand"),
+        F.col("b.vec_id").alias("pt"),
+        F.exp(
+            -(
+                (F.col("a.x") - F.col("b.x"))
+                * (F.col("a.x") - F.col("b.x"))
+                + (F.col("a.y") - F.col("b.y"))
+                * (F.col("a.y") - F.col("b.y"))
+            )
+            / (2 * _FL_SIGMA2)
+        ).alias("s"),
     )
     best = pts.select(F.col("vec_id").alias("pt"), F.lit(0.0).alias("best"))
     chosen: list = []
     rows = []
     for r in range(1, _FL_ROUNDS + 1):
-        g = sim.join(best, "pt")
+        # broadcast best (N rows of (pt, best) — linear, tiny) so the
+        # N^2 kernel is consumed MAP-SIDE: without the hint Catalyst has
+        # no stats for the joined best lineage, falls back to a
+        # sort-merge join on pt, and SHUFFLES the whole kernel (~100 GB
+        # at the x32 parity tier — the measured ENOSPC). With it, each
+        # round is stream-kernel -> broadcast-hash-lookup -> partial agg
+        # per cand; the only exchange is the per-candidate partials.
+        g = sim.join(F.broadcast(best), "pt")
         if chosen:
             g = g.filter(~F.col("cand").isin(chosen))
         pick = (
@@ -7136,7 +7244,7 @@ def facility_location_greedy(spark, sf_dir):
         upd = sim.filter(F.col("cand") == pick["cand"]).select(
             "pt", F.col("s").alias("s_new")
         )
-        best = best.join(upd, "pt", "left").select(
+        best = best.join(F.broadcast(upd), "pt", "left").select(
             "pt",
             F.greatest(
                 F.col("best"), F.coalesce("s_new", F.lit(0.0))

@@ -100,6 +100,19 @@ SWEEP = [
     "mv_incremental_refresh",
     "dedup_levenshtein",
     "golden_record_survivorship",
+    # --- fifth widening: the round-10 fix set, one more tier up —
+    # every query whose plan or contract was changed this round gets a
+    # tier-3 evidence point that the fix itself scales ---
+    "local_outlier_factor",       # ring equi-join (was BNLJ over all pairs)
+    "facility_location_greedy",   # explicit repartition (was 1-task N2 stream)
+    "psm_att_nearest",            # bounded nearest-control map (was O(n2) frame)
+    "cluster_medoid",             # salted within-label pairs (was 8-task ceiling)
+    "dedup_semantic",             # salted within-cluster pairs (same rule)
+    "udaf_geomean",               # x>0 log-domain filter
+    "boxcox_lambda_grid",         # x>0 log-domain filter
+    "tree_depth_doubling",        # dense-rank heap (was sparse-id drop)
+    "lsh_band_sweep",             # MATERIALIZED-CTE oracle (was 58GB spill)
+    "trimmed_mean",               # EPS-rounded quantile cuts (tie-boundary)
 ]
 
 # third rotation alphabet: letters present throughout the synthetic

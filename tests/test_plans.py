@@ -872,9 +872,10 @@ def test_lof_candidate_ring_is_equi_join(spark, sf_dir):
     offsets broadcast itself."""
     plan = _plan(spark, sf_dir, "local_outlier_factor")
     tree = plan.split("\n\n")[0]
-    # every nested loop must be the 9-row offsets Cross broadcast (the
-    # LOF stages re-expand the candidate subtree, so it appears once
-    # per reference) — never an Inner BNLJ evaluating the theta ring
+    # every nested loop must be a bounded Cross broadcast (the 9-row
+    # offsets frame and the 16-row salt frame; the LOF stages re-expand
+    # the candidate subtree, so they appear once per reference) — never
+    # an Inner BNLJ evaluating the theta ring
     for ln in tree.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "Cross BuildRight" in ln, ln
@@ -882,6 +883,12 @@ def test_lof_candidate_ring_is_equi_join(spark, sf_dir):
     # the candidate join itself is a hash equi-join on the cell keys
     assert "BroadcastHashJoin" in tree, tree[:2500]
     assert "px" in plan and "py" in plan, plan[:2500]
+    # the salt must genuinely be in the ring join's equi-keys (the x32
+    # parity tier measured the unsalted 84-cell key domain as a 4-task
+    # AQE-coalesced straggler), and the user repartition that pins the
+    # width must survive planning
+    assert "salt" in plan, plan[:2500]
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobin" in plan, plan[:1500]
 
 
 def test_cluster_medoid_join_is_salted(spark, sf_dir):

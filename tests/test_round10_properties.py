@@ -156,3 +156,42 @@ def test_offset_fanout_equals_theta_ring(pts):
                         fanout.append((i, j))
     assert len(fanout) == len(set(fanout))  # no duplicate candidates
     assert set(fanout) == theta
+
+
+# ---- two-phase (local-then-global) top-k ------------------------------------
+
+
+@given(
+    cand=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),   # ib
+            st.floats(min_value=0.0, max_value=2.0,
+                      allow_nan=False, allow_infinity=False),  # d
+            st.integers(min_value=0, max_value=8),     # cell group
+            st.integers(min_value=0, max_value=15),    # salt group
+        ),
+        min_size=0, max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=150, deadline=None)
+def test_local_then_global_topk_equals_global_topk(cand, k):
+    """Global top-k of per-group top-ks == global top-k of everything,
+    for ANY partition of the candidates into groups, provided the order
+    is total and each candidate occurs in exactly one group — the
+    equivalence both local_outlier_factor's engine (local rank per
+    (cell, salt) inside the join stage, then the global rank) and its
+    oracle (per-offset-branch rank, then the global rank) rely on
+    (curation.py). The order is the query's own: (round(d + eps, 9), ib),
+    total because ib is unique per candidate."""
+    key = lambda t: (round(t[1] + 1.2345e-8, 9), t[0])  # noqa: E731
+    direct = sorted(cand, key=key)[:k]
+    by_group: dict = {}
+    for t in cand:
+        by_group.setdefault((t[2], t[3]), []).append(t)
+    survivors = [
+        t for g in by_group.values() for t in sorted(g, key=key)[:k]
+    ]
+    two_phase = sorted(survivors, key=key)[:k]
+    assert two_phase == direct
