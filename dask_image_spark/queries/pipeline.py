@@ -5611,8 +5611,18 @@ def jaccard_prefix_filter_join(spark, sf_dir):
     shb = sh.select(
         F.col("doc_id").alias("docb2"), F.col("sh").alias("shb")
     )
+    # MERGE hints on the verification joins: the candidate PAIR set and
+    # the posting lists both grow superlinearly with the corpus, and
+    # their long-key shuffle bytes compress well enough that AQE's
+    # runtime estimate sneaks under the broadcast threshold — at the
+    # x64-docs parity tier the resulting LongHashedRelation OOMed the
+    # JVM heap on deserialization. Pair sets and postings are never
+    # broadcastable at scale BY CONSTRUCTION; a sort-merge join keeps
+    # the verification fully partitioned with zero single-JVM state.
     inter = (
-        cand.join(sha, "doc_a")
+        cand.hint("merge")
+        .join(sha, "doc_a")
+        .hint("merge")
         .join(
             shb,
             (F.col("doc_b") == F.col("docb2"))

@@ -113,6 +113,19 @@ SWEEP = [
     "tree_depth_doubling",        # dense-rank heap (was sparse-id drop)
     "lsh_band_sweep",             # MATERIALIZED-CTE oracle (was 58GB spill)
     "trimmed_mean",               # EPS-rounded quantile cuts (tie-boundary)
+    # --- sixth widening: the heaviest tier-2 queries not yet at tier 3
+    # (blocked dedup variants, text fits, transport, retrieval eval,
+    # the band_bits-knob ANN graph) ---
+    "dedup_minhash_survivors",
+    "dedup_substring_spans",
+    "dedup_ngram_containment",
+    "jaccard_prefix_filter_join",
+    "udtf_ngrams",
+    "bpe_merge_steps",
+    "sinkhorn_2iter",
+    "map_mean_avg_precision",
+    "knn_graph_lsh",
+    "quality_repetition",
 ]
 
 # third rotation alphabet: letters present throughout the synthetic
