@@ -69,73 +69,73 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 10 window (VERDICT_r09 "Next round" items 1-3 — the staging queued
-# at COVERAGE.md "Round-10 staging"): registry growth stays FROZEN and every
-# slot is a FIRST driver grade, draining the 189-query never-graded backlog
-# to 139. Head: the two gabor names deferred from round 9, then the three
-# CHANGED contracts this round (the round-6 "changed contracts first"
-# precedent) — measure_euler_number (Gray quad condition corrected to
-# diag IN (0, 2) on BOTH engines), sql_scripting_block (no-solution exit
-# path mirrored in the oracle + scripting conf restored), scan_agg_pushdown
-# (aggregatePushdown conf restored) — then the backlog in registration
-# order (bootstrap_ci_mean ... entropy_rate_markov). The round-2-evidence
-# re-grades (minhash/simhash/similarity/token families) remain governed by
-# the rotation-aware freshness floor in tests/test_registry.py — see the
-# docstring there for why the floor is a function of registry size.
+# Round 11 window (VERDICT_r10 "Next round" item 1 — the staging queued at
+# COVERAGE.md "Round-10 staging"'s round-11 queue): registry growth stays
+# FROZEN at 542 and the 139-query never-graded backlog drains to 94. Head:
+# the five contracts that CHANGED in round 10's scale sweeps after their
+# last driver grade (changed-contracts-first precedent) —
+# dedup_simhash_pairs (graded r4; 60-bit/4x15 banding rewrite),
+# scd2_history (r5; half-cent EPS rounding shift), tree_depth_doubling
+# (r8; dense-rank heap numbering), array_funcs (r3; first_elem "+ 0.0"
+# canonicalization), udaf_geomean (r7; x > 0 log-domain filter) — then the
+# next 45 of the backlog in registration order (causal_ipw_ate ...
+# lsh_band_sweep). The round-2-evidence re-grades (minhash/simhash/
+# similarity/token families) remain governed by the rotation-aware
+# freshness floor in tests/test_registry.py; rounds 12-13 finish the drain
+# (94 -> 44 -> 0 with the round-2 backfill spliced into round 13's window).
 WINDOW: list[str] = [
-    # --- deferred from the round-9 window (didn't fit 50 slots) ---
-    "filter_gabor_0",
-    "filter_gabor_45",
-    # --- changed contracts this round, re-grades required ---
-    "measure_euler_number",
-    "sql_scripting_block",
-    "scan_agg_pushdown",
+    # --- changed contracts (round-10 scale sweeps), re-grades required ---
+    "dedup_simhash_pairs",
+    "scd2_history",
+    "tree_depth_doubling",
+    "array_funcs",
+    "udaf_geomean",
     # --- never-driver-graded backlog, registration order ---
-    "bootstrap_ci_mean",
-    "l_diversity_audit",
-    "quantile_normalize_sources",
-    "wilson_ctr_rank",
-    "ks_two_sample",
-    "logreg_gd_2step",
-    "golden_record_survivorship",
-    "als_half_step",
-    "target_encode_loo",
-    "brier_calibration",
-    "roc_auc_exact",
-    "threshold_sweep_f1",
-    "spearman_corr",
-    "mannwhitney_u",
-    "anova_f_oneway",
-    "ols_two_feature",
-    "bollinger_breaches",
-    "max_drawdown",
-    "gini_concentration",
-    "naive_bayes_gaussian",
-    "decision_stump_infogain",
-    "kfold_assignment_balance",
-    "isotonic_calibration_pava",
-    "welch_ttest",
-    "kendall_tau_b",
-    "kruskal_wallis",
-    "ece_calibration_bins",
-    "f1_macro_multiclass",
-    "matthews_corrcoef",
-    "log_loss_binary",
-    "gmm_em_1step",
-    "collocation_llr",
-    "adaboost_2stumps",
-    "dbscan_core_points",
-    "record_linkage_fs_scores",
-    "shapley_2feature_exact",
-    "adjusted_rand_index",
-    "mcnemar_paired_test",
-    "lift_gain_deciles",
-    "diff_in_diff",
-    "sprt_decision",
-    "conformal_prediction_interval",
-    "cuped_adjustment",
-    "ldp_randomized_response",
-    "entropy_rate_markov",
+    "causal_ipw_ate",
+    "query_likelihood_dirichlet",
+    "huber_irls_1step",
+    "platt_scaling_2newton",
+    "pca_2d_closed_form",
+    "silhouette_score",
+    "davies_bouldin_index",
+    "local_outlier_factor",
+    "ecod_outlier_scores",
+    "mahalanobis_outlier_2d",
+    "msprt_always_valid_p",
+    "eb_shrunk_ctr",
+    "facility_location_greedy",
+    "sinkhorn_2iter",
+    "map_mean_avg_precision",
+    "cochran_armitage_trend",
+    "friedman_test",
+    "psm_att_nearest",
+    "qini_uplift_deciles",
+    "partial_correlation",
+    "variance_components",
+    "morph_hit_or_miss",
+    "morph_grey_erosion_weighted",
+    "morph_grey_dilation_weighted",
+    "morph_laplace",
+    "morph_grey_gradient",
+    "morph_tophat_white",
+    "morph_tophat_black",
+    "pyramid_coarsen_2x",
+    "glcm_texture",
+    "filter_laplace_4d",
+    "filter_unsharp_mask",
+    "blob_dog_maxima",
+    "structure_tensor_eigen",
+    "perona_malik_2iter",
+    "skeletonize_zhangsuen_1iter",
+    "radon_projections",
+    "distance_transform_chessboard",
+    "morph_grey_opening",
+    "morph_grey_closing",
+    "slic_superpixels_1iter",
+    "seam_carving_dp",
+    "interp_zoom_order1",
+    "dedup_ngram_containment",
+    "lsh_band_sweep",
 ]
 
 
