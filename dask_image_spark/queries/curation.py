@@ -35,6 +35,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dask_image_spark.operators import similarity
+from dask_image_spark.operators.salted import salted_pair_join
 from dask_image_spark.queries.base import (
     persist_tracked,
     r as _eps_round,
@@ -338,45 +339,24 @@ def dedup_semantic(spark, sf_dir):
     # alone has k=8 distinct values, so the Sum|c|^2-pair cosine stage
     # could never exceed 8 tasks — and AQE's byte-based coalescing cut
     # it to 4 (the vectors are small in BYTES; the cosines are the
-    # cost). b carries salt = vec_id % S, a replicates across all S
-    # salts, so every pair still meets exactly once but the join fans
-    # out over k*S keys; the explicit repartitions are user-specified
-    # (AQE leaves them alone) and satisfy the join's required
-    # distribution on both sides. Same pair set, same results —
+    # cost). salted_pair_join fans the join out over k*n_salt composite
+    # keys with session-derived width — same pair set, same results,
     # measured 208 s -> 21 s at 16k vectors. The k~sqrt(N) knob
     # (SemDeDup's own prescription, see docstring) remains the
     # asymptotic lever; the salt fixes the PARALLELISM floor a small
     # fixed k imposes.
-    n_salt = 16
-    width = spark.sparkContext.defaultParallelism
-    a = (
-        withv.select(
-            F.col("vec_id").alias("keep_id"), F.col("cid"),
-            F.col("v").alias("va"),
-        )
-        .crossJoin(
-            F.broadcast(
-                spark.range(n_salt).select(
-                    F.col("id").cast("int").alias("_s")
-                )
-            )
-        )
-        .repartition(width, "cid", "_s")
+    a = withv.select(
+        F.col("vec_id").alias("keep_id"), F.col("cid"),
+        F.col("v").alias("va"),
     )
     b = withv.select(
-        F.col("vec_id").alias("drop_id"),
-        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("drop_id"), F.col("cid"),
         F.col("v").alias("vb"),
-        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("_sb"),
-    ).repartition(width, "cid_b", "_sb")
+    )
     cos = _eps_round(similarity.cosine(F.col("va"), F.col("vb")), 4)
     dropped = (
-        a.join(
-            b,
-            (F.col("cid") == F.col("cid_b"))
-            & (F.col("_s") == F.col("_sb"))
-            & (F.col("keep_id") < F.col("drop_id")),
-        )
+        salted_pair_join(a, b, ["cid"], F.col("drop_id"), n_salt=16)
+        .filter(F.col("keep_id") < F.col("drop_id"))
         .filter(cos >= 0.30)
         .select("drop_id")
         .distinct()
@@ -6459,6 +6439,12 @@ _LOF_SALT = 16
 # gate `(SELECT COUNT(*) FROM k{i-1}) >= 0` — semantically a no-op, but a
 # real dependency the scheduler must order, so peak memory is ONE branch
 # (~12 GB, in-RAM: measured 111 s with ZERO temp spill at the x32 tier).
+# The one-at-a-time behavior relies on DuckDB NOT constant-folding the
+# gate; measured on DuckDB 1.0.0 (ADVICE r10). A DuckDB upgrade could
+# re-parallelize the nine materializations — values stay correct, but
+# the spill returns; the x32-tier LOF run stays in the scale sweep
+# (scripts/scale_parity_x64.py) precisely so such a regression surfaces
+# as a sweep timeout/spill, never in production.
 # Exactness is unchanged: for a fixed (dx, dy) each point probes exactly
 # ONE b-cell, so PARTITION BY ia within a branch IS the per-(point, cell)
 # local top-k; every (ia, ib) pair occurs exactly once across branches,
@@ -6590,40 +6576,39 @@ def local_outlier_factor(spark, sf_dir):
     # pairs), AQE byte-coalesces the 84-key join to 4 tasks, and one
     # dense cell becomes a 20+-minute straggler (the seventh measured
     # instance of the CPU-work-vs-byte-size rule). Standard salted-join
-    # idiom: b salted by hash(vec_id) % {_LOF_SALT}, probes replicated
-    # across salts, explicit user-specified repartitions on both sides
-    # so neither AQE nor the 84-key domain caps the width. Identical
-    # candidate set — each b row matches exactly one (offset, salt).
+    # idiom via salted_pair_join: b salted by hash(vec_id) % {_LOF_SALT},
+    # probes replicated across salts, explicit user-specified
+    # repartitions on both sides so neither AQE nor the 84-key domain
+    # caps the width. Identical candidate set — each b row matches
+    # exactly one (offset, salt). width_factor=4 keeps the ring join 4x
+    # wider than the session baseline (the eps-cells are known-dense),
+    # derived from the session instead of a hard-coded 128 so a larger
+    # cluster widens it automatically (ADVICE r10).
     from dask_image_spark.functions.localrel import values_df
 
     offs = values_df(
         spark, "dx, dy",
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
     )
-    salts = values_df(spark, "salt", [(s,) for s in range(_LOF_SALT)])
-    probes = (
-        cells.crossJoin(F.broadcast(offs))
-        .crossJoin(F.broadcast(salts))
-        .select(
-            F.col("vec_id").alias("ia"),
-            F.col("x").alias("ax"), F.col("y").alias("ay"),
-            (F.col("cx") + F.col("dx")).alias("px"),
-            (F.col("cy") + F.col("dy")).alias("py"),
-            "salt",
-        )
-        .repartition(128, "px", "py", "salt")
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        F.col("vec_id").alias("ia"),
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        (F.col("cx") + F.col("dx")).alias("px"),
+        (F.col("cy") + F.col("dy")).alias("py"),
     )
     bside = cells.select(
         F.col("cx").alias("px"), F.col("cy").alias("py"),
-        F.pmod(F.hash("vec_id"), F.lit(_LOF_SALT)).alias("salt"),
         F.col("vec_id").alias("ib"),
         F.col("x").alias("bx"), F.col("y").alias("by"),
-    ).repartition(128, "px", "py", "salt")
+    )
     cand = (
-        probes.join(bside, ["px", "py", "salt"])
+        salted_pair_join(
+            probes, bside, ["px", "py"], F.hash("ib"),
+            n_salt=_LOF_SALT, width_factor=4,
+        )
         .filter(F.col("ia") != F.col("ib"))
         .select(
-            "px", "py", "salt", "ia", "ib",
+            "px", "py", F.col("_salt").alias("salt"), "ia", "ib",
             F.sqrt(
                 (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
                 + (F.col("ay") - F.col("by"))

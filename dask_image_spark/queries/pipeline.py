@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from dask_image_spark.operators import multimodal, similarity, textops
+from dask_image_spark.operators.salted import salted_pair_join
 from dask_image_spark.queries.base import (
     persist_tracked,
     r as _eps_round,
@@ -5138,11 +5139,12 @@ def cluster_medoid(spark, sf_dir):
     key alone has only ~8 distinct values, a PARALLELISM CEILING for
     the all-pairs cosine stage (the [[dedup_semantic]] finding: the
     pairs are tiny in bytes and huge in CPU, so AQE coalesces the
-    8 tasks further). The join is therefore SALTED: b carries
-    salt = vec_id % 16, a replicates across all 16 salts, every
-    ordered pair still meets exactly once, and the explicit
-    user repartitions on (label, salt) spread the n_c^2 work over the
-    full shuffle width (measured 550 s -> tens of seconds at 16k
+    8 tasks further). The join is therefore SALTED via the shared
+    salted_pair_join helper: b carries salt = vec_id % 16, a
+    replicates across all 16 salts, every ordered pair still meets
+    exactly once, and the explicit user repartitions on (label, salt)
+    spread the n_c^2 work over the session-derived width (measured
+    550 s -> tens of seconds at 16k
     vectors, identical result). Per-candidate averages are a partial
     agg on (label, vec_id), and the argmax is one tiny window. At
     100 TB, n_c^2 per cluster is the real cost driver — the scale
@@ -5150,36 +5152,22 @@ def cluster_medoid(spark, sf_dir):
     switches to [[dedup_semantic]]'s centroid when approximation is
     acceptable; the per-cluster independence parallelizes either way."""
     e = load_table(spark, sf_dir, "embeddings")
-    n_salt = 16
-    width = e.sparkSession.sparkContext.defaultParallelism
-    a = (
-        e.select("label", "vec_id", "embedding")
-        .crossJoin(
-            F.broadcast(
-                e.sparkSession.range(n_salt).select(
-                    F.col("id").cast("int").alias("_s")
-                )
-            )
-        )
-        .repartition(width, "label", "_s")
-    )
+    a = e.select("label", "vec_id", "embedding")
     b = e.select(
-        F.col("label").alias("label_b"),
+        "label",
         F.col("vec_id").alias("vec_id_b"),
         F.col("embedding").alias("embedding_b"),
-        F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int").alias("_sb"),
-    ).repartition(width, "label_b", "_sb")
-    pairs = a.join(
-        b,
-        (F.col("label_b") == F.col("label"))
-        & (F.col("_sb") == F.col("_s"))
-        & (F.col("vec_id_b") != F.col("vec_id")),
-    ).select(
-        "label",
-        "vec_id",
-        similarity.cosine(
-            F.col("embedding"), F.col("embedding_b")
-        ).alias("cos"),
+    )
+    pairs = (
+        salted_pair_join(a, b, ["label"], F.col("vec_id_b"), n_salt=16)
+        .filter(F.col("vec_id_b") != F.col("vec_id"))
+        .select(
+            "label",
+            "vec_id",
+            similarity.cosine(
+                F.col("embedding"), F.col("embedding_b")
+            ).alias("cos"),
+        )
     )
     scored = pairs.groupBy("label", "vec_id").agg(
         F.avg("cos").alias("avg_cos"),

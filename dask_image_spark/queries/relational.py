@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dask_image_spark.operators.salted import salted_pair_join
 from dask_image_spark.queries.base import r as _eps_round, register
 from dask_image_spark.sources.tables import load_table
 from dask_image_spark.functions.localrel import values_df
@@ -2458,35 +2459,34 @@ def join_salted_skew(spark, sf_dir):
     ``agg_salted_skew``: a third of the fact stream funnels onto ONE hot
     key (uid 0), which in a shuffle join would put a third of the table
     in a single task. The engine salts the fact side (salt =
-    event_id % 8), EXPLODES the dimension 8x so every (uid, salt)
-    replica exists, and joins on the composite (uid, salt) key — the
-    hot key's rows now spread over 8 tasks. The join is forced to
-    sort-merge (merge hint) because the salting exists precisely for
-    the case where the dimension is too big to broadcast; at local
-    fixture scale Spark would otherwise broadcast and hide the skew.
-    Salt never leaks: results aggregate over it, and the oracle is the
-    UNSALTED plain join. AQE's skew-join split is the automatic
-    alternative; explicit salting is the portable one that also works
-    mid-pipeline where AQE can't re-split."""
+    event_id % 8) and replicates the dimension across all 8 salts via
+    the shared ``salted_pair_join`` helper, joining on the composite
+    (uid, salt) key — the hot key's rows now spread over 8x more
+    tasks. The join is forced to sort-merge (merge hint) because the
+    salting exists precisely for the case where the dimension is too
+    big to broadcast; at local fixture scale Spark would otherwise
+    broadcast and hide the skew. Salt never leaks: results aggregate
+    over it, and the oracle is the UNSALTED plain join. AQE's
+    skew-join split is the automatic alternative; explicit salting is
+    the portable one that also works mid-pipeline where AQE can't
+    re-split."""
     ev = load_table(spark, sf_dir, "events").select(
         F.when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit(0))
         .otherwise(F.col("user_id"))
         .alias("uid"),
         "value",
-        F.pmod(F.col("event_id"), F.lit(8)).cast("int").alias("salt"),
+        "event_id",
     )
     c = load_table(spark, sf_dir, "customer")
     dim = (
         c.groupBy(F.pmod(F.col("c_custkey"), F.lit(150)).alias("uid"))
         .agg(F.min(F.pmod(F.col("c_custkey"), F.lit(4))).alias("segment"))
-        .select(
-            "uid", "segment",
-            F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("salt"),
-        )
     )
     return (
-        ev.hint("merge")
-        .join(dim, on=["uid", "salt"])
+        salted_pair_join(
+            dim, ev, ["uid"], F.col("event_id"),
+            n_salt=8, join_hint="merge",
+        )
         .groupBy(F.col("segment").cast("int").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n"),
