@@ -91,6 +91,12 @@ HEADLINE = [
     ("label_cc_1x", "__label_cc_1x__"),
     ("label_cc_4x", "__label_cc_4x__"),
     ("label_cc_16x", "__label_cc_16x__"),
+    # round-11 addition (VERDICT_r10 item 4): the x64-class point that
+    # completes the label slope — 4096^2 = 16.8M pixels, 7.55M foreground.
+    # One engine-side point (stock recursive min-propagation needs
+    # O(component-diameter) shuffle rounds and is already 196 s at 2048^2;
+    # the A/B at this size is not worth the wall-clock, per the verdict).
+    ("label_cc_64x", "__label_cc_64x__"),
 ]
 
 # Labels whose work happens at DataFrame CONSTRUCTION (eager internal jobs:
@@ -98,7 +104,7 @@ HEADLINE = [
 # protocol would reuse those materialized stages and time ~0; these rows
 # instead rebuild the DataFrame inside every timed iteration (construction
 # + full count, still warmed once, still best-of-3).
-REBUILD = {"label_cc_1x", "label_cc_4x", "label_cc_16x"}
+REBUILD = {"label_cc_1x", "label_cc_4x", "label_cc_16x", "label_cc_64x"}
 
 BASELINE_K = [
     (-1, -1, 0.1), (-1, 0, 0.1), (-1, 1, 0.1),
@@ -352,6 +358,10 @@ def label_cc_16x(spark, sf_dir):
     return _label_cc(spark, sf_dir, side=2048)
 
 
+def label_cc_64x(spark, sf_dir):
+    return _label_cc(spark, sf_dir, side=4096)
+
+
 def main() -> None:
     from dask_image_spark import queries as q
     from dask_image_spark.session import get_spark
@@ -382,6 +392,7 @@ def main() -> None:
                 "__label_cc_1x__": label_cc_1x,
                 "__label_cc_4x__": label_cc_4x,
                 "__label_cc_16x__": label_cc_16x,
+                "__label_cc_64x__": label_cc_64x,
             }
             # registry[name]: a KeyError names the missing query, instead
             # of the opaque NoneType-not-callable a .get fallback produced
