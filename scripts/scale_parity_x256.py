@@ -55,6 +55,27 @@ SWEEP = [
     "window_rank",
 ]
 
+# Second batch (round 11): the tier-3 heavy set re-graded one tier up,
+# biased to the axes that actually GROW at tier 4 (events x64, fact x64,
+# docs x256) — the embedding-axis queries are excluded (embeddings stay
+# x32, same as tier 3: re-running them re-measures the same point) and so
+# is knn_graph_lsh (its graded band_bits=8 contract does N^2/256 work BY
+# CONTRACT; at 1.28M docs that is ~36x the x64 tier's 2251 s — the knob,
+# not the engine, is what scales it; re-proving the contract costs hours
+# and teaches nothing new). Run with: --batch 2
+SWEEP2 = [
+    "q18_large_orders",
+    "session_stats",
+    "asof_join",
+    "cohort_retention",
+    "max_concurrent_sessions",
+    "event_transition_matrix",
+    "bm25_search",
+    "bpe_merge_steps",
+    "dedup_ngram_containment",
+    "dedup_substring_spans",
+]
+
 # fourth rotation alphabet, disjoint from aeiou / rstln / bcdgm
 X256_FROTS = ("fhpwy", "hpwyf", "pwyfh", "wyfhp")
 
@@ -172,14 +193,17 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    sweep = SWEEP
     only: set[str] | None = None
     if len(sys.argv) >= 3 and sys.argv[1] == "--only":
         only = set(sys.argv[2].split(","))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--batch" and sys.argv[2] == "2":
+        sweep = SWEEP2
 
     results: dict[str, str] = {}
     secs: dict[str, float] = {}
     registry, oracles = q.all_queries(), q.all_oracles()
-    for name in SWEEP:
+    for name in sweep:
         if only is not None and name not in only:
             continue
         t0 = time.perf_counter()
