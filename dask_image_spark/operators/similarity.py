@@ -262,8 +262,16 @@ def cosine_pairs_lsh(
             pass  # owning context already stopped; nothing to release
     caches[id(spark)] = bk
     a, b_ = bk.alias("l"), bk.alias("r")
+    # MERGE-pinned band self-join: the band frame is explode-derived and
+    # VECTOR-LINEAR — Spark's static size estimate does not model
+    # Generate growth, so the planner can estimate it under the
+    # broadcast threshold and build a corpus-sized BroadcastExchange
+    # (the x256-tier abort class measured in dedup_ngram_containment,
+    # round 11; this operator's band frame was caught by the same
+    # plan audit). A per-vector frame is never broadcastable at scale.
     cand = (
-        a.join(b_, on=["band_id", "bucket"])
+        a.hint("merge")
+        .join(b_, on=["band_id", "bucket"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("vec_a"),
@@ -277,8 +285,12 @@ def cosine_pairs_lsh(
     vb = emb.select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
     )
+    # same pin on the vector re-joins: `cand` is a pair set and va/vb
+    # are vector-linear — neither side broadcastable at a real corpus
     return (
-        cand.join(va, on="vec_a")
+        cand.hint("merge")
+        .join(va, on="vec_a")
+        .hint("merge")
         .join(vb, on="vec_b")
         .select(
             "vec_a",

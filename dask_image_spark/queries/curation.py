@@ -789,8 +789,14 @@ def dedup_substring_spans(spark, sf_dir):
         .filter(F.col("nd") > 1)
         .select("h", F.lit(1).alias("is_shared"))
     )
+    # MERGE-pinned mark join: `shared` grows with the corpus's duplicated
+    # span mass (explode-derived, so the static estimate is Generate-blind
+    # — the x256 BroadcastExchange-abort class, round 11). The pinned
+    # sort-merge join is also the docstring's actual plan claim: both
+    # sides hash-partition on h and the aggregate side reuses the
+    # groupBy's exchange.
     return (
-        sh.join(shared, "h", "left")
+        sh.hint("merge").join(shared, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_pos"),

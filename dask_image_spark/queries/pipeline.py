@@ -390,8 +390,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sh = textops.exploded_shingles(d, k=3).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
+    # MERGE-pinned blocking self-join: `sh` is EXPLODED from documents,
+    # and Spark's static size estimate does not model Generate growth —
+    # at the x256 parity tier the planner estimated the distinct-shingle
+    # relation under the 64 MB broadcast threshold and built a >1 GiB
+    # BroadcastExchange that aborted on spark.driver.maxResultSize
+    # (round 11). A posting/shingle table is linear in the corpus and
+    # never broadcastable at 100 TB; the shuffle join is the only plan
+    # that survives scale.
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.hint("merge")
+        .join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -400,8 +409,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    # MERGE hints on the size joins: `inter` is a superlinear PAIR
+    # aggregate whose compressed shuffle bytes sneak under AQE's
+    # broadcast estimate — at the x256-docs parity tier the resulting
+    # BroadcastExchange collected >1 GiB of pair rows and aborted on
+    # spark.driver.maxResultSize (the round-10 jaccard_prefix_filter_join
+    # defect, caught one tier up in dedup_ngram_containment round 11).
+    # Pair sets are never broadcastable at scale BY CONSTRUCTION.
     return (
-        inter.join(sa, "doc_a")
+        inter.hint("merge")
+        .join(sa, "doc_a")
+        .hint("merge")
         .join(sb, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", _eps_round(jac, 4).alias("jaccard"))
@@ -450,8 +468,13 @@ def dedup_ngram_containment(spark, sf_dir):
     sh = textops.exploded_shingles(d, k=3).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
+    # MERGE-pinned blocking self-join — see dedup_ngram_jaccard: the
+    # exploded shingle relation's static estimate sneaks under the
+    # broadcast threshold and the x256 tier measured a >1 GiB
+    # BroadcastExchange abort here (round 11).
     inter = (
-        a.join(
+        a.hint("merge")
+        .join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
@@ -465,8 +488,13 @@ def dedup_ngram_containment(spark, sf_dir):
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cont = F.col("i").cast("double") / F.col("na")
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    # MERGE-pinned size joins — see dedup_ngram_jaccard: this query is
+    # where the x256 tier measured the >1 GiB pair-set BroadcastExchange
+    # abort (round 11); the pair aggregate must never be the build side.
     return (
-        inter.join(sa, "doc_a")
+        inter.hint("merge")
+        .join(sa, "doc_a")
+        .hint("merge")
         .join(sb, "doc_b")
         .filter(cont >= 0.9)
         .select(
@@ -3520,8 +3548,13 @@ def dedup_simhash_pairs(spark, sf_dir):
     )
     a = bands.alias("a")
     b = bands.alias("b")
+    # MERGE-pinned band self-join: `bands` is explode-derived (static
+    # size estimates don't model Generate growth — the x256
+    # BroadcastExchange-abort class, round 11) and corpus-linear —
+    # never broadcastable at a real corpus.
     cand = (
-        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.bv") == F.col("b.bv")))
+        a.hint("merge")
+        .join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.bv") == F.col("b.bv")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -3531,8 +3564,15 @@ def dedup_simhash_pairs(spark, sf_dir):
     x = sh.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     y = sh.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # MERGE-pinned verification joins: `cand` is the banded candidate
+    # PAIR set — near-linear by the 60-bit banding design but still a
+    # pair set whose compressed shuffle bytes can sneak under AQE's
+    # broadcast estimate at extreme corpus sizes (the same defect class
+    # the x256 tier measured in dedup_ngram_containment, round 11).
     return (
-        cand.join(x, "doc_a")
+        cand.hint("merge")
+        .join(x, "doc_a")
+        .hint("merge")
         .join(y, "doc_b")
         .filter(ham <= 3)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
@@ -5573,8 +5613,14 @@ def jaccard_prefix_filter_join(spark, sf_dir):
     sh = persist_tracked(textops.exploded_shingles(d, k=3).distinct())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # MERGE-pinned build joins: sh is exploded (static estimate does not
+    # model Generate growth — the x256 BroadcastExchange-abort class,
+    # round 11) and dfreq is vocabulary-scale — neither side of either
+    # join is broadcastable at a real corpus.
     rk = (
-        sh.join(dfreq, "sh")
+        sh.hint("merge")
+        .join(dfreq, "sh")
+        .hint("merge")
         .join(sizes, "doc_id")
         .withColumn(
             "rn",
@@ -5589,8 +5635,11 @@ def jaccard_prefix_filter_join(spark, sf_dir):
     ).select("doc_id", "sh")
     a = pref.select(F.col("doc_id").alias("doc_a"), "sh")
     b = pref.select(F.col("doc_id").alias("doc_b"), "sh")
+    # pref is pruned but still corpus-linear and explode-derived — same
+    # MERGE pin as the sh self-joins (round 11)
     cand = (
-        a.join(b, ["sh"])
+        a.hint("merge")
+        .join(b, ["sh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -5626,8 +5675,13 @@ def jaccard_prefix_filter_join(spark, sf_dir):
     jac = F.col("i").cast("double") / (
         F.col("na") + F.col("nb") - F.col("i")
     )
+    # the final size joins get the same MERGE pin as the verification
+    # joins above — `inter` here is the same superlinear pair aggregate
+    # (latent x256 defect found via dedup_ngram_containment, round 11)
     return (
-        inter.join(sa, "doc_a")
+        inter.hint("merge")
+        .join(sa, "doc_a")
+        .hint("merge")
         .join(sb2, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", _eps_round(jac, 4).alias("jaccard"))

@@ -196,7 +196,11 @@ def main() -> None:
     sweep = SWEEP
     only: set[str] | None = None
     if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        # --only takes registry names directly (not restricted to the
+        # batch lists) so a caught-and-fixed query can be re-proven at
+        # the tier without re-running its whole batch
         only = set(sys.argv[2].split(","))
+        sweep = [n for n in sys.argv[2].split(",") if n]
     elif len(sys.argv) >= 3 and sys.argv[1] == "--batch" and sys.argv[2] == "2":
         sweep = SWEEP2
 

@@ -904,3 +904,40 @@ def test_cluster_medoid_join_is_salted(spark, sf_dir):
     # the pair join's key list must include the salt column
     i = plan.index("Left keys") if "Left keys" in plan else 0
     assert "_s" in plan[i:i + 300], plan[i:i + 600]
+
+
+def test_pair_set_size_joins_are_merge_pinned(spark, sf_dir):
+    """The size/verification joins that consume a superlinear candidate
+    PAIR set (doc_a x doc_b aggregates) must plan as SortMergeJoin — the
+    pair set's compressed shuffle bytes sneak under AQE's broadcast
+    estimate at large corpora and the expanded relation blows the driver
+    (x64 tier: jaccard_prefix_filter_join JVM OOM, round 10; x256 tier:
+    dedup_ngram_containment >1 GiB BroadcastExchange abort, round 11).
+    The linear blocking joins upstream may still broadcast; only the
+    pair-consuming joins are pinned."""
+    mins = {
+        "dedup_ngram_jaccard": 3,       # blocking self-join + two size
+        "dedup_ngram_containment": 3,   # blocking self-join + two size
+        "dedup_simhash_pairs": 3,       # band self-join + two verification
+        "jaccard_prefix_filter_join": 7,  # build x2 + cand + verify x2 + size x2
+        "knn_graph_lsh": 3,             # band self-join + two vector re-joins
+        "dedup_embedding_cosine": 3,    # same operator (cosine_pairs_lsh)
+        "dedup_substring_spans": 1,     # the shared-span mark join
+    }
+    for name, n in mins.items():
+        plan = _plan(spark, sf_dir, name)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("SortMergeJoin") >= n, f"{name}:\n{tree[:2500]}"
+        # and none of the pinned relations slips back to a broadcast that
+        # contains an explode: no BroadcastExchange subtree may wrap a
+        # Generate (a k-row centroid/scalar broadcast has no Generate)
+        lines = tree.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastExchange" not in ln:
+                continue
+            base = len(ln) - len(ln.lstrip(" :+-"))
+            for sub in lines[i + 1:]:
+                ind = len(sub) - len(sub.lstrip(" :+-"))
+                if ind <= base:
+                    break
+                assert "Generate" not in sub, f"{name} broadcasts an exploded frame:\n{tree[:2500]}"
