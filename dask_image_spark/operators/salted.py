@@ -105,8 +105,16 @@ def salted_pair_join(
         SALT_COL,
         F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salt)])),
     ).repartition(width, *on, SALT_COL)
-    if join_hint:
-        a_rep = a_rep.hint(join_hint)
+    # The join STRATEGY must be pinned, not just the exchanges: the
+    # user repartitions guarantee the distribution, but the planner is
+    # still free to broadcast one side on top of them (the replicated
+    # side is explode-derived, so its static size estimate is
+    # Generate-blind — the round-11 x256 audit caught exactly this on
+    # cluster_medoid), which ships a corpus-linear frame to every
+    # executor and silently voids the salt. Default to a merge hint
+    # (sort-within-partition, zero new exchange, spill-safe); callers
+    # may pass a different join_hint but never an unpinned join.
+    a_rep = a_rep.hint(join_hint or "merge")
     b_s = b.withColumn(
         SALT_COL, F.pmod(b_salt, F.lit(n_salt)).cast("int")
     ).repartition(width, *on, SALT_COL)

@@ -1060,8 +1060,16 @@ def morph_binary_propagation_q(spark, sf_dir):
         "y", "x"
     )
     lab = label_cc.label(m, SHAPE)
+    # MERGE-pinned marker join: the marker is PIXEL-LINEAR (an erosion
+    # of the mask), and its explode-derived subtree makes the static
+    # size estimate Generate-blind — the round-11 x256 audit caught the
+    # planner broadcasting it. At mosaic scale a pixel frame is never
+    # broadcastable; the surviving-LABEL set below stays a broadcast
+    # deliberately (O(components), the same bounded design as label's
+    # relabel map).
     keep = (
-        lab.join(marker, ["y", "x"])
+        lab.hint("merge")
+        .join(marker, ["y", "x"])
         .select("label")
         .distinct()
     )

@@ -1734,9 +1734,16 @@ def adamic_adar_linkpred(spark, sf_dir):
     )
     left = adj.select("z", F.col("v").alias("va"))
     right = adj.select(F.col("z").alias("z2"), F.col("v").alias("vb"))
+    # The degree-weight join is MERGE-pinned, not broadcast: wz is
+    # NODE-LINEAR (|nodes| rows — billions at a crawl graph), and the
+    # wedge stream is already partitioned on z from the self-join, so
+    # the sort-merge reuses that exchange and only wz shuffles
+    # (round-11 audit: the old explicit broadcast shipped a
+    # corpus-linear frame to every executor).
     pairs = (
         left.join(right, (F.col("z2") == F.col("z")) & (F.col("va") < F.col("vb")))
-        .join(F.broadcast(wz), "z")
+        .hint("merge")
+        .join(wz, "z")
         .groupBy(F.col("va").alias("a"), F.col("vb").alias("b"))
         .agg(F.sum("w").alias("score"))
     )

@@ -4628,7 +4628,12 @@ def spatial_radius_join(spark, sf_dir):
         F.col("lon").alias("lob"), F.col("cy").alias("jy"),
         F.col("cx").alias("jx"),
     )
-    cand = probe.join(build, ["jy", "jx"]).filter(
+    # MERGE-pinned cell join: both sides are POINT-LINEAR and the probe
+    # side is explode-derived (9 neighbor cells), so the static size
+    # estimate is Generate-blind and the planner broadcast it at the
+    # x256 audit tier (round 11) — at the 100 TB of points the
+    # docstring promises, neither side is ever broadcastable.
+    cand = probe.hint("merge").join(build, ["jy", "jx"]).filter(
         F.col("id_b") > F.col("id_a")
     )
     km = (
