@@ -96,6 +96,12 @@ def salted_pair_join(
     (a, b) key-match meets on exactly one composite key. Apply any
     inequality/threshold conditions as post-filters — Catalyst pushes
     them into the join.
+
+    ``b_salt`` may evaluate to NULL (ADVICE r11: ``pmod(NULL, n)`` is
+    NULL, and an inner equi-join on a NULL ``_salt`` would silently DROP
+    that b row, breaking the exactly-the-unsalted-join contract); it is
+    coalesced to 0 so NULL-salt rows land in a deterministic bucket and
+    still meet every replicated a row once.
     """
     spark = a.sparkSession
     if width is None:
@@ -116,6 +122,7 @@ def salted_pair_join(
     # may pass a different join_hint but never an unpinned join.
     a_rep = a_rep.hint(join_hint or "merge")
     b_s = b.withColumn(
-        SALT_COL, F.pmod(b_salt, F.lit(n_salt)).cast("int")
+        SALT_COL,
+        F.pmod(F.coalesce(b_salt, F.lit(0)), F.lit(n_salt)).cast("int"),
     ).repartition(width, *on, SALT_COL)
     return a_rep.join(b_s, on + [SALT_COL])

@@ -69,73 +69,71 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 11 window (VERDICT_r10 "Next round" item 1 — the staging queued at
-# COVERAGE.md "Round-10 staging"'s round-11 queue): registry growth stays
-# FROZEN at 542 and the 139-query never-graded backlog drains to 94. Head:
-# the five contracts that CHANGED in round 10's scale sweeps after their
-# last driver grade (changed-contracts-first precedent) —
-# dedup_simhash_pairs (graded r4; 60-bit/4x15 banding rewrite),
-# scd2_history (r5; half-cent EPS rounding shift), tree_depth_doubling
-# (r8; dense-rank heap numbering), array_funcs (r3; first_elem "+ 0.0"
-# canonicalization), udaf_geomean (r7; x > 0 log-domain filter) — then the
-# next 45 of the backlog in registration order (causal_ipw_ate ...
-# lsh_band_sweep). The round-2-evidence re-grades (minhash/simhash/
-# similarity/token families) remain governed by the rotation-aware
-# freshness floor in tests/test_registry.py; rounds 12-13 finish the drain
-# (94 -> 44 -> 0 with the round-2 backfill spliced into round 13's window).
+# Round 12 window (VERDICT_r11 "Next round" item 1): registry stays FROZEN
+# at 542; the never-driver-graded backlog drains 94 -> 44.  No changed
+# contracts are pending (round 11's tier-4 sweeps caught zero
+# value-affecting defects), so all 50 slots are first grades: the next 50
+# of the backlog in registration order (similarity_hamming_topk ...
+# dp_noisy_counts).  Round 13's window is already fixed (VERDICT_r11 item
+# 2 mandated doing the arithmetic now): the final 44 backlog names
+# (sql_execute_immediate ... streaming_left_outer_join) PLUS the six
+# oldest round-2 grades in registration order (fourier_shift,
+# spline_filter1d, generic_filter_ptp, labeled_comprehension_sumsq,
+# dedup_simhash, dedup_ngram_jaccard) — see COVERAGE.md "Round-12
+# staging" for the full 50-name round-13 list and the freshness-floor
+# math (round-2 evidence trips the capped floor of 13 only at round 16,
+# round-3 at round 17; rounds 13-15 rotate oldest-first with slack).
 WINDOW: list[str] = [
-    # --- changed contracts (round-10 scale sweeps), re-grades required ---
-    "dedup_simhash_pairs",
-    "scd2_history",
-    "tree_depth_doubling",
-    "array_funcs",
-    "udaf_geomean",
-    # --- never-driver-graded backlog, registration order ---
-    "causal_ipw_ate",
-    "query_likelihood_dirichlet",
-    "huber_irls_1step",
-    "platt_scaling_2newton",
-    "pca_2d_closed_form",
-    "silhouette_score",
-    "davies_bouldin_index",
-    "local_outlier_factor",
-    "ecod_outlier_scores",
-    "mahalanobis_outlier_2d",
-    "msprt_always_valid_p",
-    "eb_shrunk_ctr",
-    "facility_location_greedy",
-    "sinkhorn_2iter",
-    "map_mean_avg_precision",
-    "cochran_armitage_trend",
-    "friedman_test",
-    "psm_att_nearest",
-    "qini_uplift_deciles",
-    "partial_correlation",
-    "variance_components",
-    "morph_hit_or_miss",
-    "morph_grey_erosion_weighted",
-    "morph_grey_dilation_weighted",
-    "morph_laplace",
-    "morph_grey_gradient",
-    "morph_tophat_white",
-    "morph_tophat_black",
-    "pyramid_coarsen_2x",
-    "glcm_texture",
-    "filter_laplace_4d",
-    "filter_unsharp_mask",
-    "blob_dog_maxima",
-    "structure_tensor_eigen",
-    "perona_malik_2iter",
-    "skeletonize_zhangsuen_1iter",
-    "radon_projections",
-    "distance_transform_chessboard",
-    "morph_grey_opening",
-    "morph_grey_closing",
-    "slic_superpixels_1iter",
-    "seam_carving_dp",
-    "interp_zoom_order1",
-    "dedup_ngram_containment",
-    "lsh_band_sweep",
+    "similarity_hamming_topk",
+    "ann_recall_hamming_rerank",
+    "dedup_keep_best",
+    "embedding_dim_stats",
+    "cohens_kappa",
+    "bpe_merge_steps",
+    "arrow_batch_clip",
+    "cluster_medoid",
+    "readability_flesch",
+    "mmr_rerank_top3",
+    "pq_codebook_2sub",
+    "jaccard_prefix_filter_join",
+    "heaps_law_fit",
+    "audio_spectral_centroid",
+    "imread_ppm_rgb",
+    "imread_pgm_ascii",
+    "lpa_communities_2iter",
+    "bellman_ford_3round",
+    "clustering_coefficient",
+    "ndcg_at_10",
+    "retrieval_mrr_hit",
+    "ppr_seeded_2iter",
+    "ktruss_edge_support",
+    "katz_centrality_2iter",
+    "wl_relabel_1iter",
+    "corr_matrix",
+    "array_hof_surface",
+    "map_hof_surface",
+    "grouping_id_surface",
+    "table_checksum_audit",
+    "merge_three_way",
+    "custom_python_datasink",
+    "spatial_radius_join",
+    "nested_schema_pruning",
+    "json_corrupt_records",
+    "trimmed_mean",
+    "ratio_to_parent",
+    "benford_digit_test",
+    "set_ops_all",
+    "not_in_null_semantics",
+    "scan_ignore_corrupt_files",
+    "lateral_topk_per_key",
+    "gdpr_erasure_cascade",
+    "fk_orphan_audit",
+    "histogram_2d",
+    "ordered_set_regr_surface",
+    "sql_udf_surface",
+    "lateral_column_alias",
+    "bitmap_exact_distinct",
+    "dp_noisy_counts",
 ]
 
 

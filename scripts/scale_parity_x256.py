@@ -194,22 +194,23 @@ def main() -> None:
         )
 
     sweep = SWEEP
-    only: set[str] | None = None
+    registry, oracles = q.all_queries(), q.all_oracles()
     if len(sys.argv) >= 3 and sys.argv[1] == "--only":
         # --only takes registry names directly (not restricted to the
         # batch lists) so a caught-and-fixed query can be re-proven at
-        # the tier without re-running its whole batch
-        only = set(sys.argv[2].split(","))
+        # the tier without re-running its whole batch; unknown names
+        # fail HERE, before any query runs (ADVICE r11: a typo used to
+        # surface as a KeyError mid-run, after minutes of tier work)
         sweep = [n for n in sys.argv[2].split(",") if n]
+        unknown = [n for n in sweep if n not in registry]
+        if unknown:
+            sys.exit(f"--only names not in the registry: {unknown}")
     elif len(sys.argv) >= 3 and sys.argv[1] == "--batch" and sys.argv[2] == "2":
         sweep = SWEEP2
 
     results: dict[str, str] = {}
     secs: dict[str, float] = {}
-    registry, oracles = q.all_queries(), q.all_oracles()
     for name in sweep:
-        if only is not None and name not in only:
-            continue
         t0 = time.perf_counter()
         try:
             problems = compare(registry[name](spark, OUT), oracles[name], OUT)

@@ -872,10 +872,12 @@ def test_lof_candidate_ring_is_equi_join(spark, sf_dir):
     offsets broadcast itself."""
     plan = _plan(spark, sf_dir, "local_outlier_factor")
     tree = plan.split("\n\n")[0]
-    # every nested loop must be a bounded Cross broadcast (the 9-row
-    # offsets frame and the 16-row salt frame; the LOF stages re-expand
-    # the candidate subtree, so they appear once per reference) — never
-    # an Inner BNLJ evaluating the theta ring
+    # every nested loop must be a bounded Cross broadcast (only the
+    # 9-row offsets frame remains — the salt replication became a
+    # map-side Generate when LOF adopted salted_pair_join in round 11;
+    # the LOF stages re-expand the candidate subtree, so the offsets
+    # broadcast appears once per reference) — never an Inner BNLJ
+    # evaluating the theta ring
     for ln in tree.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "Cross BuildRight" in ln, ln
