@@ -176,7 +176,12 @@ def lsh_band_pairs(
     never goes quadratic.
     """
     bands = band_rows(sigs, n_hashes, rows_per_band, id_col)
-    a = bands.alias("a")
+    # The band frame is explode-derived and corpus-linear (n_bands rows
+    # per doc), so the planner's Generate-blind size estimate can sneak
+    # it under the broadcast threshold at ANY scale (the round-11 x256
+    # dedup_ngram_containment abort, one planner earlier the round-12
+    # sf0.01 audit) — never a broadcast build side; pin the self-join.
+    a = bands.hint("merge").alias("a")
     b = bands.alias("b")
     return (
         a.join(b, on=["band_id", "sig"])
@@ -219,8 +224,11 @@ def lsh_keep_first(
     bucket_min = partial.groupBy("band_id", "sig").agg(
         F.min("pmin").alias("bucket_min")
     )
+    # bucket_min has one row per OCCUPIED bucket — corpus-scale, like the
+    # band frame itself; neither side may broadcast (sort-merge reuses the
+    # (band_id, sig) partitioning the stage-2 aggregate just produced).
     return (
-        bands.join(bucket_min, ["band_id", "sig"])
+        bands.hint("merge").join(bucket_min, ["band_id", "sig"])
         .groupBy(id_col)
         .agg(F.min("bucket_min").alias("keep_id"))
     )

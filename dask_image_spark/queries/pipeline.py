@@ -3688,8 +3688,12 @@ def dedup_incremental_batch(spark, sf_dir):
     bands_b = textops.band_rows(textops.minhash_signatures(batch)).select(
         "band_id", "sig", F.col("doc_id").alias("batch_id")
     )
+    # The corpus-side band index is the 100-TB standing table — never a
+    # broadcast build side (its explode-derived estimate is
+    # Generate-blind); at scale it is bucketed on (band_id, sig) and the
+    # merge join is exchange-free on the index side.
     cand = (
-        bands_b.join(bands_c, on=["band_id", "sig"])
+        bands_b.hint("merge").join(bands_c, on=["band_id", "sig"])
         .select("batch_id", "corpus_id")
         .distinct()
     )
@@ -4074,7 +4078,10 @@ def dedup_incremental_minhash(spark, sf_dir):
         n_hashes=8, rows_per_band=2,
     )
     hits = (
+        # the standing index side is corpus-scale and explode-derived —
+        # pin to merge, mirroring the docstring's bucketed-table shape
         new_bands.select(F.col("doc_id").alias("new_id"), "band_id", "sig")
+        .hint("merge")
         .join(
             old_bands.select(F.col("doc_id").alias("old_id"), "band_id", "sig"),
             ["band_id", "sig"],
@@ -5039,7 +5046,11 @@ def textrank_keywords(spark, sf_dir):
         F.col("pos").alias("p2"),
         F.col("w").alias("w2"),
     )
-    pairs = toks.join(
+    # both sides of the adjacency self-join are the exploded token frame
+    # — fact-scale and Generate-blind to the static estimator; never a
+    # broadcast build side (the downstream und/outw/contrib frames are
+    # the vocabulary-sized ones the docstring's scale shape refers to)
+    pairs = toks.hint("merge").join(
         b,
         (F.col("d2") == F.col("doc_id")) & (F.col("p2") == F.col("pos") + 1),
     ).filter(F.col("w") != F.col("w2")).select(

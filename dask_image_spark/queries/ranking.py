@@ -92,7 +92,12 @@ def pagerank_2iter(spark, sf_dir):
     ).select(
         "src",
         F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
-    )
+    ).hint("merge")
+    # ^ the edge list is explode-derived and corpus-linear (3N rows) —
+    # the static estimator is Generate-blind (round-11 rule), so without
+    # the pin the planner broadcasts it as the rank join's build side at
+    # fixture scale and the docstring's "both sides hash-partitioned"
+    # shape silently doesn't exist. Merge pins it at every scale.
 
     def iterate(pr):
         contrib = (
@@ -607,7 +612,9 @@ def graph_triangle_count(spark, sf_dir):
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-    )
+    # corpus-linear edge list — never a broadcast build side (the
+    # pre-materialization estimate of the cached frame is Generate-blind)
+    ).hint("merge")
     e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     tri = (
@@ -896,9 +903,14 @@ def bfs_3hop(spark, sf_dir):
     )
     frontier = visited
     for hop in (1, 2, 3):
+        # the frontier is CONTRACT-bounded (<= 3^hop nodes from one
+        # source at out-degree 3) — broadcast it explicitly; the
+        # corpus-scale cached edge list must never be the build side
+        # (its pre-materialization estimate is Generate-blind)
         reached = (
             edges.join(
-                frontier.select(F.col("doc_id").alias("src")), "src"
+                F.broadcast(frontier.select(F.col("doc_id").alias("src"))),
+                "src",
             )
             .select(F.col("dst").alias("doc_id"))
             .distinct()
@@ -1019,9 +1031,11 @@ def lpa_communities_2iter(spark, sf_dir):
         "src",
         F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
+    # symmetrized edge list: 2x corpus-linear, explode-derived — never a
+    # broadcast build side (Generate-blind estimate, round-11 rule)
     edges = dir_edges.union(
         dir_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).hint("merge")
 
     def step(lab):
         votes = (
@@ -1124,6 +1138,8 @@ def bellman_ford_3round(spark, sf_dir):
             "src", "dst",
             F.expr(_BF_W_SQL.format(src="src", dst="dst")).alias("w"),
         )
+        # corpus-linear explode-derived edge list — never broadcast
+        .hint("merge")
     )
     dist = docs.select(
         F.col("doc_id").alias("v"),
@@ -1224,7 +1240,9 @@ def clustering_coefficient(spark, sf_dir):
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-    )
+    # corpus-linear edge list (the hint sits ABOVE the cached relation,
+    # so it survives into every self-join below) — never broadcast
+    ).hint("merge")
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -1619,7 +1637,9 @@ def hits_2iter(spark, sf_dir):
     )
     from dask_image_spark.queries.base import persist_tracked
 
-    edges = persist_tracked(edges)
+    # corpus-linear edge list — never a broadcast build side; merge
+    # reuses the (src)/(dst) partitionings the docstring describes
+    edges = persist_tracked(edges).hint("merge")
     a1 = edges.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     h1 = (
         edges.join(a1, "dst")
@@ -1637,8 +1657,16 @@ def hits_2iter(spark, sf_dir):
         .agg(F.sum("a").alias("h"))
     )
     return (
-        docs.join(a2.select(F.col("dst").alias("doc_id"), "a"), "doc_id", "left")
-        .join(h2.select(F.col("src").alias("doc_id"), "h"), "doc_id", "left")
+        # the score vectors are NODE-LINEAR (one row per reachable node)
+        # — corpus-scale on a crawl graph, never a broadcast build side
+        docs.join(
+            a2.select(F.col("dst").alias("doc_id"), "a").hint("merge"),
+            "doc_id", "left",
+        )
+        .join(
+            h2.select(F.col("src").alias("doc_id"), "h").hint("merge"),
+            "doc_id", "left",
+        )
         .select(
             "doc_id",
             F.coalesce("a", F.lit(0)).alias("auth"),
@@ -1724,10 +1752,15 @@ def adamic_adar_linkpred(spark, sf_dir):
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-    )
+    # corpus-linear edge list — the hint above the cached relation pins
+    # the wedge self-join and the anti-join below (never broadcast)
+    ).hint("merge")
+    # the hint must sit ABOVE the union: a hint below a Union does not
+    # reach joins of the unioned frame, and adj (2x corpus-linear) was
+    # still broadcast into the wedge self-join without it
     adj = und.select(F.col("a").alias("z"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("z"), F.col("a").alias("v"))
-    )
+    ).hint("merge")
     deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
     wz = deg.filter(F.col("d") >= 2).select(
         "z", (F.lit(1.0) / F.log("d")).alias("w")
@@ -1820,7 +1853,8 @@ def ppr_seeded_2iter(spark, sf_dir):
                 _PR_EDGE_SQL.format(src="src", j="j", n="n")
             ).alias("dst"),
         )
-    )
+    # corpus-linear edge list — never a broadcast build side
+    ).hint("merge")
     seeds = docs.filter(F.col("doc_id") % 101 == 0)
     ns = seeds.agg(F.count(F.lit(1)).alias("ns"))
     v = (
@@ -1935,7 +1969,9 @@ def ktruss_edge_support(spark, sf_dir):
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
-    )
+    # corpus-linear edge list — never a broadcast build side (the
+    # pre-materialization estimate of the cached frame is Generate-blind)
+    ).hint("merge")
     e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     tri = (
@@ -2022,7 +2058,8 @@ def katz_centrality_2iter(spark, sf_dir):
     ).select(
         "src",
         F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
-    )
+    # corpus-linear explode-derived edge list — never broadcast
+    ).hint("merge")
     indeg = edges.groupBy("dst").agg(
         F.count(F.lit(1)).cast("double").alias("infl")
     )
@@ -2103,7 +2140,8 @@ def wl_relabel_1iter(spark, sf_dir):
     ).select(
         "src",
         F.expr(_PR_EDGE_SQL.format(src="src", j="j", n="n")).alias("dst"),
-    )
+    # corpus-linear explode-derived edge list — never broadcast
+    ).hint("merge")
     indeg = edges.groupBy("dst").agg(
         F.count(F.lit(1)).cast("long").alias("indeg")
     )
