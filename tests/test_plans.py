@@ -947,3 +947,126 @@ def test_pair_set_size_joins_are_merge_pinned(spark, sf_dir):
                 if ind <= base:
                     break
                 assert "Generate" not in sub, f"{name} broadcasts an exploded frame:\n{tree[:2500]}"
+
+
+def _broadcast_wraps_generate(tree: str) -> bool:
+    """True iff any BroadcastExchange subtree in the physical-plan tree
+    contains a Generate — the exact walk of the round-11/12 audits."""
+    lines = tree.splitlines()
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        base = len(ln) - len(ln.lstrip(" :+-"))
+        for sub in lines[i + 1:]:
+            ind = len(sub) - len(sub.lstrip(" :+-"))
+            if ind <= base:
+                break
+            if "Generate" in sub:
+                return True
+    return False
+
+
+# The standing allowlist for test_no_broadcast_wraps_generate_registrywide:
+# queries whose broadcast-wrapped-Generate subtrees were adjudicated
+# CONTRACT-BOUNDED in the round-12 registry-wide audit (a frame whose row
+# count is capped by a query constant may broadcast even though its subtree
+# derives through an explode; a frame that grows with the corpus may NOT —
+# SCALE.md "never broadcast growing frames"). Adding a name here requires
+# the same adjudication: say WHICH broadcast and WHAT bounds it.
+BCAST_GENERATE_ALLOWLIST = {
+    # k/B-row collect-style aggregates (centroids, codebooks, resamples):
+    # the broadcast is the k-row (or 1-row) aggregate OVER the exploded
+    # corpus frame, bounded by the query's k/B constant
+    "ann_recall_ivf",
+    "bootstrap_ci_mean",
+    "dedup_semantic",
+    "embedding_pca_power",
+    "ivf_kmeans_topk",
+    "kmeans_lloyd_2iter",
+    "knn_per_label",
+    "pq_codebook_2sub",
+    "similarity_ivf_multiprobe",
+    "similarity_ivf_topk",
+    # fixed-width sketch tables (CMS depth x width, Bloom bit-array)
+    "bloom_membership",
+    "cms_frequency_estimate",
+    # vocabulary-keyed LM / df / count frames: bounded by the language's
+    # vocabulary (Heaps-sublinear), the round-11 x256 adjudication
+    # precedent ("fixed feature vocabularies may broadcast")
+    "bm25_search",
+    "bpe_merge_steps",
+    "collocation_llr",
+    "fuzzy_join_tokens",
+    "heaps_law_fit",
+    "kl_source_drift",
+    "ngram_diversity",
+    "quality_lm_bigram",
+    "query_likelihood_dirichlet",
+    "rrf_hybrid_search",
+    "tfidf_cosine_pairs",
+    "tfidf_top_term",
+    "token_pmi_bigrams",
+    # bounded eval / query-set frames: the benchmark query set
+    # (contamination), per-setting recall scalars over the already
+    # merge-pinned candidate join (band sweep / recall eval)
+    "contamination_check",
+    "lsh_band_sweep",
+    "lsh_dedup_recall",
+    # graph: bfs broadcasts its CONTRACT-bounded frontier (<= 3^hop rows
+    # from one source at out-degree 3) and <=40-row visited set; triangle
+    # count broadcasts the 1-row n_edges scalar over the cached edge list
+    "bfs_3hop",
+    "graph_triangle_count",
+    # imaging: O(components) label set (binary propagation), the fixed
+    # kernel/corner offset frames (hit-or-miss, grey laplace/gradient —
+    # pixel-grid fixtures are scale-invariant by construction), and the
+    # quickstart composition's bounded threshold/label frames
+    "morph_binary_propagation",
+    "morph_hit_or_miss",
+    "morph_laplace",
+    "morph_grey_gradient",
+    "quickstart_pipeline",
+    # fixed language-profile n-gram frames (contract-constant profile set)
+    "lang_id",
+}
+# NOTE: broadcast decisions vary slightly with session parallelism (the
+# suite runs local[8], the standalone audits local[32]); the allowlist is
+# the UNION of adjudicated-bounded flags across both, so a name here may
+# not flag in every environment — that is expected, only NEW names fail.
+
+
+def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
+    """The round-11 rule as a standing registry-wide invariant (VERDICT
+    r11 item 3): a corpus-growing frame must never be a broadcast build
+    side, no matter what any size estimate says — the static planner's
+    estimate is Generate-blind, so an explode-derived frame can sneak
+    under the broadcast threshold at ANY scale (x64 jaccard JVM OOM,
+    x256 dedup_ngram_containment >1 GiB BroadcastExchange abort, and the
+    round-12 sf0.01 audit that caught the graph family broadcasting its
+    edge lists and incremental dedup broadcasting the standing corpus
+    band index). Every registered query's physical plan is built (never
+    executed) and walked for a BroadcastExchange subtree wrapping a
+    Generate; the explicit allowlist above carries the queries whose
+    flagged broadcasts are bounded by a query constant. A NEW name
+    failing here means either pin the join (corpus-scale frame) or
+    adjudicate and allowlist it (bounded frame) — consciously, not by
+    default. Runtime: ~4 min measured in-suite (all 542 plans built; a few
+    query CONSTRUCTIONS execute bounded fixture jobs, which dominates).
+    """
+    from dask_image_spark.queries.base import REGISTRY
+
+    unknown = BCAST_GENERATE_ALLOWLIST - set(REGISTRY)
+    assert not unknown, f"allowlist names not registered: {sorted(unknown)}"
+
+    offenders: list[str] = []
+    for name in REGISTRY:
+        if name in BCAST_GENERATE_ALLOWLIST:
+            continue
+        tree = _plan(spark, sf_dir, name).split("\n\n")[0]
+        if _broadcast_wraps_generate(tree):
+            offenders.append(name)
+    assert not offenders, (
+        f"BroadcastExchange wraps a Generate in: {offenders} — pin the "
+        "join (corpus-scale frame) or adjudicate into "
+        "BCAST_GENERATE_ALLOWLIST (contract-bounded frame)"
+    )
