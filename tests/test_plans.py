@@ -1070,3 +1070,36 @@ def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
         "join (corpus-scale frame) or adjudicate into "
         "BCAST_GENERATE_ALLOWLIST (contract-bounded frame)"
     )
+
+
+def test_corpus_frame_joins_are_merge_pinned(spark, sf_dir):
+    """The round-12 pins as explicit SortMergeJoin minimums: the LSH band
+    self-join / standing-index joins, textrank's exploded-token adjacency
+    self-join, and the graph family's edge-to-vector joins all consume a
+    corpus-linear explode-derived frame, so they must plan as sort-merge
+    at EVERY scale (the registry-wide Generate test above catches the
+    broadcast regression; this pins the intended positive shape, like
+    test_pair_set_size_joins_are_merge_pinned does for pair sets).
+    Minimums are conservative (an AQE re-plan may add joins, never
+    remove the pinned ones)."""
+    mins = {
+        "dedup_minhash_lsh": 1,        # band self-join
+        "dedup_lsh_salted_skew": 1,    # bands -> bucket_min join
+        "dedup_incremental_batch": 1,  # batch x standing corpus index
+        "dedup_incremental_minhash": 1,
+        "textrank_keywords": 1,        # token adjacency self-join
+        "pagerank_2iter": 2,           # one edge join per iteration
+        "lpa_communities_2iter": 2,
+        "bellman_ford_3round": 3,      # one relaxation join per round
+        "hits_2iter": 4,               # h1/a2/h2 edge joins + final merges
+        "adamic_adar_linkpred": 2,     # wedge self-join + anti-join
+        "ppr_seeded_2iter": 2,
+        "katz_centrality_2iter": 2,
+        "wl_relabel_1iter": 2,         # indeg re-join + neighbor-label join
+        "graph_triangle_count": 2,     # the two oriented self-joins
+        "ktruss_edge_support": 2,
+        "clustering_coefficient": 2,
+    }
+    for name, n in mins.items():
+        tree = _plan(spark, sf_dir, name).split("\n\n")[0]
+        assert tree.count("SortMergeJoin") >= n, f"{name}:\n{tree[:2500]}"
