@@ -76,6 +76,25 @@ SWEEP2 = [
     "dedup_substring_spans",
 ]
 
+# Third batch (round 12): the graph family + exploded-text queries whose
+# corpus-scale frames were merge-pinned this round — never tier-proven
+# before (the graph fixture becomes 1.28M nodes / 3.84M edges at x256
+# docs, the first size point above sf0.1 for the whole family). The
+# point: the pins hold where they matter AND the fixed-iteration shapes
+# stay linear in |edges|.
+SWEEP3 = [
+    "pagerank_2iter",
+    "lpa_communities_2iter",
+    "bellman_ford_3round",
+    "hits_2iter",
+    "katz_centrality_2iter",
+    "wl_relabel_1iter",
+    "graph_triangle_count",
+    "clustering_coefficient",
+    "textrank_keywords",
+    "dedup_lsh_salted_skew",
+]
+
 # fourth rotation alphabet, disjoint from aeiou / rstln / bcdgm
 X256_FROTS = ("fhpwy", "hpwyf", "pwyfh", "wyfhp")
 
@@ -207,6 +226,8 @@ def main() -> None:
             sys.exit(f"--only names not in the registry: {unknown}")
     elif len(sys.argv) >= 3 and sys.argv[1] == "--batch" and sys.argv[2] == "2":
         sweep = SWEEP2
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--batch" and sys.argv[2] == "3":
+        sweep = SWEEP3
 
     results: dict[str, str] = {}
     secs: dict[str, float] = {}
