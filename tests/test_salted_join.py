@@ -77,3 +77,26 @@ def test_nonuniform_salt_expression_still_exact(spark):
         salted_pair_join(a, b, ["k"], F.hash("ib"), n_salt=5).count()
         == plain
     )
+
+
+def test_null_salt_rows_are_never_dropped(spark):
+    """ADVICE r11: pmod(NULL, n) is NULL and an inner equi-join on a NULL
+    _salt silently drops that b row, diverging from the unsalted join.
+    The helper coalesces the salt to bucket 0, so a b_salt expression
+    that evaluates NULL on some rows must still yield EXACTLY the
+    unsalted pair set."""
+    a, b = _frames(spark)
+    # NULL salt on every third b row
+    nullable = F.when(F.col("bid") % 3 == 0, F.lit(None)).otherwise(
+        F.col("bid")
+    )
+    plain = sorted(
+        (r.ia, r.ib) for r in a.join(b, "k").select("ia", "ib").collect()
+    )
+    salted = sorted(
+        (r.ia, r.ib)
+        for r in salted_pair_join(a, b, ["k"], nullable, n_salt=16)
+        .select("ia", "ib")
+        .collect()
+    )
+    assert salted == plain  # NULL-salt rows land in bucket 0, not dropped
