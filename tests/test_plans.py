@@ -1059,12 +1059,22 @@ def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
     assert not unknown, f"allowlist names not registered: {sorted(unknown)}"
 
     offenders: list[str] = []
+    cartesian: list[str] = []
     for name in REGISTRY:
+        tree = _plan(spark, sf_dir, name).split("\n\n")[0]
+        # Free second invariant on the same walk: ZERO CartesianProduct
+        # nodes anywhere in the registry (the round-12 sweep measured
+        # exactly zero; a CartesianProduct is the unbroadcastable O(N^2)
+        # shape with no allowlist case — every intended cross join in
+        # the repo is an explicit F.broadcast of a bounded frame, which
+        # plans as BroadcastNestedLoopJoin, never CartesianProduct).
+        if "CartesianProduct" in tree:
+            cartesian.append(name)
         if name in BCAST_GENERATE_ALLOWLIST:
             continue
-        tree = _plan(spark, sf_dir, name).split("\n\n")[0]
         if _broadcast_wraps_generate(tree):
             offenders.append(name)
+    assert not cartesian, f"CartesianProduct planned in: {cartesian}"
     assert not offenders, (
         f"BroadcastExchange wraps a Generate in: {offenders} — pin the "
         "join (corpus-scale frame) or adjudicate into "
