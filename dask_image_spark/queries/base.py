@@ -69,71 +69,72 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 12 window (VERDICT_r11 "Next round" item 1): registry stays FROZEN
-# at 542; the never-driver-graded backlog drains 94 -> 44.  No changed
-# contracts are pending (round 11's tier-4 sweeps caught zero
-# value-affecting defects), so all 50 slots are first grades: the next 50
-# of the backlog in registration order (similarity_hamming_topk ...
-# dp_noisy_counts).  Round 13's window is already fixed (VERDICT_r11 item
-# 2 mandated doing the arithmetic now): the final 44 backlog names
-# (sql_execute_immediate ... streaming_left_outer_join) PLUS the six
-# oldest round-2 grades in registration order (fourier_shift,
+# Round 13 window (VERDICT_r12 "Next round" item 1; the exact list was
+# committed in round 12 — COVERAGE.md "Round-13 window"): registry stays
+# FROZEN at 542; this window FINISHES the never-driver-graded drain
+# (44 -> 0).  The final 44 backlog names in registration order
+# (sql_execute_immediate ... streaming_left_outer_join) fill the first 44
+# slots; the last six slots start the evidence-freshness rotation with
+# the six oldest round-2 grades in registration order (fourier_shift,
 # spline_filter1d, generic_filter_ptp, labeled_comprehension_sumsq,
-# dedup_simhash, dedup_ngram_jaccard) — see COVERAGE.md "Round-12
-# staging" for the full 50-name round-13 list and the freshness-floor
-# math (round-2 evidence trips the capped floor of 13 only at round 16,
-# round-3 at round 17; rounds 13-15 rotate oldest-first with slack).
+# dedup_simhash, dedup_ngram_jaccard).  After this round every registered
+# query has a green driver CORRECTNESS row.  Round 14's window is already
+# fixed (same arithmetic discipline): the remaining 16 round-2 grades +
+# all 34 round-3 grades, exactly 50, in registration order — see
+# COVERAGE.md "Round-13 staging" for the full list and the floor math
+# (round-2 evidence trips the capped floor of 13 only at round 16,
+# round-3 at round 17, round-4 at round 18; rotation stays oldest-first).
 WINDOW: list[str] = [
-    "similarity_hamming_topk",
-    "ann_recall_hamming_rerank",
-    "dedup_keep_best",
-    "embedding_dim_stats",
-    "cohens_kappa",
-    "bpe_merge_steps",
-    "arrow_batch_clip",
-    "cluster_medoid",
-    "readability_flesch",
-    "mmr_rerank_top3",
-    "pq_codebook_2sub",
-    "jaccard_prefix_filter_join",
-    "heaps_law_fit",
-    "audio_spectral_centroid",
-    "imread_ppm_rgb",
-    "imread_pgm_ascii",
-    "lpa_communities_2iter",
-    "bellman_ford_3round",
-    "clustering_coefficient",
-    "ndcg_at_10",
-    "retrieval_mrr_hit",
-    "ppr_seeded_2iter",
-    "ktruss_edge_support",
-    "katz_centrality_2iter",
-    "wl_relabel_1iter",
-    "corr_matrix",
-    "array_hof_surface",
-    "map_hof_surface",
-    "grouping_id_surface",
-    "table_checksum_audit",
-    "merge_three_way",
-    "custom_python_datasink",
-    "spatial_radius_join",
-    "nested_schema_pruning",
-    "json_corrupt_records",
-    "trimmed_mean",
-    "ratio_to_parent",
-    "benford_digit_test",
-    "set_ops_all",
-    "not_in_null_semantics",
-    "scan_ignore_corrupt_files",
-    "lateral_topk_per_key",
-    "gdpr_erasure_cascade",
-    "fk_orphan_audit",
-    "histogram_2d",
-    "ordered_set_regr_surface",
-    "sql_udf_surface",
-    "lateral_column_alias",
-    "bitmap_exact_distinct",
-    "dp_noisy_counts",
+    "sql_execute_immediate",
+    "scan_xml_roundtrip",
+    "sql_collation_surface",
+    "observe_metrics_surface",
+    "xpath_extract_surface",
+    "asof_join_tolerance",
+    "twap_daily",
+    "rolling_corr_24h",
+    "running_balance_floor",
+    "stable_global_index",
+    "seasonal_residual_anomaly",
+    "cumulative_distinct_users",
+    "rfm_scores",
+    "theilsen_slope_per_user",
+    "fifo_allocation",
+    "attribution_linear",
+    "association_rules",
+    "session_top_paths",
+    "forecast_eval_mase",
+    "pacf_durbin_levinson",
+    "ccf_lead_lag",
+    "dtw_alignment_distance",
+    "kalman_filter_hod",
+    "asof_join_nearest",
+    "survival_nelson_aalen",
+    "boxcox_lambda_grid",
+    "ewma_recursive_daily",
+    "gap_interp_linear",
+    "interval_coverage_merge",
+    "holt_linear_smoothing",
+    "runs_test_wald_wolfowitz",
+    "fdr_benjamini_hochberg",
+    "seasonal_decompose_ma",
+    "burst_detection_2state",
+    "viterbi_best_path_2state",
+    "haar_dwt_2level",
+    "gumbel_block_maxima",
+    "hill_tail_index",
+    "spc_xbar_chart",
+    "cox_ph_1newton",
+    "negbin_moment_fit",
+    "zero_inflation_score_test",
+    "ljung_box_q",
+    "streaming_left_outer_join",
+    "fourier_shift",
+    "spline_filter1d",
+    "generic_filter_ptp",
+    "labeled_comprehension_sumsq",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
 ]
 
 
