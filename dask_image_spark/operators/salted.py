@@ -100,8 +100,17 @@ def salted_pair_join(
     ``b_salt`` may evaluate to NULL (ADVICE r11: ``pmod(NULL, n)`` is
     NULL, and an inner equi-join on a NULL ``_salt`` would silently DROP
     that b row, breaking the exactly-the-unsalted-join contract); it is
-    coalesced to 0 so NULL-salt rows land in a deterministic bucket and
-    still meet every replicated a row once.
+    coalesced to ``pmod(hash(*on), n_salt)`` (ADVICE r12 — a constant-0
+    fallback would collapse ALL NULL-salt rows into one bucket) so
+    NULL-salt rows land in a deterministic per-key bucket and still meet
+    every replicated a row once. Any fallback placement is pair-set
+    neutral because ``a`` is replicated across every salt. Limitation,
+    by construction: if the caller's salt expression is NULL precisely
+    on the rows of ONE hot key, the key-derived fallback still puts them
+    all in the same bucket and the skew mitigation degenerates to the
+    unsalted hotspot for that key — pick a ``b_salt`` that is non-NULL
+    on skewed keys (a row id, or a hash over columns that vary within
+    the hot key).
     """
     spark = a.sparkSession
     if width is None:
@@ -123,6 +132,9 @@ def salted_pair_join(
     a_rep = a_rep.hint(join_hint or "merge")
     b_s = b.withColumn(
         SALT_COL,
-        F.pmod(F.coalesce(b_salt, F.lit(0)), F.lit(n_salt)).cast("int"),
+        F.pmod(
+            F.coalesce(b_salt, F.hash(*[F.col(c) for c in on])),
+            F.lit(n_salt),
+        ).cast("int"),
     ).repartition(width, *on, SALT_COL)
     return a_rep.join(b_s, on + [SALT_COL])

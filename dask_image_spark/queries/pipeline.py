@@ -20,6 +20,7 @@ from dask_image_spark.queries.base import (
 )
 from dask_image_spark.sources.tables import load_table
 from dask_image_spark.functions.localrel import values_df
+from dask_image_spark.scratch import io_base
 
 
 def _fresh_dir(path: str) -> None:
@@ -1485,7 +1486,7 @@ def imread_pgm(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_pgm, encode_pgm
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/pgm_{tag}"
+    out_dir = f"{io_base()}/pgm_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -1564,7 +1565,7 @@ def imread_png(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_png, encode_png
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/png_{tag}"
+    out_dir = f"{io_base()}/png_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -1640,7 +1641,7 @@ def imread_tiff(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_tiff, encode_tiff
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/tiff_{tag}"
+    out_dir = f"{io_base()}/tiff_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -1700,7 +1701,7 @@ def _imread_tiff_compressed(spark, sf_dir, *, compression, subdir, mul, add):
     from dask_image_spark.operators.multimodal import decode_tiff, encode_tiff
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/{subdir}_{tag}"
+    out_dir = f"{io_base()}/{subdir}_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -1825,7 +1826,7 @@ def imread_tiff_packbits(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_tiff, encode_tiff
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/tiffpb_{tag}"
+    out_dir = f"{io_base()}/tiffpb_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -1915,7 +1916,7 @@ def imread_png_rgb(spark, sf_dir):
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/pngrgb_{tag}"
+    out_dir = f"{io_base()}/pngrgb_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -2015,7 +2016,7 @@ def imread_jpeg(spark, sf_dir):
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/jpeg_{tag}"
+    out_dir = f"{io_base()}/jpeg_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -2096,7 +2097,7 @@ def imread_tiff_16bit(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_tiff, encode_tiff
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/tiff16_{tag}"
+    out_dir = f"{io_base()}/tiff16_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -2178,7 +2179,7 @@ def audio_wav_stats(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_wav, encode_wav
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/wav_{tag}"
+    out_dir = f"{io_base()}/wav_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -2277,7 +2278,7 @@ def audio_zcr_rms(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_wav, encode_wav
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/wavdsp_{tag}"
+    out_dir = f"{io_base()}/wavdsp_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -2372,7 +2373,7 @@ def video_y4m_frames(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_y4m, encode_y4m
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/y4m_{tag}"
+    out_dir = f"{io_base()}/y4m_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -2461,7 +2462,7 @@ def imread_glob_nframes(spark, sf_dir):
 
     nframes = 3
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/pgm_glob_{tag}"
+    out_dir = f"{io_base()}/pgm_glob_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2048)
@@ -2559,7 +2560,7 @@ def imread_tiff_multipage(spark, sf_dir):
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/tiffmp_{tag}"
+    out_dir = f"{io_base()}/tiffmp_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2048)
@@ -3828,7 +3829,7 @@ def video_scene_cuts(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_y4m, encode_y4m
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/y4mcut_{tag}"
+    out_dir = f"{io_base()}/y4mcut_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -4712,7 +4713,7 @@ def imread_bmp(spark, sf_dir):
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/bmp_{tag}"
+    out_dir = f"{io_base()}/bmp_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -4822,7 +4823,7 @@ def imread_gif(spark, sf_dir):
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/gif_{tag}"
+    out_dir = f"{io_base()}/gif_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -5987,7 +5988,7 @@ def imread_ppm_rgb(spark, sf_dir):
     from dask_image_spark.operators.multimodal import decode_ppm, encode_ppm
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/ppm_{tag}"
+    out_dir = f"{io_base()}/ppm_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)
@@ -6080,7 +6081,7 @@ def imread_pgm_ascii(spark, sf_dir):
     )
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out_dir = f"/tmp/dask_image_spark_io/pgm_ascii_{tag}"
+    out_dir = f"{io_base()}/pgm_ascii_{tag}"
     _fresh_dir(out_dir)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 8192)

@@ -20,6 +20,7 @@ from dask_image_spark.operators.salted import salted_pair_join
 from dask_image_spark.queries.base import r as _eps_round, register
 from dask_image_spark.sources.tables import load_table
 from dask_image_spark.functions.localrel import values_df
+from dask_image_spark.scratch import io_base
 
 
 def _r(col, n=4):
@@ -194,7 +195,7 @@ def scan_csv_roundtrip(spark, sf_dir):
     import os
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    path = f"/tmp/dask_image_spark_io/csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = f"{io_base()}/csv_{os.path.basename(sf_dir.rstrip('/'))}"
     d.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema("doc_id LONG, lang STRING, n_chars LONG").option(
         "header", True
@@ -219,7 +220,7 @@ def scan_json_roundtrip(spark, sf_dir):
     import os
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    path = f"/tmp/dask_image_spark_io/json_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = f"{io_base()}/json_{os.path.basename(sf_dir.rstrip('/'))}"
     d.write.mode("overwrite").json(path)
     back = spark.read.schema("doc_id LONG, source STRING").json(path)
     return (
@@ -235,7 +236,7 @@ def write_partitioned_events(spark, sf_dir) -> str:
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"/tmp/dask_image_spark_io/events_by_type_{tag}"
+    path = f"{io_base()}/events_by_type_{tag}"
     ev = load_table(spark, sf_dir, "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     return path
@@ -1665,7 +1666,7 @@ def write_bucketed_tables(spark, sf_dir, n_buckets: int = 8) -> tuple[str, str]:
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    base = f"/tmp/dask_image_spark_io/bucketed_{tag}"
+    base = f"{io_base()}/bucketed_{tag}"
     specs = [
         (f"b_orders_{tag}", "orders", "o_orderkey"),
         (f"b_lineitem_{tag}", "lineitem", "l_orderkey"),
@@ -2375,7 +2376,7 @@ def scan_orc_roundtrip(spark, sf_dir):
     import os
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    path = f"/tmp/dask_image_spark_io/orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = f"{io_base()}/orc_{os.path.basename(sf_dir.rstrip('/'))}"
     d.write.mode("overwrite").orc(path)
     back = spark.read.schema("doc_id LONG, lang STRING, n_chars LONG").orc(path)
     return (
@@ -2607,7 +2608,7 @@ def scan_merge_schema(spark, sf_dir):
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"/tmp/dask_image_spark_io/mergeschema_{tag}"
+    path = f"{io_base()}/mergeschema_{tag}"
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 10000)
     old = ev.filter(F.col("event_id") < 5000).select(
         "event_id", "event_type", "value"
@@ -2659,8 +2660,8 @@ def compact_small_files(spark, sf_dir):
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    frag = f"/tmp/dask_image_spark_io/frag_{tag}"
-    compacted = f"/tmp/dask_image_spark_io/compacted_{tag}"
+    frag = f"{io_base()}/frag_{tag}"
+    compacted = f"{io_base()}/compacted_{tag}"
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     ).select("doc_id", "n_chars")
@@ -2854,7 +2855,7 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
     import os
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"/tmp/dask_image_spark_io/dynpart_{tag}"
+    path = f"{io_base()}/dynpart_{tag}"
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") < 10000
     ).select("event_id", "event_type", "value")
@@ -4506,7 +4507,7 @@ def custom_python_datasink(spark, sf_dir):
 
     register_ndjson_manifest(spark)
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = f"/tmp/dask_image_spark_io/pyds_sink_{tag}"
+    out = f"{io_base()}/pyds_sink_{tag}"
     _fresh_dir(out)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
@@ -4686,7 +4687,7 @@ def nested_schema_pruning(spark, sf_dir):
     from dask_image_spark.queries.pipeline import _fresh_dir
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = f"/tmp/dask_image_spark_io/nested_{tag}"
+    out = f"{io_base()}/nested_{tag}"
     _fresh_dir(out)
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -4750,7 +4751,7 @@ def json_corrupt_records(spark, sf_dir):
     from dask_image_spark.queries.pipeline import _fresh_dir
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    land = f"/tmp/dask_image_spark_io/corrupt_land_{tag}"
+    land = f"{io_base()}/corrupt_land_{tag}"
     _fresh_dir(land)
 
     ev = load_table(spark, sf_dir, "events")
@@ -5075,7 +5076,7 @@ def scan_ignore_corrupt_files(spark, sf_dir):
     from dask_image_spark.queries.pipeline import _fresh_dir
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    land = f"/tmp/dask_image_spark_io/corrupt_files_{tag}"
+    land = f"{io_base()}/corrupt_files_{tag}"
     _fresh_dir(land)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
@@ -5917,7 +5918,7 @@ def scan_xml_roundtrip(spark, sf_dir):
         "doc_id", "lang", "n_chars"
     )
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"/tmp/dask_image_spark_io/xml_{tag}"
+    path = f"{io_base()}/xml_{tag}"
     (
         d.write.mode("overwrite")
         .format("xml")

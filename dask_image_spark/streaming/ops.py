@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from dask_image_spark.queries.base import r as _eps_round
 from dask_image_spark.sources.tables import ensure_engine_confs, normalize_events_ts
+from dask_image_spark.scratch import io_base
 
 
 def events_stream(
@@ -178,7 +179,7 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str, **stream_opts) -> D
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = f"/tmp/dask_image_spark_io/stream_sink_{tag}"
+    out = f"{io_base()}/stream_sink_{tag}"
     ckpt = f"{out}_ckpt"
     # clean slate: the checkpoint's commit log would otherwise skip the
     # (identical) availableNow batch on re-runs and leave stale output mixed
@@ -225,7 +226,7 @@ def foreach_batch_sink(spark: SparkSession, sf_dir: str, **stream_opts) -> DataF
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    out = f"/tmp/dask_image_spark_io/feb_sink_{tag}"
+    out = f"{io_base()}/feb_sink_{tag}"
     ckpt = f"{out}_ckpt"
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -267,7 +268,7 @@ def json_source_rollup(
     from dask_image_spark.sources.tables import load_table
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    land = f"/tmp/dask_image_spark_io/json_land_{tag}"
+    land = f"{io_base()}/json_land_{tag}"
     shutil.rmtree(land, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
@@ -320,7 +321,7 @@ def csv_source_rollup(
     from dask_image_spark.sources.tables import load_table
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    land = f"/tmp/dask_image_spark_io/csv_land_{tag}"
+    land = f"{io_base()}/csv_land_{tag}"
     shutil.rmtree(land, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -371,7 +372,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str, **stream_opts) -> DataF
     a windowed aggregate per segment. The static side is broadcast into
     every micro-batch — the standard streaming-enrichment topology; no
     stream-stream state is involved, so availableNow output is
-    batch-equivalent and strong-oracle-checkable."""
+    batch-equivalent and strong-oracle-checkable.
+
+    Static-side bound (SCALE.md §12 streaming review rule): the segment
+    map is user-dimension-scale — it grows with the corpus, slower than
+    the event stream but not bounded. Broadcast is correct while the
+    dimension fits the executors; past that, drop the hint and let the
+    stream-static join shuffle (supported for inner joins), or pre-hash
+    the dimension into a keyed state store."""
     from dask_image_spark.sources.tables import load_table
 
     ev = events_stream(spark, sf_dir, **stream_opts)
@@ -701,7 +709,7 @@ def stream_left_outer_join(
     from dask_image_spark.sources.tables import load_table
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    land = f"/tmp/dask_image_spark_io/outer_land_{tag}"
+    land = f"{io_base()}/outer_land_{tag}"
     shutil.rmtree(land, ignore_errors=True)
 
     ev = load_table(spark, sf_dir, "events").filter(

@@ -1033,6 +1033,12 @@ BCAST_GENERATE_ALLOWLIST = {
 # suite runs local[8], the standalone audits local[32]); the allowlist is
 # the UNION of adjudicated-bounded flags across both, so a name here may
 # not flag in every environment — that is expected, only NEW names fail.
+# Staleness guard (ADVICE r12): the walk below LOGS which allowlisted
+# names actually flag in the in-suite environment, so an entry whose
+# bounded frame later stops broadcasting (refactor, estimator change)
+# is visible in the test output round over round rather than silently
+# exempt forever. It is a log, not an assert, precisely because of the
+# cross-environment union above.
 
 
 def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
@@ -1069,8 +1075,21 @@ def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
 
     offenders: list[str] = []
     cartesian: list[str] = []
+    allow_flagged: list[str] = []
     for name, reg in REGISTRY.items():
         if "streaming" in reg.tags:
+            continue
+        # "io-write" builders EXECUTE write jobs and reset their /tmp
+        # landing directories as a side effect of construction — ~4 min
+        # of real work inside a plan-only walk (ADVICE r12), and the
+        # walkable plan afterwards is a bare scan of the files the
+        # builder just wrote (plus bounded decode projections), with no
+        # join topology to audit. Their sink/pipeline behavior is
+        # covered by tests that actually execute them (oracle parity +
+        # test_oracle_types via the Query.schema declaration), so the
+        # plan walk skips them the same way it skips streaming sink
+        # scans: excluded in kind, not as a shortcut.
+        if "io-write" in reg.tags:
             continue
         tree = _plan(spark, sf_dir, name).split("\n\n")[0]
         # Free second invariant on the same walk: ZERO CartesianProduct
@@ -1082,9 +1101,18 @@ def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
         if "CartesianProduct" in tree:
             cartesian.append(name)
         if name in BCAST_GENERATE_ALLOWLIST:
+            if _broadcast_wraps_generate(tree):
+                allow_flagged.append(name)
             continue
         if _broadcast_wraps_generate(tree):
             offenders.append(name)
+    stale = sorted(BCAST_GENERATE_ALLOWLIST - set(allow_flagged))
+    print(
+        f"\n[bcast-generate allowlist] {len(allow_flagged)}/"
+        f"{len(BCAST_GENERATE_ALLOWLIST)} entries flag in this "
+        f"environment; not flagging here (union across local[8]/"
+        f"local[32], expected nonempty): {stale}"
+    )
     assert not cartesian, f"CartesianProduct planned in: {cartesian}"
     assert not offenders, (
         f"BroadcastExchange wraps a Generate in: {offenders} — pin the "
