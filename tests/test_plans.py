@@ -1041,7 +1041,8 @@ BCAST_GENERATE_ALLOWLIST = {
 # cross-environment union above.
 
 
-def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
+@pytest.mark.parametrize("chunk", range(8))
+def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir, chunk):
     """The round-11 rule as a standing registry-wide invariant (VERDICT
     r11 item 3): a corpus-growing frame must never be a broadcast build
     side, no matter what any size estimate says — the static planner's
@@ -1067,6 +1068,12 @@ def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
     saving is modest — per-query construction+analysis across the whole
     registry dominates — but running 18 real streams to inspect 18
     empty LocalTableScans is wrong in kind, not just in cost).
+
+    The walk is parametrized into 8 interleaved chunks (registry
+    position mod 8) purely so the sharded suite runner can distribute
+    the ~3.5-min wall across processes instead of one shard eating the
+    whole test; the union over chunks is exactly the single-loop walk,
+    and any chunk failing names its offenders the same way.
     """
     from dask_image_spark.queries.base import REGISTRY
 
@@ -1076,7 +1083,12 @@ def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
     offenders: list[str] = []
     cartesian: list[str] = []
     allow_flagged: list[str] = []
-    for name, reg in REGISTRY.items():
+    chunk_allow: set[str] = set()
+    for i, (name, reg) in enumerate(REGISTRY.items()):
+        if i % 8 != chunk:
+            continue
+        if name in BCAST_GENERATE_ALLOWLIST:
+            chunk_allow.add(name)
         if "streaming" in reg.tags:
             continue
         # "io-write" builders EXECUTE write jobs and reset their /tmp
@@ -1106,10 +1118,10 @@ def test_no_broadcast_wraps_generate_registrywide(spark, sf_dir):
             continue
         if _broadcast_wraps_generate(tree):
             offenders.append(name)
-    stale = sorted(BCAST_GENERATE_ALLOWLIST - set(allow_flagged))
+    stale = sorted(chunk_allow - set(allow_flagged))
     print(
-        f"\n[bcast-generate allowlist] {len(allow_flagged)}/"
-        f"{len(BCAST_GENERATE_ALLOWLIST)} entries flag in this "
+        f"\n[bcast-generate allowlist chunk {chunk}/8] "
+        f"{len(allow_flagged)}/{len(chunk_allow)} entries flag in this "
         f"environment; not flagging here (union across local[8]/"
         f"local[32], expected nonempty): {stale}"
     )
