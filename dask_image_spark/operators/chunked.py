@@ -195,31 +195,32 @@ def map_overlap_tiles(
     if depth >= block:
         raise ValueError(f"depth {depth} must be < block {block}")
     pad = padded_pixels(px, depth, shape, mode, cval, keys)  # keys,y,x,_pv
-    dirs = F.inline(
-        F.array(*[
-            F.struct(F.lit(a).alias("dty"), F.lit(b).alias("dtx"))
-            for a in (-1, 0, 1) for b in (-1, 0, 1)
-        ])
-    )
     side = block + 2 * depth
+    # Tile assignment: pixel (y, x) belongs to exactly the tiles whose
+    # padded window [t*block - depth, (t+1)*block + depth) contains it per
+    # axis, i.e. t in [floor((c-depth)/block), floor((c+depth)/block)] —
+    # a 1- or 2-element range per axis (depth < block), clamped to the
+    # image's tile grid. Generating that exact range (two chained explodes
+    # averaging ~1 element each) replaces the old 9-direction inline whose
+    # range filter then discarded ~89% of the generated rows — a 9x
+    # Generate fan-out over every padded pixel, pure wasted row churn in
+    # the scan stage (guide §3.3: explode multiplies; emit only what the
+    # shuffle needs). Same assignment set, bit-identical tiles.
+    nty = -(-h // block)
+    ntx = -(-w // block)
+
+    def _tile_range(c: str, n_tiles: int):
+        lo = F.greatest(
+            F.lit(0), F.floor((F.col(c) - depth) / block).cast("int")
+        )
+        hi = F.least(
+            F.lit(n_tiles - 1), F.floor((F.col(c) + depth) / block).cast("int")
+        )
+        return F.explode(F.sequence(lo, hi))
+
     asg = (
-        pad.select(*pad.columns, dirs)
-        .withColumns(
-            {
-                "tty": F.floor(F.col("y") / block).cast("int") + F.col("dty"),
-                "ttx": F.floor(F.col("x") / block).cast("int") + F.col("dtx"),
-            }
-        )
-        # keep only tiles whose padded window contains this pixel
-        .filter(
-            (F.col("y") >= F.col("tty") * block - depth)
-            & (F.col("y") < (F.col("tty") + 1) * block + depth)
-            & (F.col("x") >= F.col("ttx") * block - depth)
-            & (F.col("x") < (F.col("ttx") + 1) * block + depth)
-            # and only tiles that have any interior inside the image
-            & (F.col("tty") >= 0) & (F.col("tty") * block < h)
-            & (F.col("ttx") >= 0) & (F.col("ttx") * block < w)
-        )
+        pad.withColumn("tty", _tile_range("y", nty))
+        .withColumn("ttx", _tile_range("x", ntx))
         .select(*keys, "tty", "ttx", "y", "x", "_pv")
     )
 

@@ -123,17 +123,37 @@ def minhash_signatures(
     evaluations per shingle instead of n.
     """
     sh = exploded_shingles(docs, k, id_col, text_col)
+    # Aggregate the NUMERIC value of each 8-hex-char slice, then format the
+    # minimum back to the identical lowercase hex string. Lexicographic MIN
+    # over fixed-width lowercase hex == numeric MIN over the 32-bit value
+    # (the family invariant documented above), so h0..h7 are byte-identical
+    # — but min(string) plans as SortAggregate, which SORTS the entire
+    # exploded shingle stream by doc_id before aggregating, while min(long)
+    # plans as HashAggregate with map-side partial aggregation and no sort
+    # (guide §2.3: narrower types; §2.4: the sort was a hidden full pass).
+    # The shuffled signature rows also shrink: 8 longs vs 8 strings.
     aggs = []
     for s in range(n_hashes):
         seed, off = _minhash_seed_slice(s)
         aggs.append(
             F.min(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh"))), off, 8
-                )
-            ).alias(f"h{s}")
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh"))), off, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"_i{s}")
         )
-    return sh.groupBy(id_col).agg(*aggs)
+    mins = sh.groupBy(id_col).agg(*aggs)
+    return mins.select(
+        id_col,
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"_i{s}")), 8, "0")).alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    )
 
 
 def band_rows(
