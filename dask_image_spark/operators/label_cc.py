@@ -8,11 +8,11 @@ Faithful to the reference's three-stage design
    block, pure-numpy union-find labeling (no scipy in this container) —
    then offset to globally-unique ids (`relabel_blocks`).
 2. **Boundary adjacency** (`label_adjacency_graph`): label pairs that touch
-   across any 4-neighbor edge, found with one self-join per forward offset
-   over the labeled pixels — both sides pre-filtered to the block-boundary
-   bands (stage 1 already merged every within-block contact, so only
-   cross-block contacts can pair differing labels). Join inputs and the
-   pair set are both bounded by block-boundary contacts — tiny relative to
+   across any structure-neighbor edge. Stage 1 already merged every
+   within-block contact, so only cross-block contacts matter: each
+   block-boundary pixel emits (contact-key, label) half-edges and one
+   groupBy pairs them — no joins, one pass over the labeled pixels, and
+   the pair set is bounded by block-boundary contacts — tiny relative to
    the data.
 3. **Global merge** (`connected_components_delayed` runs scipy.sparse's CC
    on one worker there): the adjacency pairs are collected to the driver
@@ -263,34 +263,72 @@ def label(
 
     # stage 2: adjacency across structure-neighbor contacts. Stage 1 merged
     # every within-block contact, so only CROSS-BLOCK contacts can pair
-    # differing labels — both join sides pre-filter to the block-boundary
-    # bands (the rows whose offset neighbor falls in another block), making
-    # the self-join O(boundary), not O(pixels): at block=512 that is ~0.4%
-    # of the mask per offset instead of a full-table sort-merge join
-    # (guide §3.2 — shrink the join inputs before the exchange).
-    edges = None
-    for dy, dx in fwd:
-        a = labeled.filter(
+    # differing labels. Instead of one shifted self-join per forward offset
+    # (a union of joins whose ~10 AQE stages cost ~2 s of pure scheduling
+    # latency for a few thousand edges), each boundary pixel emits up to
+    # 2*|fwd| (contact-key, label) HALF-EDGES — pixel p keyed by
+    # (ravel(p), offset) when its forward neighbor q = p + o crosses a
+    # block edge, and q keyed by (ravel(q - o), offset) symmetrically — and
+    # one groupBy pairs the halves: exactly the masked cross-block contacts
+    # (the key maps are injective per offset, so count == 2 iff both
+    # endpoints exist). ONE pass over the pixel checkpoint, two tiny
+    # exchanges, no joins (guide §2.4 — fewer shuffles; §2.3 — shuffle
+    # keys, not payloads). Pairs are (min, max)-oriented; the union-find
+    # is symmetric, so the merge result is identical to the joined form.
+    n_off = len(fwd)
+    # Contact keys ravel over the PADDED coordinate domain [-R, h+R) x
+    # [-R, w+R): a backward-shifted position can leave the image (e.g.
+    # x - dx = -1), and raveling with the plain width would alias it onto a
+    # real pixel of the previous row, fabricating an edge between
+    # non-neighbors. The padded ravel is injective over every position a
+    # half-edge can name, so keys collide exactly for true contacts.
+    r_max = max(max(abs(dy), abs(dx)) for dy, dx in fwd)
+    wpad = w + 2 * r_max
+    halves = []
+    for oi, (dy, dx) in enumerate(fwd):
+        yl = F.col("y").cast("long") + r_max
+        xl = F.col("x").cast("long") + r_max
+        cross_fwd = (
             (F.floor((F.col("y") + dy) / block) != F.floor(F.col("y") / block))
             | (F.floor((F.col("x") + dx) / block) != F.floor(F.col("x") / block))
-        ).alias("a")
-        b = (
-            labeled.filter(
-                (F.floor((F.col("y") - dy) / block) != F.floor(F.col("y") / block))
-                | (F.floor((F.col("x") - dx) / block) != F.floor(F.col("x") / block))
-            )
-            .select(
-                (F.col("y") - dy).alias("y"), (F.col("x") - dx).alias("x"),
-                F.col("lbl").alias("lbl_b"),
-            )
-            .alias("b")
         )
-        e = (
-            a.join(b, on=["y", "x"])
-            .filter(F.col("lbl") != F.col("lbl_b"))
-            .select("lbl", "lbl_b")
+        halves.append(
+            F.when(
+                cross_fwd,
+                F.struct(
+                    ((yl * wpad + xl) * n_off + oi).alias("ck"),
+                    F.col("lbl").alias("l"),
+                ),
+            )
         )
-        edges = e if edges is None else edges.unionByName(e)
+        cross_back = (
+            (F.floor((F.col("y") - dy) / block) != F.floor(F.col("y") / block))
+            | (F.floor((F.col("x") - dx) / block) != F.floor(F.col("x") / block))
+        )
+        halves.append(
+            F.when(
+                cross_back,
+                F.struct(
+                    (((yl - dy) * wpad + (xl - dx)) * n_off + oi).alias("ck"),
+                    F.col("lbl").alias("l"),
+                ),
+            )
+        )
+    contacts = (
+        labeled.select(F.explode(F.array(*halves)).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("c.ck", "c.l")
+    )
+    edges = (
+        contacts.groupBy("ck")
+        .agg(
+            F.min("l").alias("lbl"),
+            F.max("l").alias("lbl_b"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter((F.col("_n") == 2) & (F.col("lbl") != F.col("lbl_b")))
+        .select("lbl", "lbl_b")
+    )
     head = edges.distinct().limit(max_driver_edges + 1).collect()
     if len(head) > max_driver_edges:
         # Adjacency graph too large to centralize: fall back to the

@@ -75,8 +75,23 @@ def exploded_shingles(
         widen = t_df.rdd.getNumPartitions() < target
     if widen:
         t_df = t_df.repartition(target, id_col)
+    # Explode the 0..n-k index range and assemble each shingle with plain
+    # getItem/concat_ws — NOT transform+slice (:func:`shingles_of`): Spark
+    # evaluates higher-order-function lambdas interpreted, outside
+    # whole-stage codegen, so the transform form paid ~21 us per shingle
+    # building the full shingle array per doc before exploding. The
+    # sequence explode + direct indexing fuses into the codegen stage and
+    # never materializes the array (measured 2.56 s -> 1.62 s for the
+    # 4.2M-shingle 16x corpus; multiset-identical output — guide §4.1:
+    # prefer codegen'd built-ins on the hot path).
     return t_df.select(
-        id_col, F.explode(shingles_of("_t", k)).alias("sh")
+        id_col, "_t",
+        F.explode(F.sequence(F.lit(0), F.size("_t") - k)).alias("_i"),
+    ).select(
+        id_col,
+        F.concat_ws(
+            " ", *[F.col("_t")[F.col("_i") + j] for j in range(k)]
+        ).alias("sh"),
     )
 
 
