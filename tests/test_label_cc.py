@@ -223,3 +223,75 @@ def test_prelabel_exchange_not_aqe_coalesced(spark):
         }
     ).repartition(prelabel_partitions(spark, 64), "by", "bx")
     assert blocked.rdd.getNumPartitions() == 64
+
+
+def test_label_no_ravel_alias_across_row_wrap(spark):
+    """Regression for the r13 contact-key bug: (y, w-1) and (y+1, 0) are
+    consecutive in PLAIN ravel order but are NOT 4-neighbors — a contact
+    key raveled with the un-padded width aliased the backward-shifted
+    position (y+1, -1) onto (y, w-1) and fabricated exactly this merge
+    (caught by label_cc_dense oracle parity). w is a multiple of block so
+    the pair also crosses a block boundary, the only place stage 2 runs."""
+    h, w, block = 2, 8, 4
+    # two pixels only: (0, 7) and (1, 0) — distinct components under 4-conn
+    rows = [
+        (y, x, (y, x) in {(0, 7), (1, 0)})
+        for y in range(h)
+        for x in range(w)
+    ]
+    mdf = values_df(spark, "y, x, m", rows)
+    got = {
+        (r["y"], r["x"]): r["label"]
+        for r in label(mdf, (h, w), block=block).collect()
+    }
+    assert got == {(0, 7): 7, (1, 0): 8}  # two components, canonical labels
+
+
+def test_minhash_aggregate_is_hash_not_sort(spark):
+    """The r13 minhash change aggregates min(long) so the signature
+    aggregate plans as HashAggregate with map-side partials; min(string)
+    would regress to SortAggregate, which sorts the entire exploded
+    shingle stream per side (the r13 before-plan's Sort(52))."""
+    from dask_image_spark.functions.localrel import values_df as vdf
+    from dask_image_spark.operators import textops
+
+    docs = vdf(
+        spark, "doc_id, text",
+        [(1, "a b c d e"), (2, "b c d e f"), (3, "x y z w q")],
+    )
+    sigs = textops.minhash_signatures(docs, n_hashes=8, k=3)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_tile_assignment_matches_nine_direction_reference(spark):
+    """The r13 sequence-range tile assignment in map_overlap_tiles must
+    reproduce the old 9-direction inline + range filter exactly: for every
+    padded coordinate, the set of (tty, ttx) tiles is identical."""
+    import numpy as np
+
+    h = w = 11
+    for block, depth in ((4, 1), (5, 2), (8, 3)):
+        nty = ntx = -(-h // block)
+        for y in range(-depth, h + depth):
+            for x in range(-depth, w + depth):
+                ref = {
+                    (ty, tx)
+                    for ty in range(y // block - 1, y // block + 2)
+                    for tx in range(x // block - 1, x // block + 2)
+                    if ty * block - depth <= y < (ty + 1) * block + depth
+                    and tx * block - depth <= x < (tx + 1) * block + depth
+                    and 0 <= ty and ty * block < h
+                    and 0 <= tx and tx * block < w
+                }
+                lo_y = max(0, (y - depth) // block)
+                hi_y = min(nty - 1, (y + depth) // block)
+                lo_x = max(0, (x - depth) // block)
+                hi_x = min(ntx - 1, (x + depth) // block)
+                got = {
+                    (ty, tx)
+                    for ty in range(lo_y, hi_y + 1)
+                    for tx in range(lo_x, hi_x + 1)
+                }
+                assert got == ref, (block, depth, y, x)
