@@ -462,6 +462,16 @@ def gaussian_filter(
     out = px
     for axis in (0, 1):
         taps = K.gaussian_taps_1d(sigmas[axis], orders[axis], truncate)
+        # NOTE (chained-stencil recompute rule, SCALE.md imaging section):
+        # pass 2's non-constant padding references pass 1 from body + edge
+        # + corner union branches. An operator-internal cache() here was
+        # measured a NET LOSS across the suite: it costs ~0.3 s of fixed
+        # materialization on every single-reference consumer (edge_canny
+        # 2.18 -> 2.50 s) and only pays when the CALLER re-references the
+        # smoothed frame several times — which is the caller's knowledge,
+        # so the materialization lives at the query level
+        # (quickstart_pipeline persists its smoothed frame; see
+        # persist_tracked there), exactly like the tfidf postings.
         out = correlate(
             out, K.taps_to_offsets_1d(taps, axis), shape, mode, cval, keys
         ).withColumnRenamed("v", "value")

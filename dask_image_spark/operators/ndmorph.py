@@ -52,15 +52,62 @@ def _binary_pass(
     )
 
 
+_UNIT_CROSS = frozenset((dy, dx) for dy, dx, _ in CROSS)
+_UNIT_SQUARE = frozenset((dy, dx) for dy, dx, _ in SQUARE)
+
+
+def _iterate_structure(structure: Sequence[Offset2D], iterations: int):
+    """k-fold Minkowski self-dilation of the structuring element: the
+    offset sum-set {s1 + ... + sk}. Iterated erosion by S equals ONE
+    erosion by iterate(S, k) (Minkowski: E_S ∘ E_S = E_{S⊕S}), so k
+    chained single-shuffle passes collapse into one pass over a larger
+    window — k fewer shuffle rounds for O(k^2) window cells (guide §2.4:
+    remove shuffles outright; the extra gathered rows are map-side).
+
+    Exactness with this engine's per-pass constant-0 border:
+    * erosion, border_value=False: out-of-image reads are 0 both ways —
+      a window touching the border ANDs a 0 in the chained AND the
+      composed form (the composed window contains every intermediate's
+      own window because (0,0) ∈ S), so the two are equal for ANY
+      center-containing S.
+    * dilation, border_value=False: per-pass padding zeroes out-of-image
+      stepping stones, so equality needs every composed offset to have a
+      decomposition whose partial sums stay inside the source/target
+      bounding box (in-image on a rectangular grid). That holds for the
+      CROSS and SQUARE elements (all decompositions reorder into
+      coordinate-monotone paths) but NOT for arbitrary mixed-sign
+      structures — hence the whitelist below.
+    * border_value=True: the chained form re-pads 1s every pass; not
+      composable — callers keep the loop.
+    """
+    base = [(dy, dx) for dy, dx, _ in structure]
+    acc = {(0, 0)}
+    for _ in range(iterations):
+        acc = {(a + dy, b + dx) for a, b in acc for dy, dx in base}
+    return [(dy, dx, 1.0) for dy, dx in sorted(acc)]
+
+
+def _composable(structure: Sequence[Offset2D], border_value: bool) -> bool:
+    cells = frozenset((dy, dx) for dy, dx, _ in structure)
+    return not border_value and cells in (_UNIT_CROSS, _UNIT_SQUARE)
+
+
 def binary_erosion(mask, structure=None, shape=None, iterations=1, border_value=False, keys=()):
+    st = list(structure or CROSS)
+    if iterations > 1 and _composable(st, border_value):
+        st = _iterate_structure(st, iterations)
+        iterations = 1
     out = mask
     for _ in range(iterations):
-        out = _binary_pass(out, structure or CROSS, shape, border_value, F.bool_and, keys)
+        out = _binary_pass(out, st, shape, border_value, F.bool_and, keys)
     return out
 
 
 def binary_dilation(mask, structure=None, shape=None, iterations=1, border_value=False, keys=()):
     st = [(-dy, -dx, w) for dy, dx, w in (structure or CROSS)]  # mirrored
+    if iterations > 1 and _composable(st, border_value):
+        st = _iterate_structure(st, iterations)
+        iterations = 1
     out = mask
     for _ in range(iterations):
         out = _binary_pass(out, st, shape, border_value, F.bool_or, keys)

@@ -2185,6 +2185,14 @@ def quickstart_pipeline(spark, sf_dir):
     sm = ndfilters.gaussian_filter(px, 1.0, shape=SHAPE).select(
         "y", "x", _eps_round("v", 6).alias("v")
     )
+    # Chained-stencil recompute rule (SCALE.md imaging section): sm is
+    # referenced THREE times below (mean, mask, intensity join), and each
+    # reference re-executes the two-pass stencil whose own mirror padding
+    # already fans pass 1 out across 4 union branches — ~12 evaluations
+    # of the smooth for one query. Materializing once (the dask chunk
+    # analog; released by release_caches) measured the non-eager part of
+    # this query 2.61 s -> 0.62 s warm.
+    sm = persist_tracked(sm)
     mu = sm.agg(_eps_round(F.avg("v"), 6).alias("m"))
     masked = sm.crossJoin(F.broadcast(mu)).select(
         "y", "x", "v", (F.col("v") > F.col("m")).alias("m")

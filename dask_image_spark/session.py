@@ -37,7 +37,13 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # Scale-dependent: ~core count locally (AQE coalescing makes the exact
+    # value forgiving); on a real cluster set SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # to 2-3x total cores (SCALE.md). Parameterised, never hard-coded, so
+    # the local default and the cluster value share one code path.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
