@@ -69,72 +69,69 @@ REGISTRY: dict[str, Query] = {}
 # first, then every other strong-oracle query in registration order, then
 # oracle-less (weak rows-only) queries last so they never burn graded slots.
 #
-# Round 13 window (VERDICT_r12 "Next round" item 1; the exact list was
-# committed in round 12 — COVERAGE.md "Round-13 window"): registry stays
-# FROZEN at 542; this window FINISHES the never-driver-graded drain
-# (44 -> 0).  The final 44 backlog names in registration order
-# (sql_execute_immediate ... streaming_left_outer_join) fill the first 44
-# slots; the last six slots start the evidence-freshness rotation with
-# the six oldest round-2 grades in registration order (fourier_shift,
-# spline_filter1d, generic_filter_ptp, labeled_comprehension_sumsq,
-# dedup_simhash, dedup_ngram_jaccard).  After this round every registered
-# query has a green driver CORRECTNESS row.  Round 14's window is already
-# fixed (same arithmetic discipline): the remaining 16 round-2 grades +
-# all 34 round-3 grades, exactly 50, in registration order — see
-# COVERAGE.md "Round-13 staging" for the full list and the floor math
-# (round-2 evidence trips the capped floor of 13 only at round 16,
-# round-3 at round 17, round-4 at round 18; rotation stays oldest-first).
+# Round 14 window (fixed in round 12 alongside the round-13 staging —
+# COVERAGE.md "Round-14 window"; VERDICT_r12 item 2): the never-graded
+# backlog is drained (0 since round 13), so the evidence-freshness
+# rotation is now the steady state.  This window = the remaining 16
+# round-2 grades + all 34 round-3 grades, exactly 50, in registration
+# order.  Registry stays FROZEN at 542.  The queue was pre-verified at
+# sf0.1 in round 12 (49/50 parity-green; scan_binaryfile raises by
+# design at non-grading SFs and is green at the grading sf0.001/0.01).
+# Floor math: after round 14 drains this window zero round-2/round-3
+# evidence remains; round 15 takes the 47 round-4 + 3 oldest round-5
+# grades (round-4 evidence trips the capped floor of 13 only at round
+# 18 — three rounds of slack); rotation continues oldest-first.
 WINDOW: list[str] = [
-    "sql_execute_immediate",
-    "scan_xml_roundtrip",
-    "sql_collation_surface",
-    "observe_metrics_surface",
-    "xpath_extract_surface",
-    "asof_join_tolerance",
-    "twap_daily",
-    "rolling_corr_24h",
-    "running_balance_floor",
-    "stable_global_index",
-    "seasonal_residual_anomaly",
-    "cumulative_distinct_users",
-    "rfm_scores",
-    "theilsen_slope_per_user",
-    "fifo_allocation",
-    "attribution_linear",
-    "association_rules",
-    "session_top_paths",
-    "forecast_eval_mase",
-    "pacf_durbin_levinson",
-    "ccf_lead_lag",
-    "dtw_alignment_distance",
-    "kalman_filter_hod",
-    "asof_join_nearest",
-    "survival_nelson_aalen",
-    "boxcox_lambda_grid",
-    "ewma_recursive_daily",
-    "gap_interp_linear",
-    "interval_coverage_merge",
-    "holt_linear_smoothing",
-    "runs_test_wald_wolfowitz",
-    "fdr_benjamini_hochberg",
-    "seasonal_decompose_ma",
-    "burst_detection_2state",
-    "viterbi_best_path_2state",
-    "haar_dwt_2level",
-    "gumbel_block_maxima",
-    "hill_tail_index",
-    "spc_xbar_chart",
-    "cox_ph_1newton",
-    "negbin_moment_fit",
-    "zero_inflation_score_test",
-    "ljung_box_q",
-    "streaming_left_outer_join",
-    "fourier_shift",
-    "spline_filter1d",
-    "generic_filter_ptp",
-    "labeled_comprehension_sumsq",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "similarity_top10",
+    "similarity_lsh_buckets",
+    "knn_per_label",
+    "similarity_ivf_topk",
+    "token_stats",
+    "token_topk",
+    "tfidf_top_term",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "udtf_ngrams",
+    "time_rollup_multires",
+    "multimodal_meta",
+    "multimodal_frames",
+    "filter_project",
+    "scan_binaryfile",
+    "filter_uniform_even",
+    "filter_minimum_even",
+    "filter_median5_r2_tiles",
+    "morph_dilation_square",
+    "morph_erosion_3d",
+    "filter_laplace_3d_constant",
+    "affine_order3_identity",
+    "spline_filter",
+    "fourier_gaussian",
+    "fourier_ellipsoid",
+    "fourier_uniform",
+    "affine_order2_identity",
+    "affine_order5_identity",
+    "dedup_minhash_lsh",
+    "dedup_minhash_survivors",
+    "kmeans_lloyd_2iter",
+    "knn_graph_lsh",
+    "similarity_ivf_multiprobe",
+    "text_normalize",
+    "token_bpe_count",
+    "quality_lm_bigram",
+    "imread_pgm",
+    "imread_png",
+    "imread_tiff",
+    "multimodal_resize",
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "scan_partitioned_parquet",
+    "upsert_latest_wins",
+    "profile_table",
+    "string_funcs",
+    "date_funcs",
+    "json_funcs",
+    "pivot_events",
 ]
 
 
