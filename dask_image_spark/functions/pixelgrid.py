@@ -30,15 +30,21 @@ BLOCK = 16  # label block size -> 16 labels 0..15
 def pixel_grid(spark: SparkSession, sf_dir: str, grid: int = GRID) -> DataFrame:
     """Dense (y, x, value) pixel table derived from events.
 
-    Cached: stencil plans reference the pixel table from several union
-    branches (body + halo borders); for a parquet-backed pixel table each
-    branch is a pruned scan, but this *derived* fixture would re-run the
-    events aggregation per branch. ``cache()`` is deduped by Spark's
-    CacheManager on the canonicalized plan, so repeated calls share one
-    entry (grid is ~4k rows — negligible memory).
+    Persisted (session-tracked): stencil plans reference the pixel table
+    from several union branches (body + halo borders); for a parquet-backed
+    pixel table each branch is a pruned scan, but this *derived* fixture
+    would re-run the events aggregation per branch. The persist is deduped
+    by Spark's CacheManager on the canonicalized plan, so repeated calls
+    share one entry (grid is ~4k rows — negligible memory), and registering
+    through ``persist_tracked`` (instead of a bare ``cache()``) lets
+    ``release_caches()`` drop the entry after each query/bench row instead
+    of pinning it for the session's lifetime (round-14 hygiene; rebuilding
+    the grid is one small events aggregation).
     """
+    from dask_image_spark.caching import persist_tracked
+
     ev = load_table(spark, sf_dir, "events")
-    return (
+    return persist_tracked(
         ev.groupBy(
             F.expr(f"CAST(event_id % {grid} AS INT)").alias("y"),
             F.expr(f"CAST((event_id div {grid}) % {grid} AS INT)").alias("x"),
@@ -48,7 +54,6 @@ def pixel_grid(spark: SparkSession, sf_dir: str, grid: int = GRID) -> DataFrame:
         # otherwise every downstream branch inherits 32 near-empty partitions
         # and stencils pay ~100 task launches of pure scheduling overhead
         .coalesce(1)
-        .cache()
     )
 
 

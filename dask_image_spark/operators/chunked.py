@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dask_image_spark.caching import persist_tracked
+
 _CUBIC_POLE = math.sqrt(3.0) - 2.0
 
 # Published IIR pole families for the direct B-spline transform of orders
@@ -99,18 +101,22 @@ def spline_filter1d(
     """Spline prefilter along ``axis``: group by the other coordinate, sort
     along the filtered axis, run the per-order IIR cascade per line.
 
-    The result is ``cache()``d: spline coefficients are consumed by
-    stencil/gather plans that reference their input from several union
-    branches (mirror-pad body + halo borders, corner fan-outs), and an
-    uncached Arrow stage would be RE-EXECUTED once per branch — chaining
-    two mirror correlates over an uncached coefficient frame recomputes
-    the IIR ~4^depth times (measured 15 s → 3 s on the ``spline_filter``
-    reconstruction identity at fixture scale). Materializing the
-    coefficient array once per axis pass is exactly the chunk
-    materialization dask-image performs; memory is bounded by the image,
-    which is already this operator's per-group contract. Spark's
-    CacheManager dedupes on the canonicalized plan, so repeated
-    construction shares one entry."""
+    The result is persisted (session-tracked): spline coefficients are
+    consumed by stencil/gather plans that reference their input from
+    several union branches (mirror-pad body + halo borders, corner
+    fan-outs), and an unmaterialized Arrow stage would be RE-EXECUTED once
+    per branch — chaining two mirror correlates over an uncached
+    coefficient frame recomputes the IIR ~4^depth times (measured
+    15 s → 3 s on the ``spline_filter`` reconstruction identity at fixture
+    scale). Materializing the coefficient array once per axis pass is
+    exactly the chunk materialization dask-image performs; memory is
+    bounded by the image, which is already this operator's per-group
+    contract. Spark's CacheManager dedupes on the canonicalized plan, so
+    repeated construction shares one entry, and registering through
+    ``persist_tracked`` (instead of a bare ``cache()``) gives the entry a
+    release path — ``release_caches()`` after each query/bench row —
+    instead of pinning one coefficient frame per distinct image/order in
+    executor storage for the session's lifetime (round-14 hygiene)."""
     keys = list(keys)
     along, across = ("y", "x") if axis == 0 else ("x", "y")
     schema = ", ".join(
@@ -124,7 +130,9 @@ def spline_filter1d(
         res["v"] = out
         return res
 
-    return px.groupBy(*keys, across).applyInPandas(fn, schema).cache()
+    return persist_tracked(
+        px.groupBy(*keys, across).applyInPandas(fn, schema)
+    )
 
 
 def _image_apply(px: DataFrame, np_fn, shape, keys=()) -> DataFrame:

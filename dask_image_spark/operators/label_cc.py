@@ -5,15 +5,17 @@ Faithful to the reference's three-stage design
 
 1. **Blockwise pre-label** (`block_ndi_label_delayed` there): each block of
    the grid is labeled independently — here one ``applyInPandas`` group per
-   block, pure-numpy union-find labeling (no scipy in this container) —
-   then offset to globally-unique ids (`relabel_blocks`).
-2. **Boundary adjacency** (`label_adjacency_graph`): label pairs that touch
-   across any structure-neighbor edge. Stage 1 already merged every
-   within-block contact, so only cross-block contacts matter: each
-   block-boundary pixel emits (contact-key, label) half-edges and one
-   groupBy pairs them — no joins, one pass over the labeled pixels, and
-   the pair set is bounded by block-boundary contacts — tiny relative to
-   the data.
+   block, vectorized-numpy run-graph labeling (no scipy in this container).
+   Each fragment's label is its MIN GLOBAL RAVEL INDEX (y*W + x), which
+   makes labels globally unique with no offset pass. The same pandas stage
+   also EMITS the cross-block half-edges (stage 2's input) inline, so the
+   labeled-pixel table is scanned zero extra times for adjacency.
+2. **Boundary adjacency**: label pairs that touch across any
+   structure-neighbor edge. Stage 1 already merged every within-block
+   contact, so only cross-block contacts matter: each block-boundary pixel
+   emitted (contact-key, label) half-edges in stage 1 and one groupBy pairs
+   them — no joins, no extra pass over the pixels, and the pair set is
+   bounded by block-boundary contacts — tiny relative to the data.
 3. **Global merge** (`connected_components_delayed` runs scipy.sparse's CC
    on one worker there): the adjacency pairs are collected to the driver
    and merged with union-find — the same "small graph solved centrally"
@@ -25,6 +27,12 @@ block layout or execution order. At 100 TB, stage 1 scales with pixels,
 stage 2 with boundary area, stage 3 with the number of *components touching
 block edges* — if that ever outgrows the driver, the documented fallback is
 iterative min-label broadcast joins with ``localCheckpoint()`` per round.
+
+Input contract: ``mask`` must have at most one row per (y, x) position
+(duplicate positions would double-count half-edge emissions; the pairing
+below tolerates that — ``min != max`` over a contact key is direction- and
+multiplicity-agnostic — but the per-pixel output would contain duplicate
+rows, as any per-pixel operator's would).
 """
 
 from __future__ import annotations
@@ -62,24 +70,26 @@ def forward_offsets(structure=None) -> list[tuple[int, int]]:
     return offs
 
 
-def _label_block_np(ys, xs, h, w, back_offsets=((-1, 0), (0, -1))):
+def _label_block_np(ys, xs, back_offsets=((-1, 0), (0, -1))):
     """Structure-connected labeling of points within a block; returns local
     labels (0-based). ``back_offsets`` is the negated forward half of the
     neighborhood.
 
-    Vectorized (guide §4.2 — batch numpy inside the UDF, never per-pixel
-    Python): a dense bounding-box raster, neighbor-min relaxation over every
-    structure offset, then full pointer-jumping compression, repeated to the
-    fixpoint (the Shiloach-Vishkin family). Labels start as each cell's own
-    flat index, so values only ever DECREASE and the map ``L[i] <= i`` stays
-    acyclic; at the fixpoint every edge has equal labels on both ends, i.e.
-    labels are constant exactly on connected components. Replaced the
-    per-pixel dict union-find measured at 1.75 s per 512x512 45%-density
-    block — this form is 0.09 s on the identical block (19x) and
-    partition-identical on randomized 4-/8-conn masks and a serpentine
-    worst case. Convergence is O(log diameter) relax+compress rounds, each
-    O(block area) numpy work; memory is one int64 raster per block, bounded
-    by the block-size contract like the old set/dict were.
+    Vectorized run-graph labeling (guide §4.2 — batch numpy inside the UDF,
+    never per-pixel Python): contract each maximal horizontal run of masked
+    pixels to one node (runs are connected internally whenever (0, 1) is in
+    the structure; otherwise every pixel is its own node), build the
+    run-adjacency edge list for the remaining offsets with full-raster
+    slicing, then find components by min-label relaxation with pointer
+    jumping AND edge contraction — after every round each edge is rewritten
+    to connect the current component minima and self-edges are dropped, so
+    the reach doubles per round and the edge list shrinks as components
+    merge. Converges in 3-4 rounds on 45%-density noise where the previous
+    raster-relaxation form took ~29 full-raster rounds (measured 229 ms ->
+    23 ms on a 512x512 45% block, partition-identical on randomized 4-/8-
+    conn masks, a serpentine worst case, and sparse structures). Memory is
+    one int64 raster (the run-id grid) plus O(runs + contacts), bounded by
+    the block-size contract.
     """
     ys = np.asarray(ys, dtype=np.int64)
     xs = np.asarray(xs, dtype=np.int64)
@@ -88,29 +98,55 @@ def _label_block_np(ys, xs, h, w, back_offsets=((-1, 0), (0, -1))):
     bh, bw = int(ly.max()) + 1, int(lx.max()) + 1
     mask = np.zeros((bh, bw), dtype=bool)
     mask[ly, lx] = True
-    back = [(int(dy), int(dx)) for dy, dx in back_offsets]
-    offs = back + [(-dy, -dx) for dy, dx in back]
-    L = np.arange(bh * bw, dtype=np.int64).reshape(bh, bw)
-    while True:
-        relaxed = L.copy()
-        for dy, dx in offs:
-            tys = slice(max(0, -dy), bh - max(0, dy))
-            sys_ = slice(max(0, dy), bh + min(0, dy))
-            txs = slice(max(0, -dx), bw - max(0, dx))
-            sxs = slice(max(0, dx), bw + min(0, dx))
-            valid = mask[tys, txs] & mask[sys_, sxs]
-            tgt = relaxed[tys, txs]
-            np.copyto(tgt, np.minimum(tgt, L[sys_, sxs]), where=valid)
-        flat = relaxed.ravel()
-        while True:
-            jumped = flat[flat]
-            if np.array_equal(jumped, flat):
-                break
-            flat = jumped
-        if np.array_equal(flat, L.ravel()):
-            break
-        L = flat.reshape(bh, bw)
-    roots = L[ly, lx]
+    offs = set()
+    for dy, dx in back_offsets:
+        offs.add((int(dy), int(dx)))
+        offs.add((-int(dy), -int(dx)))
+    # Horizontal runs are only pre-merged when the structure actually
+    # connects (0, 1) neighbors; otherwise each pixel is its own run.
+    row_conn = (0, 1) in offs
+    if row_conn:
+        starts = mask.copy()
+        starts[:, 1:] &= ~mask[:, :-1]
+    else:
+        starts = mask
+    run_id = np.cumsum(starts.ravel()).reshape(bh, bw) - 1
+    n_runs = int(run_id.ravel()[-1]) + 1
+    eu_parts, ev_parts = [], []
+    for dy, dx in offs:
+        if row_conn and dy == 0 and abs(dx) == 1:
+            continue  # inside-run adjacency, already contracted
+        tys = slice(max(0, -dy), bh - max(0, dy))
+        sys_ = slice(max(0, dy), bh + min(0, dy))
+        txs = slice(max(0, -dx), bw - max(0, dx))
+        sxs = slice(max(0, dx), bw + min(0, dx))
+        valid = mask[tys, txs] & mask[sys_, sxs]
+        eu_parts.append(run_id[tys, txs][valid])
+        ev_parts.append(run_id[sys_, sxs][valid])
+    L = np.arange(n_runs, dtype=np.int64)
+    if eu_parts:
+        eu = np.concatenate(eu_parts)
+        ev = np.concatenate(ev_parts)
+        keep = eu != ev
+        eu, ev = eu[keep], ev[keep]
+        while eu.size:
+            # relax: every run takes the min label over its current edges
+            nl = L.copy()
+            np.minimum.at(nl, eu, L[ev])
+            # pointer jumping: compress label chains to their minima
+            # (labels only decrease and L[i] <= i stays acyclic)
+            while True:
+                jumped = nl[nl]
+                if np.array_equal(jumped, nl):
+                    break
+                nl = jumped
+            L = nl
+            # contract: rewrite edges onto component minima, drop internal
+            # ones — reach doubles per round, edge list only shrinks
+            eu, ev = nl[eu], nl[ev]
+            keep = eu != ev
+            eu, ev = eu[keep], ev[keep]
+    roots = L[run_id[ly, lx]]
     _, inv = np.unique(roots, return_inverse=True)
     return inv.astype(np.int64)
 
@@ -193,6 +229,31 @@ def prelabel_partitions(spark, n_blocks: int) -> int:
     return max(1, min(n_blocks, shuffle_parts * 4))
 
 
+def max_halfedge_rows(
+    shape: tuple[int, int], block: int, fwd: list[tuple[int, int]]
+) -> int:
+    """Static upper bound on the number of half-edge rows stage 1 can emit
+    (and therefore on the rows any un-deduplicated edge collect can return:
+    edge rows after the contact-key groupBy <= distinct contact keys <=
+    emissions). Per forward offset (dy, dx), a pixel emits the forward
+    half-edge only when y//B != (y+dy)//B or x//B != (x+dx)//B — at most
+    |dy| rows per block-row boundary (times the width) plus |dx| columns
+    per block-col boundary (times the height) — and the backward half-edge
+    under the mirrored condition, doubling the count. Used by :func:`label`
+    to decide whether the driver-safety ``distinct().limit()`` probe is
+    needed at all: when this bound already fits the driver budget the probe
+    would spend two exchange stages (measured ~0.5 s of pure AQE stage
+    latency per labeling) proving something knowable from the geometry.
+    """
+    h, w = shape
+    nby = -(-h // block)
+    nbx = -(-w // block)
+    total = 0
+    for dy, dx in fwd:
+        total += 2 * (abs(dy) * nby * w + abs(dx) * nbx * h)
+    return total
+
+
 def label(
     mask: DataFrame, shape: tuple[int, int], block: int = 32,
     mask_col: str = "m", max_driver_edges: int = 2_000_000,
@@ -211,8 +272,12 @@ def label(
     union-find merge (stage 3) ONLY while it stays under
     ``max_driver_edges``; a bigger graph automatically switches to the
     fully-distributed :func:`label_iterative` path, so callers never have to
-    pick the strategy themselves. The probe costs one ``limit(n+1)`` collect
-    — the same job stage 3 needs anyway when the graph is small.
+    pick the strategy themselves. When the geometric bound
+    (:func:`max_halfedge_rows`) proves the collect cannot exceed the budget,
+    the ``distinct().limit(n+1)`` driver-safety probe (two extra exchange
+    stages) is skipped and the raw edge rows are collected directly — the
+    union-find is idempotent under duplicate pairs, so dedup is free on the
+    driver.
     """
     h, w = shape
     fwd = forward_offsets(structure)
@@ -220,7 +285,7 @@ def label(
     spark = mask.sparkSession
     pts = mask.filter(F.col(mask_col)).select("y", "x")
 
-    # stage 1: per-block pre-label, globally offset by block id
+    # stage 1: per-block pre-label + inline half-edge emission
     blocked = pts.withColumns(
         {
             "by": (F.col("y") / block).cast("int"),
@@ -239,101 +304,102 @@ def label(
     blocked = blocked.repartition(
         prelabel_partitions(spark, nby * nbx), "by", "bx"
     )
-    def pre_label(pdf: pd.DataFrame) -> pd.DataFrame:
-        ys = pdf["y"].to_numpy()
-        xs = pdf["x"].to_numpy()
-        local = _label_block_np(ys, xs, h, w, back_offsets=back)
-        # Block label = the fragment's MIN GLOBAL RAVEL INDEX, not an
-        # opaque base+local id. Labels stay globally unique (fragments are
-        # disjoint pixel sets and the min is a member), and because the
-        # driver union-find roots every merged set at its minimum, the
-        # root IS the component's min ravel index over all its pixels —
-        # the canonical label — so the old canon pass (a groupBy + a
-        # second pixel-table join, two more full-data exchanges) is
-        # unnecessary and was removed.
-        g = ys.astype(np.int64) * w + xs.astype(np.int64)
-        mins = np.full(int(local.max()) + 1, np.iinfo(np.int64).max)
-        np.minimum.at(mins, local, g)
-        return pd.DataFrame({"y": ys, "x": xs, "lbl": mins[local]})
 
-    labeled = blocked.groupBy("by", "bx").applyInPandas(
-        pre_label, "y int, x int, lbl long"
-    )
-    labeled = labeled.localCheckpoint()  # cut lineage; reused 5 times below
-
-    # stage 2: adjacency across structure-neighbor contacts. Stage 1 merged
-    # every within-block contact, so only CROSS-BLOCK contacts can pair
-    # differing labels. Instead of one shifted self-join per forward offset
-    # (a union of joins whose ~10 AQE stages cost ~2 s of pure scheduling
-    # latency for a few thousand edges), each boundary pixel emits up to
-    # 2*|fwd| (contact-key, label) HALF-EDGES — pixel p keyed by
-    # (ravel(p), offset) when its forward neighbor q = p + o crosses a
-    # block edge, and q keyed by (ravel(q - o), offset) symmetrically — and
-    # one groupBy pairs the halves: exactly the masked cross-block contacts
-    # (the key maps are injective per offset, so count == 2 iff both
-    # endpoints exist). ONE pass over the pixel checkpoint, two tiny
-    # exchanges, no joins (guide §2.4 — fewer shuffles; §2.3 — shuffle
-    # keys, not payloads). Pairs are (min, max)-oriented; the union-find
-    # is symmetric, so the merge result is identical to the joined form.
-    n_off = len(fwd)
     # Contact keys ravel over the PADDED coordinate domain [-R, h+R) x
     # [-R, w+R): a backward-shifted position can leave the image (e.g.
     # x - dx = -1), and raveling with the plain width would alias it onto a
     # real pixel of the previous row, fabricating an edge between
     # non-neighbors. The padded ravel is injective over every position a
     # half-edge can name, so keys collide exactly for true contacts.
+    n_off = len(fwd)
     r_max = max(max(abs(dy), abs(dx)) for dy, dx in fwd)
     wpad = w + 2 * r_max
-    halves = []
-    for oi, (dy, dx) in enumerate(fwd):
-        yl = F.col("y").cast("long") + r_max
-        xl = F.col("x").cast("long") + r_max
-        cross_fwd = (
-            (F.floor((F.col("y") + dy) / block) != F.floor(F.col("y") / block))
-            | (F.floor((F.col("x") + dx) / block) != F.floor(F.col("x") / block))
+
+    def pre_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        ys = pdf["y"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        local = _label_block_np(ys, xs, back_offsets=back)
+        # Block label = the fragment's MIN GLOBAL RAVEL INDEX, not an
+        # opaque base+local id. Labels stay globally unique (fragments are
+        # disjoint pixel sets and the min is a member), and because the
+        # driver union-find roots every merged set at its minimum, the
+        # root IS the component's min ravel index over all its pixels —
+        # the canonical label — so no separate canon pass (a groupBy + a
+        # second pixel-table join, two more full-data exchanges) is needed.
+        ys64 = ys.astype(np.int64)
+        xs64 = xs.astype(np.int64)
+        g = ys64 * w + xs64
+        mins = np.full(int(local.max()) + 1, np.iinfo(np.int64).max)
+        np.minimum.at(mins, local, g)
+        lbl = mins[local]
+        # Inline half-edge emission (stage 2's input), computed here in
+        # numpy instead of a second full JVM pass over the checkpointed
+        # pixels (guide §2.4 — one pass, and the explode/when expression
+        # evaluation over every pixel is gone). Sign-encoding keeps the
+        # output schema at two longs: a >= 0 is a pixel row with a = its
+        # ravel index; a < 0 is a half-edge row with contact key -a - 1.
+        a_parts = [g]
+        l_parts = [lbl]
+        yl = ys64 + r_max
+        xl = xs64 + r_max
+        byv = ys64 // block
+        bxv = xs64 // block
+        for oi, (dy, dx) in enumerate(fwd):
+            # forward: pixel p emits under key (p, oi) when p + o crosses
+            cf = ((ys64 + dy) // block != byv) | ((xs64 + dx) // block != bxv)
+            if cf.any():
+                ck = (yl[cf] * wpad + xl[cf]) * n_off + oi
+                a_parts.append(-ck - 1)
+                l_parts.append(lbl[cf])
+            # backward: pixel q = p + o emits under key (q - o, oi) = (p, oi)
+            cb = ((ys64 - dy) // block != byv) | ((xs64 - dx) // block != bxv)
+            if cb.any():
+                ck = ((yl[cb] - dy) * wpad + (xl[cb] - dx)) * n_off + oi
+                a_parts.append(-ck - 1)
+                l_parts.append(lbl[cb])
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(a_parts),
+                "lbl": np.concatenate(l_parts),
+            }
         )
-        halves.append(
-            F.when(
-                cross_fwd,
-                F.struct(
-                    ((yl * wpad + xl) * n_off + oi).alias("ck"),
-                    F.col("lbl").alias("l"),
-                ),
-            )
-        )
-        cross_back = (
-            (F.floor((F.col("y") - dy) / block) != F.floor(F.col("y") / block))
-            | (F.floor((F.col("x") - dx) / block) != F.floor(F.col("x") / block))
-        )
-        halves.append(
-            F.when(
-                cross_back,
-                F.struct(
-                    (((yl - dy) * wpad + (xl - dx)) * n_off + oi).alias("ck"),
-                    F.col("lbl").alias("l"),
-                ),
-            )
-        )
-    contacts = (
-        labeled.select(F.explode(F.array(*halves)).alias("c"))
-        .filter(F.col("c").isNotNull())
-        .select("c.ck", "c.l")
+
+    out = blocked.groupBy("by", "bx").applyInPandas(pre_label, "a long, lbl long")
+    # cut lineage; scanned twice below (half-edge aggregation, final join)
+    out = out.localCheckpoint()
+
+    # stage 2: pair the half-edges. Stage 1 merged every within-block
+    # contact, so only CROSS-BLOCK contacts can pair differing labels; one
+    # groupBy over the emitted (contact-key, label) rows pairs them (the
+    # key maps are injective per offset, so a key holds exactly the labels
+    # of its two endpoint pixels when both exist). min != max alone is the
+    # edge test: a key with one emission has min == max, and the filter is
+    # multiplicity-tolerant if an input ever violates the unique-(y, x)
+    # contract. Two tiny exchanges, no joins (guide §2.4 — fewer shuffles;
+    # §2.3 — shuffle keys, not payloads).
+    halves = out.filter(F.col("a") < 0).select(
+        (-F.col("a") - 1).alias("ck"), F.col("lbl").alias("l")
     )
     edges = (
-        contacts.groupBy("ck")
-        .agg(
-            F.min("l").alias("lbl"),
-            F.max("l").alias("lbl_b"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .filter((F.col("_n") == 2) & (F.col("lbl") != F.col("lbl_b")))
+        halves.groupBy("ck")
+        .agg(F.min("l").alias("lbl"), F.max("l").alias("lbl_b"))
+        .filter(F.col("lbl") != F.col("lbl_b"))
         .select("lbl", "lbl_b")
     )
-    head = edges.distinct().limit(max_driver_edges + 1).collect()
-    if len(head) > max_driver_edges:
-        # Adjacency graph too large to centralize: fall back to the
-        # fully-distributed iterative merge instead of OOMing the driver.
-        return label_iterative(mask, shape, mask_col=mask_col, structure=structure)
+    if max_halfedge_rows(shape, block, fwd) <= max_driver_edges:
+        # The geometry already proves the collect fits the driver budget:
+        # skip the distinct+limit probe (two extra exchange stages,
+        # measured ~0.5 s of AQE latency per labeling at 4096^2) and let
+        # the driver union-find absorb duplicate pairs.
+        head = edges.collect()
+    else:
+        head = edges.distinct().limit(max_driver_edges + 1).collect()
+        if len(head) > max_driver_edges:
+            # Adjacency graph too large to centralize: fall back to the
+            # fully-distributed iterative merge instead of OOMing the driver.
+            return label_iterative(
+                mask, shape, mask_col=mask_col, structure=structure
+            )
     pairs = [(r["lbl"], r["lbl_b"]) for r in head]
 
     # stage 3: driver-side union-find over the (small) adjacency graph
@@ -359,14 +425,16 @@ def label(
     # (a fragment with none would be its own component), so every fragment
     # label enters the union-find and the root is the min over ALL the
     # component's pixels; single-block components keep lbl, their own min.
-    # The old canon pass (groupBy(comp).agg(min ravel) + a second join of
-    # the full pixel table) computed exactly this and is gone — two fewer
-    # full-data exchanges (guide §2.4).
+    pix = out.filter(F.col("a") >= 0).select(
+        F.expr(f"CAST(a DIV {w} AS INT)").alias("y"),
+        F.expr(f"CAST(a % {w} AS INT)").alias("x"),
+        "lbl",
+    )
     if roots:
         root_df = values_df(
             spark, "lbl, root", [(int(k), int(v)) for k, v in roots.items()]
         )
-        return labeled.join(F.broadcast(root_df), on="lbl", how="left").select(
+        return pix.join(F.broadcast(root_df), on="lbl", how="left").select(
             "y", "x", F.coalesce("root", "lbl").alias("label")
         )
-    return labeled.select("y", "x", F.col("lbl").alias("label"))
+    return pix.select("y", "x", F.col("lbl").alias("label"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dask_image_spark.caching import persist_tracked
 from dask_image_spark.queries.base import r as _eps_round
 
 
@@ -237,30 +238,17 @@ def cosine_pairs_lsh(
     bk = emb.select(id_col, F.explode(F.array(*entries)).alias("bs")).select(
         id_col, "bs.band_id", "bs.bucket"
     )
-    # cache: bk sits on BOTH sides of the self-join — without it the
+    # persist: bk sits on BOTH sides of the self-join — without it the
     # bands*band_bits projection tree is re-codegened and re-evaluated per
     # plan branch (measured ~4x wall on the graded query, dominated by
     # Janino compile of the wide projection). The cached relation is 3 ints
-    # per (row, band) — tiny relative to the vectors it summarizes. Each
-    # call evicts the previous call's band table (the return value is lazy,
-    # so we can't unpersist our own before it executes) — repeated invocations
-    # hold at most one band cache in executor storage.
-    bk = bk.cache()
-    # Cache registry is keyed PER SparkSession: a cached DataFrame must not
-    # outlive its owning session (unpersisting a dead session's frame
-    # throws, e.g. across test fixtures), and keying by session also makes
-    # concurrent sessions independent.
-    spark = emb.sparkSession
-    caches = getattr(cosine_pairs_lsh, "_cached_bands", None)
-    if caches is None:
-        caches = cosine_pairs_lsh._cached_bands = {}
-    prev = caches.pop(id(spark), None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # owning context already stopped; nothing to release
-    caches[id(spark)] = bk
+    # per (row, band) — tiny relative to the vectors it summarizes.
+    # Registered with the session-scoped cache registry (the return value
+    # is lazy, so this call can't unpersist its own cache; the harnesses
+    # release it once the result materializes) — replaces a bespoke
+    # per-session eviction dict that held the last band table for the
+    # session's lifetime (round-14 cache-hygiene sweep).
+    bk = persist_tracked(bk)
     a, b_ = bk.alias("l"), bk.alias("r")
     # MERGE-pinned band self-join: the band frame is explode-derived and
     # VECTOR-LINEAR — Spark's static size estimate does not model

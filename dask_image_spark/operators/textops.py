@@ -343,20 +343,28 @@ def simhash60_signatures(
     Bit i's vote for a token comes from hex digit (i mod 30)+1 of
     md5(token) for bits 0-29 and of md5('q:' || token) for bits 30-59
     (digit >= '8' votes +1, else -1 — 8 of 16 hex digits, balanced).
-    Each md5 is computed ONCE per token (projected before the vote
-    transform — the lambda-inlining trap documented on
-    :func:`shingles_of`), the per-token 60-vote array is posexploded and
-    the bit sums reduce with partial aggregation, so the whole signature
-    is two map-side-combinable groupBys — linear in corpus size, no
-    Python. DuckDB twin: :func:`simhash60_sql_ctes`.
+    Each md5 is computed ONCE per token (projected before the votes —
+    the lambda-inlining trap documented on :func:`shingles_of`) and the
+    60 per-bit vote sums are 60 conditional-sum AGGREGATE COLUMNS of one
+    groupBy(id) — plain codegen'd substr/when/sum expressions. The
+    previous form built the per-token vote array with two ``transform``
+    higher-order lambdas (evaluated INTERPRETED, outside whole-stage
+    codegen — the :func:`exploded_shingles` disease), posexploded it to
+    60 rows per token, and paid TWO shuffles (groupBy(id, b) then
+    groupBy(id)); this form has no HOF lambda, no 60x row fan-out, and
+    ONE shuffle whose rows are one 60-column partial per doc (measured
+    2.7x on the signature at the duplicate-augmented sf0.1 corpus,
+    result-identical). Linear in corpus size, no Python. DuckDB twin:
+    :func:`simhash60_sql_ctes`.
 
     ``widen`` follows :func:`exploded_shingles`: the token fan-out, the
-    2 md5s/token and the 60-vote posexplode all fuse into the SCAN's
-    stage, so an under-split corpus runs the whole signature on a few
-    cores (measured: 6-task stage, 106 s at 85k docs; 31 s after the
-    widen). When the scan under-splits, hash-repartition the documents
-    (tiny rows) by id first; at cluster scale parquet yields enough
-    splits and no extra exchange is paid."""
+    2 md5s/token and the 60 vote sums all fuse into the SCAN's stage, so
+    an under-split corpus runs the whole signature on a few cores
+    (measured: 6-task stage, 106 s at 85k docs; 31 s after the widen).
+    When the scan under-splits, hash-repartition the documents (tiny
+    rows) by id first — the groupBy(id) below then reuses that
+    partitioning and the signature runs shuffle-free; at cluster scale
+    parquet yields enough splits and no extra exchange is paid."""
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
     if widen is None:
@@ -368,26 +376,26 @@ def simhash60_signatures(
     )
     hx = toks.select(
         id_col,
-        F.split(F.md5("tok"), "").alias("c1"),
-        F.split(F.md5(F.concat(F.lit("q:"), F.col("tok"))), "").alias("c2"),
+        F.md5("tok").alias("h1"),
+        F.md5(F.concat(F.lit("q:"), F.col("tok"))).alias("h2"),
     )
-    vote = lambda c: F.when(c >= "8", 1).otherwise(-1)  # noqa: E731
-    tv = hx.select(
-        id_col,
-        F.concat(
-            F.transform(F.slice("c1", 1, 30), vote),
-            F.transform(F.slice("c2", 1, 30), vote),
-        ).alias("votes"),
-    )
-    vb = tv.select(id_col, F.posexplode("votes").alias("b", "v"))
-    bits = vb.groupBy(id_col, "b").agg(F.sum("v").alias("sv"))
-    return bits.groupBy(id_col).agg(
+    sums = [
         F.sum(
-            F.when(F.col("sv") > 0, F.pow(F.lit(2.0), F.col("b")))
-            .otherwise(0.0)
-            .cast("long")
-        ).alias("h")
-    )
+            F.when(
+                F.substring("h1" if b < 30 else "h2", (b % 30) + 1, 1) >= "8",
+                1,
+            ).otherwise(-1)
+        ).alias(f"sv{b}")
+        for b in range(60)
+    ]
+    bits = hx.groupBy(id_col).agg(*sums)
+    h = None
+    for b in range(60):
+        term = F.when(F.col(f"sv{b}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        h = term if h is None else h + term
+    return bits.select(id_col, h.alias("h"))
 
 
 def simhash60_sql_ctes(docs_cte: str = "documents") -> str:

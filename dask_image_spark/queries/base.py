@@ -25,26 +25,14 @@ def r(col: Column | str, n: int = 4) -> Column:
     return F.round(col + F.lit(EPS), n)
 
 
-# Session-scoped bookkeeping for persist()ed intermediates. A query builder
-# cannot unpersist its own caches (the returned DataFrame is consumed later,
-# by a caller we don't control), so every cache is registered here and the
-# harnesses (bench.py per query, tests via fixture teardown) call
-# release_caches() once the result is materialized — otherwise 3 cached
-# count/posting tables per run accumulate in executor memory for the life
-# of the session (ADVICE r5).
-_PERSISTED: list[DataFrame] = []
-
-
-def persist_tracked(df: DataFrame) -> DataFrame:
-    """``df.persist()`` (MEMORY_AND_DISK) registered for later release."""
-    _PERSISTED.append(df.persist())
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every tracked cache (idempotent, safe mid-session)."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+# Session-scoped bookkeeping for persist()ed intermediates — moved to
+# dask_image_spark.caching (round 14) so OPERATORS can register caches
+# without a queries-layer import; re-exported here for every existing
+# call site (query builders, bench.py, test teardown).
+from dask_image_spark.caching import (  # noqa: F401  (re-export)
+    persist_tracked,
+    release_caches,
+)
 
 
 @dataclass
