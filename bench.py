@@ -99,12 +99,34 @@ HEADLINE = [
     ("label_cc_64x", "__label_cc_64x__"),
 ]
 
+# Round-14 additions (VERDICT r13 item 2 — restore the bench's evidence
+# power): at sf0.1 the 27 headline rows are stage-latency bound (8-core
+# total within 2% of 32-core), so round-over-round deltas below ~15% on
+# sub-second rows are unfalsifiable noise. One higher-scale point per
+# family optimized in the two optimization rounds puts that family's
+# number well above the ~0.2 s/stage floor and makes its core-count
+# scaling measurable again (measured 8-vs-32-core ratios at add time:
+# minhash_lsh_64x 1.89, gauss_r2_8192 1.82, label_cc_256x 1.17 — vs ~1.0
+# for most headline rows). ADDITIONS-ONLY per the driver contract: the
+# original 27 labels, their methodology, and the headline `value` (their
+# sum) are unchanged; these rows appear in `queries` (and in
+# `value_with_scale_rows`) so per-query and scaling comparisons can use
+# them without breaking the round-over-round total.
+SCALE_ROWS = [
+    ("minhash_lsh_64x", "__minhash_lsh_64x__"),
+    ("gauss_r2_8192", "__gauss_r2_8192__"),
+    ("label_cc_256x", "__label_cc_256x__"),
+]
+
 # Labels whose work happens at DataFrame CONSTRUCTION (eager internal jobs:
 # localCheckpoint stages, bounded collects). The warm best-of-3 re-count
 # protocol would reuse those materialized stages and time ~0; these rows
 # instead rebuild the DataFrame inside every timed iteration (construction
 # + full count, still warmed once, still best-of-3).
-REBUILD = {"label_cc_1x", "label_cc_4x", "label_cc_16x", "label_cc_64x"}
+REBUILD = {
+    "label_cc_1x", "label_cc_4x", "label_cc_16x", "label_cc_64x",
+    "label_cc_256x",
+}
 
 BASELINE_K = [
     (-1, -1, 0.1), (-1, 0, 0.1), (-1, 1, 0.1),
@@ -362,6 +384,54 @@ def label_cc_64x(spark, sf_dir):
     return _label_cc(spark, sf_dir, side=4096)
 
 
+# ---- round-14 SCALE_ROWS builders (see the SCALE_ROWS comment above) ----
+
+# Fourth size point for the band-join slope: 64 copies = the 16x corpus
+# crossed with 4 rotations of a THIRD letter class ("dgmpv" — disjoint
+# from the vowel and "rstln" classes, so every composed transform still
+# produces a distinct token stream and shingles replicate i.i.d.).
+X64_CROTS = ("dgmpv", "gmpvd", "mpvdg", "pvdgm")
+
+
+def docs_x64(spark, sf_dir):
+    """The 64x-augmented documents frame (fourth band-join slope point)."""
+    from pyspark.sql import functions as F
+
+    from dask_image_spark.queries.pipeline import X4_OFFSET, docs_x16
+
+    d = docs_x16(spark, sf_dir)
+    out = None
+    for c, rot in enumerate(X64_CROTS):
+        cp = d.select(
+            (F.col("doc_id") + c * 16 * X4_OFFSET).alias("doc_id"),
+            F.translate("text", "dgmpv", rot).alias("text"),
+        )
+        out = cp if out is None else out.unionAll(cp)
+    return out
+
+
+def minhash_lsh_64x(spark, sf_dir):
+    """dedup_minhash_lsh's exact plan over the 64x corpus — the point
+    where the signature+band pipeline is compute-bound, not latency-bound
+    (8.6 s at 32 cores, 8-vs-32 ratio 1.89 at add time)."""
+    from dask_image_spark.operators import textops
+
+    sigs = textops.minhash_signatures(docs_x64(spark, sf_dir), n_hashes=8, k=3)
+    return textops.lsh_band_pairs(sigs, n_hashes=8, rows_per_band=2)
+
+
+def gauss_r2_8192(spark, sf_dir):
+    """Third point on the R2 tile-path size axis: 8192^2 = 67M px in
+    512-px tiles (5.5 s at 32 cores, 8-vs-32 ratio 1.82 at add time)."""
+    return _gauss_r2(spark, sf_dir, side=8192, block=512)
+
+
+def label_cc_256x(spark, sf_dir):
+    """Fifth label slope point: 8192^2 = 67M px, ~30M foreground
+    (REBUILD protocol like the other label rows)."""
+    return _label_cc(spark, sf_dir, side=8192)
+
+
 def main() -> None:
     from dask_image_spark import queries as q
     from dask_image_spark.session import get_spark
@@ -372,7 +442,7 @@ def main() -> None:
 
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for label, name in HEADLINE:
+    for label, name in HEADLINE + SCALE_ROWS:
         # BASELINE.md methodology: build the DataFrame once, warm once, then
         # best-of-3 wall-clock on a full materialization of the same plan.
         # Per-query fault isolation: one broken query must never zero the
@@ -393,6 +463,9 @@ def main() -> None:
                 "__label_cc_4x__": label_cc_4x,
                 "__label_cc_16x__": label_cc_16x,
                 "__label_cc_64x__": label_cc_64x,
+                "__minhash_lsh_64x__": minhash_lsh_64x,
+                "__gauss_r2_8192__": gauss_r2_8192,
+                "__label_cc_256x__": label_cc_256x,
             }
             # registry[name]: a KeyError names the missing query, instead
             # of the opaque NoneType-not-callable a .get fallback produced
@@ -431,13 +504,24 @@ def main() -> None:
     # A partial total must never be mistaken for a full-suite number: when
     # any query failed, value is null and the n_ok/n_expected counts say
     # how much of the suite the per-query timings cover.
+    # `value` stays the sum over the ORIGINAL 27 headline labels so the
+    # round-over-round total is comparable despite the round-14 SCALE_ROWS
+    # additions; `value_with_scale_rows` sums everything that ran.
+    headline_labels = {label for label, _ in HEADLINE}
     out = {
         "metric": "headline_suite_total",
-        "value": round(sum(results.values()), 4) if not errors else None,
+        "value": (
+            round(sum(v for k, v in results.items() if k in headline_labels), 4)
+            if not errors
+            else None
+        ),
         "unit": "sec",
         "queries": results,
+        "value_with_scale_rows": (
+            round(sum(results.values()), 4) if not errors else None
+        ),
         "n_ok": len(results),
-        "n_expected": len(HEADLINE),
+        "n_expected": len(HEADLINE) + len(SCALE_ROWS),
         "sf": sf,
     }
     if errors:
