@@ -45,7 +45,15 @@ def main() -> None:
         "__q21_4x__": bench.q21_4x,
         "__dbscan_8x__": bench.dbscan_8x,
     }
-    for label, name in bench.HEADLINE:
+    # round-14 scale rows (older checkouts don't have them)
+    for attr, key in [
+        ("minhash_lsh_64x", "__minhash_lsh_64x__"),
+        ("gauss_r2_8192", "__gauss_r2_8192__"),
+    ]:
+        if hasattr(bench, attr):
+            specials[key] = getattr(bench, attr)
+    rows = bench.HEADLINE + list(getattr(bench, "SCALE_ROWS", []))
+    for label, name in rows:
         if label in bench.REBUILD:
             continue  # eager construction: explain would execute the jobs
         if only and label not in only:
